@@ -1,0 +1,249 @@
+"""Posting-list compression: docID-gap + varint in fixed-size blocks with
+per-block skip offsets and block-max score bounds (for block-max WAND /
+MaxScore pruning at query time).
+
+This natively rebuilds what the reference delegates to Elasticsearch/Lucene
+posting storage (SURVEY.md §2.10 X6, §4.2 "Compression"). Everything here
+is numpy-vectorized — no per-element Python loops over postings (the only
+Python-level loops are over the ≤10 byte positions of a varint and over
+segments at merge time).
+
+Wire format per posting list (one term within one doc shard):
+  doc_bytes : varint stream; per block the first value is the ABSOLUTE
+              doc_id, the rest are gaps (doc[i] - doc[i-1], >= 1). Blocks
+              are self-contained, so segment merge = byte concatenation.
+  tf_bytes  : varint stream of term frequencies, same blocking.
+  block_last_doc[]: last (absolute) doc_id per block   -> skip pointers
+  block_max_tfn[] : max of tf/(tf+k1*(1-b+b*dl/avgdl)) per block
+                    -> multiply by idf(term) for the block-max WAND bound
+  block_doc_off[] / block_tf_off[]: byte offset of each block's start
+              (block i spans [off[i], off[i+1]) with off[n_blocks] = len).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from maestro_spark.functions.bm25 import tfnorm
+
+BLOCK = 128  # postings per block (Lucene uses 128 for FOR blocks — public)
+
+
+# ---------------------------------------------------------------- varint
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style unsigned varint, vectorized. values: non-negative ints."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (1..10), vectorized
+    nb = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    maxb = int(nb.max())
+    mat = np.zeros((v.size, maxb), dtype=np.uint8)
+    for i in range(maxb):
+        mat[:, i] = ((v >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
+        # continuation bit on every byte except the last of each value
+        mat[:, i] |= np.where(i < nb - 1, 0x80, 0).astype(np.uint8)
+    mask = np.arange(maxb)[None, :] < nb[:, None]
+    return mat[mask].tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, offset: int = 0, length: int | None = None) -> np.ndarray:
+    """Decode a varint stream (or a byte-slice of one) to uint64, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if length is not None:
+        b = b[offset : offset + length]
+    elif offset:
+        b = b[offset:]
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    terminal = (b & 0x80) == 0
+    ends = np.flatnonzero(terminal)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+# ------------------------------------------------------------- postings
+
+@dataclass
+class PostingList:
+    """Decoded posting list: sorted absolute doc ids + term frequencies."""
+
+    doc_ids: np.ndarray  # int64, strictly ascending
+    tfs: np.ndarray  # int64, >= 1
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block: int = BLOCK,
+) -> dict:
+    """Encode one posting list (already sorted by doc_id asc).
+
+    dls = doc length of each posting's document (needed to compute the
+    exact per-block max tfnorm bound at build time).
+    Returns a dict of plain-python/bytes values ready to become a Spark row.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
+        raise ValueError("encode_postings requires strictly ascending doc_ids")
+    if n and doc_ids[0] < 0:
+        raise ValueError("doc_ids must be non-negative")
+    if n == 0:
+        return {
+            "df": 0, "doc_bytes": b"", "tf_bytes": b"",
+            "block_last_doc": [], "block_max_tfn": [],
+            "block_doc_off": [], "block_tf_off": [],
+        }
+    n_blocks = (n + block - 1) // block
+    block_starts = np.arange(n_blocks, dtype=np.int64) * block
+    block_ends = np.minimum(block_starts + block, n)  # exclusive
+
+    # gap-transform: first of each block stays absolute
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[block_starts] = doc_ids[block_starts]
+
+    # per-block byte offsets: encode per block to know boundaries cheaply —
+    # encode the whole stream once, then compute per-value byte lengths to
+    # derive block offsets (vectorized, no per-block re-encode).
+    doc_bytes = varint_encode(deltas)
+    tf_bytes = varint_encode(tfs)
+    doc_lens = _varint_lengths(deltas)
+    tf_lens = _varint_lengths(tfs)
+    doc_cum = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_lens)))
+    block_doc_off = doc_cum[block_starts]
+    block_tf_off = tf_cum[block_starts]
+
+    tfn = tfnorm(tfs, np.ascontiguousarray(dls, dtype=np.int64), avgdl)
+    block_max_tfn = np.maximum.reduceat(tfn, block_starts)
+    block_last_doc = doc_ids[block_ends - 1]
+
+    return {
+        "df": int(n),
+        "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes,
+        "block_last_doc": block_last_doc.tolist(),
+        "block_max_tfn": block_max_tfn.tolist(),
+        "block_doc_off": block_doc_off.tolist(),
+        "block_tf_off": block_tf_off.tolist(),
+    }
+
+
+def _varint_lengths(values: np.ndarray) -> np.ndarray:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    return nb
+
+
+def decode_postings(row: dict, block_idx: np.ndarray | None = None) -> PostingList:
+    """Decode a whole posting list, or only the selected blocks.
+
+    row: the dict/Row produced by encode_postings (or a merged segment).
+    block_idx: optional ascending array of block indices to decode
+    (block-max WAND skips the rest without touching their bytes).
+    """
+    doc_buf = np.frombuffer(row["doc_bytes"], dtype=np.uint8)
+    tf_buf = np.frombuffer(row["tf_bytes"], dtype=np.uint8)
+    doc_off = np.asarray(row["block_doc_off"], dtype=np.int64)
+    tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
+    n_blocks = doc_off.size
+    if n_blocks == 0:
+        return PostingList(np.empty(0, np.int64), np.empty(0, np.int64))
+    doc_bounds = np.concatenate((doc_off, [doc_buf.size]))
+    tf_bounds = np.concatenate((tf_off, [tf_buf.size]))
+
+    if block_idx is None:
+        deltas = varint_decode(doc_buf).astype(np.int64)
+        tfs = varint_decode(tf_buf).astype(np.int64)
+        starts = _block_value_starts(doc_buf, doc_off)
+        doc_ids = _undelta(deltas, starts)
+        return PostingList(doc_ids, tfs)
+
+    block_idx = np.asarray(block_idx, dtype=np.int64)
+    if block_idx.size == 0:
+        return PostingList(np.empty(0, np.int64), np.empty(0, np.int64))
+    doc_parts, tf_parts = [], []
+    for bi in block_idx:  # loop over BLOCKS (n/128), not postings
+        d = varint_decode(doc_buf[doc_bounds[bi] : doc_bounds[bi + 1]]).astype(np.int64)
+        doc_parts.append(np.cumsum(d))
+        tf_parts.append(varint_decode(tf_buf[tf_bounds[bi] : tf_bounds[bi + 1]]).astype(np.int64))
+    return PostingList(np.concatenate(doc_parts), np.concatenate(tf_parts))
+
+
+def _block_value_starts(doc_buf: np.ndarray, doc_off: np.ndarray) -> np.ndarray:
+    """Value-index (not byte-index) where each block starts in the stream."""
+    terminal_pos = np.flatnonzero((doc_buf & 0x80) == 0)  # byte pos of each value end
+    value_start_bytes = np.concatenate(([0], terminal_pos[:-1] + 1))
+    return np.searchsorted(value_start_bytes, doc_off)
+
+
+def _undelta(deltas: np.ndarray, block_value_starts: np.ndarray) -> np.ndarray:
+    """Invert per-block gap encoding: cumsum that restarts at block starts."""
+    out = np.cumsum(deltas)
+    if block_value_starts.size <= 1:
+        return out
+    # subtract, for every block after the first, the running total just
+    # before the block (its first value was absolute, not a gap)
+    corrections = out[block_value_starts[1:] - 1]
+    seg = np.zeros(deltas.size, dtype=np.int64)
+    seg[block_value_starts[1:]] = np.diff(np.concatenate(([0], corrections)))
+    return out - np.cumsum(seg)
+
+
+def merge_segments(segments: list[dict]) -> dict:
+    """Merge pre-encoded, doc-range-DISJOINT segments of one term (the
+    salted-build path, SURVEY.md §7.1 M4). Segments must be sorted by
+    first doc_id ascending; since every block is self-contained (absolute
+    first doc), the merge is pure byte/array concatenation — no decode.
+
+    Mirrors Maestro's scatter-gather bulk partitioning (Parallel.java:53-77)
+    turned into a distributed segment merge; fan-in = len(segments).
+    """
+    if len(segments) == 1:
+        s = dict(segments[0])
+        s["merge_fanin"] = 1
+        return s
+    doc_bytes = b"".join(s["doc_bytes"] for s in segments)
+    tf_bytes = b"".join(s["tf_bytes"] for s in segments)
+    block_last, block_max = [], []
+    block_doc_off, block_tf_off = [], []
+    dpos = tpos = 0
+    df = 0
+    for s in segments:
+        block_last.extend(s["block_last_doc"])
+        block_max.extend(s["block_max_tfn"])
+        block_doc_off.extend([o + dpos for o in s["block_doc_off"]])
+        block_tf_off.extend([o + tpos for o in s["block_tf_off"]])
+        dpos += len(s["doc_bytes"])
+        tpos += len(s["tf_bytes"])
+        df += s["df"]
+    return {
+        "df": df,
+        "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes,
+        "block_last_doc": block_last,
+        "block_max_tfn": block_max,
+        "block_doc_off": block_doc_off,
+        "block_tf_off": block_tf_off,
+        "merge_fanin": len(segments),
+    }

@@ -1,0 +1,184 @@
+"""Code-aware tokenization — the native rebuild of the analyzers the
+reference declares in its ES mapping (SURVEY.md §2.10):
+
+  X1 keyword terms          -> field-prefixed exact tokens ("lang:java")
+  X2 copy_to composite      -> path/lang terms share one index namespace
+  X3 standard+lowercase     -> identifier extraction + lowercase
+     (+ code-aware identifier splitting per BASELINE.json north_star)
+  X4/X5 edge-ngram prefix   -> edge_ngrams() (query side lowercases only —
+     the asymmetric analyze of file_centric.json:24-29)
+
+Reference analyzer definitions: /root/reference/maestro-app/src/main/
+resources/file_centric.json:9-38 (autocomplete_analyzed: standard tokenizer
++ lowercase + edge_ngram 1..20; lowercase_keyword search analyzer).
+
+All operations are pandas/numpy vectorized (Series.str regex ops + numpy
+repeat/groupby) — no per-row Python UDFs. These functions run inside
+Spark's mapInPandas on executors AND inside the pytest oracle, so index
+and oracle tokenize identically by construction.
+
+Term namespace: content tokens are bare; other fields are prefixed
+"path:", "lang:", "repo:". Doc length (dl) is PER FIELD, mirroring
+Lucene's per-field norms, so BM25 over "path:" terms normalizes by path
+token count, not content length.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+IDENT_RE = r"[A-Za-z0-9_]+"
+# camelCase / UPPERCASE-run / digit sub-token split (public convention,
+# same shape as Lucene's WordDelimiterGraphFilter rules)
+SUBTOKEN_RE = r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+"
+SIMPLE_SPLIT_RE = r"[^a-z0-9]+"
+
+FIELD_CONTENT = "content"
+FIELD_PATH = "path"
+FIELD_LANG = "lang"
+FIELD_REPO = "repo"
+
+
+def simple_tokens(texts: pd.Series) -> pd.Series:
+    """Baseline SQL-reproducible tokenizer: lowercase, split on any run of
+    non-[a-z0-9]. Exactly mirrors the duckdb oracle expression
+    ``unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))`` minus
+    empty strings. Returns a Series of lists."""
+    return texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
+
+
+def code_tokens(texts: pd.Series) -> pd.Series:
+    """Code-aware tokens per text: every identifier is split on case/digit/
+    underscore boundaries and lowercased; compound identifiers ALSO emit
+    their whole lowercased form (so the query `getUserName` matches via
+    subtokens AND exact identifier — ES multi-field keyword+text analogue).
+    Returns a Series of lists (token order = appearance order)."""
+    texts = texts.fillna("")
+    idents = texts.str.findall(IDENT_RE)
+    counts = idents.str.len().to_numpy(dtype=np.int64)
+    flat = pd.Series(
+        [t for lst in idents for t in lst], dtype="object"
+    )
+    if flat.empty:
+        return pd.Series([[] for _ in range(len(texts))], index=texts.index)
+    subs = flat.str.findall(SUBTOKEN_RE)
+    lowered_whole = flat.str.lower()
+    n_subs = subs.str.len().to_numpy(dtype=np.int64)
+    out_lists: list[list[str]] = []
+    k = 0
+    # assemble per original row (loop over rows, not tokens; token work
+    # above is vectorized)
+    per_row = np.split(np.arange(len(flat)), np.cumsum(counts)[:-1])
+    for row_ids in per_row:
+        toks: list[str] = []
+        for i in row_ids:
+            s = subs.iat[i]
+            toks.extend(t.lower() for t in s)
+            if n_subs[i] > 1:
+                toks.append(lowered_whole.iat[i])
+        out_lists.append(toks)
+        k += 1
+    return pd.Series(out_lists, index=texts.index)
+
+
+def term_frequencies(token_lists: pd.Series) -> pd.DataFrame:
+    """Vectorized (row_position, term, tf, dl) from a Series of token lists.
+    dl = total token count of the row's field (BM25 doc length)."""
+    counts = token_lists.str.len().to_numpy(dtype=np.int64)
+    n = len(token_lists)
+    if n == 0 or counts.sum() == 0:
+        return pd.DataFrame({"pos": pd.array([], dtype="int64"),
+                             "term": pd.array([], dtype="string"),
+                             "tf": pd.array([], dtype="int64"),
+                             "dl": pd.array([], dtype="int64")})
+    pos = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat = np.concatenate([np.asarray(lst, dtype=object) if lst else np.empty(0, object)
+                           for lst in token_lists])
+    df = (
+        pd.DataFrame({"pos": pos, "term": flat})
+        .groupby(["pos", "term"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    dl_by_pos = counts[df["pos"].to_numpy()]
+    df["dl"] = dl_by_pos
+    df["tf"] = df["tf"].astype("int64")
+    return df
+
+
+def doc_terms(
+    content: pd.Series,
+    path: pd.Series | None = None,
+    lang: pd.Series | None = None,
+    repo: pd.Series | None = None,
+    tokenizer: str = "code",
+) -> pd.DataFrame:
+    """Full per-document term extraction across fields → one DataFrame
+    (pos, term, tf, dl, field). Content terms are bare; path terms use the
+    code tokenizer on path segments with "path:" prefix; lang/repo are
+    keyword fields (single exact lowercase token, X1 semantics)."""
+    tok = code_tokens if tokenizer == "code" else simple_tokens
+    parts = [_field_tf(tok(content), prefix="", field=FIELD_CONTENT)]
+    if path is not None:
+        parts.append(_field_tf(code_tokens(path), prefix="path:", field=FIELD_PATH))
+    if lang is not None:
+        parts.append(_keyword_tf(lang, prefix="lang:", field=FIELD_LANG))
+    if repo is not None:
+        parts.append(_keyword_tf(repo, prefix="repo:", field=FIELD_REPO))
+    return pd.concat(parts, ignore_index=True)
+
+
+def _field_tf(token_lists: pd.Series, prefix: str, field: str) -> pd.DataFrame:
+    tf = term_frequencies(token_lists)
+    if prefix and len(tf):
+        tf["term"] = prefix + tf["term"].astype(str)
+    tf["field"] = field
+    return tf
+
+
+def _keyword_tf(values: pd.Series, prefix: str, field: str) -> pd.DataFrame:
+    """X1 keyword indexing: whole value, lowercased, tf=1, dl=1."""
+    vals = values.fillna("").str.lower().str.strip()
+    mask = vals != ""
+    pos = np.flatnonzero(mask.to_numpy())
+    return pd.DataFrame({
+        "pos": pos.astype(np.int64),
+        "term": (prefix + vals[mask]).to_numpy(dtype=object),
+        "tf": np.ones(pos.size, dtype=np.int64),
+        "dl": np.ones(pos.size, dtype=np.int64),
+        "field": field,
+    })
+
+
+def edge_ngrams(tokens: list[str], lo: int = 1, hi: int = 20) -> list[str]:
+    """Front edge-ngrams (autocomplete_analyzed, file_centric.json:31-38).
+    Query side must NOT expand (X5 asymmetric analyze: lowercase only)."""
+    out = []
+    for t in tokens:
+        for k in range(lo, min(hi, len(t)) + 1):
+            out.append(t[:k])
+    return out
+
+
+def analyze_query(query: str, tokenizer: str = "code") -> list[str]:
+    """Query-side analysis (X5 asymmetry: same tokenization as index side,
+    no ngram expansion). Field-scoped syntax: `lang:java`, `path:util`,
+    `repo:org/name` pass through with their field prefix."""
+    terms: list[str] = []
+    for part in query.split():
+        m = re.match(r"^(lang|repo):(.*)$", part)
+        if m:
+            terms.append(f"{m.group(1)}:{m.group(2).lower()}")
+            continue
+        m = re.match(r"^path:(.*)$", part)
+        if m:
+            toks = code_tokens(pd.Series([m.group(1)])).iat[0]
+            terms.extend(f"path:{t}" for t in toks)
+            continue
+        fn = code_tokens if tokenizer == "code" else simple_tokens
+        terms.extend(fn(pd.Series([part])).iat[0])
+    return terms

@@ -1,0 +1,99 @@
+"""Varint / posting-block codec round-trip tests (SURVEY.md §5 unit tier)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maestro_spark.functions.codec import (
+    BLOCK,
+    decode_postings,
+    encode_postings,
+    merge_segments,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_edges():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**31, 2**53, 2**63 - 1], dtype=np.uint64)
+    buf = varint_encode(vals)
+    out = varint_decode(buf)
+    assert out.tolist() == vals.tolist()
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.int64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == vals
+
+
+def _mk(n, seed=0, id_stride_max=1000):
+    rng = np.random.default_rng(seed)
+    gaps = rng.integers(1, id_stride_max, size=n)
+    doc_ids = np.cumsum(gaps).astype(np.int64)
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    dls = rng.integers(5, 5000, size=n).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 300, 1000])
+def test_posting_roundtrip(n):
+    doc_ids, tfs, dls = _mk(n, seed=n)
+    enc = encode_postings(doc_ids, tfs, dls, avgdl=200.0)
+    assert enc["df"] == n
+    assert len(enc["block_last_doc"]) == (n + BLOCK - 1) // BLOCK
+    pl = decode_postings(enc)
+    assert pl.doc_ids.tolist() == doc_ids.tolist()
+    assert pl.tfs.tolist() == tfs.tolist()
+
+
+def test_posting_block_subset_decode():
+    doc_ids, tfs, dls = _mk(1000, seed=7)
+    enc = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    for blocks in ([0], [1, 3], [7], [0, 7]):
+        pl = decode_postings(enc, block_idx=np.array(blocks))
+        expect_idx = np.concatenate(
+            [np.arange(b * BLOCK, min((b + 1) * BLOCK, 1000)) for b in blocks]
+        )
+        assert pl.doc_ids.tolist() == doc_ids[expect_idx].tolist()
+        assert pl.tfs.tolist() == tfs[expect_idx].tolist()
+
+
+def test_block_max_is_upper_bound():
+    from maestro_spark.functions.bm25 import tfnorm
+
+    doc_ids, tfs, dls = _mk(500, seed=3)
+    avgdl = 123.0
+    enc = encode_postings(doc_ids, tfs, dls, avgdl=avgdl)
+    tfn = tfnorm(tfs, dls, avgdl)
+    for b, mx in enumerate(enc["block_max_tfn"]):
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, 500)
+        assert mx >= tfn[lo:hi].max() - 1e-15
+        assert mx == pytest.approx(tfn[lo:hi].max())
+
+
+def test_merge_segments_equals_single_encode():
+    doc_ids, tfs, dls = _mk(700, seed=11)
+    avgdl = 321.0
+    whole = encode_postings(doc_ids, tfs, dls, avgdl=avgdl)
+    cuts = [0, 130, 256, 700]
+    segs = [
+        encode_postings(doc_ids[a:b], tfs[a:b], dls[a:b], avgdl=avgdl)
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+    merged = merge_segments(segs)
+    assert merged["df"] == whole["df"] == 700
+    assert merged["merge_fanin"] == 3
+    pl_m, pl_w = decode_postings(merged), decode_postings(whole)
+    assert pl_m.doc_ids.tolist() == pl_w.doc_ids.tolist()
+    assert pl_m.tfs.tolist() == pl_w.tfs.tolist()
+    # block-subset decode still works on merged lists
+    sub = decode_postings(merged, block_idx=np.array([2]))
+    assert sub.doc_ids.size > 0
