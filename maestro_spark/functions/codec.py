@@ -14,8 +14,13 @@ Wire format per posting list (one term within one doc shard):
               are self-contained, so segment merge = byte concatenation.
   tf_bytes  : varint stream of term frequencies, same blocking.
   block_last_doc[]: last (absolute) doc_id per block   -> skip pointers
-  block_max_tfn[] : max of tf/(tf+k1*(1-b+b*dl/avgdl)) per block
-                    -> multiply by idf(term) for the block-max WAND bound
+  block_max_tf[] / block_min_dl[]: per-block max term frequency and min
+              doc length. tfnorm is increasing in tf and decreasing in dl,
+              so tfnorm(max_tf, min_dl, avgdl) is a valid upper bound for
+              every posting in the block under ANY avgdl — the block-max
+              WAND bound is computed at QUERY time (bound = idf * that),
+              keeping the encoder independent of global corpus stats (no
+              second pass over the token stream at build time).
   block_doc_off[] / block_tf_off[]: byte offset of each block's start
               (block i spans [off[i], off[i+1]) with off[n_blocks] = len).
 """
@@ -25,8 +30,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-
-from maestro_spark.functions.bm25 import tfnorm
 
 BLOCK = 128  # postings per block (Lucene uses 128 for FOR blocks — public)
 
@@ -86,13 +89,12 @@ def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
     block: int = BLOCK,
 ) -> dict:
     """Encode one posting list (already sorted by doc_id asc).
 
-    dls = doc length of each posting's document (needed to compute the
-    exact per-block max tfnorm bound at build time).
+    dls = doc length of each posting's document (for the per-block
+    (max_tf, min_dl) WAND bound metadata).
     Returns a dict of plain-python/bytes values ready to become a Spark row.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
@@ -105,7 +107,7 @@ def encode_postings(
     if n == 0:
         return {
             "df": 0, "doc_bytes": b"", "tf_bytes": b"",
-            "block_last_doc": [], "block_max_tfn": [],
+            "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
             "block_doc_off": [], "block_tf_off": [],
         }
     n_blocks = (n + block - 1) // block
@@ -130,8 +132,9 @@ def encode_postings(
     block_doc_off = doc_cum[block_starts]
     block_tf_off = tf_cum[block_starts]
 
-    tfn = tfnorm(tfs, np.ascontiguousarray(dls, dtype=np.int64), avgdl)
-    block_max_tfn = np.maximum.reduceat(tfn, block_starts)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    block_max_tf = np.maximum.reduceat(tfs, block_starts)
+    block_min_dl = np.minimum.reduceat(dls, block_starts)
     block_last_doc = doc_ids[block_ends - 1]
 
     return {
@@ -139,7 +142,8 @@ def encode_postings(
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
         "block_last_doc": block_last_doc.tolist(),
-        "block_max_tfn": block_max_tfn.tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "block_min_dl": block_min_dl.tolist(),
         "block_doc_off": block_doc_off.tolist(),
         "block_tf_off": block_tf_off.tolist(),
     }
@@ -225,13 +229,14 @@ def merge_segments(segments: list[dict]) -> dict:
         return s
     doc_bytes = b"".join(s["doc_bytes"] for s in segments)
     tf_bytes = b"".join(s["tf_bytes"] for s in segments)
-    block_last, block_max = [], []
+    block_last, block_max_tf, block_min_dl = [], [], []
     block_doc_off, block_tf_off = [], []
     dpos = tpos = 0
     df = 0
     for s in segments:
         block_last.extend(s["block_last_doc"])
-        block_max.extend(s["block_max_tfn"])
+        block_max_tf.extend(s["block_max_tf"])
+        block_min_dl.extend(s["block_min_dl"])
         block_doc_off.extend([o + dpos for o in s["block_doc_off"]])
         block_tf_off.extend([o + tpos for o in s["block_tf_off"]])
         dpos += len(s["doc_bytes"])
@@ -242,7 +247,8 @@ def merge_segments(segments: list[dict]) -> dict:
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
         "block_last_doc": block_last,
-        "block_max_tfn": block_max,
+        "block_max_tf": block_max_tf,
+        "block_min_dl": block_min_dl,
         "block_doc_off": block_doc_off,
         "block_tf_off": block_tf_off,
         "merge_fanin": len(segments),

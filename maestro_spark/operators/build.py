@@ -1,0 +1,395 @@
+"""Distributed inverted-index build — the native rebuild of what Maestro
+delegates to Elasticsearch bulk indexing (SURVEY.md §2.2 K1, §2.6 A4,
+§2.10), re-expressed as DataFrame + Arrow-UDF dataflow:
+
+  docs ──assign_doc_ids──▶ docstore (sharded by doc range)
+       ──mapInPandas tokenize──▶ (shard, doc_id, term, tf, dl, field)
+       ──sample──▶ hot-term detection ──▶ salted repartition by
+         (shard, term, salt)  [contiguous doc-range salts]
+       ──sortWithinPartitions + streaming mapInPandas encode──▶ segments
+       ──groupBy(shard,term) applyInPandas merge (hot terms only)──▶
+         postings parquet partitioned by (shard, term_bucket)
+       + doclens per shard, stats.json, lineage manifest.json
+
+Scale notes (100 TB / 1000 executors):
+  * doc shards bound every per-term posting list to shard_size docs, so a
+    stop-word's postings can never exceed one shard's doc count — the
+    structural skew cap. Salting *within* a shard then bounds the largest
+    single sort-group; both knobs are explicit (AQE does not split a hot
+    groupBy key for grouped-map UDFs, SURVEY.md §4.3).
+  * the ONLY wide shuffles are: one range-sort for dense ids, one hash
+    repartition of (term,tf) pairs (map-side pre-aggregated: tf computed
+    per doc inside the tokenizer, so the shuffle carries one row per
+    (doc,term), not per token), and a term-dictionary-sized merge of hot
+    segments. Filters/projections stay in whole-stage codegen.
+  * per-shard outputs are written with dynamic partition overwrite, which
+    is what makes checkpoint-resume (M5) and incremental upsert (M7)
+    partition-local instead of full rebuilds.
+
+Maestro parity anchors: bulk partitioning 5000 docs/request
+(CollectionsUtil.java:30-35, application.yml:74) → shard/partition sizing;
+scatter-gather Parallel.java:53-77 → executor parallelism; per-part retry
++ failure bookkeeping (SearchAdapterHelper.java:127-142) → lineage manifest
+with per-shard status; 3-shard index (file_centric.json:6) → doc shards.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maestro_spark.functions.codec import encode_postings, merge_segments
+from maestro_spark.functions.tokenize import doc_terms
+from maestro_spark.operators.docids import assign_doc_ids
+from maestro_spark.sources.tableio import (
+    read_manifest,
+    write_manifest,
+    write_partitioned,
+)
+
+TOKEN_SCHEMA = (
+    "doc_id long, shard int, term string, tf long, dl long, field string"
+)
+POSTING_SCHEMA = (
+    "shard int, term_bucket int, term string, salt int, df long, "
+    "doc_bytes binary, tf_bytes binary, block_last_doc array<long>, "
+    "block_max_tf array<long>, block_min_dl array<long>, "
+    "block_doc_off array<long>, block_tf_off array<long>"
+)
+MERGED_SCHEMA = POSTING_SCHEMA.replace(", salt int", "") + ", merge_fanin int"
+
+
+@dataclass
+class IndexConfig:
+    shard_size: int = 1_000_000        # docs per shard (doc-range sharding)
+    n_buckets: int = 16                # term_bucket partitions per shard
+    n_salts: int = 8                   # sub-segments for hot terms
+    hot_df_fraction: float = 0.05      # term hot if df > fraction * shard N
+    sample_fraction: float = 0.02      # hot-term detection sample
+    tokenizer: str = "code"            # "code" | "simple"
+    index_fields: tuple = ("content", "path", "lang", "repo")
+    encode_partitions: int | None = None
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["index_fields"] = list(self.index_fields)
+        return d
+
+
+def tokenize_docs(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """docs(doc_id, shard, repo, path, lang, content) → token tf rows.
+    tf is pre-aggregated per (doc, term) INSIDE the UDF (map-side combine:
+    the shuffle carries ~unique-terms-per-doc rows, not every token)."""
+    use = cfg.index_fields
+    tokenizer = cfg.tokenizer
+
+    def tok(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tf = doc_terms(
+                content=pdf["content"],
+                path=pdf["path"] if "path" in use else None,
+                lang=pdf["lang"] if "lang" in use else None,
+                repo=pdf["repo"] if "repo" in use else None,
+                tokenizer=tokenizer,
+            )
+            pos = tf["pos"].to_numpy()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[pos],
+                "shard": pdf["shard"].to_numpy()[pos],
+                "term": tf["term"].to_numpy(),
+                "tf": tf["tf"].to_numpy(),
+                "dl": tf["dl"].to_numpy(),
+                "field": tf["field"].to_numpy(),
+            })
+
+    return docs.mapInPandas(tok, schema=TOKEN_SCHEMA)
+
+
+def detect_hot_terms(tokens: DataFrame, n_docs: int, cfg: IndexConfig,
+                     seed: int = 42) -> list[str]:
+    """Estimate per-term df from a deterministic sample; a term is hot if
+    its estimated df within one shard exceeds hot_df_fraction*shard docs.
+    Hot terms get salted sub-segments (north rule: salted repartition-by-
+    term; SURVEY.md §7.1 M4)."""
+    frac = cfg.sample_fraction if n_docs * cfg.sample_fraction >= 2000 else 1.0
+    sample = tokens if frac >= 1.0 else tokens.sample(fraction=frac, seed=seed)
+    shard_docs = min(n_docs, cfg.shard_size)
+    threshold = max(cfg.hot_df_fraction * shard_docs * frac, 1.0)
+    rows = (
+        sample.groupBy("term").agg(F.count("*").alias("n"))
+        .where(F.col("n") > threshold)
+        .select("term")
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def encode_tokens(tokens: DataFrame, hot_terms: list[str], cfg: IndexConfig) -> DataFrame:
+    """Salted repartition → partition-local sort → streaming group encode.
+
+    The encoder is a mapInPandas that walks (shard, term, salt, doc_id)-
+    sorted batches and emits one encoded segment per (shard, term, salt)
+    run — no per-group materialization beyond the current run, so a
+    partition with millions of rows streams through in Arrow batches.
+    """
+    spark = tokens.sparkSession
+    nparts = cfg.encode_partitions or spark.sparkContext.defaultParallelism * 4
+    n_salts, shard_size, n_buckets = cfg.n_salts, cfg.shard_size, cfg.n_buckets
+
+    hot_col = (
+        F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
+    )
+    # contiguous doc-range salts -> segments merge by concatenation
+    salt = (
+        ((F.col("doc_id") % shard_size) * n_salts / shard_size).cast("int")
+    )
+    t = tokens.withColumn("salt", F.when(hot_col, salt).otherwise(F.lit(0)))
+    t = (
+        t.repartition(nparts, "shard", "term", "salt")
+        .sortWithinPartitions("shard", "term", "salt", "doc_id")
+    )
+
+    def encoder(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            keys = pdf[["shard", "term", "salt"]]
+            boundary = (keys != keys.shift()).any(axis=1).to_numpy()
+            starts = np.flatnonzero(boundary)
+            if len(starts) > 1:
+                complete, pending = pdf.iloc[: starts[-1]], pdf.iloc[starts[-1]:]
+                out = _encode_runs(complete, starts[:-1], n_buckets)
+                if out is not None:
+                    yield out
+            else:
+                pending = pdf
+        if pending is not None and len(pending):
+            keys = pending[["shard", "term", "salt"]]
+            boundary = (keys != keys.shift()).any(axis=1).to_numpy()
+            out = _encode_runs(pending, np.flatnonzero(boundary), n_buckets)
+            if out is not None:
+                yield out
+
+    return t.mapInPandas(encoder, schema=POSTING_SCHEMA)
+
+
+def _encode_runs(pdf: pd.DataFrame, starts: np.ndarray, n_buckets: int) -> pd.DataFrame | None:
+    """Encode each (shard, term, salt) run in pdf. starts = run start
+    offsets (ascending, first is 0)."""
+    if not len(pdf):
+        return None
+    ends = np.concatenate((starts[1:], [len(pdf)]))
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    rows = []
+    for a, b in zip(starts, ends):
+        enc = encode_postings(doc[a:b], tf[a:b], dl[a:b])
+        term = terms[a]
+        rows.append((
+            int(shards[a]), _term_bucket(term, n_buckets), term, int(salts[a]),
+            enc["df"], enc["doc_bytes"], enc["tf_bytes"], enc["block_last_doc"],
+            enc["block_max_tf"], enc["block_min_dl"], enc["block_doc_off"],
+            enc["block_tf_off"],
+        ))
+    return pd.DataFrame(rows, columns=[
+        "shard", "term_bucket", "term", "salt", "df", "doc_bytes", "tf_bytes",
+        "block_last_doc", "block_max_tf", "block_min_dl", "block_doc_off",
+        "block_tf_off",
+    ])
+
+
+def _term_bucket(term: str, n_buckets: int) -> int:
+    """Stable term → bucket hash (must match query-side pruning). Python
+    and Spark side both use this (not F.hash, whose seed could differ)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def merge_hot_segments(segments: DataFrame, hot_terms: list[str]) -> DataFrame:
+    """Distributed segment merge (M4): only salted (hot) terms have >1
+    segment, so the merge shuffle moves just their compressed segments —
+    everything else passes through map-side with fan-in 1."""
+    if not hot_terms:
+        return segments.drop("salt").withColumn("merge_fanin", F.lit(1))
+    is_hot = F.col("term").isin(hot_terms)
+    singles = (
+        segments.where(~is_hot).drop("salt").withColumn("merge_fanin", F.lit(1))
+    )
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt")
+        segs = pdf.to_dict("records")
+        m = merge_segments(segs)
+        return pd.DataFrame([{
+            "shard": key[0], "term_bucket": int(pdf["term_bucket"].iloc[0]),
+            "term": key[1], "df": m["df"], "doc_bytes": m["doc_bytes"],
+            "tf_bytes": m["tf_bytes"], "block_last_doc": m["block_last_doc"],
+            "block_max_tf": m["block_max_tf"], "block_min_dl": m["block_min_dl"],
+            "block_doc_off": m["block_doc_off"], "block_tf_off": m["block_tf_off"],
+            "merge_fanin": m["merge_fanin"],
+        }])
+
+    merged = (
+        segments.where(is_hot)
+        .groupBy("shard", "term")
+        .applyInPandas(merge, schema=MERGED_SCHEMA)
+    )
+    return singles.unionByName(merged)
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+) -> dict:
+    """Full index build. Returns the lineage manifest (also written to
+    {out_dir}/manifest.json). With resume=True, shards whose input
+    fingerprint matches the previous manifest are SKIPPED — the rerun
+    rebuilds only missing/changed shards and reproduces an identical
+    manifest (SURVEY.md §5 resume test)."""
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+
+    with_ids = assign_doc_ids(docs)
+    base = getattr(with_ids, "_maestro_persisted_base", None)
+    d = (
+        with_ids
+        .withColumn("shard", (F.col("doc_id") / cfg.shard_size).cast("int"))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # per-shard lineage fingerprint: order-independent sum of row hashes,
+    # reduced mod 2^40 so the long sum cannot overflow (ANSI mode throws
+    # on long overflow in Spark 4) even at 2^24 docs/shard
+    shard_rows = (
+        d.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.pmod(F.xxhash64("repo", "path", "commit", "content_sha256"),
+                       F.lit(1 << 40))
+            ).alias("fp"),
+        ).collect()
+    )
+    fingerprints = {int(r["shard"]): (int(r["n_docs"]), int(r["fp"])) for r in shard_rows}
+    n_docs = sum(n for n, _ in fingerprints.values())
+
+    prev = read_manifest(os.path.join(out_dir, "manifest.json")) if resume else None
+    done_shards = set()
+    if prev:
+        for s, meta in prev.get("shards", {}).items():
+            s = int(s)
+            if (
+                s in fingerprints
+                and meta.get("status") == "ok"
+                and meta.get("fingerprint") == fingerprints[s][1]
+                and meta.get("n_docs") == fingerprints[s][0]
+            ):
+                done_shards.add(s)
+    pending = sorted(set(fingerprints) - done_shards)
+
+    manifest: dict = {
+        "version": 1,
+        "config": cfg.to_dict(),
+        "n_docs": n_docs,
+        "shards": dict(prev.get("shards", {})) if prev else {},
+    }
+
+    if pending:
+        subset = d if not done_shards else d.where(F.col("shard").isin(pending))
+        t_build = time.time()
+
+        write_partitioned(
+            subset.select("doc_id", "shard", "repo", "path", "commit", "lang",
+                          "content", "content_sha256"),
+            os.path.join(out_dir, "docs"), ["shard"], dynamic=bool(done_shards),
+        )
+
+        tokens = tokenize_docs(subset, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        doclens = (
+            tokens.groupBy("shard", "doc_id", "field").agg(F.first("dl").alias("dl"))
+        )
+        write_partitioned(doclens, os.path.join(out_dir, "doclens"), ["shard"],
+                          dynamic=bool(done_shards))
+
+        hot_terms = detect_hot_terms(tokens, n_docs, cfg)
+        segments = encode_tokens(tokens, hot_terms, cfg)
+        postings = merge_hot_segments(segments, hot_terms)
+        write_partitioned(postings, os.path.join(out_dir, "postings"),
+                          ["shard", "term_bucket"], dynamic=bool(done_shards))
+        tokens.unpersist()
+        build_wall_ms = int((time.time() - t_build) * 1000)
+
+        # per-shard metrics from the written postings (lineage/audit rows:
+        # postings count, compressed bytes, merge fan-in — north star)
+        pmetrics = {
+            int(r["shard"]): r
+            for r in spark.read.parquet(os.path.join(out_dir, "postings"))
+            .where(F.col("shard").isin(pending))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+                F.max("merge_fanin").alias("max_merge_fanin"),
+                F.sum(F.when(F.col("merge_fanin") > 1, 1).otherwise(0)).alias("n_merged_terms"),
+            )
+            .collect()
+        }
+        for s in pending:
+            m = pmetrics.get(s)
+            manifest["shards"][str(s)] = {
+                "fingerprint": fingerprints[s][1],
+                "n_docs": fingerprints[s][0],
+                "status": "ok",
+                "n_terms": int(m["n_terms"]) if m else 0,
+                "n_postings": int(m["n_postings"]) if m else 0,
+                "bytes": int(m["bytes"]) if m else 0,
+                "max_merge_fanin": int(m["max_merge_fanin"]) if m else 0,
+                "n_merged_terms": int(m["n_merged_terms"]) if m else 0,
+            }
+        manifest["hot_terms"] = hot_terms
+    else:
+        manifest["hot_terms"] = prev.get("hot_terms", []) if prev else []
+
+    # global stats from doclens (tiny agg)
+    stats_rows = (
+        spark.read.parquet(os.path.join(out_dir, "doclens"))
+        .groupBy("field")
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("total_dl"))
+        .collect()
+    )
+    manifest["stats"] = {
+        "n_docs": n_docs,
+        "fields": {
+            r["field"]: {"n_docs": int(r["n"]), "avgdl": float(r["total_dl"]) / max(int(r["n"]), 1)}
+            for r in stats_rows
+        },
+    }
+    manifest["skipped_shards"] = sorted(done_shards)
+    manifest["wall_ms"] = int((time.time() - t0) * 1000)
+    write_manifest(os.path.join(out_dir, "manifest.json"), manifest)
+
+    d.unpersist()
+    if base is not None:
+        base.unpersist()
+    return manifest

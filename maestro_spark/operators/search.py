@@ -1,0 +1,295 @@
+"""BM25 top-k search over the partitioned posting store — the query-side
+pipeline that exists nowhere in Maestro (it delegates to ES: term/ids/bool
+queries at FileCentricElasticSearchAdapter.java:193-199,226-228 and Lucene
+per-shard BM25 top-k + merge) and is designed fresh (SURVEY.md §3.4):
+
+  query ──analyze (X5 asymmetric: index-side tokenization, no ngram
+          expansion)──▶ terms
+        ──df lookup (partition-pruned scan of term/df columns only)──▶ idfs
+        ──per-shard applyInPandas: decode + vectorized MaxScore with
+          block-range skipping, local top-k──▶
+        ──global orderBy(score desc, doc_id asc) limit k  (T1 tie-break)
+
+Distribution model mirrors ES/Lucene (file_centric.json:6, 3 shards): the
+index is DOC-sharded; a query fans out to every shard, each produces a
+local top-k from only its query-term posting rows, and the tiny per-shard
+results merge globally. Posting reads are pruned twice: parquet partition
+pruning on (shard, term_bucket) + predicate pushdown on term.
+
+Exactness: scores are identical to the brute-force oracle because (a) the
+BM25 math is the same imported functions, (b) accumulation is float64 in
+CANONICAL term order (bm25.canonical_term_order) in both, and (c) pruning
+only ever *skips* docs whose score upper bound is below the running kth
+lower bound — candidates receive every true contribution.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maestro_spark.functions import bm25
+from maestro_spark.functions.codec import decode_postings
+from maestro_spark.functions.tokenize import analyze_query
+from maestro_spark.operators.build import _term_bucket
+from maestro_spark.sources.tableio import read_manifest
+
+FIELD_OF_PREFIX = {"path:": "path", "lang:": "lang", "repo:": "repo"}
+
+
+def term_field(term: str) -> str:
+    for p, f in FIELD_OF_PREFIX.items():
+        if term.startswith(p):
+            return f
+    return "content"
+
+
+@dataclass
+class QueryPlan:
+    terms: list[str]          # canonical order (desc idf, term asc)
+    idfs: dict[str, float]
+    dfs: dict[str, int]
+    fields: dict[str, str]
+    avgdl: dict[str, float]   # per field
+    n_docs: dict[str, int]    # per field (BM25 N = docs containing field)
+
+
+class IndexReader:
+    """Read-side handle on an index directory built by build_index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = read_manifest(os.path.join(index_dir, "manifest.json"))
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest.json under {index_dir}")
+        self.cfg = self.manifest["config"]
+        self.stats = self.manifest["stats"]
+
+    # ---------------------------------------------------------------- plan
+
+    def plan(self, query: str) -> QueryPlan:
+        raw_terms = analyze_query(query, tokenizer=self.cfg.get("tokenizer", "code"))
+        uniq = sorted(set(raw_terms))
+        if not uniq:
+            return QueryPlan([], {}, {}, {}, {}, {})
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
+        df_rows = (
+            self._postings()
+            .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(uniq))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+        fields = {t: term_field(t) for t in uniq}
+        f_stats = self.stats["fields"]
+        n_docs = {t: f_stats.get(fields[t], {}).get("n_docs", 0) for t in uniq}
+        avgdl = {t: f_stats.get(fields[t], {}).get("avgdl", 1.0) for t in uniq}
+        present = [t for t in uniq if dfs.get(t, 0) > 0]
+        idfs = {t: float(bm25.idf(dfs[t], n_docs[t])) for t in present}
+        ordered = sorted(present, key=lambda t: (-idfs[t], t))
+        return QueryPlan(
+            ordered, idfs, {t: dfs[t] for t in present},
+            {t: fields[t] for t in present},
+            {fields[t]: avgdl[t] for t in present},
+            {fields[t]: n_docs[t] for t in present},
+        )
+
+    def _postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    # -------------------------------------------------------------- search
+
+    def search(self, query: str, k: int = 10, mode: str = "or",
+               prune: bool = True) -> DataFrame:
+        """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
+        ordered by (score desc, doc_id asc) — deterministic ranks (T1)."""
+        plan = self.plan(query)
+        spark = self.spark
+        if not plan.terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in plan.terms})
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(plan.terms)
+        )
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        terms, idfs, fields = plan.terms, plan.idfs, plan.fields
+        avgdl = plan.avgdl
+
+        def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(key[0])
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            doc_ids, scores = score_shard_rows(
+                rows, terms, idfs, fields, avgdl, shard, shard_size,
+                index_dir, k, mode, prune,
+            )
+            return pd.DataFrame({"doc_id": doc_ids, "score": scores})
+
+        local = rel.groupBy("shard").applyInPandas(
+            score_shard, schema="doc_id long, score double"
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_pandas(self, query: str, k: int = 10, mode: str = "or",
+                      prune: bool = True) -> pd.DataFrame:
+        return self.search(query, k, mode, prune).toPandas()
+
+
+# ---------------------------------------------------------------- scorer
+
+def _load_doclens(index_dir: str, shard: int, field: str, base: int,
+                  size: int) -> np.ndarray:
+    """Dense per-shard doc-length array (Lucene norms analogue). Local
+    offsets index it directly. At 10^12-doc scale this is a per-shard
+    sidecar read (bounded by shard_size), not a global broadcast."""
+    path = os.path.join(index_dir, "doclens", f"shard={shard}")
+    ds = pads.dataset(path, format="parquet")
+    tbl = ds.to_table(columns=["doc_id", "dl"],
+                      filter=pads.field("field") == field)
+    arr = np.ones(size, dtype=np.float64)  # missing field -> dl 1, never hit
+    ids = tbl.column("doc_id").to_numpy() - base
+    arr[ids] = tbl.column("dl").to_numpy()
+    return arr
+
+
+def score_shard_rows(
+    rows: dict[str, dict],
+    terms: list[str],
+    idfs: dict[str, float],
+    fields: dict[str, str],
+    avgdl: dict[str, float],
+    shard: int,
+    shard_size: int,
+    index_dir: str,
+    k: int,
+    mode: str = "or",
+    prune: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one shard's query-term posting rows; return local top-k
+    (doc_ids, scores) sorted by (score desc, doc_id asc).
+
+    Vectorized MaxScore (Turtle & Flood 1995, public) with block-range
+    skipping: terms are processed in canonical order; once the summed
+    upper bounds of the REMAINING terms fall below the running kth-best
+    accumulated score, later terms only need to touch blocks whose doc
+    range intersects the current candidate set.
+    """
+    base = shard * shard_size
+    present = [t for t in terms if t in rows]
+    if not present:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    if mode == "and":
+        return _score_and(rows, present, idfs, fields, avgdl, base,
+                          shard, shard_size, index_dir, k)
+
+    # per-term upper bounds from block metadata (query-time avgdl)
+    ubound = {}
+    for t in present:
+        r = rows[t]
+        bmax = np.asarray(r["block_max_tf"], dtype=np.float64)
+        bmin = np.asarray(r["block_min_dl"], dtype=np.float64)
+        tfn_b = bmax / (bmax + bm25.K1 * (1.0 - bm25.B + bm25.B * bmin / avgdl[fields[t]]))
+        ubound[t] = idfs[t] * float(tfn_b.max())
+
+    acc = np.zeros(shard_size, dtype=np.float64)
+    touched = np.zeros(shard_size, dtype=bool)
+    rem = float(sum(ubound[t] for t in present))
+    theta = -np.inf
+    candidates: np.ndarray | None = None  # local offsets, sorted
+    dl_cache: dict[str, np.ndarray] = {}
+
+    def dl_of(field: str) -> np.ndarray:
+        if field not in dl_cache:
+            dl_cache[field] = _load_doclens(index_dir, shard, field, base, shard_size)
+        return dl_cache[field]
+
+    for t in present:
+        r = rows[t]
+        rem -= ubound[t]
+        idf_t = idfs[t]
+        adl = avgdl[fields[t]]
+
+        if prune and candidates is not None:
+            # non-essential phase: decode only blocks intersecting candidates
+            block_last = np.asarray(r["block_last_doc"], dtype=np.int64)
+            # block i covers (block_last[i-1], block_last[i]]
+            lo = np.searchsorted(candidates + base, np.concatenate(([-1], block_last[:-1])), side="right")
+            hi = np.searchsorted(candidates + base, block_last, side="right")
+            need = np.flatnonzero(hi > lo)
+            if need.size == 0:
+                continue
+            pl = decode_postings(r, block_idx=need)
+        else:
+            pl = decode_postings(r)
+
+        local = pl.doc_ids - base
+        contrib = idf_t * bm25.tfnorm(pl.tfs, dl_of(fields[t])[local], adl)
+
+        if candidates is not None:
+            # only candidates can still reach top-k; restrict adds to them
+            sel = np.isin(local, candidates, assume_unique=True)
+            local, contrib = local[sel], contrib[sel]
+        acc[local] += contrib
+        touched[local] = True
+
+        if prune and candidates is None:
+            nz = np.flatnonzero(touched)
+            if nz.size > k:
+                top_scores = np.partition(acc[nz], nz.size - k)
+                theta = top_scores[nz.size - k]
+                if rem < theta and rem > 0.0:
+                    candidates = nz[acc[nz] + rem >= theta]
+                    candidates.sort()
+            if rem == 0.0:
+                break
+
+    nz = candidates if candidates is not None else np.flatnonzero(touched)
+    if nz.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    kk = min(k, nz.size)
+    sel = np.argpartition(-acc[nz], kk - 1)[:kk]
+    top = nz[sel]
+    order = np.lexsort((top, -acc[top]))
+    top = top[order]
+    return (top + base).astype(np.int64), acc[top]
+
+
+def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
+               index_dir, k):
+    """Conjunctive: k-way intersection starting from the rarest term
+    (SURVEY.md §2.5 J4 — n-way merge of sorted posting lists), then exact
+    scoring of the intersection in canonical order."""
+    by_df = sorted(present, key=lambda t: rows[t]["df"])
+    inter: np.ndarray | None = None
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in by_df:
+        pl = decode_postings(rows[t])
+        decoded[t] = (pl.doc_ids, pl.tfs)
+        inter = pl.doc_ids if inter is None else inter[np.isin(inter, pl.doc_ids, assume_unique=True)]
+        if inter.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = np.zeros(inter.size, dtype=np.float64)
+    dl_cache: dict[str, np.ndarray] = {}
+    for t in present:  # canonical order for float-identical sums
+        docs, tfs = decoded[t]
+        pos = np.searchsorted(docs, inter)
+        f = fields[t]
+        if f not in dl_cache:
+            dl_cache[f] = _load_doclens(index_dir, shard, f, base, shard_size)
+        scores += idfs[t] * bm25.tfnorm(tfs[pos], dl_cache[f][inter - base], avgdl[f])
+    kk = min(k, inter.size)
+    sel = np.argpartition(-scores, kk - 1)[:kk]
+    top, ts = inter[sel], scores[sel]
+    order = np.lexsort((top, -ts))
+    return top[order].astype(np.int64), ts[order]

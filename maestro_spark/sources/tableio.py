@@ -1,0 +1,56 @@
+"""TableIO seam: "Iceberg-style" tables as partitioned parquet dirs +
+atomic JSON manifests (SURVEY.md §7.2: the sandbox has no Iceberg runtime
+jar, so snapshots/partition-overwrite are implemented on plain parquet —
+the call sites would swap to `format("iceberg")` + MERGE INTO unchanged).
+
+Maestro analogue: index bootstrap / alias versioning
+(FileCentricElasticSearchAdapter.java:146-170,232-244; application.yml:59-67)
+becomes manifest-versioned table dirs."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite", dynamic: bool = False) -> None:
+    """Write a partitioned parquet table. dynamic=True overwrites ONLY the
+    partitions present in df (the resume / incremental-rebuild path — the
+    analogue of Maestro re-upserting only affected docs, K1)."""
+    writer = df.write.mode(mode)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_manifest(path: str, manifest: dict) -> None:
+    """Atomic write (tmp + rename) — a partially-written manifest must
+    never be observable (Maestro's FailureData bookkeeping analogue:
+    partial failure doesn't poison the run, SearchAdapterHelper.java:127-142)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def read_manifest(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

@@ -46,7 +46,7 @@ def _mk(n, seed=0, id_stride_max=1000):
 @pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 300, 1000])
 def test_posting_roundtrip(n):
     doc_ids, tfs, dls = _mk(n, seed=n)
-    enc = encode_postings(doc_ids, tfs, dls, avgdl=200.0)
+    enc = encode_postings(doc_ids, tfs, dls)
     assert enc["df"] == n
     assert len(enc["block_last_doc"]) == (n + BLOCK - 1) // BLOCK
     pl = decode_postings(enc)
@@ -56,7 +56,7 @@ def test_posting_roundtrip(n):
 
 def test_posting_block_subset_decode():
     doc_ids, tfs, dls = _mk(1000, seed=7)
-    enc = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    enc = encode_postings(doc_ids, tfs, dls)
     for blocks in ([0], [1, 3], [7], [0, 7]):
         pl = decode_postings(enc, block_idx=np.array(blocks))
         expect_idx = np.concatenate(
@@ -67,25 +67,33 @@ def test_posting_block_subset_decode():
 
 
 def test_block_max_is_upper_bound():
-    from maestro_spark.functions.bm25 import tfnorm
+    from maestro_spark.functions.bm25 import max_tfnorm, tfnorm
 
     doc_ids, tfs, dls = _mk(500, seed=3)
-    avgdl = 123.0
-    enc = encode_postings(doc_ids, tfs, dls, avgdl=avgdl)
-    tfn = tfnorm(tfs, dls, avgdl)
-    for b, mx in enumerate(enc["block_max_tfn"]):
-        lo, hi = b * BLOCK, min((b + 1) * BLOCK, 500)
-        assert mx >= tfn[lo:hi].max() - 1e-15
-        assert mx == pytest.approx(tfn[lo:hi].max())
+    enc = encode_postings(doc_ids, tfs, dls)
+    # the (max_tf, min_dl) bound must dominate every true tfnorm in the
+    # block under ANY avgdl (it's computed at query time)
+    for avgdl in (50.0, 123.0, 4000.0):
+        tfn = tfnorm(tfs, dls, avgdl)
+        for b in range(len(enc["block_last_doc"])):
+            lo, hi = b * BLOCK, min((b + 1) * BLOCK, 500)
+            bound = max_tfnorm(enc["block_max_tf"][b], enc["block_min_dl"][b], avgdl)
+            assert bound >= tfn[lo:hi].max() - 1e-15
+
+
+def test_encode_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([5, 3, 9]), np.array([1, 1, 1]), np.array([1, 1, 1]))
+    with pytest.raises(ValueError):
+        encode_postings(np.array([-1, 3]), np.array([1, 1]), np.array([1, 1]))
 
 
 def test_merge_segments_equals_single_encode():
     doc_ids, tfs, dls = _mk(700, seed=11)
-    avgdl = 321.0
-    whole = encode_postings(doc_ids, tfs, dls, avgdl=avgdl)
+    whole = encode_postings(doc_ids, tfs, dls)
     cuts = [0, 130, 256, 700]
     segs = [
-        encode_postings(doc_ids[a:b], tfs[a:b], dls[a:b], avgdl=avgdl)
+        encode_postings(doc_ids[a:b], tfs[a:b], dls[a:b])
         for a, b in zip(cuts[:-1], cuts[1:])
     ]
     merged = merge_segments(segs)
