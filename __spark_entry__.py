@@ -1,38 +1,550 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a DataFrame-API implementation (the engine operators in
+`maestro_spark/`) with an ANSI-SQL oracle DuckDB runs on the same parquet
+tables. Column names and value rounding are aligned on both sides; floats
+are rounded to 6 (4 for big sums) so cross-engine summation order cannot
+flip the value hash. BM25 queries run through the REAL index pipeline
+(build_index → posting store → IndexReader MaxScore search), not a SQL
+re-implementation — the oracle is an independent brute-force BM25 in SQL.
 """
 
 from __future__ import annotations
 
+import os
+import re
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from maestro_spark.operators import dedup, similarity, textstats
+from maestro_spark.operators import pipeline as pl
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ----------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_CFG = IndexConfig(
+    shard_size=1024,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.05,
+    sample_fraction=1.0,
+    tokenizer="simple",          # SQL-reproducible analyzer for the oracle
+    index_fields=("content", "lang", "repo"),
+)
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume — per-shard fingerprints skip unchanged shards) the
+    BM25 index over the driver's `documents` table. doc_id is taken
+    verbatim (id_col) so engine results join 1:1 with the oracle."""
+    out = os.path.join(
+        tempfile.gettempdir(), "maestro_entry_idx_v1",
+        re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    build_index(spark, docs, out, _CFG, resume=True, id_col="doc_id")
+    return out
+
+
+def _search_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+               mode: str = "or") -> DataFrame:
+    """Engine search, re-ranked on round(score, 6) with doc_id tie-break so
+    the top-k cut is identical to the oracle's regardless of float summation
+    order (both sides rank by the ROUNDED score)."""
+    reader = IndexReader(spark, _ensure_index(spark, sf_dir))
+    raw = reader.search(query, k=max(4 * k, 40), mode=mode)
+    return (
+        raw.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------- oracle SQL pieces
+
+_TOKENIZE = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_ARR = f"arr AS (SELECT doc_id, {_TOKENIZE} AS ts FROM documents)"
+_TOK = (
+    "tok AS (SELECT doc_id, u.term FROM documents, "
+    f"unnest({_TOKENIZE}) AS u(term))"
+)
+_SH = (
+    "sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle "
+    "FROM arr, unnest(range(1, greatest(len(ts) - 1, 1))) AS t(i) WHERE len(ts) >= 3)"
+)
+
+
+def _sql_terms(query: str) -> list[str]:
+    """Python mirror of the simple tokenizer for query strings."""
+    return sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+
+
+def _hex16_sql(col: str) -> str:
+    def hx(p: int) -> str:
+        c = f"ascii(substr(md5({col}), {p + 1}, 1))"
+        return f"(CASE WHEN {c} >= 97 THEN {c} - 87 ELSE {c} - 48 END)"
+
+    return f"({hx(0)} * 4096 + {hx(1)} * 256 + {hx(2)} * 16 + {hx(3)})"
+
+
+def _bm25_sql(content_terms: list[str], kw: list[tuple[str, str]] = (),
+              k: int = 10, mode: str = "or") -> str:
+    """Brute-force BM25 oracle (k1=1.2, b=0.75 — Lucene formula) over the
+    simple-tokenized content field plus keyword-field contributions
+    (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1))."""
+    terms = ", ".join(f"'{t}'" for t in content_terms)
+    ctes = [
+        _TOK,
+        "tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term)",
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id)",
+        "st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl)",
+        f"dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq WHERE term IN ({terms}) GROUP BY term)",
+    ]
+    having = (
+        " HAVING count(*) = (SELECT count(*) FROM dft)" if mode == "and" else ""
+    )
+    ctes.append(
+        "cs AS (SELECT t.doc_id, "
+        "sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) "
+        "* t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score "
+        "FROM tfq t JOIN dft d ON t.term = d.term "
+        "JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st "
+        f"GROUP BY t.doc_id{having})"
+    )
+    score_parts, join_parts = ["coalesce(cs.score, 0)"], ["cs"]
+    for i, (col, val) in enumerate(kw):
+        ctes.append(
+            f"kn{i} AS (SELECT count(*)::DOUBLE AS n FROM documents "
+            f"WHERE {col} IS NOT NULL AND trim({col}) <> '')"
+        )
+        ctes.append(
+            f"kd{i} AS (SELECT count(*)::DOUBLE AS df FROM documents "
+            f"WHERE lower(trim({col})) = '{val}')"
+        )
+        ctes.append(
+            f"ks{i} AS (SELECT doc_id, "
+            f"ln(1.0 + (kn{i}.n - kd{i}.df + 0.5) / (kd{i}.df + 0.5)) / 2.2 AS score "
+            f"FROM documents, kn{i}, kd{i} WHERE lower(trim({col})) = '{val}')"
+        )
+        score_parts.append(f"coalesce(ks{i}.score, 0)")
+        join_parts.append(f"ks{i}")
+    if len(join_parts) == 1:
+        final_from = "cs"
+        doc_expr = "cs.doc_id"
+    else:
+        final_from = join_parts[0]
+        for jp in join_parts[1:]:
+            final_from += f" FULL OUTER JOIN {jp} ON {join_parts[0]}.doc_id = {jp}.doc_id"
+        doc_expr = "coalesce(" + ", ".join(f"{j}.doc_id" for j in join_parts) + ")"
+    ctes.append(
+        f"allsc AS (SELECT {doc_expr} AS doc_id, "
+        f"{' + '.join(score_parts)} AS score FROM {final_from})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_id, round(score, 6) AS score FROM allsc "
+        f"ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"
+    )
+
+
+# reference query set for the flagship entry: (qid, engine query string,
+# content terms, keyword fields)
+_BM25_QUERIES = [
+    ("q1", "spark query merge", ["merge", "query", "spark"], []),
+    ("q2", "window group sort", ["group", "sort", "window"], []),
+    ("q3", "dup table", ["dup", "table"], []),
+    ("q4", "customer", ["customer"], []),
+]
+
+
+# ------------------------------------------------------------ entry points
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents and run a
+    BM25 top-10 search through the posting store."""
+    return _search_df(spark, SF_SMOKE, "spark query merge", k=10)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        _search_df(spark, sf_dir, q, 10).withColumn("qid", F.lit(qid))
+        for qid, q, _, _ in _BM25_QUERIES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("qid", "doc_id", "score")
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = textstats.simple_token_col(F.col("text"))
+    return (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf"))
+    )
+
+
+def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = textstats.simple_token_col(F.col("text"))
+    return (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.countDistinct("term").alias("n_unique"))
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.brute_force_topk(
+        e, qv, k=10, exclude_id=0
+    ).withColumnRenamed("cos", "cosine")
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.knn_join(e.where(F.col("vec_id") < 5), e, k=3)
+    return out.select(
+        "qid", "nid", F.col("cos").alias("cosine"),
+        F.col("rank").cast("long").alias("knn_rank"),
+    )
+
+
+def _q_ann_sign_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ann_sign_bucket_topk(
+        e, qv, k=10, n_bits=8, exclude_id=0
+    ).withColumnRenamed("cos", "cosine")
+
+
+_MARKERS = {
+    "en": ("the", "a", "fast"),
+    "es": ("customer", "line", "order"),
+    "zh": ("spark", "window", "row"),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- index/search engine (SURVEY §2.10, §3.4)
+    q["bm25_topk"] = _q_bm25_topk
+    q["bm25_and"] = lambda s, d: _search_df(s, d, "spark filter join", 10, mode="and")
+    q["bm25_field_lang"] = lambda s, d: _search_df(s, d, "lang:es spark stream", 10)
+    q["bm25_field_repo"] = lambda s, d: _search_df(s, d, "repo:src3 dup window", 10)
+    q["term_stats"] = _q_term_stats
+    q["doc_token_stats"] = _q_doc_token_stats
+
+    # ---- dedup family
+    q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(
+        _t(s, d, "documents"), "text", "doc_id")
+    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(
+        _t(s, d, "documents"), 8, "text", "doc_id", 3, "md5")
+    q["lsh_near_dup_pairs"] = lambda s, d: dedup.near_dup_pairs(
+        _t(s, d, "documents"), 0.5, 8, 2, "text", "doc_id", 3, "md5")
+    q["ngram_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(
+        _t(s, d, "documents"), 0.5, "text", "doc_id", 3)
+    q["simhash16"] = lambda s, d: dedup.simhash(_t(s, d, "documents"), 16, "text", "doc_id")
+
+    # ---- similarity search
+    q["cosine_topk"] = _q_cosine_topk
+    q["knn_join"] = _q_knn_join
+    q["ann_sign_bucket"] = _q_ann_sign_bucket
+
+    # ---- text analysis
+    q["lang_id"] = lambda s, d: textstats.marker_lang_id(
+        _t(s, d, "documents"), _MARKERS, "text", "doc_id")
+    q["quality_score"] = lambda s, d: textstats.quality_features(
+        _t(s, d, "documents"), "text", "doc_id")
+    q["token_count"] = lambda s, d: textstats.token_counts(
+        _t(s, d, "documents"), "text", "doc_id")
+    q["doc_fingerprint"] = lambda s, d: textstats.doc_fingerprint(
+        _t(s, d, "documents"), "text", "doc_id")
+    q["doc_sha256"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+    # ---- events (batch analogue of the streaming path)
+    def _q_events(s: SparkSession, d: str) -> DataFrame:
+        ev = _t(s, d, "events")
+        return ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+    q["events_hourly"] = _q_events
+
+    # ---- Maestro pipeline semantics (SURVEY §2.4, §2.5 J2, K1)
+    def _q_exclusions(s: SparkSession, d: str) -> DataFrame:
+        rules = pl.ExclusionRules({
+            "source": ["src1", "src4"], "lang": ["zh"], "doc_id": [7, 11, 13],
+        })
+        return pl.apply_exclusions(_t(s, d, "documents"), rules).select(
+            "doc_id", "lang", "source")
+
+    q["exclusion_filter"] = _q_exclusions
+
+    def _q_conflicts(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        stored = docs.select("doc_id", F.col("text").alias("content"))
+        incoming = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" conflictmarker")))
+            .otherwise(F.col("text")).alias("content"),
+        )
+        return pl.detect_conflicts(stored, incoming, ["doc_id"], "content")
+
+    q["conflict_detect"] = _q_conflicts
+
+    def _q_upsert(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        stored = docs.where(F.col("doc_id") % 3 != 0).select(
+            "doc_id", "text", F.array(F.col("source")).alias("sources"))
+        incoming = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text",
+            F.array(F.concat(F.col("source"), F.lit("_b"))).alias("sources"))
+        m = pl.upsert_docs(stored, incoming, ["doc_id"], ["text"], "sources")
+        return m.select(
+            "doc_id", F.md5(F.col("text")).alias("content_hash"),
+            F.array_join("sources", ",").alias("sources_str"),
+            F.size("sources").cast("long").alias("n_sources"),
+        )
+
+    q["upsert_merge"] = _q_upsert
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # bm25 flagship: union of per-query oracles
+    subqueries = [
+        f"SELECT '{qid}' AS qid, * FROM ({_bm25_sql(terms, kw)})"
+        for qid, _, terms, kw in _BM25_QUERIES
+    ]
+    o["bm25_topk"] = " UNION ALL ".join(subqueries)
+    o["bm25_and"] = _bm25_sql(_sql_terms("spark filter join"), [], 10, mode="and")
+    o["bm25_field_lang"] = _bm25_sql(["spark", "stream"], [("lang", "es")])
+    o["bm25_field_repo"] = _bm25_sql(["dup", "window"], [("source", "src3")])
+
+    o["term_stats"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df, "
+        "count(*) AS tf FROM tok GROUP BY term"
+    )
+    o["doc_token_stats"] = (
+        f"WITH {_TOK} SELECT doc_id, count(*) AS n_tokens, "
+        "count(DISTINCT term) AS n_unique FROM tok GROUP BY doc_id"
+    )
+
+    o["dedup_exact"] = r"""
+WITH f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint FROM documents),
+g AS (SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS group_size FROM f GROUP BY fingerprint)
+SELECT f.doc_id, f.fingerprint, g.keeper_id, g.group_size,
+       f.doc_id <> g.keeper_id AS is_dup
+FROM f JOIN g USING (fingerprint)"""
+
+    minhash_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    )
+    o["minhash_signatures"] = (
+        f"WITH {_ARR}, {_SH} SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id"
+    )
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS sig FROM sig"
+        for b in range(4)
+    )
+    o["lsh_near_dup_pairs"] = f"""
+WITH {_ARR}, {_SH},
+sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT i.id1, i.id2, i.n_inter, s1.n + s2.n - i.n_inter AS n_union,
+       round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1 JOIN sizes s2 ON s2.doc_id = i.id2
+WHERE round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) >= 0.5"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH {_ARR}, {_SH},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT i.id1, i.id2, i.n_inter, s1.n + s2.n - i.n_inter AS n_union,
+       round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1 JOIN sizes s2 ON s2.doc_id = i.id2
+WHERE round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) >= 0.5"""
+
+    lanes = ", ".join(
+        f"sum(tf * (2 * (CAST(floor(hv / pow(2, {j})) AS INTEGER) % 2) - 1)) AS l{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN l{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    o["simhash16"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+hv AS (SELECT doc_id, tf, {_hex16_sql('term')} AS hv FROM tf),
+lanes AS (SELECT doc_id, {lanes} FROM hv GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM lanes"""
+
+    cos_expr = (
+        "round(sum(e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE) "
+        "/ (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) "
+        "* sqrt(sum(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))), 6)"
+    )
+    o["cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT e.vec_id, {cos_expr} AS cosine
+       FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+       WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+    o["knn_join"] = """
+WITH pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         round(sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+               / (sqrt(sum(q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+                  * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))), 6) AS cosine
+  FROM embeddings q, embeddings c, unnest(range(1, len(q.embedding) + 1)) AS t(i)
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+r AS (SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS knn_rank
+      FROM pairs)
+SELECT qid, nid, cosine, knn_rank FROM r WHERE knn_rank <= 3"""
+
+    def bexpr(alias: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {alias}.embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(8)
+        )
+
+    o["ann_sign_bucket"] = f"""
+WITH q AS (SELECT embedding AS qv, {bexpr('embeddings')} AS qb
+           FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding, q.qv FROM embeddings e, q
+         WHERE {bexpr('e')} = q.qb AND e.vec_id <> 0),
+sc AS (SELECT vec_id,
+              round(sum(embedding[i]::DOUBLE * qv[i]::DOUBLE)
+                    / (sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE))
+                       * sqrt(sum(qv[i]::DOUBLE * qv[i]::DOUBLE))), 6) AS cosine
+       FROM cand, unnest(range(1, len(embedding) + 1)) AS t(i) GROUP BY vec_id)
+SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+    def marker_list(la: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in _MARKERS[la]) + "]"
+
+    o["lang_id"] = f"""
+WITH {_ARR},
+c AS (SELECT doc_id,
+  len(list_filter(ts, x -> list_contains({marker_list('en')}, x))) AS c_en,
+  len(list_filter(ts, x -> list_contains({marker_list('es')}, x))) AS c_es,
+  len(list_filter(ts, x -> list_contains({marker_list('zh')}, x))) AS c_zh
+FROM arr)
+SELECT doc_id, c_en, c_es, c_zh,
+  CASE WHEN c_en >= c_es AND c_en >= c_zh THEN 'en'
+       WHEN c_es >= c_zh THEN 'es' ELSE 'zh' END AS lang_pred
+FROM c"""
+
+    stop_list = "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS) + "]"
+    o["quality_score"] = f"""
+WITH base AS (SELECT doc_id, text, {_TOKENIZE} AS ts FROM documents),
+feat AS (SELECT doc_id,
+   len(ts) AS n_tokens,
+   length(text) AS n_chars,
+   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS clean_len,
+   len(list_filter(ts, x -> list_contains({stop_list}, x))) AS n_stop,
+   coalesce(list_sum(list_transform(ts, x -> length(x))), 0) AS tok_chars
+ FROM base)
+SELECT doc_id, n_tokens, n_chars,
+  round(clean_len / greatest(n_chars, 1), 6) AS punct_ratio,
+  round(n_stop / greatest(n_tokens, 1), 6) AS stop_ratio,
+  round(tok_chars / greatest(n_tokens, 1), 6) AS mean_tok_len,
+  round(0.4 * least(n_tokens / 100.0, 1.0)
+        + 0.3 * (1.0 - clean_len / greatest(n_chars, 1))
+        + 0.3 * least(n_stop / greatest(n_tokens, 1) * 5.0, 1.0), 6) AS quality_score
+FROM feat"""
+
+    o["token_count"] = rf"""
+SELECT doc_id,
+ len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+ len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+ len({_TOKENIZE}) AS simple_tokens,
+ len(list_distinct({_TOKENIZE})) AS distinct_tokens
+FROM documents"""
+
+    o["doc_fingerprint"] = rf"""
+WITH base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+                     {_TOKENIZE} AS ts FROM documents),
+pos AS (SELECT doc_id, i, ts[i] AS term FROM base, unnest(range(1, len(ts) + 1)) AS t(i)),
+roll AS (SELECT doc_id, CAST(sum({_hex16_sql('term')} * i) AS BIGINT) % 2147483647 AS rolling_hash
+         FROM pos GROUP BY doc_id)
+SELECT b.doc_id, md5(b.norm) AS fingerprint,
+       coalesce(r.rolling_hash, 0) AS rolling_hash,
+       length(b.norm) AS norm_len
+FROM base b LEFT JOIN roll r USING (doc_id)"""
+
+    o["doc_sha256"] = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+    o["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2"""
+
+    o["exclusion_filter"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE NOT (source IN ('src1', 'src4') OR lang IN ('zh') OR doc_id IN (7, 11, 13))"""
+
+    o["conflict_detect"] = """
+WITH incoming AS (SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN text || ' conflictmarker' ELSE text END AS content
+  FROM documents)
+SELECT d.doc_id, md5(d.text) AS stored_hash, md5(i.content) AS incoming_hash
+FROM documents d JOIN incoming i USING (doc_id)
+WHERE md5(d.text) <> md5(i.content)"""
+
+    o["upsert_merge"] = """
+WITH stored AS (SELECT doc_id, text, [source] AS sources FROM documents WHERE doc_id % 3 <> 0),
+incoming AS (SELECT doc_id, text, [source || '_b'] AS sources FROM documents WHERE doc_id % 2 = 0),
+m AS (SELECT coalesce(i.doc_id, s.doc_id) AS doc_id,
+             coalesce(i.text, s.text) AS text,
+             list_sort(list_distinct(coalesce(s.sources, []::VARCHAR[])
+                                     || coalesce(i.sources, []::VARCHAR[]))) AS sources
+      FROM stored s FULL OUTER JOIN incoming i ON s.doc_id = i.doc_id)
+SELECT doc_id, md5(text) AS content_hash,
+       array_to_string(sources, ',') AS sources_str,
+       len(sources) AS n_sources
+FROM m"""
+
+    return o

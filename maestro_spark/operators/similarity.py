@@ -1,0 +1,255 @@
+"""Similarity search over an embedding column (array<float>): brute-force
+cosine top-k as the exactness baseline, coordinate-sign / random-hyperplane
+LSH bucketing and an IVF (inverted-file) coarse quantizer as the scale
+paths, plus embedding-cosine near-duplicate pairs for dedup.
+
+Scale design:
+  * brute-force top-k is a narrow map (zip_with/aggregate — JVM-side,
+    whole-stage codegen) + a global top-k; exact, O(N·d) per query. Fine
+    for reranking, not for 10^12 rows.
+  * LSH/IVF assign each vector to a bucket map-side, then a query touches
+    only its probe buckets — the posting-store idea (SURVEY.md §2.10)
+    applied to vectors: bucket = term, member list = postings. Buckets are
+    the partition key, so a query is a partition-pruned scan.
+  * matrix math (hyperplane projections, centroid assignment) runs in
+    Arrow-batched pandas UDFs over numpy — batch-vectorized, no per-row
+    Python (BASELINE.json input_hint requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in float64 via zip_with + left-to-right aggregate (the fold
+    order is deterministic, so scores reproduce across runs/engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_to_query(emb: DataFrame, query_vec: list[float],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Adds a `cos` column: cosine(embedding, query_vec). The query vector
+    becomes a literal array — constant-folded by Catalyst, no join."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return emb.withColumn(
+        "cos",
+        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6),
+    )
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_id: int | None = None) -> DataFrame:
+    """Exact cosine top-k: narrow map + orderBy(cos desc, id asc).limit(k).
+    Spark's TakeOrdered keeps only k rows per partition — no global sort
+    materialization."""
+    d = cosine_to_query(emb, query_vec, vec_col)
+    if exclude_id is not None:
+        d = d.where(F.col(id_col) != exclude_id)
+    return (
+        d.select(id_col, "cos")
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 3,
+             qid_col: str = "vec_id", cid_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Brute-force k-NN join: every query row against every corpus row,
+    per-query top-k via window rank. The exactness baseline for ANN; at
+    scale the corpus side must be bucketed (see lsh/ivf below) — a true
+    cross join of 10^12×10^6 is never the plan."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(cid_col).alias("nid"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("cv"))
+                                   / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cos", "rank")
+    )
+
+
+# ------------------------------------------------------------- sign-bit LSH
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Coordinate-sign hash: bit b = (vec[b+1] > 0). The SQL-reproducible
+    LSH used by the oracle contract; production uses random hyperplanes
+    (hyperplane_bucket) which are strictly better but not SQL-expressible."""
+    out = F.lit(0)
+    for b in range(n_bits):
+        out = out + F.when(F.element_at(vec, b + 1) > 0.0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def ann_sign_bucket_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                         n_bits: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         exclude_id: int | None = None) -> DataFrame:
+    """ANN: restrict to the query's sign-bucket, exact-rank inside it.
+    With the bucket as a partition key this is a partition-pruned scan."""
+    qbucket = sum((1 << b) for b in range(n_bits) if query_vec[b] > 0.0)
+    d = emb.where(sign_bucket(F.col(vec_col), n_bits) == qbucket)
+    return brute_force_topk(d, query_vec, k, id_col, vec_col, exclude_id)
+
+
+# ------------------------------------------------------ hyperplane LSH / IVF
+
+def random_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (n_bits × dim), seeded."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_bits, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def hyperplane_bucket(emb: DataFrame, planes: np.ndarray,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH (Charikar 2002): bucket = sign bits of H·v.
+    One matrix multiply per Arrow batch — vectorized, no per-row Python."""
+    pt = planes.T.astype(np.float64)  # dim × bits
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ pt) > 0.0
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "bucket": (bits @ weights).astype(np.int64),
+            })
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, bucket long"
+    )
+    return emb.join(out, id_col)
+
+
+def ann_hyperplane_topk(emb_bucketed: DataFrame, query_vec: list[float],
+                        planes: np.ndarray, k: int = 10, n_probe: int = 2,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        exclude_id: int | None = None) -> DataFrame:
+    """Multi-probe hyperplane ANN: probe the query bucket plus the n_probe−1
+    buckets from flipping the lowest-margin bits (the classic multiprobe
+    trick — recovers recall without more hyperplanes)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    proj = planes @ q
+    base_bits = proj > 0.0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    buckets = [int(base_bits @ weights)]
+    for bit in np.argsort(np.abs(proj))[: max(n_probe - 1, 0)]:
+        flipped = base_bits.copy()
+        flipped[bit] = ~flipped[bit]
+        buckets.append(int(flipped @ weights))
+    d = emb_bucketed.where(F.col("bucket").isin(sorted(set(buckets))))
+    return brute_force_topk(d, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: nearest centroid per vector (argmax cosine),
+    batch matrix multiply in Arrow. Centroids come from a driver-side
+    sample k-means (fit_ivf_centroids) — the IVF index's training step."""
+    c = centroids.astype(np.float64)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid": np.argmax(m @ c.T, axis=1).astype(np.int32),
+            })
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, centroid int"
+    )
+    return emb.join(out, id_col)
+
+
+def fit_ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 5,
+                      sample: int = 10_000, seed: int = 42,
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means on a driver-side sample (IVF training is always a
+    sample-fit; the full corpus only gets assigned). Deterministic."""
+    n = emb.count()
+    frac = min(1.0, sample / max(n, 1))
+    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        a = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = x[a == j]
+            if len(m):
+                v = m.mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ann_ivf_topk(emb_assigned: DataFrame, query_vec: list[float],
+                 centroids: np.ndarray, k: int = 10, n_probe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_id: int | None = None) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan the top
+    n_probe cells, exact-rank within them."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(c @ q))[:n_probe].tolist()
+    d = emb_assigned.where(F.col("centroid").isin([int(p) for p in probe]))
+    return brute_force_topk(d, query_vec, k, id_col, vec_col, exclude_id)
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        n_bits: int = 8, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        planes: np.ndarray | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket with hyperplane LSH
+    (near-identical vectors collide with prob ≈ 1), pair within buckets,
+    verify exact cosine ≥ threshold. The vector analogue of MinHash+LSH
+    dedup — same shuffle shape, same skew story."""
+    if planes is None:
+        dim = len(emb.select(vec_col).head()[0])
+        planes = random_hyperplanes(dim, n_bits)
+    b = hyperplane_bucket(emb, planes, id_col, vec_col)
+    a1 = b.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
+    a2 = b.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+    return (
+        a1.join(a2, "bucket")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(_dot(F.col("v1"), F.col("v2"))
+                                   / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+        .distinct()
+    )

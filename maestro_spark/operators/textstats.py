@@ -1,0 +1,192 @@
+"""Text-analysis operators over a document table — the training-data-
+pipeline side of the engine (language ID, quality scoring, token counting,
+fingerprinting). These generalize the analyzer operators the reference
+declares in its ES mapping (SURVEY.md §2.10 X1-X6: tokenization + per-field
+statistics executed by Lucene) into standalone, SQL-checkable DataFrame
+operators.
+
+Scale notes: every function here is a narrow map over the docs table —
+pure column expressions (whole-stage codegen, no shuffle, no Python) except
+`lang_id_ngram`, which is an Arrow-batched pandas UDF (vectorized char
+n-gram profile scoring; never per-row Python). All are safe at 100 TB: they
+pipeline with the parquet scan and prune to the referenced columns only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# BPE-ish word-piece pattern: letter runs, digit runs, single punctuation
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# default stopword set (intersection-friendly with synthetic corpora; real
+# deployments pass their own)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
+
+
+def simple_token_col(text: Column) -> Column:
+    """array<string> of lowercase [a-z0-9]+ tokens — identical semantics to
+    functions.tokenize.simple_tokens and to the DuckDB oracle expression
+    list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), t -> t<>'')."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counting: whitespace tokens, regex word-pieces (BPE-ish
+    pre-tokenization), distinct simple tokens. Pure column expressions."""
+    toks = simple_token_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != ""))
+        .alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias("bpe_tokens"),
+        F.size(toks).alias("simple_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     stopwords: tuple = STOPWORDS) -> DataFrame:
+    """Heuristic document-quality features + a composite score in [0,1]:
+    length saturation, non-alphanumeric (punctuation/noise) ratio, stopword
+    ratio, mean token length. The formula is fixed so the DuckDB oracle can
+    reproduce it bit-for-bit after round(…, 6)."""
+    text = F.col(text_col)
+    toks = simple_token_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    clean_len = F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct_ratio = clean_len / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    score = (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def hex16_col(term: Column) -> Column:
+    """16-bit integer hash of a string via the first 4 hex chars of md5 —
+    chosen over crc32/xxhash because DuckDB computes the identical value
+    (oracle parity); used by doc_fingerprint and dedup.simhash."""
+    hex4 = F.substring(F.md5(term), 1, 4)
+
+    def hexval(i: int) -> Column:
+        c = F.ascii(F.substring(hex4, i + 1, 1))
+        return c - F.when(c >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    return hexval(0) * 4096 + hexval(1) * 256 + hexval(2) * 16 + hexval(3)
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprinting: md5 of whitespace-normalized lowercase text
+    (the exact-dedup key) + a positional rolling checksum (order-sensitive —
+    catches shuffled-token plagiarism that the bag-of-words md5 misses):
+    sum(position_i · hex16(token_i)) mod 2^31−1, pure integer math."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    toks = simple_token_col(F.col(text_col))
+    weighted = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda t, i: hex16_col(t).cast("long") * i,
+    )
+    rolling = F.when(
+        F.size(toks) > 0,
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        % F.lit(2147483647),
+    ).otherwise(F.lit(0).cast("long"))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        rolling.alias("rolling_hash"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+# --------------------------------------------------------------- language ID
+
+def marker_lang_id(docs: DataFrame, markers: dict[str, tuple],
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword/marker-list language ID: count marker hits per language,
+    argmax with deterministic tie-break (first language in dict order wins).
+    SQL-reproducible (the queries()/oracle_sql() variant)."""
+    toks = simple_token_col(F.col(text_col))
+    langs = list(markers)
+
+    def contains(arr):
+        return lambda t: F.array_contains(arr, t)
+
+    counts = [
+        F.size(F.filter(toks, contains(F.array(*[F.lit(w) for w in markers[la]]))))
+        .alias(f"c_{la}")
+        for la in langs
+    ]
+    d = docs.select(F.col(id_col), *counts)
+    pred = F.lit(langs[-1])
+    for la in reversed(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs[langs.index(la) + 1:]:
+            cond = cond & (F.col(f"c_{la}") >= F.col(f"c_{other}"))
+        pred = F.when(cond, F.lit(la)).otherwise(pred)
+    return d.select(F.col(id_col), *[F.col(f"c_{la}") for la in langs],
+                    pred.alias("lang_pred"))
+
+
+def lang_id_ngram(docs: DataFrame, profiles: dict[str, dict[str, float]],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Char-n-gram profile language ID (the real heuristic — Cavnar & Trenkle
+    1994 style): cosine between a doc's char-trigram frequency vector and
+    per-language profiles. Vectorized pandas UDF (Arrow batches) — the only
+    non-pure-SQL op in this module, hence exercised by pytest (profile
+    parity vs a pure-pandas reference), not the DuckDB oracle."""
+    langs = sorted(profiles)
+    vocab = sorted({g for p in profiles.values() for g in p})
+    gram_ix = {g: i for i, g in enumerate(vocab)}
+    pm = np.zeros((len(langs), len(vocab)), dtype=np.float64)
+    for li, la in enumerate(langs):
+        for g, w in profiles[la].items():
+            pm[li, gram_ix[g]] = w
+    pm /= np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+
+    def score(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").str.lower()
+            rows = np.zeros((len(pdf), len(vocab)), dtype=np.float64)
+            for gi, g in enumerate(vocab):  # loop over PROFILE grams, not rows
+                rows[:, gi] = texts.str.count(re.escape(g))
+            norms = np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+            sims = (rows / norms) @ pm.T
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "lang_pred": np.asarray(langs, dtype=object)[best],
+                "confidence": np.round(sims[np.arange(len(pdf)), best], 6),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        score, schema=f"{id_col} long, lang_pred string, confidence double"
+    )
