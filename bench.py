@@ -1,0 +1,146 @@
+"""Benchmark harness: index-build throughput + BM25 top-k latency on the
+north-star corpus (input_hint shape, synthesized deterministically at a
+size proportional to SF), plus the documents/embeddings-table operator
+suite at $SPARK_GRAFT_SF_DIR. Prints ONE JSON line.
+
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default all cores)
+  BENCH_DOCS          override corpus size (default sf * 200_000)
+
+The same script at two parallelism levels is the scaling-efficiency
+evidence (see bench_scaling.py / BENCH.md): N vs 4N cores stand in for N
+vs 4N executors, per BASELINE.md."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from maestro_spark.operators import dedup, similarity, textstats
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader
+from maestro_spark.session import get_spark
+from maestro_spark.sources.corpus import synth_docs
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = [
+    "return",
+    "getUserName",
+    "index query merge",
+    "lang:java stream",
+    "path:util",
+    "repo:org0/repo0 cache",
+    "fetchUpdate batchWriter",
+    "error retry handler",
+]
+
+CFG = IndexConfig(
+    shard_size=8192,
+    n_buckets=16,
+    n_salts=8,
+    hot_df_fraction=0.02,
+    sample_fraction=0.05,
+    tokenizer="code",
+    index_fields=("content", "path", "lang", "repo"),
+)
+
+
+def _sf() -> float:
+    base = os.path.basename(os.path.normpath(SF_DIR))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf = _sf()
+    n_docs = int(os.environ.get("BENCH_DOCS", str(int(sf * 200_000))))
+    spark = get_spark("maestro_bench")
+    t_all = time.time()
+    timings: dict[str, float] = {}
+
+    # ---- 1. index build over the north-star corpus -----------------------
+    idx_dir = tempfile.mkdtemp(prefix="maestro_bench_idx_")
+    try:
+        docs = synth_docs(spark, n_docs, seed=42)
+        t0 = time.time()
+        manifest = build_index(spark, docs, idx_dir, CFG)
+        t_build = time.time() - t0
+        timings["index_build"] = round(t_build, 3)
+        docs_per_sec = n_docs / t_build
+        n_postings = sum(s["n_postings"] for s in manifest["shards"].values())
+        postings_per_sec = n_postings / t_build
+        bytes_compressed = sum(s["bytes"] for s in manifest["shards"].values())
+
+        # ---- 2. query latency over the built index -----------------------
+        reader = IndexReader(spark, idx_dir)
+        reader.search("warmup", k=10).collect()  # JVM/plan warmup
+        lat: list[float] = []
+        for rep in range(3):
+            for q in QUERIES:
+                t0 = time.time()
+                reader.search(q, k=10).collect()
+                lat.append(time.time() - t0)
+        lat_arr = np.asarray(lat)
+        for i, q in enumerate(QUERIES):
+            timings[f"query:{q}"] = round(float(lat_arr[i :: len(QUERIES)].mean()), 3)
+        query_p95 = float(np.percentile(lat_arr, 95))
+        query_p50 = float(np.percentile(lat_arr, 50))
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ---- 3. documents/embeddings operator suite at SF_DIR ---------------
+    documents = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    embeddings = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("dedup_exact", lambda: dedup.exact_duplicates(documents).count())
+    timed("near_dup_minhash_lsh",
+          lambda: dedup.near_dup_pairs(documents, 0.5, 16, 2).count())
+    timed("simhash", lambda: dedup.simhash(documents, 16).count())
+    qv = [float(x) for x in embeddings.where(F.col("vec_id") == 0)
+          .select("embedding").head()[0]]
+    timed("cosine_topk",
+          lambda: similarity.brute_force_topk(embeddings, qv, 10, exclude_id=0).collect())
+    planes = similarity.random_hyperplanes(len(qv), 8)
+    bucketed = similarity.hyperplane_bucket(embeddings, planes)
+    timed("ann_hyperplane",
+          lambda: similarity.ann_hyperplane_topk(bucketed, qv, planes, 10,
+                                                 n_probe=2, exclude_id=0).collect())
+    timed("quality_score", lambda: textstats.quality_features(documents)
+          .agg(F.avg("quality_score")).collect())
+
+    total = time.time() - t_all
+    out = {
+        "metric": "index-build docs/sec + BM25 top-k latency + curation ops wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs_indexed": n_docs,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "postings_per_sec": round(postings_per_sec, 1),
+        "posting_bytes": bytes_compressed,
+        "query_p50_s": round(query_p50, 4),
+        "query_p95_s": round(query_p95, 4),
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,6 +84,87 @@ def code_tokens(texts: pd.Series) -> pd.Series:
     return pd.Series(out_lists, index=texts.index)
 
 
+def _flat_code_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(row_pos, token) flat arrays for the code tokenizer — the zero-
+    Python-loop path (itertools.chain is C; everything else numpy/pandas
+    vectorized). Token MULTISET per row is identical to code_tokens();
+    only intra-row order differs (whole-identifier tokens emitted after
+    all subtokens instead of interleaved), which is irrelevant to tf/dl."""
+    from itertools import chain
+
+    texts = texts.fillna("")
+    n = len(texts)
+    idents = texts.str.findall(IDENT_RE)
+    counts = idents.str.len().to_numpy(dtype=np.int64)
+    flat = np.array(list(chain.from_iterable(idents)), dtype=object)
+    if flat.size == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    row_of_ident = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    # identifiers repeat massively (code vocabularies are small relative to
+    # occurrences): factorize once, regex-split only the UNIQUE identifiers,
+    # then expand per occurrence with pure index arithmetic.
+    codes, uniques = pd.factorize(flat)
+    uni = pd.Series(uniques, dtype="object")
+    subs_u = uni.str.findall(SUBTOKEN_RE)
+    nsubs_u = subs_u.str.len().to_numpy(dtype=np.int64)
+    pool = pd.Series(list(chain.from_iterable(subs_u)), dtype="object").str.lower().to_numpy()
+    offsets_u = np.concatenate(([0], np.cumsum(nsubs_u)[:-1]))
+
+    occ_len = nsubs_u[codes]
+    total = int(occ_len.sum())
+    occ_start = offsets_u[codes]
+    first_of_occ = np.concatenate(([0], np.cumsum(occ_len)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(first_of_occ, occ_len)
+    sub_tokens = pool[np.repeat(occ_start, occ_len) + within]
+    sub_rows = np.repeat(row_of_ident, occ_len)
+
+    whole_u = nsubs_u > 1
+    whole_pool = uni.str.lower().to_numpy()
+    occ_whole = whole_u[codes]
+    whole_tokens = whole_pool[codes[occ_whole]]
+    whole_rows = row_of_ident[occ_whole]
+
+    toks = np.concatenate([sub_tokens, whole_tokens])
+    pos = np.concatenate([sub_rows, whole_rows])
+    return pos, toks
+
+
+def _flat_simple_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(row_pos, token) flat arrays for the simple tokenizer."""
+    from itertools import chain
+
+    lists = texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    counts = lists.str.len().to_numpy(dtype=np.int64)
+    toks = np.array(list(chain.from_iterable(lists)), dtype=object)
+    pos = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return pos, toks
+
+
+def _flat_term_stats(pos: np.ndarray, toks: np.ndarray) -> pd.DataFrame:
+    """Flat (pos, token) occurrences → (pos, term, tf, dl)."""
+    if pos.size == 0:
+        return pd.DataFrame({"pos": pd.array([], dtype="int64"),
+                             "term": pd.array([], dtype="string"),
+                             "tf": pd.array([], dtype="int64"),
+                             "dl": pd.array([], dtype="int64")})
+    dl = np.bincount(pos)
+    # integer-keyed aggregation: factorize terms once, then one C-level
+    # np.unique over the combined (pos, term_code) key — far cheaper than a
+    # pandas string groupby
+    codes, uniques = pd.factorize(toks)
+    key = pos.astype(np.int64) * np.int64(len(uniques)) + codes
+    uniq_key, tf = np.unique(key, return_counts=True)
+    out_pos = uniq_key // len(uniques)
+    out_code = uniq_key % len(uniques)
+    return pd.DataFrame({
+        "pos": out_pos,
+        "term": np.asarray(uniques, dtype=object)[out_code],
+        "tf": tf.astype(np.int64),
+        "dl": dl[out_pos],
+    })
+
+
 def term_frequencies(token_lists: pd.Series) -> pd.DataFrame:
     """Vectorized (row_position, term, tf, dl) from a Series of token lists.
     dl = total token count of the row's field (BM25 doc length)."""
@@ -121,10 +202,11 @@ def doc_terms(
     (pos, term, tf, dl, field). Content terms are bare; path terms use the
     code tokenizer on path segments with "path:" prefix; lang/repo are
     keyword fields (single exact lowercase token, X1 semantics)."""
-    tok = code_tokens if tokenizer == "code" else simple_tokens
-    parts = [_field_tf(tok(content), prefix="", field=FIELD_CONTENT)]
+    flat = _flat_code_tokens if tokenizer == "code" else _flat_simple_tokens
+    parts = [_field_tf(*flat(content), prefix="", field=FIELD_CONTENT)]
     if path is not None:
-        parts.append(_field_tf(code_tokens(path), prefix="path:", field=FIELD_PATH))
+        parts.append(_field_tf(*_flat_code_tokens(path), prefix="path:",
+                               field=FIELD_PATH))
     if lang is not None:
         parts.append(_keyword_tf(lang, prefix="lang:", field=FIELD_LANG))
     if repo is not None:
@@ -132,8 +214,9 @@ def doc_terms(
     return pd.concat(parts, ignore_index=True)
 
 
-def _field_tf(token_lists: pd.Series, prefix: str, field: str) -> pd.DataFrame:
-    tf = term_frequencies(token_lists)
+def _field_tf(pos: np.ndarray, toks: np.ndarray, prefix: str,
+              field: str) -> pd.DataFrame:
+    tf = _flat_term_stats(pos, toks)
     if prefix and len(tf):
         tf["term"] = prefix + tf["term"].astype(str)
     tf["field"] = field

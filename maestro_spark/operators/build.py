@@ -142,7 +142,7 @@ def encode_tokens(tokens: DataFrame, hot_terms: list[str], cfg: IndexConfig) -> 
     partition with millions of rows streams through in Arrow batches.
     """
     spark = tokens.sparkSession
-    nparts = cfg.encode_partitions or spark.sparkContext.defaultParallelism * 4
+    nparts = cfg.encode_partitions or spark.sparkContext.defaultParallelism
     n_salts, shard_size, n_buckets = cfg.n_salts, cfg.shard_size, cfg.n_buckets
 
     hot_col = (
@@ -323,33 +323,61 @@ def build_index(
         "shards": dict(prev.get("shards", {})) if prev else {},
     }
 
+    phase_ms: dict[str, int] = {}
+
+    def _phase(name: str, t_start: float) -> None:
+        phase_ms[name] = int((time.time() - t_start) * 1000)
+
     if pending:
         subset = d if not done_shards else d.where(F.col("shard").isin(pending))
-        t_build = time.time()
 
+        t = time.time()
         write_partitioned(
             subset.select("doc_id", "shard", "repo", "path", "commit", "lang",
                           "content", "content_sha256"),
             os.path.join(out_dir, "docs"), ["shard"], dynamic=bool(done_shards),
         )
+        _phase("write_docs", t)
 
+        t = time.time()
         tokens = tokenize_docs(subset, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        # repartition-by-shard before write → one file per shard dir (a
+        # shard's doclens sidecar is read whole at query time; thousands of
+        # small files would dominate both write and read at any scale)
         doclens = (
             tokens.groupBy("shard", "doc_id", "field").agg(F.first("dl").alias("dl"))
+            .repartition(max(len(pending), 1), "shard")
         )
         write_partitioned(doclens, os.path.join(out_dir, "doclens"), ["shard"],
                           dynamic=bool(done_shards))
+        _phase("tokenize_doclens", t)
 
+        t = time.time()
         hot_terms = detect_hot_terms(tokens, n_docs, cfg)
-        segments = encode_tokens(tokens, hot_terms, cfg)
+        _phase("detect_hot", t)
+
+        t = time.time()
+        # persist segments: the hot/cold branches of the merge and the final
+        # write must NOT each recompute the repartition+sort+encode pipeline
+        segments = encode_tokens(tokens, hot_terms, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK)
         postings = merge_hot_segments(segments, hot_terms)
+        # final layout shuffle: one task (→ one file) per (shard, bucket)
+        # partition dir. Without this, every encoder partition spills a
+        # sliver into every bucket dir — O(parts × buckets) small files.
+        # The shuffle moves only compressed segments, and at target sizing
+        # (1M-doc shards, 16 buckets) a partition file is ~50-100 MB.
+        postings = postings.repartition(
+            max(len(pending), 1) * cfg.n_buckets, "shard", "term_bucket")
         write_partitioned(postings, os.path.join(out_dir, "postings"),
                           ["shard", "term_bucket"], dynamic=bool(done_shards))
+        _phase("encode_merge_write", t)
+        segments.unpersist()
         tokens.unpersist()
-        build_wall_ms = int((time.time() - t_build) * 1000)
 
         # per-shard metrics from the written postings (lineage/audit rows:
         # postings count, compressed bytes, merge fan-in — north star)
+        t = time.time()
         pmetrics = {
             int(r["shard"]): r
             for r in spark.read.parquet(os.path.join(out_dir, "postings"))
@@ -376,6 +404,7 @@ def build_index(
                 "max_merge_fanin": int(m["max_merge_fanin"]) if m else 0,
                 "n_merged_terms": int(m["n_merged_terms"]) if m else 0,
             }
+        _phase("metrics", t)
         manifest["hot_terms"] = hot_terms
     else:
         manifest["hot_terms"] = prev.get("hot_terms", []) if prev else []
@@ -395,6 +424,7 @@ def build_index(
         },
     }
     manifest["skipped_shards"] = sorted(done_shards)
+    manifest["phase_ms"] = phase_ms
     manifest["wall_ms"] = int((time.time() - t0) * 1000)
     write_manifest(os.path.join(out_dir, "manifest.json"), manifest)
 

@@ -184,7 +184,6 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     Returns (id1, id2, n_inter, n_union, jaccard) with jaccard rounded to 6.
     """
     sh = doc_shingles(docs, text_col, id_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if candidates is not None:
         pair_docs = (
             candidates.select(F.col("id1").alias(id_col))
@@ -192,6 +191,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
             .distinct()
         )
         sh = sh.join(pair_docs, id_col, "left_semi")
+    # sh feeds three consumers (sizes + both sides of the intersection
+    # join); persist so tokenize→shingle→distinct runs once. When pruned by
+    # candidates this is tiny; unpruned it is the shingle inverted index.
+    sh = sh.persist()
+    # per-doc set sizes — computed AFTER candidate pruning (a doc's shingle
+    # count is unaffected by dropping other docs)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
         .join(sh.alias("b"),
@@ -224,7 +230,10 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
     pairs → exact Jaccard filter ≥ threshold. The production dedup entry
     point (probabilistic recall from banding, exact precision from verify)."""
     sigs = minhash_signatures(docs, n_hashes, text_col, id_col, shingle_n, hash_fn)
-    cands = lsh_candidate_pairs(sigs, n_hashes, band_size, id_col)
+    # persist candidates: the verify stage consumes them twice (doc-set
+    # semi-join + pair semi-join); without this the whole shingle→minhash
+    # →band pipeline would be recomputed per consumer
+    cands = lsh_candidate_pairs(sigs, n_hashes, band_size, id_col).persist()
     return jaccard_pairs(docs, threshold, text_col, id_col, shingle_n,
                          candidates=cands)
 
@@ -271,18 +280,27 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup pairs: block on bit-halves (a pair within Hamming
-    distance ≤ bits/2-per-half must agree exactly on at least one half —
-    the standard pigeonhole blocking), verify with popcount. Avoids the
-    all-pairs join the same way LSH banding does."""
+    """SimHash near-dup pairs with pigeonhole blocking: the fingerprint is
+    split into max_hamming+1 bit-blocks — any pair within Hamming distance
+    ≤ max_hamming must agree EXACTLY on at least one block — candidates
+    pair within blocks, then popcount verifies. Avoids the all-pairs join
+    the same way LSH banding does. (At 16 bits small blocks collide often;
+    production uses bits=64 where each block still carries ≥16 bits.)"""
     s = simhash(docs, bits, text_col, id_col)
-    half = bits // 2
-    lo = (F.col("simhash") % (1 << half)).alias("blk")
-    hi = F.floor(F.col("simhash") / F.lit(float(1 << half))).cast("long").alias("blk")
-    blocks = (
-        s.select(id_col, "simhash", lo, F.lit(0).alias("side"))
-        .union(s.select(id_col, "simhash", hi, F.lit(1).alias("side")))
-    )
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    sides = []
+    for bl in range(n_blocks):
+        lo_bit = bl * width
+        w = width if bl < n_blocks - 1 else bits - lo_bit  # last takes rest
+        blk = (
+            F.floor(F.col("simhash") / F.lit(float(1 << lo_bit))).cast("long")
+            % (1 << w)
+        ).alias("blk")
+        sides.append(s.select(id_col, "simhash", blk, F.lit(bl).alias("side")))
+    blocks = sides[0]
+    for extra in sides[1:]:
+        blocks = blocks.union(extra)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))

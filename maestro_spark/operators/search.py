@@ -71,6 +71,7 @@ class IndexReader:
             raise FileNotFoundError(f"no manifest.json under {index_dir}")
         self.cfg = self.manifest["config"]
         self.stats = self.manifest["stats"]
+        self._df_cache: dict[str, int] = {}  # term -> global df (immutable index)
 
     # ---------------------------------------------------------------- plan
 
@@ -80,15 +81,20 @@ class IndexReader:
         if not uniq:
             return QueryPlan([], {}, {}, {}, {}, {})
         n_buckets = self.cfg["n_buckets"]
-        buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
-        df_rows = (
-            self._postings()
-            .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(uniq))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+        missing = [t for t in uniq if t not in self._df_cache]
+        if missing:
+            buckets = sorted({_term_bucket(t, n_buckets) for t in missing})
+            df_rows = (
+                self._postings()
+                .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in df_rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        dfs = {t: self._df_cache[t] for t in uniq}
         fields = {t: term_field(t) for t in uniq}
         f_stats = self.stats["fields"]
         n_docs = {t: f_stats.get(fields[t], {}).get("n_docs", 0) for t in uniq}

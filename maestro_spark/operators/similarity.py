@@ -136,15 +136,15 @@ def hyperplane_bucket(emb: DataFrame, planes: np.ndarray,
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (m @ pt) > 0.0
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "bucket": (bits @ weights).astype(np.int64),
-            })
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = (bits @ weights).astype(np.int64)
+            yield out
 
-    out = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, bucket long"
+    # pass-through columns instead of a join-back: bucketing is a NARROW
+    # map; rejoining on id would force a shuffle of the whole vector table
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
     )
-    return emb.join(out, id_col)
 
 
 def ann_hyperplane_topk(emb_bucketed: DataFrame, query_vec: list[float],

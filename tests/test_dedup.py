@@ -1,0 +1,106 @@
+"""Dedup operator tests: exact groups, MinHash+LSH recall vs exact
+Jaccard ground truth on the driver's documents table (which contains
+planted near-duplicate pairs), SimHash blocking, and skew guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_duplicates_planted(spark):
+    rows = [(0, "aaa bbb ccc"), (1, "aaa  bbb\tccc"), (2, "xxx yyy"), (3, "zzz")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.exact_duplicates(d).collect()}
+    # whitespace-normalized: 0 and 1 are the same group
+    assert out[0]["keeper_id"] == 0 and not out[0]["is_dup"]
+    assert out[1]["keeper_id"] == 0 and out[1]["is_dup"]
+    assert out[1]["group_size"] == 2
+    assert not out[2]["is_dup"] and not out[3]["is_dup"]
+
+
+def test_near_dup_lsh_matches_exact_jaccard(spark, documents):
+    """Production path (xxhash64 MinHash, 16 hashes × band 2) must recover
+    every pair the exhaustive shingle Jaccard finds at threshold 0.5 —
+    on this corpus the planted near-dups are J≥0.97, so banding recall
+    (1-(1-J^2)^8 ≈ 1) makes the sets exactly equal."""
+    exact = {
+        (r["id1"], r["id2"])
+        for r in dedup.jaccard_pairs(documents, 0.5).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in dedup.near_dup_pairs(documents, 0.5, 16, 2,
+                                      hash_fn="xxhash64").collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_jaccard_values_sane(documents):
+    for r in dedup.jaccard_pairs(documents, 0.5).collect():
+        assert 0.5 <= r["jaccard"] <= 1.0
+        assert r["n_inter"] <= r["n_union"]
+
+
+def test_simhash_blocks_near_dups(spark, documents):
+    """Planted near-dup pairs have near-identical token multisets, so their
+    16-bit simhash fingerprints are within small Hamming distance."""
+    pairs = dedup.jaccard_pairs(documents, 0.9).collect()
+    assert pairs
+    sim = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash(documents, 16).collect()}
+    for r in pairs:
+        x = sim[r["id1"]] ^ sim[r["id2"]]
+        assert bin(x).count("1") <= 4, (
+            f"pair ({r['id1']},{r['id2']}) J={r['jaccard']} hamming too large"
+        )
+
+
+def test_simhash_pairs_pigeonhole(spark):
+    # diverse tf profile (no symmetric zero-sum lanes) + one small edit
+    base = " ".join(w for i, w in enumerate(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    ) for _ in range(20 - 2 * i))
+    rows = [
+        (0, base),
+        (1, base + " iota"),
+        (2, "one two three four five six seven eight " * 10),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d, 16).collect()}
+    h01 = bin(sim[0] ^ sim[1]).count("1")
+    assert h01 <= 3, f"perturbed pair drifted too far: hamming {h01}"
+    got = {(r["id1"], r["id2"]): r["hamming"]
+           for r in dedup.simhash_pairs(d, max_hamming=3).collect()}
+    assert got.get((0, 1)) == h01
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_lsh_bucket_cap_drops_oversized(spark):
+    # every doc identical -> one bucket of size 6 > max_bucket=5 -> dropped
+    rows = [(i, "same same same tokens here every time") for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(d, 8, hash_fn="xxhash64")
+    pairs = dedup.lsh_candidate_pairs(sigs, 8, 2, max_bucket=5).collect()
+    assert pairs == []
+    stats = dedup.lsh_bucket_stats(sigs, 8, 2, max_bucket=5).collect()
+    assert all(r["oversized"] == 1 for r in stats)
+    assert all(r["max_bucket_size"] == 6 for r in stats)
+
+
+def test_minhash_variants_agree_on_pairs(spark, documents):
+    """md5-string and xxhash64 MinHash are different hash families but both
+    must recover the same high-J pairs after exact verification."""
+    a = {(r["id1"], r["id2"]) for r in dedup.near_dup_pairs(
+        documents, 0.8, 8, 2, hash_fn="md5").collect()}
+    b = {(r["id1"], r["id2"]) for r in dedup.near_dup_pairs(
+        documents, 0.8, 8, 2, hash_fn="xxhash64").collect()}
+    assert a == b and a

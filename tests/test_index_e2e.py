@@ -142,7 +142,7 @@ def test_resume_skips_unchanged(spark, built):
     docs = synth_docs(spark, N_DOCS, seed=42, partitions=7)
     m2 = build_index(spark, docs, out, CFG, resume=True)
     assert sorted(m2["skipped_shards"]) == [0, 1, 2]
-    drop = {"wall_ms", "skipped_shards"}  # run-specific, not index identity
+    drop = {"wall_ms", "skipped_shards", "phase_ms"}  # run-specific, not index identity
     a = {k: v for k, v in manifest.items() if k not in drop}
     b = {k: v for k, v in m2.items() if k not in drop}
     assert a == b

@@ -1,0 +1,107 @@
+"""Similarity-search tests: brute-force cosine vs numpy reference, ANN
+(hyperplane LSH multiprobe + IVF) recall against the exact baseline,
+embedding near-dup detection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, m
+
+
+def _np_topk(ids, m, q, k, exclude=None):
+    qn = np.asarray(q, dtype=np.float64)
+    cos = (m @ qn) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qn))
+    cos = np.round(cos, 6)
+    mask = ids != exclude if exclude is not None else np.ones(len(ids), bool)
+    cand = np.flatnonzero(mask)
+    order = sorted(cand, key=lambda i: (-cos[i], ids[i]))[:k]
+    return [(int(ids[i]), float(cos[i])) for i in order]
+
+
+def test_brute_force_matches_numpy(emb, emb_np):
+    ids, m = emb_np
+    q = m[ids.tolist().index(0)].tolist()
+    got = [(r["vec_id"], r["cos"])
+           for r in similarity.brute_force_topk(emb, q, 10, exclude_id=0).collect()]
+    assert got == _np_topk(ids, m, q, 10, exclude=0)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with TRUE near neighbors: 200 random base vectors, the last
+    20 of which get a planted perturbed twin (cos ≈ 0.995). The driver's
+    embeddings table is uniformly random (measured top-1 cos ≈ 0.36), where
+    no sublinear ANN can have recall — LSH recall is only defined for
+    genuinely near pairs, so we plant them."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32))
+    twins = base[-20:] + 0.05 * rng.standard_normal((20, 32))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(1000 + i, [float(x) for x in v]) for i, v in enumerate(twins)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return d.cache(), base, twins
+
+
+def test_hyperplane_ann_recall(planted):
+    d, base, twins = planted
+    planes = similarity.random_hyperplanes(32, 8, seed=42)
+    bucketed = similarity.hyperplane_bucket(d, planes).cache()
+    hits = 0
+    for i in range(20):
+        q = [float(x) for x in twins[i]]
+        got = {r["vec_id"] for r in similarity.ann_hyperplane_topk(
+            bucketed, q, planes, 5, n_probe=4, exclude_id=1000 + i).collect()}
+        hits += (180 + i) in got  # the planted twin's base vector
+    assert hits >= 16, f"recall {hits}/20 too low"
+
+
+def test_ivf_ann_recall(spark, planted):
+    d, base, twins = planted
+    cents = similarity.fit_ivf_centroids(d, n_centroids=8, iters=4, seed=42)
+    assigned = similarity.ivf_assign(d, cents).cache()
+    assert assigned.count() == 220  # every vector in exactly one cell
+    hits = 0
+    for i in range(20):
+        q = [float(x) for x in twins[i]]
+        got = {r["vec_id"] for r in similarity.ann_ivf_topk(
+            assigned, q, cents, 5, n_probe=2, exclude_id=1000 + i).collect()}
+        hits += (180 + i) in got
+    assert hits >= 18, f"IVF recall {hits}/20 too low"
+
+
+def test_embedding_near_dups(spark):
+    """A vector and its tiny perturbation must pair; orthogonal must not."""
+    base = np.random.default_rng(7).standard_normal(16).astype(np.float32)
+    near = base + 1e-4
+    orth = np.roll(base, 1) * np.array([1, -1] * 8, dtype=np.float32)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near]),
+            (2, [float(x) for x in orth])]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id1"], r["id2"]): r["cos"]
+             for r in similarity.embedding_near_dups(d, 0.99, n_bits=4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.99
+    assert (0, 2) not in pairs
+
+
+def test_knn_join_shape(emb, emb_np):
+    ids, m = emb_np
+    out = similarity.knn_join(emb.where(F.col("vec_id") < 4), emb, k=3).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["qid"] != r["nid"] and 1 <= r["rank"] <= 3
