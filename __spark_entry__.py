@@ -244,6 +244,8 @@ _MARKERS = {
     "es": ("customer", "line", "order"),
     "zh": ("spark", "window", "row"),
 }
+_FETCH_IDS = [3, 5, 8, 13, 21, 34]
+_SESSION_GAP_S = 1800
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -305,6 +307,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", "source")
 
     q["exclusion_filter"] = _q_exclusions
+
+    # ---- point lookups / prefix scan / generic relational operators
+    def _q_fetch(s: SparkSession, d: str) -> DataFrame:
+        ids = s.createDataFrame([(i,) for i in _FETCH_IDS], "doc_id long")
+        return _t(s, d, "documents").join(F.broadcast(ids), "doc_id", "left_semi") \
+            .select("doc_id", "lang", "source", "n_chars")
+
+    q["fetch_by_ids"] = _q_fetch
+
+    def _q_prefix(s: SparkSession, d: str) -> DataFrame:
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.prefix_terms("cu")
+
+    q["prefix_term_lookup"] = _q_prefix
+
+    def _q_top_events(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import Window
+        ev = _t(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (ev.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= 2)
+                .select("user_id", "event_id", "value",
+                        F.col("rn").cast("long").alias("rn")))
+
+    q["top_events_per_user"] = _q_top_events
+
+    def _q_sessionize(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import Window
+        ev = _t(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is
+        # lossless and unix_millis matches DuckDB's epoch_ms exactly
+        ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        gap = F.when(
+            ms - F.lag(ms).over(w) > _SESSION_GAP_S * 1000, 1).otherwise(0)
+        sess = ev.withColumn("new_sess", gap).withColumn(
+            "session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        return (sess.groupBy("user_id", "session_id")
+                .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                     .alias("session_start"),
+                     F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 4).alias("session_value")))
+
+    q["events_sessionize"] = _q_sessionize
+
+    def _q_pricing(s: SparkSession, d: str) -> DataFrame:
+        li = _t(s, d, "lineitem")
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+
+    q["lineitem_pricing"] = _q_pricing
+
+    def _q_join_agg(s: SparkSession, d: str) -> DataFrame:
+        o = _t(s, d, "orders")
+        li = _t(s, d, "lineitem")
+        return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+                .groupBy("o_orderpriority")
+                .agg(F.countDistinct("o_orderkey").alias("n_orders"),
+                     F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue")))
+
+    q["orders_join_agg"] = _q_join_agg
+
+    def _q_windowed(s: SparkSession, d: str) -> DataFrame:
+        from maestro_spark.streaming.windows import windowed_event_counts
+        return windowed_event_counts(_t(s, d, "events"))
+
+    q["events_windowed"] = _q_windowed
 
     def _q_conflicts(s: SparkSession, d: str) -> DataFrame:
         docs = _t(s, d, "documents")
@@ -519,6 +597,58 @@ FROM base b LEFT JOIN roll r USING (doc_id)"""
 
     o["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2"""
+
+    ids = ", ".join(str(i) for i in _FETCH_IDS)
+    o["fetch_by_ids"] = (
+        f"SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN ({ids})"
+    )
+
+    o["prefix_term_lookup"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE term LIKE 'cu%' GROUP BY term"
+    )
+
+    o["top_events_per_user"] = """
+WITH r AS (SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_id) AS rn
+           FROM events)
+SELECT user_id, event_id, value, rn FROM r WHERE rn <= 2"""
+
+    o["events_sessionize"] = f"""
+WITH g AS (SELECT user_id, event_id, ts, value,
+   CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id) > {_SESSION_GAP_S} * 1000
+        THEN 1 ELSE 0 END AS new_sess
+   FROM events),
+s AS (SELECT user_id, ts, value,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_id"""
+
+    o["lineitem_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DOUBLE), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+    o["orders_join_agg"] = """
+SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority"""
+
+    o["events_windowed"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2"""
 

@@ -112,6 +112,21 @@ class IndexReader:
     def _postings(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
 
+    def prefix_terms(self, prefix: str) -> DataFrame:
+        """Term-dictionary prefix scan (the X4 autocomplete analogue done
+        as a range lookup instead of edge-ngram storage): returns
+        (term, df) for every indexed term starting with `prefix`. The
+        StartsWith predicate pushes down to the parquet scan; buckets
+        cannot be pruned (a prefix spans hash buckets) — at scale an
+        autocomplete-heavy deployment would add a sorted term dictionary
+        (or edge-ngram field, tokenize.edge_ngrams) instead."""
+        return (
+            self._postings()
+            .where(F.col("term").startswith(prefix.lower()))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+
     # -------------------------------------------------------------- search
 
     def search(self, query: str, k: int = 10, mode: str = "or",
