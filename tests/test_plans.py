@@ -1,0 +1,97 @@
+"""Physical-plan audits: assert the plans we designed for are the plans
+Catalyst actually produces — predicate pushdown + partition pruning into
+the posting store, column pruning on wide tables, broadcast for dim-sized
+joins, and no Python in pure-relational pipelines (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader, _term_bucket
+from maestro_spark.sources.corpus import synth_docs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("planidx"))
+    cfg = IndexConfig(shard_size=200, n_buckets=8, n_salts=2,
+                      hot_df_fraction=0.5, sample_fraction=1.0)
+    build_index(spark, synth_docs(spark, 300, seed=42, partitions=3), out, cfg)
+    return out
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_posting_scan_pushdown_and_pruning(spark, idx):
+    """A query-term posting lookup must (a) push the term predicate into
+    the parquet scan and (b) prune partitions by term_bucket."""
+    reader = IndexReader(spark, idx)
+    bucket = _term_bucket("return", 8)
+    rel = reader._postings().where(
+        (F.col("term_bucket") == bucket) & (F.col("term") == "return")
+    ).select("term", "df")
+    plan = _plan(rel)
+    assert "PushedFilters" in plan and "term" in plan
+    # partition pruning: term_bucket appears as a partition filter, and the
+    # scan must NOT read the posting payload columns for a df-only query
+    assert "PartitionFilters" in plan
+    assert "doc_bytes" not in plan.split("ReadSchema")[1].split("\n")[0], (
+        "df lookup must not read posting payload bytes")
+
+
+def test_docs_scan_column_pruning(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    plan = _plan(d)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" not in read_schema, "projection must prune the wide text column"
+
+
+def test_fetch_by_ids_broadcasts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    j = docs.join(F.broadcast(ids), "doc_id", "left_semi")
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_relational_pipeline_stays_jvm_side(spark):
+    """The exclusion-filter + aggregation path must contain no Python
+    evaluation nodes — pure whole-stage-codegen column expressions."""
+    from maestro_spark.operators.pipeline import ExclusionRules, apply_exclusions
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = apply_exclusions(docs, ExclusionRules({"lang": ["zh"]})) \
+        .groupBy("source").agg(F.count("*").alias("n"))
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the exclusion predicate must reach the parquet scan…
+    assert "Not(EqualTo(lang,zh))" in plan
+    # …and the aggregation must have a map-side partial phase
+    assert "partial_count" in plan
+
+
+def test_quality_features_jvm_side(spark):
+    """textstats quality scoring is pure column expressions — no Python."""
+    from maestro_spark.operators.textstats import quality_features
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quality_features(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_exact_join_strategy(spark):
+    """Exact dedup's join-back of group stats must be either broadcast
+    (AQE picks this when the distinct-fingerprint side is dim-sized — the
+    case here) or a fingerprint-co-partitioned shuffle join (the plan at
+    scale). Either way: no Python nodes, one groupBy shuffle on the hash."""
+    from maestro_spark.operators.dedup import exact_duplicates
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_duplicates(docs))
+    assert ("BroadcastExchange" in plan
+            or "SortMergeJoin" in plan)
+    assert "hashpartitioning(fingerprint" in plan  # the groupBy(fingerprint)
+    assert "BatchEvalPython" not in plan
