@@ -384,6 +384,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_windowed"] = _q_windowed
 
+    def _q_json_props(s: SparkSession, d: str) -> DataFrame:
+        """Dynamic-map semantics (SURVEY §1.2 info/data @JsonAnySetter
+        catch-alls): stored as an opaque JSON column, extracted on demand
+        — 'stored but not indexed', the dynamic:false analogue."""
+        ev = _t(s, d, "events")
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
+        return (ev.select("event_type", k.alias("k"))
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+                     F.max("k").alias("max_k")))
+
+    q["json_props_agg"] = _q_json_props
+
     def _q_conflicts(s: SparkSession, d: str) -> DataFrame:
         docs = _t(s, d, "documents")
         stored = docs.select("doc_id", F.col("text").alias("content"))
@@ -651,6 +664,12 @@ GROUP BY o_orderpriority"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2"""
+
+    o["json_props_agg"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type"""
 
     o["exclusion_filter"] = """
 SELECT doc_id, lang, source FROM documents

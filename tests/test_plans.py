@@ -22,6 +22,15 @@ def idx(spark, tmp_path_factory):
     return out
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    """Other test modules cache() the same parquet relations; a cache hit
+    would replace the scan with InMemoryTableScan and hide the pushdown/
+    pruning evidence these tests assert on."""
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
