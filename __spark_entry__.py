@@ -40,6 +40,7 @@ _CFG = IndexConfig(
     sample_fraction=1.0,
     tokenizer="simple",          # SQL-reproducible analyzer for the oracle
     index_fields=("content", "lang", "repo"),
+    store_positions=True,        # prox stream → phrase_search query
 )
 
 
@@ -48,7 +49,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     BM25 index over the driver's `documents` table. doc_id is taken
     verbatim (id_col) so engine results join 1:1 with the oracle."""
     out = os.path.join(
-        tempfile.gettempdir(), "maestro_entry_idx_v1",
+        tempfile.gettempdir(), "maestro_entry_idx_v2",
         re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
     )
     docs = _t(spark, sf_dir, "documents").select(
@@ -254,6 +255,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- index/search engine (SURVEY §2.10, §3.4)
     q["bm25_topk"] = _q_bm25_topk
     q["bm25_and"] = lambda s, d: _search_df(s, d, "spark filter join", 10, mode="and")
+
+    def _q_phrase(s: SparkSession, d: str) -> DataFrame:
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.phrase_search("slow query", k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["phrase_search"] = _q_phrase
     q["bm25_field_lang"] = lambda s, d: _search_df(s, d, "lang:es spark stream", 10)
     q["bm25_field_repo"] = lambda s, d: _search_df(s, d, "repo:src3 dup window", 10)
     q["term_stats"] = _q_term_stats
@@ -439,6 +448,24 @@ def oracle_sql() -> dict[str, str]:
     ]
     o["bm25_topk"] = " UNION ALL ".join(subqueries)
     o["bm25_and"] = _bm25_sql(_sql_terms("spark filter join"), [], 10, mode="and")
+
+    o["phrase_search"] = f"""
+WITH {_ARR},
+big AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS s
+        FROM arr, unnest(range(1, greatest(len(ts), 1))) AS t(i)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM big
+       WHERE s = 'slow query' GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
     o["bm25_field_lang"] = _bm25_sql(["spark", "stream"], [("lang", "es")])
     o["bm25_field_repo"] = _bm25_sql(["dup", "window"], [("source", "src3")])
 

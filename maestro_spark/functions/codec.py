@@ -90,11 +90,17 @@ def encode_postings(
     tfs: np.ndarray,
     dls: np.ndarray,
     block: int = BLOCK,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode one posting list (already sorted by doc_id asc).
 
     dls = doc length of each posting's document (for the per-block
     (max_tf, min_dl) WAND bound metadata).
+    positions: optional flat int64 array of in-document token positions,
+    concatenated in posting order (len == tfs.sum(), ascending within each
+    document) — the Lucene prox-stream analogue enabling phrase queries.
+    Encoded as per-document gaps (first absolute) with per-posting-block
+    byte offsets, so block-skipped queries never touch skipped positions.
     Returns a dict of plain-python/bytes values ready to become a Spark row.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
@@ -109,6 +115,7 @@ def encode_postings(
             "df": 0, "doc_bytes": b"", "tf_bytes": b"",
             "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
             "block_doc_off": [], "block_tf_off": [],
+            "pos_bytes": b"", "block_pos_off": [],
         }
     n_blocks = (n + block - 1) // block
     block_starts = np.arange(n_blocks, dtype=np.int64) * block
@@ -137,6 +144,23 @@ def encode_postings(
     block_min_dl = np.minimum.reduceat(dls, block_starts)
     block_last_doc = doc_ids[block_ends - 1]
 
+    pos_bytes = b""
+    block_pos_off: list[int] = []
+    if positions is not None:
+        positions = np.ascontiguousarray(positions, dtype=np.int64)
+        if positions.size != int(tfs.sum()):
+            raise ValueError("positions length must equal sum(tfs)")
+        doc_pos_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        pdeltas = np.empty(positions.size, dtype=np.int64)
+        if positions.size:
+            pdeltas[0] = positions[0]
+            pdeltas[1:] = positions[1:] - positions[:-1]
+            pdeltas[doc_pos_starts] = positions[doc_pos_starts]
+        pos_bytes = varint_encode(pdeltas)
+        pos_cum = np.concatenate(([0], np.cumsum(_varint_lengths(pdeltas))))
+        # byte offset where each posting BLOCK's positions begin
+        block_pos_off = pos_cum[doc_pos_starts[block_starts]].tolist()
+
     return {
         "df": int(n),
         "doc_bytes": doc_bytes,
@@ -146,6 +170,8 @@ def encode_postings(
         "block_min_dl": block_min_dl.tolist(),
         "block_doc_off": block_doc_off.tolist(),
         "block_tf_off": block_tf_off.tolist(),
+        "pos_bytes": pos_bytes,
+        "block_pos_off": block_pos_off,
     }
 
 
@@ -214,6 +240,37 @@ def _undelta(deltas: np.ndarray, block_value_starts: np.ndarray) -> np.ndarray:
     return out - np.cumsum(seg)
 
 
+def decode_positions(row: dict, block_idx: np.ndarray | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the position stream for the selected posting blocks.
+
+    Returns (positions, tfs): flat absolute in-doc positions and the tf of
+    each decoded posting — ``np.split(positions, np.cumsum(tfs)[:-1])``
+    yields the per-document position lists, aligned with the doc_ids that
+    ``decode_postings(row, block_idx)`` returns for the same blocks."""
+    pos_buf = np.frombuffer(row["pos_bytes"], dtype=np.uint8)
+    tf_buf = np.frombuffer(row["tf_bytes"], dtype=np.uint8)
+    pos_off = np.asarray(row["block_pos_off"], dtype=np.int64)
+    tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
+    n_blocks = pos_off.size
+    if n_blocks == 0 or pos_buf.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos_bounds = np.concatenate((pos_off, [pos_buf.size]))
+    tf_bounds = np.concatenate((tf_off, [tf_buf.size]))
+    if block_idx is None:
+        block_idx = np.arange(n_blocks, dtype=np.int64)
+    else:
+        block_idx = np.asarray(block_idx, dtype=np.int64)
+    pos_parts, tf_parts = [], []
+    for bi in block_idx:  # loop over BLOCKS, not postings
+        tf_b = varint_decode(tf_buf[tf_bounds[bi]:tf_bounds[bi + 1]]).astype(np.int64)
+        deltas = varint_decode(pos_buf[pos_bounds[bi]:pos_bounds[bi + 1]]).astype(np.int64)
+        doc_starts = np.concatenate(([0], np.cumsum(tf_b)[:-1]))
+        pos_parts.append(_undelta(deltas, doc_starts))
+        tf_parts.append(tf_b)
+    return np.concatenate(pos_parts), np.concatenate(tf_parts)
+
+
 def merge_segments(segments: list[dict]) -> dict:
     """Merge pre-encoded, doc-range-DISJOINT segments of one term (the
     salted-build path, SURVEY.md §7.1 M4). Segments must be sorted by
@@ -227,29 +284,44 @@ def merge_segments(segments: list[dict]) -> dict:
         s = dict(segments[0])
         s["merge_fanin"] = 1
         return s
+    def _pos_parts(s: dict) -> tuple[bytes, list]:
+        # explicit None checks: values arrive as numpy arrays from pandas
+        # records, and a 1-element array([0]) is FALSY — `or` would
+        # silently drop real offsets
+        pb = s.get("pos_bytes")
+        po = s.get("block_pos_off")
+        return (b"" if pb is None else bytes(pb),
+                [] if po is None else list(po))
+
     doc_bytes = b"".join(s["doc_bytes"] for s in segments)
     tf_bytes = b"".join(s["tf_bytes"] for s in segments)
+    pos_bytes = b"".join(_pos_parts(s)[0] for s in segments)
     block_last, block_max_tf, block_min_dl = [], [], []
-    block_doc_off, block_tf_off = [], []
-    dpos = tpos = 0
+    block_doc_off, block_tf_off, block_pos_off = [], [], []
+    dpos = tpos = ppos = 0
     df = 0
     for s in segments:
+        pb, po = _pos_parts(s)
         block_last.extend(s["block_last_doc"])
         block_max_tf.extend(s["block_max_tf"])
         block_min_dl.extend(s["block_min_dl"])
         block_doc_off.extend([o + dpos for o in s["block_doc_off"]])
         block_tf_off.extend([o + tpos for o in s["block_tf_off"]])
+        block_pos_off.extend([int(o) + ppos for o in po])
         dpos += len(s["doc_bytes"])
         tpos += len(s["tf_bytes"])
+        ppos += len(pb)
         df += s["df"]
     return {
         "df": df,
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
+        "pos_bytes": pos_bytes,
         "block_last_doc": block_last,
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
         "block_doc_off": block_doc_off,
         "block_tf_off": block_tf_off,
+        "block_pos_off": block_pos_off,
         "merge_fanin": len(segments),
     }

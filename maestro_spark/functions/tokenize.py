@@ -151,13 +151,36 @@ def _flat_simple_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return pos, toks
 
 
-def _flat_term_stats(pos: np.ndarray, toks: np.ndarray) -> pd.DataFrame:
-    """Flat (pos, token) occurrences → (pos, term, tf, dl)."""
+def _row_sequence(rows: np.ndarray) -> np.ndarray:
+    """Within-row occurrence index (0,1,2,…) for a flat row-id array, in
+    array order — the token POSITION stream. Stable sort keeps the array's
+    emission order within each row."""
+    order = np.argsort(rows, kind="stable")
+    r = rows[order]
+    if r.size == 0:
+        return np.empty(0, np.int64)
+    new_run = np.concatenate(([True], r[1:] != r[:-1]))
+    starts = np.flatnonzero(new_run)
+    grp = np.cumsum(new_run) - 1
+    seq_sorted = np.arange(r.size, dtype=np.int64) - starts[grp]
+    seq = np.empty(r.size, dtype=np.int64)
+    seq[order] = seq_sorted
+    return seq
+
+
+def _flat_term_stats(pos: np.ndarray, toks: np.ndarray,
+                     occ: np.ndarray | None = None) -> pd.DataFrame:
+    """Flat (pos, token) occurrences → (pos, term, tf, dl)[, positions].
+    With occ (per-occurrence position indices), adds a ``positions`` column
+    of ascending in-document position lists per (doc, term)."""
     if pos.size == 0:
-        return pd.DataFrame({"pos": pd.array([], dtype="int64"),
-                             "term": pd.array([], dtype="string"),
-                             "tf": pd.array([], dtype="int64"),
-                             "dl": pd.array([], dtype="int64")})
+        cols = {"pos": pd.array([], dtype="int64"),
+                "term": pd.array([], dtype="string"),
+                "tf": pd.array([], dtype="int64"),
+                "dl": pd.array([], dtype="int64")}
+        if occ is not None:
+            cols["positions"] = pd.array([], dtype="object")
+        return pd.DataFrame(cols)
     dl = np.bincount(pos)
     # integer-keyed aggregation: factorize terms once, then one C-level
     # np.unique over the combined (pos, term_code) key — far cheaper than a
@@ -167,12 +190,18 @@ def _flat_term_stats(pos: np.ndarray, toks: np.ndarray) -> pd.DataFrame:
     uniq_key, tf = np.unique(key, return_counts=True)
     out_pos = uniq_key // len(uniques)
     out_code = uniq_key % len(uniques)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "pos": out_pos,
         "term": np.asarray(uniques, dtype=object)[out_code],
         "tf": tf.astype(np.int64),
         "dl": dl[out_pos],
     })
+    if occ is not None:
+        # sorted (pos, code, occ) runs align exactly with np.unique's
+        # ascending key order, so one lexsort + split yields the lists
+        order = np.lexsort((occ, codes, pos))
+        out["positions"] = np.split(occ[order], np.cumsum(tf)[:-1])
+    return out
 
 
 def term_frequencies(token_lists: pd.Series) -> pd.DataFrame:
@@ -207,44 +236,72 @@ def doc_terms(
     lang: pd.Series | None = None,
     repo: pd.Series | None = None,
     tokenizer: str = "code",
+    with_positions: bool = False,
 ) -> pd.DataFrame:
     """Full per-document term extraction across fields → one DataFrame
-    (pos, term, tf, dl, field). Content terms are bare; path terms use the
-    code tokenizer on path segments with "path:" prefix; lang/repo are
-    keyword fields (single exact lowercase token, X1 semantics)."""
+    (pos, term, tf, dl, field[, positions]). Content terms are bare; path
+    terms use the code tokenizer on path segments with "path:" prefix;
+    lang/repo are keyword fields (single exact lowercase token, X1).
+
+    with_positions adds ascending in-document token positions per
+    (doc, term) — the prox stream for phrase queries. Position semantics:
+    simple tokenizer = exact textual order; code tokenizer = subtokens in
+    textual order with compound whole-identifier tokens assigned positions
+    AFTER all subtokens (so subtoken adjacency — what phrase matching
+    uses — is preserved); keyword fields = position 0."""
     flat = _flat_code_tokens if tokenizer == "code" else _flat_simple_tokens
-    parts = [_field_tf(*flat(content), prefix="", field=FIELD_CONTENT)]
+    parts = [_field_tf(*flat(content), prefix="", field=FIELD_CONTENT,
+                       with_positions=with_positions)]
     if path is not None:
         parts.append(_field_tf(*_flat_code_tokens(path), prefix="path:",
-                               field=FIELD_PATH))
+                               field=FIELD_PATH, with_positions=with_positions))
     if lang is not None:
-        parts.append(_keyword_tf(lang, prefix="lang:", field=FIELD_LANG))
+        parts.append(_keyword_tf(lang, prefix="lang:", field=FIELD_LANG,
+                                 with_positions=with_positions))
     if repo is not None:
-        parts.append(_keyword_tf(repo, prefix="repo:", field=FIELD_REPO))
+        parts.append(_keyword_tf(repo, prefix="repo:", field=FIELD_REPO,
+                                 with_positions=with_positions))
     return pd.concat(parts, ignore_index=True)
 
 
 def _field_tf(pos: np.ndarray, toks: np.ndarray, prefix: str,
-              field: str) -> pd.DataFrame:
-    tf = _flat_term_stats(pos, toks)
+              field: str, with_positions: bool = False) -> pd.DataFrame:
+    occ = _row_sequence(pos) if with_positions else None
+    tf = _flat_term_stats(pos, toks, occ)
     if prefix and len(tf):
         tf["term"] = prefix + tf["term"].astype(str)
     tf["field"] = field
     return tf
 
 
-def _keyword_tf(values: pd.Series, prefix: str, field: str) -> pd.DataFrame:
+def _keyword_tf(values: pd.Series, prefix: str, field: str,
+                with_positions: bool = False) -> pd.DataFrame:
     """X1 keyword indexing: whole value, lowercased, tf=1, dl=1."""
     vals = values.fillna("").str.lower().str.strip()
     mask = vals != ""
     pos = np.flatnonzero(mask.to_numpy())
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "pos": pos.astype(np.int64),
         "term": (prefix + vals[mask]).to_numpy(dtype=object),
         "tf": np.ones(pos.size, dtype=np.int64),
         "dl": np.ones(pos.size, dtype=np.int64),
         "field": field,
     })
+    if with_positions:
+        out["positions"] = [np.zeros(1, dtype=np.int64) for _ in range(len(out))]
+    return out
+
+
+def phrase_terms(query: str, tokenizer: str = "code") -> list[str]:
+    """Query analysis for PHRASE matching: the pure subtoken stream in
+    textual order (no whole-identifier tokens, no field scoping) — matches
+    the adjacency-preserving position semantics of doc_terms."""
+    if tokenizer == "code":
+        out: list[str] = []
+        for ident in re.findall(IDENT_RE, query):
+            out.extend(t.lower() for t in re.findall(SUBTOKEN_RE, ident))
+        return out
+    return re.findall(r"[a-z0-9]+", query.lower())
 
 
 def edge_ngrams(tokens: list[str], lo: int = 1, hi: int = 20) -> list[str]:

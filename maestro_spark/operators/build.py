@@ -57,11 +57,13 @@ from maestro_spark.sources.tableio import (
 TOKEN_SCHEMA = (
     "doc_id long, shard int, term string, tf long, dl long, field string"
 )
+TOKEN_SCHEMA_POS = TOKEN_SCHEMA + ", positions array<long>"
 POSTING_SCHEMA = (
     "shard int, term_bucket int, term string, salt int, df long, "
     "doc_bytes binary, tf_bytes binary, block_last_doc array<long>, "
     "block_max_tf array<long>, block_min_dl array<long>, "
-    "block_doc_off array<long>, block_tf_off array<long>"
+    "block_doc_off array<long>, block_tf_off array<long>, "
+    "pos_bytes binary, block_pos_off array<long>"
 )
 MERGED_SCHEMA = POSTING_SCHEMA.replace(", salt int", "") + ", merge_fanin int"
 
@@ -76,6 +78,8 @@ class IndexConfig:
     tokenizer: str = "code"            # "code" | "simple"
     index_fields: tuple = ("content", "path", "lang", "repo")
     encode_partitions: int | None = None
+    store_positions: bool = False      # prox stream for phrase queries
+                                       # (≈ +token-stream shuffle volume)
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -86,9 +90,12 @@ class IndexConfig:
 def tokenize_docs(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     """docs(doc_id, shard, repo, path, lang, content) → token tf rows.
     tf is pre-aggregated per (doc, term) INSIDE the UDF (map-side combine:
-    the shuffle carries ~unique-terms-per-doc rows, not every token)."""
+    the shuffle carries ~unique-terms-per-doc rows, not every token).
+    With cfg.store_positions each row also carries the ascending position
+    list of that term's occurrences (tf ints per row)."""
     use = cfg.index_fields
     tokenizer = cfg.tokenizer
+    with_pos = cfg.store_positions
 
     def tok(batches):
         for pdf in batches:
@@ -100,9 +107,10 @@ def tokenize_docs(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
                 lang=pdf["lang"] if "lang" in use else None,
                 repo=pdf["repo"] if "repo" in use else None,
                 tokenizer=tokenizer,
+                with_positions=with_pos,
             )
             pos = tf["pos"].to_numpy()
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy()[pos],
                 "shard": pdf["shard"].to_numpy()[pos],
                 "term": tf["term"].to_numpy(),
@@ -110,8 +118,12 @@ def tokenize_docs(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
                 "dl": tf["dl"].to_numpy(),
                 "field": tf["field"].to_numpy(),
             })
+            if with_pos:
+                out["positions"] = tf["positions"].to_numpy()
+            yield out
 
-    return docs.mapInPandas(tok, schema=TOKEN_SCHEMA)
+    return docs.mapInPandas(
+        tok, schema=TOKEN_SCHEMA_POS if with_pos else TOKEN_SCHEMA)
 
 
 def detect_hot_terms(tokens: DataFrame, n_docs: int, cfg: IndexConfig,
@@ -197,20 +209,27 @@ def _encode_runs(pdf: pd.DataFrame, starts: np.ndarray, n_buckets: int) -> pd.Da
     terms = pdf["term"].to_numpy()
     shards = pdf["shard"].to_numpy()
     salts = pdf["salt"].to_numpy()
+    pos_lists = pdf["positions"].to_numpy() if "positions" in pdf.columns else None
     rows = []
     for a, b in zip(starts, ends):
-        enc = encode_postings(doc[a:b], tf[a:b], dl[a:b])
+        if pos_lists is not None:
+            flat_pos = (np.concatenate([np.asarray(p, dtype=np.int64)
+                                        for p in pos_lists[a:b]])
+                        if b > a else np.empty(0, np.int64))
+        else:
+            flat_pos = None
+        enc = encode_postings(doc[a:b], tf[a:b], dl[a:b], positions=flat_pos)
         term = terms[a]
         rows.append((
             int(shards[a]), _term_bucket(term, n_buckets), term, int(salts[a]),
             enc["df"], enc["doc_bytes"], enc["tf_bytes"], enc["block_last_doc"],
             enc["block_max_tf"], enc["block_min_dl"], enc["block_doc_off"],
-            enc["block_tf_off"],
+            enc["block_tf_off"], enc["pos_bytes"], enc["block_pos_off"],
         ))
     return pd.DataFrame(rows, columns=[
         "shard", "term_bucket", "term", "salt", "df", "doc_bytes", "tf_bytes",
         "block_last_doc", "block_max_tf", "block_min_dl", "block_doc_off",
-        "block_tf_off",
+        "block_tf_off", "pos_bytes", "block_pos_off",
     ])
 
 
@@ -243,6 +262,7 @@ def merge_hot_segments(segments: DataFrame, hot_terms: list[str]) -> DataFrame:
             "tf_bytes": m["tf_bytes"], "block_last_doc": m["block_last_doc"],
             "block_max_tf": m["block_max_tf"], "block_min_dl": m["block_min_dl"],
             "block_doc_off": m["block_doc_off"], "block_tf_off": m["block_tf_off"],
+            "pos_bytes": m["pos_bytes"], "block_pos_off": m["block_pos_off"],
             "merge_fanin": m["merge_fanin"],
         }])
 

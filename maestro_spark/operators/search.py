@@ -35,8 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maestro_spark.functions import bm25
-from maestro_spark.functions.codec import decode_postings
-from maestro_spark.functions.tokenize import analyze_query
+from maestro_spark.functions.codec import decode_positions, decode_postings
+from maestro_spark.functions.tokenize import analyze_query, phrase_terms
 from maestro_spark.operators.build import _term_bucket
 from maestro_spark.sources.tableio import read_manifest
 
@@ -164,6 +164,125 @@ class IndexReader:
     def search_pandas(self, query: str, k: int = 10, mode: str = "or",
                       prune: bool = True) -> pd.DataFrame:
         return self.search(query, k, mode, prune).toPandas()
+
+    # ------------------------------------------------------------- phrase
+
+    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact-phrase top-k over the positional (prox) stream: documents
+        containing the query's subtoken sequence consecutively, scored as
+        BM25 of the phrase-as-pseudo-term (tf = occurrence count, df =
+        matching docs, content-field dl/avgdl/N). Requires an index built
+        with IndexConfig(store_positions=True).
+
+        Plan: posting+prox rows of the phrase terms (partition-pruned scan)
+        → per-shard vectorized position-adjacency match (applyInPandas) →
+        one tiny count action for the global phrase df → scoring as column
+        expressions → global (score desc, doc_id asc) top-k. The position
+        intersection runs on integer keys doc_idx·2^21 + aligned_position,
+        so the k-way adjacency check is pure sorted-array intersection.
+        """
+        spark = self.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        terms = phrase_terms(phrase, tokenizer=self.cfg.get("tokenizer", "code"))
+        if not terms:
+            return empty
+        if len(terms) == 1:
+            return self.search(terms[0], k=k)
+        uniq = sorted(set(terms))
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(uniq)
+        )
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        seq = list(terms)
+
+        def match_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            out_empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                      "tf": pd.array([], dtype="int64"),
+                                      "dl": pd.array([], dtype="float64")})
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            if any(t not in rows for t in seq):
+                return out_empty
+            shard = int(key[0])
+            docs, tf_phrase = _phrase_match(rows, seq)
+            if docs.size == 0:
+                return out_empty
+            dls = _load_doclens(index_dir, shard, "content",
+                                shard * shard_size, shard_size)
+            return pd.DataFrame({
+                "doc_id": docs,
+                "tf": tf_phrase,
+                "dl": dls[docs - shard * shard_size],
+            })
+
+        matches = rel.groupBy("shard").applyInPandas(
+            match_shard, schema="doc_id long, tf long, dl double"
+        ).persist()
+        df_phrase = matches.count()  # global phrase df (tiny action)
+        if df_phrase == 0:
+            matches.unpersist()
+            return empty
+        st = self.stats["fields"]["content"]
+        n_docs, avgdl = st["n_docs"], float(st["avgdl"])
+        idf = float(bm25.idf(df_phrase, n_docs))
+        # same expression shape as bm25.tfnorm → bit-identical float64
+        score = F.lit(idf) * (
+            F.col("tf") / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / avgdl))
+        )
+        return (
+            matches.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+
+# ---------------------------------------------------------------- phrase
+
+_PHRASE_KEY_BITS = 21  # doc-local positions < 2^21 (doc lengths ≪ 2M)
+
+
+def _phrase_match(rows: dict[str, dict], seq: list[str]
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized consecutive-position match for one shard.
+
+    For phrase term i, every occurrence at position p proposes phrase-start
+    key doc_idx·2^21 + (p − i + len(seq)); the phrase occurs exactly at the
+    keys proposed by ALL terms — a k-way sorted intersection (np.isin on
+    unique keys). Returns (doc_ids, tf_phrase) for docs with ≥1 occurrence.
+    """
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    inter: np.ndarray | None = None
+    for t in set(seq):
+        pl = decode_postings(rows[t])
+        pos, tfs = decode_positions(rows[t])
+        offsets = np.concatenate(([0], np.cumsum(tfs)))
+        decoded[t] = (pl.doc_ids, pos, offsets)
+        inter = pl.doc_ids if inter is None else inter[
+            np.isin(inter, pl.doc_ids, assume_unique=True)]
+        if inter.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    m = np.int64(1 << _PHRASE_KEY_BITS)
+    shift = len(seq)
+    start_keys: np.ndarray | None = None
+    for i, t in enumerate(seq):
+        doc_ids_t, pos_t, off_t = decoded[t]
+        idx = np.searchsorted(doc_ids_t, inter)
+        lens = off_t[idx + 1] - off_t[idx]
+        flat_doc = np.repeat(np.arange(inter.size, dtype=np.int64), lens)
+        first = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(first, lens)
+        p = pos_t[np.repeat(off_t[idx], lens) + within]
+        keys = flat_doc * m + (p - i + shift)
+        start_keys = keys if start_keys is None else start_keys[
+            np.isin(start_keys, keys, assume_unique=True)]
+        if start_keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    tf = np.bincount((start_keys // m).astype(np.int64), minlength=inter.size)
+    keep = tf > 0
+    return inter[keep], tf[keep].astype(np.int64)
 
 
 # ---------------------------------------------------------------- scorer

@@ -1,0 +1,125 @@
+"""Phrase-query tests: positional index build → exact-phrase top-k,
+rank-identical (ids + bit-identical float64 scores) vs a pandas
+brute-force oracle that shares only the math functions."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from maestro_spark.functions import bm25
+from maestro_spark.functions.tokenize import (
+    IDENT_RE,
+    SUBTOKEN_RE,
+    code_tokens,
+    phrase_terms,
+)
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader
+from maestro_spark.sources.corpus import synth_docs, synth_docs_pandas
+
+N_DOCS = 300
+CFG = IndexConfig(shard_size=120, n_buckets=8, n_salts=4,
+                  hot_df_fraction=0.05, sample_fraction=1.0,
+                  store_positions=True)
+
+PHRASES = [
+    "get user",              # common subtoken bigram
+    "userRequestCount",      # compound in vocab → 3-term subtoken phrase
+    "token worker merge",    # trigram (matches tokenWorkerMerge idents)
+    "return return",         # repeated hot token
+    "zzz qqq",               # no match
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("phraseidx"))
+    build_index(spark, synth_docs(spark, N_DOCS, seed=42, partitions=5), out, CFG)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = synth_docs_pandas(N_DOCS, seed=42)
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
+
+
+def _subtoken_stream(text: str) -> list[str]:
+    out = []
+    for ident in re.findall(IDENT_RE, text):
+        out.extend(t.lower() for t in re.findall(SUBTOKEN_RE, ident))
+    return out
+
+
+def brute_phrase(corpus: pd.DataFrame, phrase: str, k: int = 10) -> pd.DataFrame:
+    seq = phrase_terms(phrase, "code")
+    rows = []
+    for _, r in corpus.iterrows():
+        stream = _subtoken_stream(r["content"])
+        tf = sum(
+            1 for i in range(len(stream) - len(seq) + 1)
+            if stream[i : i + len(seq)] == seq
+        )
+        if tf:
+            dl = len(code_tokens(pd.Series([r["content"]])).iat[0])
+            rows.append((r["doc_id"], tf, dl))
+    if not rows:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    m = pd.DataFrame(rows, columns=["doc_id", "tf", "dl"])
+    n_docs = len(corpus)
+    # content avgdl exactly as the manifest computes it: exact int total
+    # over docs, ONE float division (np.mean's pairwise sum could differ
+    # in the last ulp)
+    total_dl = sum(len(code_tokens(pd.Series([c])).iat[0])
+                   for c in corpus["content"])
+    avgdl = float(total_dl) / n_docs
+    idf = float(bm25.idf(len(m), n_docs))
+    m["score"] = idf * (
+        m["tf"].to_numpy(np.float64)
+        / (m["tf"].to_numpy(np.float64)
+           + bm25.K1 * (1.0 - bm25.B + bm25.B * m["dl"].to_numpy(np.float64) / avgdl))
+    )
+    return (m.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)[["doc_id", "score"]].reset_index(drop=True))
+
+
+@pytest.mark.parametrize("phrase", [p for p in PHRASES if len(phrase_terms(p, "code")) > 1])
+def test_phrase_rank_identical(spark, built, corpus, phrase):
+    reader = IndexReader(spark, built)
+    got = reader.phrase_search(phrase, k=10).toPandas()
+    want = brute_phrase(corpus, phrase, k=10)
+    if phrase not in ("zzz qqq",):
+        assert len(want) > 0, f"vacuous: oracle empty for {phrase!r}"
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), (
+        f"{phrase!r}:\n{got}\nvs\n{want}")
+    np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_single_term_phrase_delegates(spark, built):
+    reader = IndexReader(spark, built)
+    a = reader.phrase_search("getUserName", k=5).toPandas()
+    # the compound splits to get,user,name — a 3-term phrase; whereas a
+    # one-subtoken phrase delegates to plain term search
+    b = reader.search_pandas("merge", k=5)
+    c = reader.phrase_search("merge", k=5).toPandas()
+    assert b["doc_id"].tolist() == c["doc_id"].tolist()
+    assert isinstance(a, pd.DataFrame)
+
+
+def test_compound_identifier_matches_phrase(spark, built, corpus):
+    """Docs containing userRequestCount as ONE identifier must match the
+    phrase 'user request count' (subtoken adjacency — the code-search
+    killer feature)."""
+    reader = IndexReader(spark, built)
+    got = set(reader.phrase_search("user request count", k=300).toPandas()["doc_id"])
+    has_compound = {
+        int(r["doc_id"]) for _, r in corpus.iterrows()
+        if "userRequestCount" in r["content"]
+    }
+    assert has_compound, "corpus should contain userRequestCount occurrences"
+    assert has_compound <= got
