@@ -263,6 +263,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
     q["phrase_search"] = _q_phrase
+
+    def _q_topk_docs(s: SparkSession, d: str) -> DataFrame:
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_with_docs("dup table", k=40,
+                                      display_cols=("repo", "lang"))
+        return (raw.select("doc_id", F.col("repo").alias("source"), "lang",
+                           F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_topk_docs"] = _q_topk_docs
     q["bm25_field_lang"] = lambda s, d: _search_df(s, d, "lang:es spark stream", 10)
     q["bm25_field_repo"] = lambda s, d: _search_df(s, d, "repo:src3 dup window", 10)
     q["term_stats"] = _q_term_stats
@@ -467,6 +477,11 @@ ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
          ph.doc_id
 LIMIT 10"""
     o["bm25_field_lang"] = _bm25_sql(["spark", "stream"], [("lang", "es")])
+
+    o["bm25_topk_docs"] = (
+        f"SELECT s.doc_id, d.source, d.lang, s.score FROM "
+        f"({_bm25_sql(['dup', 'table'])}) s JOIN documents d ON s.doc_id = d.doc_id"
+    )
     o["bm25_field_repo"] = _bm25_sql(["dup", "window"], [("source", "src3")])
 
     o["term_stats"] = (

@@ -50,7 +50,10 @@ CFG = IndexConfig(
     sample_fraction=0.05,
     tokenizer="code",
     index_fields=("content", "path", "lang", "repo"),
+    store_positions=True,      # full feature set: prox stream for phrases
 )
+
+PHRASES = ["get user", "token worker merge", "user request count"]
 
 
 def _sf() -> float:
@@ -95,6 +98,10 @@ def main() -> None:
             timings[f"query:{q}"] = round(float(lat_arr[i :: len(QUERIES)].mean()), 3)
         query_p95 = float(np.percentile(lat_arr, 95))
         query_p50 = float(np.percentile(lat_arr, 50))
+        for ph in PHRASES:
+            t0 = time.time()
+            reader.phrase_search(ph, k=10).collect()
+            timings[f"phrase:{ph}"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

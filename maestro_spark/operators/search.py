@@ -165,6 +165,21 @@ class IndexReader:
                       prune: bool = True) -> pd.DataFrame:
         return self.search(query, k, mode, prune).toPandas()
 
+    def search_with_docs(self, query: str, k: int = 10, mode: str = "or",
+                         display_cols: tuple = ("repo", "path", "lang")) -> DataFrame:
+        """Top-k joined back to the docstore for display fields (the
+        Arranger-style result page, SURVEY.md §3.4 last step). The join
+        side is k rows → broadcast; the docstore scan prunes to the display
+        columns + doc_id and, being shard-partitioned, is partition-pruned
+        when the hits cluster in few shards."""
+        hits = self.search(query, k, mode)
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs")) \
+            .select("doc_id", *display_cols)
+        return (
+            docs.join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     # ------------------------------------------------------------- phrase
 
     def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
