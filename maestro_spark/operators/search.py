@@ -302,18 +302,39 @@ def _phrase_match(rows: dict[str, dict], seq: list[str]
 
 # ---------------------------------------------------------------- scorer
 
+_DOCLENS_CACHE: dict[tuple, np.ndarray] = {}
+_DOCLENS_CACHE_MAX = 16
+
+
 def _load_doclens(index_dir: str, shard: int, field: str, base: int,
                   size: int) -> np.ndarray:
     """Dense per-shard doc-length array (Lucene norms analogue). Local
     offsets index it directly. At 10^12-doc scale this is a per-shard
-    sidecar read (bounded by shard_size), not a global broadcast."""
+    sidecar read (bounded by shard_size), not a global broadcast.
+
+    Cached per Python worker process (workers are reused across queries,
+    so repeat queries skip the parquet read). The cache key includes the
+    sidecar's mtime, so an incremental shard rebuild invalidates stale
+    entries in long-lived workers."""
     path = os.path.join(index_dir, "doclens", f"shard={shard}")
+    try:
+        stamp = max(os.path.getmtime(os.path.join(path, f))
+                    for f in os.listdir(path) if f.endswith(".parquet"))
+    except (OSError, ValueError):
+        stamp = 0.0
+    key = (index_dir, shard, field, stamp)
+    hit = _DOCLENS_CACHE.get(key)
+    if hit is not None:
+        return hit
     ds = pads.dataset(path, format="parquet")
     tbl = ds.to_table(columns=["doc_id", "dl"],
                       filter=pads.field("field") == field)
     arr = np.ones(size, dtype=np.float64)  # missing field -> dl 1, never hit
     ids = tbl.column("doc_id").to_numpy() - base
     arr[ids] = tbl.column("dl").to_numpy()
+    if len(_DOCLENS_CACHE) >= _DOCLENS_CACHE_MAX:
+        _DOCLENS_CACHE.pop(next(iter(_DOCLENS_CACHE)))
+    _DOCLENS_CACHE[key] = arr
     return arr
 
 
