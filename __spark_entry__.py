@@ -49,7 +49,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     BM25 index over the driver's `documents` table. doc_id is taken
     verbatim (id_col) so engine results join 1:1 with the oracle."""
     out = os.path.join(
-        tempfile.gettempdir(), "maestro_entry_idx_v2",
+        tempfile.gettempdir(), "maestro_entry_idx_v3",
         re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
     )
     docs = _t(spark, sf_dir, "documents").select(

@@ -425,6 +425,23 @@ def build_index(
                 "n_merged_terms": int(m["n_merged_terms"]) if m else 0,
             }
         _phase("metrics", t)
+
+        # term dictionary sidecar: global (term → df) aggregated across
+        # shards, hive-partitioned by term_bucket with one file per bucket.
+        # Query planning reads it DRIVER-SIDE via pyarrow (bucket-pruned,
+        # no Spark job) — the ES term-dictionary analogue. Rebuilt whole
+        # on any change (it aggregates across all shards); reads only the
+        # three metadata columns of the posting store.
+        t = time.time()
+        termdict = (
+            spark.read.parquet(os.path.join(out_dir, "postings"))
+            .groupBy("term_bucket", "term")
+            .agg(F.sum("df").alias("df"))
+            .repartition(cfg.n_buckets, "term_bucket")
+        )
+        write_partitioned(termdict, os.path.join(out_dir, "termdict"),
+                          ["term_bucket"])
+        _phase("termdict", t)
         manifest["hot_terms"] = hot_terms
     else:
         manifest["hot_terms"] = prev.get("hot_terms", []) if prev else []

@@ -84,14 +84,7 @@ class IndexReader:
         missing = [t for t in uniq if t not in self._df_cache]
         if missing:
             buckets = sorted({_term_bucket(t, n_buckets) for t in missing})
-            df_rows = (
-                self._postings()
-                .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(missing))
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"))
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in df_rows}
+            found = self._lookup_df(missing, buckets)
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         dfs = {t: self._df_cache[t] for t in uniq}
@@ -111,6 +104,29 @@ class IndexReader:
 
     def _postings(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    def _lookup_df(self, terms: list[str], buckets: list[int]) -> dict[str, int]:
+        """Global term→df. Fast path: driver-side pyarrow read of the
+        termdict sidecar, pruned to the query's hash buckets — NO Spark
+        job. Falls back to a pruned posting-store aggregation for indexes
+        built before the sidecar existed."""
+        td = os.path.join(self.index_dir, "termdict")
+        if os.path.exists(td):
+            ds = pads.dataset(td, format="parquet", partitioning="hive")
+            tbl = ds.to_table(
+                columns=["term", "df"],
+                filter=pads.field("term_bucket").isin(buckets)
+                & pads.field("term").isin(terms),
+            )
+            return dict(zip(tbl.column("term").to_pylist(),
+                            (int(x) for x in tbl.column("df").to_pylist())))
+        rows = (
+            self._postings()
+            .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
 
     def prefix_terms(self, prefix: str) -> DataFrame:
         """Term-dictionary prefix scan (the X4 autocomplete analogue done
