@@ -252,7 +252,7 @@ def merge_hot_segments(segments: DataFrame, hot_terms: list[str]) -> DataFrame:
         segments.where(~is_hot).drop("salt").withColumn("merge_fanin", F.lit(1))
     )
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key, pdf):
         pdf = pdf.sort_values("salt")
         segs = pdf.to_dict("records")
         m = merge_segments(segs)

@@ -163,7 +163,7 @@ class IndexReader:
         terms, idfs, fields = plan.terms, plan.idfs, plan.fields
         avgdl = plan.avgdl
 
-        def score_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_shard(key, pdf):
             shard = int(key[0])
             rows = {r["term"]: r for r in pdf.to_dict("records")}
             doc_ids, scores = score_shard_rows(
@@ -229,7 +229,7 @@ class IndexReader:
         index_dir = self.index_dir
         seq = list(terms)
 
-        def match_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def match_shard(key, pdf):
             out_empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                       "tf": pd.array([], dtype="int64"),
                                       "dl": pd.array([], dtype="float64")})
