@@ -49,6 +49,7 @@ from maestro_spark.functions.codec import encode_postings, merge_segments
 from maestro_spark.functions.tokenize import doc_terms
 from maestro_spark.operators.docids import assign_doc_ids
 from maestro_spark.sources.tableio import (
+    drop_partition_dir,
     read_manifest,
     write_manifest,
     write_partitioned,
@@ -309,7 +310,11 @@ def build_index(
 
     # per-shard lineage fingerprint: order-independent sum of row hashes,
     # reduced mod 2^40 so the long sum cannot overflow (ANSI mode throws
-    # on long overflow in Spark 4) even at 2^24 docs/shard
+    # on long overflow in Spark 4) even at 2^24 docs/shard.
+    # This aggregation is also the MATERIALIZATION BARRIER: it computes
+    # (and caches) every partition of `d` before any write below can
+    # overwrite a directory `docs` might lazily read from — required on
+    # the id_col path where the input may derive from {out_dir}/docs.
     shard_rows = (
         d.groupBy("shard").agg(
             F.count("*").alias("n_docs"),
@@ -317,12 +322,47 @@ def build_index(
                 F.pmod(F.xxhash64("repo", "path", "commit", "content_sha256"),
                        F.lit(1 << 40))
             ).alias("fp"),
+            F.max("doc_id").alias("max_id"),
         ).collect()
     )
     fingerprints = {int(r["shard"]): (int(r["n_docs"]), int(r["fp"])) for r in shard_rows}
-    n_docs = sum(n for n, _ in fingerprints.values())
+    max_doc_id = max((int(r["max_id"]) for r in shard_rows), default=-1)
 
     prev = read_manifest(os.path.join(out_dir, "manifest.json")) if resume else None
+    try:
+        return _build_shards(spark, d, out_dir, cfg, fingerprints, prev=prev,
+                             keep={}, max_doc_id=max_doc_id, t0=t0)
+    finally:
+        d.unpersist()
+        if base is not None:
+            base.unpersist()
+
+
+def _build_shards(
+    spark: SparkSession,
+    d: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig,
+    fingerprints: dict[int, tuple[int, int]],
+    prev: dict | None,
+    keep: dict[int, dict],
+    max_doc_id: int,
+    t0: float,
+) -> dict:
+    """Shard-build core shared by the batch path (build_index) and the
+    incremental path (operators.incremental.incremental_update).
+
+    d            docs(+shard,+content_sha256) for exactly the shards in
+                 `fingerprints` — persisted/materialized by the caller.
+    fingerprints current {shard: (n_docs, fp)} for d's shards.
+    prev         previous manifest (skip-matching + hot-term carry).
+    keep         {shard: manifest entry} carried verbatim for shards NOT
+                 in d (incremental: the untouched rest — never scanned).
+
+    Shards present in prev but in neither `fingerprints` nor `keep` no
+    longer exist (corpus shrank / every doc of the shard deleted): their
+    partition dirs are physically dropped so stale postings can never
+    serve a query."""
     done_shards = set()
     if prev:
         for s, meta in prev.get("shards", {}).items():
@@ -336,26 +376,67 @@ def build_index(
                 done_shards.add(s)
     pending = sorted(set(fingerprints) - done_shards)
 
+    gone: set[int] = set()
+    if prev:
+        gone = ({int(s) for s in prev.get("shards", {})}
+                - set(fingerprints) - set(keep))
+        for s in sorted(gone):
+            for sub in ("docs", "doclens", "postings"):
+                drop_partition_dir(os.path.join(out_dir, sub), f"shard={s}")
+
+    n_docs = (sum(n for n, _ in fingerprints.values())
+              + sum(int(e.get("n_docs", 0)) for e in keep.values()))
+
     manifest: dict = {
         "version": 1,
         "config": cfg.to_dict(),
         "n_docs": n_docs,
-        "shards": dict(prev.get("shards", {})) if prev else {},
+        "shards": {},
     }
+    if prev:
+        manifest["shards"].update(
+            {str(s): prev["shards"][str(s)] for s in done_shards})
+    manifest["shards"].update({str(s): e for s, e in keep.items()})
 
     phase_ms: dict[str, int] = {}
 
     def _phase(name: str, t_start: float) -> None:
         phase_ms[name] = int((time.time() - t_start) * 1000)
 
+    dynamic = bool(done_shards or keep)
     if pending:
-        subset = d if not done_shards else d.where(F.col("shard").isin(pending))
+        subset = d if not (done_shards) else d.where(F.col("shard").isin(pending))
+
+        # A rebuilt shard may produce FEWER distinct (term_bucket) /
+        # doclens partitions than before (e.g. after deletes); dynamic
+        # overwrite only replaces partitions that receive rows, so stale
+        # sub-partitions must be dropped up front. The write-intent
+        # manifest (status=rebuilding) written first makes the drop crash-
+        # safe: a resume after a mid-build crash sees a non-ok status and
+        # rebuilds the shard instead of trusting dropped/partial files.
+        # (Iceberg's snapshot commit subsumes both steps behind the
+        # TableIO seam.)
+        intent = {**manifest, "shards": dict(manifest["shards"])}
+        if prev:
+            for carry_key in ("stats", "hot_terms", "max_doc_id"):
+                if carry_key in prev:
+                    intent.setdefault(carry_key, prev[carry_key])
+        for s in pending:
+            intent["shards"][str(s)] = {
+                "status": "rebuilding", "fingerprint": None,
+                "n_docs": fingerprints[s][0],
+            }
+        if prev or keep:
+            write_manifest(os.path.join(out_dir, "manifest.json"), intent)
+        for s in pending:
+            drop_partition_dir(os.path.join(out_dir, "doclens"), f"shard={s}")
+            drop_partition_dir(os.path.join(out_dir, "postings"), f"shard={s}")
 
         t = time.time()
         write_partitioned(
             subset.select("doc_id", "shard", "repo", "path", "commit", "lang",
                           "content", "content_sha256"),
-            os.path.join(out_dir, "docs"), ["shard"], dynamic=bool(done_shards),
+            os.path.join(out_dir, "docs"), ["shard"], dynamic=dynamic,
         )
         _phase("write_docs", t)
 
@@ -369,7 +450,7 @@ def build_index(
             .repartition(max(len(pending), 1), "shard")
         )
         write_partitioned(doclens, os.path.join(out_dir, "doclens"), ["shard"],
-                          dynamic=bool(done_shards))
+                          dynamic=dynamic)
         _phase("tokenize_doclens", t)
 
         t = time.time()
@@ -390,7 +471,7 @@ def build_index(
         postings = postings.repartition(
             max(len(pending), 1) * cfg.n_buckets, "shard", "term_bucket")
         write_partitioned(postings, os.path.join(out_dir, "postings"),
-                          ["shard", "term_bucket"], dynamic=bool(done_shards))
+                          ["shard", "term_bucket"], dynamic=dynamic)
         _phase("encode_merge_write", t)
         segments.unpersist()
         tokens.unpersist()
@@ -425,26 +506,36 @@ def build_index(
                 "n_merged_terms": int(m["n_merged_terms"]) if m else 0,
             }
         _phase("metrics", t)
+        # hot-term bookkeeping: an incremental build detects hotness only
+        # within the touched shards, so union with the carried list
+        prev_hot = prev.get("hot_terms", []) if prev else []
+        manifest["hot_terms"] = (sorted(set(hot_terms) | set(prev_hot))
+                                 if keep else hot_terms)
+    else:
+        manifest["hot_terms"] = prev.get("hot_terms", []) if prev else []
 
+    if pending or gone:
         # term dictionary sidecar: global (term → df) aggregated across
         # shards, hive-partitioned by term_bucket with one file per bucket.
         # Query planning reads it DRIVER-SIDE via pyarrow (bucket-pruned,
         # no Spark job) — the ES term-dictionary analogue. Rebuilt whole
         # on any change (it aggregates across all shards); reads only the
-        # three metadata columns of the posting store.
+        # three metadata columns of the posting store — a term-dictionary-
+        # sized job, not a corpus-sized one, on the incremental path too.
         t = time.time()
         termdict = (
             spark.read.parquet(os.path.join(out_dir, "postings"))
             .groupBy("term_bucket", "term")
             .agg(F.sum("df").alias("df"))
             .repartition(cfg.n_buckets, "term_bucket")
+            # term-sorted files → parquet row-group min/max stats make
+            # prefix lookups a RANGE scan (IndexReader.prefix_terms reads
+            # [prefix, prefix+U+FFFF) driver-side with no posting bytes)
+            .sortWithinPartitions("term")
         )
         write_partitioned(termdict, os.path.join(out_dir, "termdict"),
                           ["term_bucket"])
         _phase("termdict", t)
-        manifest["hot_terms"] = hot_terms
-    else:
-        manifest["hot_terms"] = prev.get("hot_terms", []) if prev else []
 
     # global stats from doclens (tiny agg)
     stats_rows = (
@@ -460,12 +551,9 @@ def build_index(
             for r in stats_rows
         },
     }
-    manifest["skipped_shards"] = sorted(done_shards)
+    manifest["skipped_shards"] = sorted(done_shards | set(keep))
+    manifest["max_doc_id"] = max_doc_id
     manifest["phase_ms"] = phase_ms
     manifest["wall_ms"] = int((time.time() - t0) * 1000)
     write_manifest(os.path.join(out_dir, "manifest.json"), manifest)
-
-    d.unpersist()
-    if base is not None:
-        base.unpersist()
     return manifest

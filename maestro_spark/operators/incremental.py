@@ -1,0 +1,169 @@
+"""Scale-safe incremental index maintenance — the upsert/delete path the
+streaming command layer rides (SURVEY.md §2.2 K1-K3, §3.3).
+
+Round 1's incremental path re-derived dense doc ids and fingerprints over
+the WHOLE corpus per micro-batch (a full-corpus range sort + sha scan per
+command batch — the one wrong plan in the engine). This module replaces
+it with:
+
+  * STABLE doc ids. Existing keys keep their doc_id verbatim (idempotent
+    upsert-by-_id, the ES contract — SearchAdapterHelper.java:48-154
+    scripted upserts never change a document's _id or shard routing).
+    Brand-new keys get append-only HIGH-WATER ids (manifest.max_doc_id+1
+    onward, assigned in sorted key order for determinism). No existing id
+    ever shifts, so shard membership of untouched docs cannot change.
+  * AFFECTED-SHARD-ONLY work. Only shards containing a batch key — plus
+    the shard(s) the new high-water ids land in — are re-read,
+    re-fingerprinted, re-tokenized and re-encoded. Every other shard
+    carries its manifest entry verbatim; its docs/doclens/postings files
+    are never opened.
+
+Cost shape at scale (the part the fingerprint-everything design got
+wrong): per batch this runs ONE column-pruned scan of the docstore key
+columns (doc_id, shard, repo, path, commit — no content) with a
+broadcast semi-join against the batch keys (no shuffle of the big side;
+behind the TableIO seam an Iceberg deployment would replace even that
+scan with metadata/bloom-pruned file skipping), then content reads and
+rebuild work bounded by |touched shards| * shard_size regardless of
+corpus size. A delete-only batch whose keys miss the store does no
+rebuild at all.
+
+Reference parity: ES routes each document to one shard by _id and bulk
+upsert/delete touches only the owning shards
+(FileCentricElasticSearchAdapter.java:190-229, 266-324); this module
+mirrors that locality contract on the posting store.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from maestro_spark.operators.build import IndexConfig, _build_shards, build_index
+from maestro_spark.operators.docids import DOC_KEY, assign_doc_ids
+from maestro_spark.sources.tableio import read_manifest
+
+DOC_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _dedup_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deterministic one-row-per-key (dropDuplicates keeps an ARBITRARY
+    row — unacceptable on a reindex path). Callers that resolved command
+    order already pass unique keys; this is the deterministic backstop
+    for direct API use."""
+    w = Window.partitionBy(*DOC_KEY).orderBy(F.xxhash64(*cols))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def incremental_update(
+    spark: SparkSession,
+    index_dir: str,
+    upserts: DataFrame,
+    deletes: DataFrame | None = None,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Apply upserts(repo,path,commit,lang,content) and deletes(repo,path,
+    commit) to an existing index, rebuilding only the affected shards.
+    Returns the new manifest; `skipped_shards` covers the untouched rest.
+
+    A key present in both frames is treated as an upsert (command-order
+    resolution is the caller's job — streaming.commands resolves by seq).
+    On a missing index this bootstraps a fresh build (K4
+    first-write-creates)."""
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+    manifest = read_manifest(os.path.join(index_dir, "manifest.json"))
+    if manifest is None:
+        docs = upserts.select(*DOC_COLS)
+        if deletes is not None:
+            docs = docs.join(deletes.select(*DOC_KEY), DOC_KEY, "left_anti")
+        return build_index(spark, docs, index_dir, cfg)
+    if manifest["config"]["shard_size"] != cfg.shard_size:
+        raise ValueError(
+            f"shard_size mismatch: index has {manifest['config']['shard_size']}, "
+            f"cfg has {cfg.shard_size} — doc ids would route to wrong shards")
+    shard_size = cfg.shard_size
+    docs_path = os.path.join(index_dir, "docs")
+
+    ups = _dedup_keys(upserts.select(*DOC_COLS), DOC_COLS)
+    dels = (_dedup_keys(deletes.select(*DOC_KEY), DOC_KEY)
+            if deletes is not None else None)
+    batch_keys = ups.select(*DOC_KEY)
+    if dels is not None:
+        batch_keys = batch_keys.unionByName(dels).distinct()
+
+    # ONE column-pruned key scan of the docstore; batch side broadcast.
+    stored_keys = spark.read.parquet(docs_path).select("doc_id", "shard", *DOC_KEY)
+    hits = (
+        stored_keys.join(F.broadcast(batch_keys), DOC_KEY, "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hits.count()  # materialize: reused for ids, touched shards, anti-joins
+    base = None
+    try:
+        ups_existing = ups.join(F.broadcast(hits), DOC_KEY, "inner")
+        new_docs = ups.join(F.broadcast(hits.select(*DOC_KEY)), DOC_KEY, "left_anti")
+
+        max_id = manifest.get("max_doc_id")
+        if max_id is None:  # pre-round-2 manifest: one doc_id-column agg
+            max_id = stored_keys.agg(F.max("doc_id")).first()[0]
+            max_id = -1 if max_id is None else max_id
+        n_new = new_docs.count()
+        if n_new:
+            wi = assign_doc_ids(new_docs)
+            base = getattr(wi, "_maestro_persisted_base", None)
+            new_with_ids = wi.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(int(max_id) + 1))
+
+        touched = {int(r["shard"]) for r in hits.select("shard").distinct().collect()}
+        if n_new:
+            touched |= set(range((int(max_id) + 1) // shard_size,
+                                 (int(max_id) + n_new) // shard_size + 1))
+        if not touched:
+            # every command was a no-op (deletes of absent keys): nothing
+            # to rebuild, manifest unchanged
+            return manifest
+        touched_sorted = sorted(touched)
+
+        # new content of the touched shards only (partition-pruned read)
+        remaining = (
+            spark.read.parquet(docs_path)
+            .where(F.col("shard").isin(touched_sorted))
+            .select("doc_id", *DOC_COLS)
+            .join(F.broadcast(batch_keys), DOC_KEY, "left_anti")
+        )
+        parts = remaining.unionByName(ups_existing.select("doc_id", *DOC_COLS))
+        if n_new:
+            parts = parts.unionByName(new_with_ids.select("doc_id", *DOC_COLS))
+        d = (
+            parts
+            .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))
+            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            # localCheckpoint: materializes the touched-shard frame
+            # (bounded by |touched|·shard_size) and CUTS LINEAGE to the
+            # docstore files the build is about to overwrite — without it
+            # a lazy re-read mid-overwrite could corrupt the run
+            .localCheckpoint(eager=True)
+        )
+        rows = d.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.pmod(F.xxhash64("repo", "path", "commit", "content_sha256"),
+                         F.lit(1 << 40))).alias("fp"),
+        ).collect()
+        fingerprints = {int(r["shard"]): (int(r["n_docs"]), int(r["fp"]))
+                        for r in rows}
+        keep = {int(s): e for s, e in manifest["shards"].items()
+                if int(s) not in touched}
+        return _build_shards(
+            spark, d, index_dir, cfg, fingerprints, prev=manifest, keep=keep,
+            max_doc_id=int(max_id) + n_new, t0=t0,
+        )
+    finally:
+        hits.unpersist()
+        if base is not None:
+            base.unpersist()

@@ -66,16 +66,34 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        self.manifest = read_manifest(os.path.join(index_dir, "manifest.json"))
+        self._manifest_path = os.path.join(index_dir, "manifest.json")
+        self._load_manifest()
+
+    def _load_manifest(self) -> None:
+        self.manifest = read_manifest(self._manifest_path)
         if self.manifest is None:
-            raise FileNotFoundError(f"no manifest.json under {index_dir}")
+            raise FileNotFoundError(f"no manifest.json under {self.index_dir}")
+        self._manifest_mtime = os.path.getmtime(self._manifest_path)
         self.cfg = self.manifest["config"]
         self.stats = self.manifest["stats"]
-        self._df_cache: dict[str, int] = {}  # term -> global df (immutable index)
+        self._df_cache: dict[str, int] = {}   # term -> global df
+        self._postings_rel: DataFrame | None = None
+        self._docs_rel: DataFrame | None = None
+
+    def _refresh_if_stale(self) -> None:
+        """A reader held across an in-place incremental rebuild (the
+        streaming reindex path) must not serve stale dfs/file listings:
+        one stat call per query re-checks the manifest mtime and, on
+        change, drops every cached plan artifact (manifest, df cache,
+        cached parquet relations — their file listings are frozen at
+        first read)."""
+        if os.path.getmtime(self._manifest_path) != self._manifest_mtime:
+            self._load_manifest()
 
     # ---------------------------------------------------------------- plan
 
-    def plan(self, query: str) -> QueryPlan:
+    def plan(self, query: str, boosts: dict[str, float] | None = None) -> QueryPlan:
+        self._refresh_if_stale()
         raw_terms = analyze_query(query, tokenizer=self.cfg.get("tokenizer", "code"))
         uniq = sorted(set(raw_terms))
         if not uniq:
@@ -93,7 +111,16 @@ class IndexReader:
         n_docs = {t: f_stats.get(fields[t], {}).get("n_docs", 0) for t in uniq}
         avgdl = {t: f_stats.get(fields[t], {}).get("avgdl", 1.0) for t in uniq}
         present = [t for t in uniq if dfs.get(t, 0) > 0]
+        # BM25F field weighting (ROADMAP #5): a per-field boost multiplies
+        # every contribution of that field's terms. Folding the weight into
+        # the term's idf keeps the scorer and its block-max upper bounds
+        # unchanged (both scale linearly in idf), so MaxScore pruning stays
+        # exact under boosts. The reference analogue is copy_to multi-field
+        # scoring with field weights (file_centric.json:66-93).
         idfs = {t: float(bm25.idf(dfs[t], n_docs[t])) for t in present}
+        if boosts:
+            idfs = {t: idfs[t] * float(boosts.get(fields[t], 1.0))
+                    for t in present}
         ordered = sorted(present, key=lambda t: (-idfs[t], t))
         return QueryPlan(
             ordered, idfs, {t: dfs[t] for t in present},
@@ -103,7 +130,20 @@ class IndexReader:
         )
 
     def _postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        # cached per reader: re-creating the relation per query re-lists
+        # the partition tree (O(shards × buckets) file-system calls) before
+        # any work runs — a measurable slice of the per-query latency floor.
+        # _refresh_if_stale drops the cache when the index changes.
+        if self._postings_rel is None:
+            self._postings_rel = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings"))
+        return self._postings_rel
+
+    def _docs(self) -> DataFrame:
+        if self._docs_rel is None:
+            self._docs_rel = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docs"))
+        return self._docs_rel
 
     def _lookup_df(self, terms: list[str], buckets: list[int]) -> dict[str, int]:
         """Global term→df. Fast path: driver-side pyarrow read of the
@@ -130,15 +170,35 @@ class IndexReader:
 
     def prefix_terms(self, prefix: str) -> DataFrame:
         """Term-dictionary prefix scan (the X4 autocomplete analogue done
-        as a range lookup instead of edge-ngram storage): returns
-        (term, df) for every indexed term starting with `prefix`. The
-        StartsWith predicate pushes down to the parquet scan; buckets
-        cannot be pruned (a prefix spans hash buckets) — at scale an
-        autocomplete-heavy deployment would add a sorted term dictionary
-        (or edge-ngram field, tokenize.edge_ngrams) instead."""
+        as a sorted-dictionary range lookup instead of edge-ngram storage,
+        file_centric.json:17-23): returns (term, df) for every indexed
+        term starting with `prefix`.
+
+        Fast path: driver-side pyarrow RANGE scan of the termdict sidecar
+        — [prefix, prefix+U+FFFF) hits parquet row-group min/max term
+        stats (the sidecar is written term-sorted within each bucket), so
+        a prefix touches only the row groups whose term range intersects
+        it. NO posting payload is read and NO Spark job runs; the result
+        is dictionary-sized by construction. Falls back to a pruned
+        posting-store aggregation for indexes built before the sidecar."""
+        prefix = prefix.lower()
+        td = os.path.join(self.index_dir, "termdict")
+        if os.path.exists(td):
+            self._refresh_if_stale()
+            ds = pads.dataset(td, format="parquet", partitioning="hive")
+            tbl = ds.to_table(
+                columns=["term", "df"],
+                filter=(pads.field("term") >= prefix)
+                & (pads.field("term") < prefix + "￿"),
+            )
+            pdf = tbl.to_pandas()
+            # exact startswith (the range is already exact for our ASCII
+            # term alphabet; keep the assert-style filter for safety)
+            pdf = pdf[pdf["term"].str.startswith(prefix)]
+            return self.spark.createDataFrame(pdf, schema="term string, df long")
         return (
             self._postings()
-            .where(F.col("term").startswith(prefix.lower()))
+            .where(F.col("term").startswith(prefix))
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
@@ -146,10 +206,12 @@ class IndexReader:
     # -------------------------------------------------------------- search
 
     def search(self, query: str, k: int = 10, mode: str = "or",
-               prune: bool = True) -> DataFrame:
+               prune: bool = True,
+               boosts: dict[str, float] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
-        ordered by (score desc, doc_id asc) — deterministic ranks (T1)."""
-        plan = self.plan(query)
+        ordered by (score desc, doc_id asc) — deterministic ranks (T1).
+        boosts: optional per-field BM25F weights, e.g. {"lang": 2.0}."""
+        plan = self.plan(query, boosts=boosts)
         spark = self.spark
         if not plan.terms:
             return spark.createDataFrame([], "doc_id long, score double")
@@ -189,8 +251,7 @@ class IndexReader:
         columns + doc_id and, being shard-partitioned, is partition-pruned
         when the hits cluster in few shards."""
         hits = self.search(query, k, mode)
-        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs")) \
-            .select("doc_id", *display_cols)
+        docs = self._docs().select("doc_id", *display_cols)
         return (
             docs.join(F.broadcast(hits), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -213,6 +274,12 @@ class IndexReader:
         so the k-way adjacency check is pure sorted-array intersection.
         """
         spark = self.spark
+        self._refresh_if_stale()
+        if not self.cfg.get("store_positions"):
+            raise ValueError(
+                "phrase_search requires an index built with "
+                "IndexConfig(store_positions=True); this index has no prox "
+                f"stream ({self.index_dir})")
         empty = spark.createDataFrame([], "doc_id long, score double")
         terms = phrase_terms(phrase, tokenizer=self.cfg.get("tokenizer", "code"))
         if not terms:
@@ -251,22 +318,30 @@ class IndexReader:
         matches = rel.groupBy("shard").applyInPandas(
             match_shard, schema="doc_id long, tf long, dl double"
         ).persist()
-        df_phrase = matches.count()  # global phrase df (tiny action)
-        if df_phrase == 0:
+        try:
+            df_phrase = matches.count()  # global phrase df (tiny action)
+            if df_phrase == 0:
+                return empty
+            st = self.stats["fields"]["content"]
+            n_docs, avgdl = st["n_docs"], float(st["avgdl"])
+            idf = float(bm25.idf(df_phrase, n_docs))
+            # same expression shape as bm25.tfnorm → bit-identical float64
+            score = F.lit(idf) * (
+                F.col("tf") / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / avgdl))
+            )
+            # materialize the k-row result eagerly so `matches` can be
+            # unpersisted HERE — a lazily returned frame would either leak
+            # the cache across queries or recompute the match job on
+            # collect (the round-1 leak)
+            top = (
+                matches.select("doc_id", score.alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            return spark.createDataFrame(top, "doc_id long, score double")
+        finally:
             matches.unpersist()
-            return empty
-        st = self.stats["fields"]["content"]
-        n_docs, avgdl = st["n_docs"], float(st["avgdl"])
-        idf = float(bm25.idf(df_phrase, n_docs))
-        # same expression shape as bm25.tfnorm → bit-identical float64
-        score = F.lit(idf) * (
-            F.col("tf") / (F.col("tf") + bm25.K1 * (1.0 - bm25.B + bm25.B * F.col("dl") / avgdl))
-        )
-        return (
-            matches.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
 
 
 # ---------------------------------------------------------------- phrase

@@ -33,6 +33,18 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def drop_partition_dir(table_path: str, partition: str) -> None:
+    """Physically remove one hive partition dir (e.g. "shard=3") from a
+    partitioned parquet table — the plain-parquet stand-in for Iceberg's
+    `DELETE WHERE partition = ...` / dropPartition. Used when an
+    incremental update empties a shard: dynamic partition overwrite can
+    only REPLACE partitions that receive rows, so an emptied partition
+    must be dropped explicitly or its stale files would keep serving."""
+    import shutil
+
+    shutil.rmtree(os.path.join(table_path, partition), ignore_errors=True)
+
+
 def write_manifest(path: str, manifest: dict) -> None:
     """Atomic write (tmp + rename) — a partially-written manifest must
     never be observable (Maestro's FailureData bookkeeping analogue:

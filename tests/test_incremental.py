@@ -1,0 +1,140 @@
+"""Scale-safety tests for the incremental reindex path (VERDICT r01 #1):
+stable doc ids, affected-shard-only rebuild, empty-shard drop, ordered
+command resolution, and the Kafka command-parse path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.incremental import incremental_update
+from maestro_spark.operators.search import IndexReader
+from maestro_spark.sources.corpus import synth_docs
+from maestro_spark.streaming import commands as sc
+
+CFG = IndexConfig(shard_size=50, n_buckets=4, n_salts=2,
+                  hot_df_fraction=0.05, sample_fraction=1.0)
+
+DOC_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _ids(spark, idx):
+    return {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in spark.read.parquet(os.path.join(idx, "docs")).collect()
+    }
+
+
+def test_incremental_shard_locality(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = synth_docs(spark, 200, seed=7, partitions=4)
+    m1 = build_index(spark, docs, idx, CFG)   # 4 shards of 50, ids 0..199
+    assert m1["max_doc_id"] == 199
+    ids_before = _ids(spark, idx)
+
+    # 1. upsert a key that sorts BEFORE every existing key: under round-1
+    # dense reassignment this shifted every id (full rebuild); with
+    # high-water ids it must touch only the NEW shard.
+    new = spark.createDataFrame(
+        [("aaa/first", "a.py", "c0", "python", "zzqnewmarker alpha")], DOC_SCHEMA)
+    m2 = incremental_update(spark, idx, new, None, CFG)
+    assert m2["max_doc_id"] == 200
+    touched = set(map(int, m2["shards"])) - set(m2["skipped_shards"])
+    assert touched == {4}, f"expected only new shard 4 rebuilt, got {touched}"
+    assert set(m2["skipped_shards"]) == {0, 1, 2, 3}
+    ids_after = _ids(spark, idx)
+    for k, v in ids_before.items():
+        assert ids_after[k] == v, f"existing id shifted for {k}"
+    assert ids_after[("aaa/first", "a.py", "c0")] == 200
+
+    reader = IndexReader(spark, idx)
+    hits = reader.search_pandas("zzqnewmarker", k=5)
+    assert list(hits["doc_id"]) == [200]
+
+    # 2. modify an existing doc: only its owning shard rebuilds, id stable
+    victim_key = next(k for k, v in ids_after.items() if v == 10)  # shard 0
+    up = spark.createDataFrame(
+        [(victim_key[0], victim_key[1], victim_key[2], "python",
+          "zzqeditmarker beta")], DOC_SCHEMA)
+    m3 = incremental_update(spark, idx, up, None, CFG)
+    touched3 = set(map(int, m3["shards"])) - set(m3["skipped_shards"])
+    assert touched3 == {0}
+    assert _ids(spark, idx)[victim_key] == 10
+    hits = IndexReader(spark, idx).search_pandas("zzqeditmarker", k=5)
+    assert list(hits["doc_id"]) == [10]
+
+    # 3. delete one doc from shard 1: only shard 1 rebuilds
+    del_key = next(k for k, v in ids_after.items() if v == 60)
+    dels = spark.createDataFrame([del_key], "repo string, path string, commit string")
+    empty_ups = spark.createDataFrame([], DOC_SCHEMA)
+    m4 = incremental_update(spark, idx, empty_ups, dels, CFG)
+    touched4 = set(map(int, m4["shards"])) - set(m4["skipped_shards"])
+    assert touched4 == {1}
+    assert m4["n_docs"] == 200  # 201 - 1
+    assert del_key not in _ids(spark, idx)
+
+    # 4. delete of an absent key: complete no-op, no rebuild
+    ghost = spark.createDataFrame([("zz/none", "x", "c9")],
+                                  "repo string, path string, commit string")
+    m5 = incremental_update(spark, idx, empty_ups, ghost, CFG)
+    assert m5["shards"] == m4["shards"]
+
+    # 5. delete the only doc of shard 4: the emptied shard's partition
+    # dirs are dropped and its postings stop serving
+    d5 = spark.createDataFrame([("aaa/first", "a.py", "c0")],
+                               "repo string, path string, commit string")
+    m6 = incremental_update(spark, idx, empty_ups, d5, CFG)
+    assert "4" not in m6["shards"]
+    assert not os.path.exists(os.path.join(idx, "postings", "shard=4"))
+    reader6 = IndexReader(spark, idx)
+    assert reader6.search_pandas("zzqnewmarker", k=5).empty
+    # high-water mark never reverses: a later new key gets a fresh id
+    assert m6["max_doc_id"] == 200
+
+
+def test_seq_tie_resolves_to_delete(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    base = synth_docs(spark, 60, seed=11, partitions=2)
+    build_index(spark, base, idx, CFG)
+    row = base.limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [
+            (7, "upsert", row["repo"], row["path"], row["commit"],
+             row["lang"], row["content"] + " tiebreakmarker"),
+            (7, "delete", row["repo"], row["path"], row["commit"], None, None),
+        ],
+        sc.COMMAND_SCHEMA,
+    )
+    m = sc.apply_command_batch(spark, batch, idx, CFG)
+    assert m["n_docs"] == 59  # delete won the tie
+    assert IndexReader(spark, idx).search_pandas("tiebreakmarker", k=3).empty
+
+
+def test_kafka_parse_and_route(spark, tmp_path):
+    """Exercise the format("kafka") value-parse path on a static frame of
+    the Kafka source shape (no broker in the sandbox): good upserts apply,
+    malformed JSON lands in the DLQ."""
+    idx = str(tmp_path / "idx")
+    reject = str(tmp_path / "reject")
+    import json
+
+    def val(op, repo, path, commit, lang=None, content=None):
+        return json.dumps({"op": op, "repo": repo, "path": path,
+                           "commit": commit, "lang": lang, "content": content}
+                          ).encode()
+
+    rows = [
+        (None, val("upsert", "o/r", "a.py", "c0", "py", "kafka alpha doc"), "t", 0, 0, None),
+        (None, val("upsert", "o/r", "b.py", "c0", "py", "kafka beta doc"), "t", 0, 1, None),
+        (None, b"{not json at all", "t", 0, 2, None),
+        (None, val("delete", "o/r", "b.py", "c0"), "t", 0, 3, None),
+    ]
+    kafka_shape = ("key binary, value binary, topic string, partition int, "
+                   "offset long, timestamp timestamp")
+    cmds = sc.parse_kafka_commands(spark.createDataFrame(rows, kafka_shape))
+    assert cmds.columns == [c.split()[0] for c in sc.COMMAND_SCHEMA.split(", ")]
+    m = sc.apply_command_batch(spark, cmds, idx, CFG, reject_dir=reject)
+    assert m["n_docs"] == 1  # alpha upserted; beta upserted then deleted (seq order)
+    assert spark.read.parquet(reject).count() == 1
+    hits = IndexReader(spark, idx).search_pandas("kafka", k=5)
+    assert len(hits) == 1

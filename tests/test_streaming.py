@@ -31,8 +31,8 @@ def test_command_stream_end_to_end(spark, tmp_path):
     os.makedirs(cmd_dir)
 
     base = synth_docs(spark, 150, seed=42, partitions=3).collect()
-    ups = [("upsert", r["repo"], r["path"], r["commit"], r["lang"], r["content"])
-           for r in base]
+    ups = [(i, "upsert", r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+           for i, r in enumerate(base)]
     _write_commands(spark, cmd_dir, ups, "b0")
     sc.run_command_stream(spark, cmd_dir, idx_dir, CFG, ckpt, reject)
 
@@ -40,13 +40,16 @@ def test_command_stream_end_to_end(spark, tmp_path):
     assert reader.manifest["n_docs"] == 150
     assert reader.search_pandas("zzqmarkerzzq", k=3).empty
 
-    # batch 2: delete 1 doc, modify 1 doc, add a bad command (DLQ)
+    # batch 2: delete 1 doc, modify 1 doc, add a bad command (DLQ).
+    # The edited doc's key also gets a LOWER-seq delete — the max-seq
+    # upsert must win (log-compaction ordering, not file order).
     victim, edited = base[0], base[1]
     batch2 = [
-        ("delete", victim["repo"], victim["path"], victim["commit"], None, None),
-        ("upsert", edited["repo"], edited["path"], edited["commit"],
+        (200, "delete", victim["repo"], victim["path"], victim["commit"], None, None),
+        (201, "delete", edited["repo"], edited["path"], edited["commit"], None, None),
+        (202, "upsert", edited["repo"], edited["path"], edited["commit"],
          edited["lang"], edited["content"] + " zzqmarkerzzq"),
-        ("upsert", "org/bad", "p", "c", "java", None),  # invalid: no content
+        (203, "upsert", "org/bad", "p", "c", "java", None),  # invalid: no content
     ]
     _write_commands(spark, cmd_dir, batch2, "b1")
     sc.run_command_stream(spark, cmd_dir, idx_dir, CFG, ckpt, reject)
