@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maestro_spark.operators import dedup, similarity, textstats
+from maestro_spark.operators import dedup, nested, similarity, textstats
 from maestro_spark.operators import pipeline as pl
 from maestro_spark.operators.build import IndexConfig, build_index
 from maestro_spark.operators.search import IndexReader
@@ -41,17 +41,38 @@ _CFG = IndexConfig(
     tokenizer="simple",          # SQL-reproducible analyzer for the oracle
     index_fields=("content", "lang", "repo"),
     store_positions=True,        # prox stream → phrase_search query
+    stored_columns=("repositories",),  # nested array<struct>, stored NOT
+                                       # indexed (dynamic:false analogue) —
+                                       # the X7 doc_filter target
 )
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (or resume — per-shard fingerprints skip unchanged shards) the
     BM25 index over the driver's `documents` table. doc_id is taken
-    verbatim (id_col) so engine results join 1:1 with the oracle."""
+    verbatim (id_col) so engine results join 1:1 with the oracle.
+
+    The docstore carries a synthesized nested `repositories` stored column
+    (the repositories[] of file_centric.json:224-243): element 1 varies by
+    doc_id; element 2 = ('mirror','org9') only when doc_id%4==0. The decoy
+    values (code='mirror' at %5==0, org='org9' at %7==0 on element 1) make
+    flattened per-field exists() WRONG — only same-element X7 semantics
+    reproduce the %4 set."""
     out = os.path.join(
-        tempfile.gettempdir(), "maestro_entry_idx_v3",
+        tempfile.gettempdir(), "maestro_entry_idx_v4",
         re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
     )
+    e1 = F.struct(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("mirror"))
+        .otherwise(F.concat(F.lit("repo"), (F.col("doc_id") % 3).cast("string")))
+        .alias("code"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("org9"))
+        .otherwise(F.concat(F.lit("org"), (F.col("doc_id") % 2).cast("string")))
+        .alias("org"),
+    )
+    e2 = F.struct(F.lit("mirror").alias("code"), F.lit("org9").alias("org"))
+    repos = F.when(F.col("doc_id") % 4 == 0,
+                   F.array(e1, e2)).otherwise(F.array(e1))
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("source").alias("repo"),
@@ -59,18 +80,21 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         F.lit("c0").alias("commit"),
         "lang",
         F.col("text").alias("content"),
+        repos.alias("repositories"),
     )
     build_index(spark, docs, out, _CFG, resume=True, id_col="doc_id")
     return out
 
 
 def _search_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10,
-               mode: str = "or") -> DataFrame:
+               mode: str = "or", boosts: dict | None = None,
+               doc_filter=None) -> DataFrame:
     """Engine search, re-ranked on round(score, 6) with doc_id tie-break so
     the top-k cut is identical to the oracle's regardless of float summation
     order (both sides rank by the ROUNDED score)."""
     reader = IndexReader(spark, _ensure_index(spark, sf_dir))
-    raw = reader.search(query, k=max(4 * k, 40), mode=mode)
+    raw = reader.search(query, k=max(4 * k, 40), mode=mode, boosts=boosts,
+                        doc_filter=doc_filter)
     return (
         raw.select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -105,11 +129,14 @@ def _hex16_sql(col: str) -> str:
     return f"({hx(0)} * 4096 + {hx(1)} * 256 + {hx(2)} * 16 + {hx(3)})"
 
 
-def _bm25_sql(content_terms: list[str], kw: list[tuple[str, str]] = (),
-              k: int = 10, mode: str = "or") -> str:
+def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
+              k: int = 10, mode: str = "or",
+              where: str | None = None) -> str:
     """Brute-force BM25 oracle (k1=1.2, b=0.75 — Lucene formula) over the
     simple-tokenized content field plus keyword-field contributions
-    (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1))."""
+    (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1)). kw entries are
+    (col, val[, weight]) — weight is the BM25F field boost. `where`
+    filters candidate doc_ids (the doc_filter analogue)."""
     terms = ", ".join(f"'{t}'" for t in content_terms)
     ctes = [
         _TOK,
@@ -130,7 +157,10 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple[str, str]] = (),
         f"GROUP BY t.doc_id{having})"
     )
     score_parts, join_parts = ["coalesce(cs.score, 0)"], ["cs"]
-    for i, (col, val) in enumerate(kw):
+    for i, kv in enumerate(kw):
+        col, val = kv[0], kv[1]
+        w = float(kv[2]) if len(kv) > 2 else 1.0
+        boost = "" if w == 1.0 else f" * {w!r}"
         ctes.append(
             f"kn{i} AS (SELECT count(*)::DOUBLE AS n FROM documents "
             f"WHERE {col} IS NOT NULL AND trim({col}) <> '')"
@@ -141,7 +171,7 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple[str, str]] = (),
         )
         ctes.append(
             f"ks{i} AS (SELECT doc_id, "
-            f"ln(1.0 + (kn{i}.n - kd{i}.df + 0.5) / (kd{i}.df + 0.5)) / 2.2 AS score "
+            f"ln(1.0 + (kn{i}.n - kd{i}.df + 0.5) / (kd{i}.df + 0.5)){boost} / 2.2 AS score "
             f"FROM documents, kn{i}, kd{i} WHERE lower(trim({col})) = '{val}')"
         )
         score_parts.append(f"coalesce(ks{i}.score, 0)")
@@ -158,10 +188,12 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple[str, str]] = (),
         f"allsc AS (SELECT {doc_expr} AS doc_id, "
         f"{' + '.join(score_parts)} AS score FROM {final_from})"
     )
+    flt = f"WHERE {where} " if where else ""
     return (
         "WITH " + ",\n".join(ctes)
         + "\nSELECT doc_id, round(score, 6) AS score FROM allsc "
-        f"ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"
+        + flt
+        + f"ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"
     )
 
 
@@ -240,6 +272,104 @@ def _q_ann_sign_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("cos", "cosine")
 
 
+def _order_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → orders[] → items[] nested tree (P5 two-level group-merge
+    over TPC-H — the donor→specimen→sample assembly shape)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rows = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderpriority",
+        "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    return nested.two_level_tree(
+        rows, ["custkey"], ["o_orderkey"], ["o_orderpriority"],
+        ["l_linenumber", "l_quantity"], "orders", "items")
+
+
+def _q_nested_doc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P5 as a first-class operator: build the nested docs, then
+    derive every output FROM the nested column via array HOFs (proving
+    the array<struct> tree, not a flat side-channel)."""
+    tree = _order_tree(spark, sf_dir)
+    return tree.select(
+        "custkey",
+        F.size("orders").cast("long").alias("n_orders"),
+        F.aggregate("orders", F.lit(0).cast("long"),
+                    lambda a, o: a + F.size(o["items"])).alias("n_items"),
+        F.round(F.aggregate(
+            "orders", F.lit(0.0),
+            lambda a, o: F.greatest(a, F.aggregate(
+                o["items"], F.lit(0.0), lambda b, i: b + i["l_quantity"]))),
+            2).alias("max_order_qty"),
+        F.element_at("orders", 1)["o_orderkey"].alias("first_orderkey"),
+    )
+
+
+def _q_nested_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 same-element nested predicate: count orders that are URGENT AND
+    (that same order) contain an item with quantity ≥ 48 — per-element
+    semantics a flattened exists() cannot express."""
+    tree = _order_tree(spark, sf_dir)
+    matching = F.size(F.filter(
+        "orders",
+        lambda o: (o["o_orderpriority"] == "1-URGENT")
+        & F.exists(o["items"], lambda i: i["l_quantity"] >= 48.0)))
+    return (tree.select("custkey", matching.cast("long").alias("n_matching"))
+            .where(F.col("n_matching") > 0))
+
+
+def _file_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic genomic-style file table synthesized from `documents`
+    (8 files per analysis group: bam+bai, vcf.gz+tbi, cram+CRAI, xml, txt)
+    — the P3/P4 oracle fixture."""
+    doc = _t(spark, sf_dir, "documents")
+    gid = F.floor(F.col("doc_id") / 8).cast("long").cast("string")
+    m = F.col("doc_id") % 8
+    name = (
+        F.when(m == 0, F.concat(F.lit("f"), gid, F.lit(".bam")))
+        .when(m == 1, F.concat(F.lit("f"), gid, F.lit(".bam.bai")))
+        .when(m == 2, F.concat(F.lit("f"), gid, F.lit(".vcf.gz")))
+        .when(m == 3, F.concat(F.lit("f"), gid, F.lit(".vcf.gz.tbi")))
+        .when(m == 4, F.concat(F.lit("f"), gid, F.lit(".cram")))
+        .when(m == 5, F.concat(F.lit("f"), gid, F.lit(".CRAM.CRAI")))
+        .when(m == 6, F.concat(F.lit("r"), gid, F.lit(".xml")))
+        .otherwise(F.concat(F.lit("d"), gid, F.lit(".txt")))
+    )
+    return doc.select(
+        F.floor(F.col("doc_id") / 8).cast("long").alias("gid"),
+        F.concat(F.lit("o"), F.col("doc_id").cast("string")).alias("object_id"),
+        name.alias("name"),
+    )
+
+
+def _q_index_file_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4 as operators: data-file predicate then within-group
+    index-file association via array HOFs (no shuffle beyond the group
+    collect)."""
+    files = _file_rows(spark, sf_dir)
+    grouped = files.groupBy("gid").agg(
+        F.array_sort(F.collect_list(F.struct("object_id", "name"))).alias("files"))
+    ex = (grouped.select("gid", "files", F.explode("files").alias("f"))
+          .where(nested.is_data_file(F.col("f.name"))))
+    idx = nested.index_file_for(F.col("files"), F.col("f.name"))
+    return ex.select(
+        F.col("f.object_id").alias("object_id"),
+        F.col("f.name").alias("name"),
+        idx["object_id"].alias("idx_object_id"),
+        nested.index_file_format(idx["name"]).alias("idx_file_type"),
+    )
+
+
+def _q_bm25_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 + BM25: ranked search restricted by a same-element nested
+    predicate on the stored repositories column, evaluated inside the
+    per-shard scorer (search(doc_filter=...))."""
+    pred = nested.nested_exists(
+        F.col("repositories"),
+        lambda r: r["code"] == "mirror", lambda r: r["org"] == "org9")
+    return _search_df(spark, sf_dir, "customer line", 10, doc_filter=pred)
+
+
 _MARKERS = {
     "en": ("the", "a", "fast"),
     "es": ("customer", "line", "order"),
@@ -275,8 +405,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_docs"] = _q_topk_docs
     q["bm25_field_lang"] = lambda s, d: _search_df(s, d, "lang:es spark stream", 10)
     q["bm25_field_repo"] = lambda s, d: _search_df(s, d, "repo:src3 dup window", 10)
+    q["bm25_boosted"] = lambda s, d: _search_df(
+        s, d, "lang:es spark stream", 10, boosts={"lang": 2.0})
+    q["bm25_nested"] = _q_bm25_nested
     q["term_stats"] = _q_term_stats
     q["doc_token_stats"] = _q_doc_token_stats
+
+    # ---- nested document model (P1-P5, X7)
+    q["nested_doc_build"] = _q_nested_doc_build
+    q["nested_filter"] = _q_nested_filter
+    q["index_file_assoc"] = _q_index_file_assoc
 
     # ---- dedup family
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(
@@ -287,6 +425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), 0.5, 8, 2, "text", "doc_id", 3, "md5")
     q["ngram_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(
         _t(s, d, "documents"), 0.5, "text", "doc_id", 3)
+    # production hasher variant (xxhash64 — no DuckDB equivalent, so the
+    # oracle is the EXHAUSTIVE pair set: the emitted pairs' exact-Jaccard
+    # verify step must recover it in full for the hash to match)
+    q["lsh_near_dup_xx"] = lambda s, d: dedup.near_dup_pairs(
+        _t(s, d, "documents"), 0.5, 8, 2, "text", "doc_id", 3, "xx")
     q["simhash16"] = lambda s, d: dedup.simhash(_t(s, d, "documents"), 16, "text", "doc_id")
 
     # ---- similarity search
@@ -483,6 +626,52 @@ LIMIT 10"""
         f"({_bm25_sql(['dup', 'table'])}) s JOIN documents d ON s.doc_id = d.doc_id"
     )
     o["bm25_field_repo"] = _bm25_sql(["dup", "window"], [("source", "src3")])
+    o["bm25_boosted"] = _bm25_sql(["spark", "stream"], [("lang", "es", 2.0)])
+    # same-element (mirror, org9) holds for element 2 (doc_id%4==0) and
+    # for element 1 exactly when both decoys coincide (%5 AND %7)
+    o["bm25_nested"] = _bm25_sql(
+        ["customer", "line"],
+        where="(doc_id % 4 = 0 OR (doc_id % 5 = 0 AND doc_id % 7 = 0))")
+
+    o["nested_doc_build"] = """
+WITH j AS (SELECT o_custkey AS custkey, o_orderkey, count(*) AS n_items,
+                  sum(l_quantity::DOUBLE) AS qty
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2)
+SELECT custkey, count(*) AS n_orders, CAST(sum(n_items) AS BIGINT) AS n_items,
+       round(max(qty), 2) AS max_order_qty, min(o_orderkey) AS first_orderkey
+FROM j GROUP BY custkey"""
+
+    o["nested_filter"] = """
+SELECT o_custkey AS custkey, count(*) AS n_matching FROM orders o
+WHERE o_orderpriority = '1-URGENT'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey AND l_quantity::DOUBLE >= 48.0)
+GROUP BY o_custkey"""
+
+    o["index_file_assoc"] = """
+WITH f AS (SELECT doc_id, CAST(doc_id // 8 AS BIGINT) AS gid,
+                  'o' || CAST(doc_id AS VARCHAR) AS object_id,
+  CASE CAST(doc_id % 8 AS INTEGER)
+    WHEN 0 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.bam'
+    WHEN 1 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.bam.bai'
+    WHEN 2 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.vcf.gz'
+    WHEN 3 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.vcf.gz.tbi'
+    WHEN 4 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.cram'
+    WHEN 5 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.CRAM.CRAI'
+    WHEN 6 THEN 'r' || CAST(doc_id // 8 AS VARCHAR) || '.xml'
+    ELSE 'd' || CAST(doc_id // 8 AS VARCHAR) || '.txt' END AS name
+  FROM documents),
+data AS (SELECT * FROM f WHERE CAST(doc_id % 8 AS INTEGER) IN (0, 2, 4, 7))
+SELECT d.object_id, d.name, i.object_id AS idx_object_id,
+       CASE WHEN i.object_id IS NULL THEN NULL
+            WHEN CAST(d.doc_id % 8 AS INTEGER) = 0 THEN 'BAI'
+            WHEN CAST(d.doc_id % 8 AS INTEGER) = 2 THEN 'TBI'
+            ELSE 'CRAI' END AS idx_file_type
+FROM data d LEFT JOIN f i
+  ON i.gid = d.gid
+ AND lower(i.name) = lower(d.name || CASE CAST(d.doc_id % 8 AS INTEGER)
+       WHEN 0 THEN '.bai' WHEN 2 THEN '.tbi' WHEN 4 THEN '.crai' END)"""
 
     o["term_stats"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df, "
@@ -538,6 +727,11 @@ SELECT i.id1, i.id2, i.n_inter, s1.n + s2.n - i.n_inter AS n_union,
        round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) AS jaccard
 FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1 JOIN sizes s2 ON s2.doc_id = i.id2
 WHERE round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) >= 0.5"""
+
+    # xxhash64 has no DuckDB equivalent: the oracle is the exhaustive
+    # ground-truth pair set; the banding only prunes candidates and the
+    # verify step emits exact Jaccard, so full recall ⇒ identical rows
+    o["lsh_near_dup_xx"] = o["ngram_jaccard_pairs"]
 
     lanes = ", ".join(
         f"sum(tf * (2 * (CAST(floor(hv / pow(2, {j})) AS INTEGER) % 2) - 1)) AS l{j}"

@@ -81,10 +81,16 @@ class IndexConfig:
     encode_partitions: int | None = None
     store_positions: bool = False      # prox stream for phrase queries
                                        # (≈ +token-stream shuffle volume)
+    stored_columns: tuple = ()         # extra docstore columns, stored but
+                                       # NOT indexed — the ES dynamic:false
+                                       # semantics (file_centric.json:42);
+                                       # may be nested array<struct> and
+                                       # queried via search(doc_filter=...)
 
     def to_dict(self) -> dict:
         d = asdict(self)
         d["index_fields"] = list(self.index_fields)
+        d["stored_columns"] = list(self.stored_columns)
         return d
 
 
@@ -435,7 +441,8 @@ def _build_shards(
         t = time.time()
         write_partitioned(
             subset.select("doc_id", "shard", "repo", "path", "commit", "lang",
-                          "content", "content_sha256"),
+                          "content", "content_sha256",
+                          *cfg.stored_columns),
             os.path.join(out_dir, "docs"), ["shard"], dynamic=dynamic,
         )
         _phase("write_docs", t)

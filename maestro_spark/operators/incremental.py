@@ -79,7 +79,7 @@ def incremental_update(
     t0 = time.time()
     manifest = read_manifest(os.path.join(index_dir, "manifest.json"))
     if manifest is None:
-        docs = upserts.select(*DOC_COLS)
+        docs = upserts.select(*DOC_COLS, *cfg.stored_columns)
         if deletes is not None:
             docs = docs.join(deletes.select(*DOC_KEY), DOC_KEY, "left_anti")
         return build_index(spark, docs, index_dir, cfg)
@@ -90,7 +90,8 @@ def incremental_update(
     shard_size = cfg.shard_size
     docs_path = os.path.join(index_dir, "docs")
 
-    ups = _dedup_keys(upserts.select(*DOC_COLS), DOC_COLS)
+    doc_cols = DOC_COLS + list(cfg.stored_columns)
+    ups = _dedup_keys(upserts.select(*doc_cols), doc_cols)
     dels = (_dedup_keys(deletes.select(*DOC_KEY), DOC_KEY)
             if deletes is not None else None)
     batch_keys = ups.select(*DOC_KEY)
@@ -134,12 +135,12 @@ def incremental_update(
         remaining = (
             spark.read.parquet(docs_path)
             .where(F.col("shard").isin(touched_sorted))
-            .select("doc_id", *DOC_COLS)
+            .select("doc_id", *doc_cols)
             .join(F.broadcast(batch_keys), DOC_KEY, "left_anti")
         )
-        parts = remaining.unionByName(ups_existing.select("doc_id", *DOC_COLS))
+        parts = remaining.unionByName(ups_existing.select("doc_id", *doc_cols))
         if n_new:
-            parts = parts.unionByName(new_with_ids.select("doc_id", *DOC_COLS))
+            parts = parts.unionByName(new_with_ids.select("doc_id", *doc_cols))
         d = (
             parts
             .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))

@@ -207,10 +207,22 @@ class IndexReader:
 
     def search(self, query: str, k: int = 10, mode: str = "or",
                prune: bool = True,
-               boosts: dict[str, float] | None = None) -> DataFrame:
+               boosts: dict[str, float] | None = None,
+               doc_filter=None) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
         ordered by (score desc, doc_id asc) — deterministic ranks (T1).
-        boosts: optional per-field BM25F weights, e.g. {"lang": 2.0}."""
+
+        boosts: optional per-field BM25F weights, e.g. {"lang": 2.0}.
+
+        doc_filter: optional Column predicate over the DOCSTORE columns
+        (including nested array<struct> stored columns — the X7 path:
+        per-element `nested` predicates combined with BM25 ranking). The
+        filter is evaluated in a column-pruned docstore scan and its doc
+        set is COGROUPED per shard into the scorer, which restricts
+        accumulation to allowed docs — the true filtered top-k, not a
+        post-filter of an unfiltered top-k (which could under-fill).
+        MaxScore pruning stays exact: disallowed docs simply never
+        accumulate mass."""
         plan = self.plan(query, boosts=boosts)
         spark = self.spark
         if not plan.terms:
@@ -225,18 +237,38 @@ class IndexReader:
         terms, idfs, fields = plan.terms, plan.idfs, plan.fields
         avgdl = plan.avgdl
 
-        def score_shard(key, pdf):
-            shard = int(key[0])
-            rows = {r["term"]: r for r in pdf.to_dict("records")}
-            doc_ids, scores = score_shard_rows(
-                rows, terms, idfs, fields, avgdl, shard, shard_size,
-                index_dir, k, mode, prune,
-            )
-            return pd.DataFrame({"doc_id": doc_ids, "score": scores})
+        if doc_filter is not None:
+            allowed_df = self._docs().where(doc_filter).select("shard", "doc_id")
 
-        local = rel.groupBy("shard").applyInPandas(
-            score_shard, schema="doc_id long, score double"
-        )
+            def score_shard_filtered(key, pdf, adf):
+                shard = int(key[0])
+                if not len(pdf) or not len(adf):
+                    return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                         "score": pd.array([], dtype="float64")})
+                rows = {r["term"]: r for r in pdf.to_dict("records")}
+                allowed = np.sort(adf["doc_id"].to_numpy(np.int64)) - shard * shard_size
+                doc_ids, scores = score_shard_rows(
+                    rows, terms, idfs, fields, avgdl, shard, shard_size,
+                    index_dir, k, mode, prune, allowed=allowed,
+                )
+                return pd.DataFrame({"doc_id": doc_ids, "score": scores})
+
+            local = rel.groupBy("shard").cogroup(
+                allowed_df.groupBy("shard")
+            ).applyInPandas(score_shard_filtered, schema="doc_id long, score double")
+        else:
+            def score_shard(key, pdf):
+                shard = int(key[0])
+                rows = {r["term"]: r for r in pdf.to_dict("records")}
+                doc_ids, scores = score_shard_rows(
+                    rows, terms, idfs, fields, avgdl, shard, shard_size,
+                    index_dir, k, mode, prune,
+                )
+                return pd.DataFrame({"doc_id": doc_ids, "score": scores})
+
+            local = rel.groupBy("shard").applyInPandas(
+                score_shard, schema="doc_id long, score double"
+            )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_pandas(self, query: str, k: int = 10, mode: str = "or",
@@ -441,6 +473,7 @@ def score_shard_rows(
     k: int,
     mode: str = "or",
     prune: bool = True,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's query-term posting rows; return local top-k
     (doc_ids, scores) sorted by (score desc, doc_id asc).
@@ -450,15 +483,19 @@ def score_shard_rows(
     upper bounds of the REMAINING terms fall below the running kth-best
     accumulated score, later terms only need to touch blocks whose doc
     range intersects the current candidate set.
+
+    allowed: optional sorted LOCAL doc offsets the scorer may emit (the
+    doc_filter path) — contributions of other docs are dropped before
+    accumulation, so the result is the exact top-k of the allowed set.
     """
     base = shard * shard_size
     present = [t for t in terms if t in rows]
-    if not present:
+    if not present or (allowed is not None and allowed.size == 0):
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
     if mode == "and":
         return _score_and(rows, present, idfs, fields, avgdl, base,
-                          shard, shard_size, index_dir, k)
+                          shard, shard_size, index_dir, k, allowed)
 
     # per-term upper bounds from block metadata (query-time avgdl)
     ubound = {}
@@ -501,7 +538,11 @@ def score_shard_rows(
             pl = decode_postings(r)
 
         local = pl.doc_ids - base
-        contrib = idf_t * bm25.tfnorm(pl.tfs, dl_of(fields[t])[local], adl)
+        tfs = pl.tfs
+        if allowed is not None:
+            ok = np.isin(local, allowed, assume_unique=True)
+            local, tfs = local[ok], tfs[ok]
+        contrib = idf_t * bm25.tfnorm(tfs, dl_of(fields[t])[local], adl)
 
         if candidates is not None:
             # only candidates can still reach top-k; restrict adds to them
@@ -533,12 +574,13 @@ def score_shard_rows(
 
 
 def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
-               index_dir, k):
+               index_dir, k, allowed: np.ndarray | None = None):
     """Conjunctive: k-way intersection starting from the rarest term
     (SURVEY.md §2.5 J4 — n-way merge of sorted posting lists), then exact
-    scoring of the intersection in canonical order."""
+    scoring of the intersection in canonical order. `allowed` (sorted
+    local offsets) joins the intersection as one more sorted set."""
     by_df = sorted(present, key=lambda t: rows[t]["df"])
-    inter: np.ndarray | None = None
+    inter: np.ndarray | None = None if allowed is None else allowed + base
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for t in by_df:
         pl = decode_postings(rows[t])
