@@ -26,6 +26,7 @@ lower bound — candidates receive every true contribution.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import numpy as np
@@ -41,6 +42,22 @@ from maestro_spark.operators.build import _term_bucket
 from maestro_spark.sources.tableio import read_manifest
 
 FIELD_OF_PREFIX = {"path:": "path", "lang:": "lang", "repo:": "repo"}
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Interactive query jobs run with AQE OFF: their shuffles move ≤ k
+    rows per shard, so adaptive re-planning has nothing to optimize and
+    each AQE stage materialization costs an extra scheduling round-trip
+    (~25% of the latency floor measured at sf0.1). Batch builds keep AQE
+    on — this only wraps the search-side collects."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def term_field(term: str) -> str:
@@ -229,15 +246,27 @@ class IndexReader:
             return spark.createDataFrame([], "doc_id long, score double")
         n_buckets = self.cfg["n_buckets"]
         buckets = sorted({_term_bucket(t, n_buckets) for t in plan.terms})
-        rel = self._postings().where(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(plan.terms)
-        )
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
         terms, idfs, fields = plan.terms, plan.idfs, plan.fields
         avgdl = plan.avgdl
 
-        if doc_filter is not None:
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        if doc_filter is None:
+            def score_shard(key, pdf):
+                shard = int(key[0])
+                rows = {r["term"]: r for r in pdf.to_dict("records")}
+                doc_ids, scores = score_shard_rows(
+                    rows, terms, idfs, fields, avgdl, shard, shard_size,
+                    index_dir, k, mode, prune,
+                )
+                return pd.DataFrame({"doc_id": doc_ids, "score": scores})
+
+            local = rel.groupBy("shard").applyInPandas(
+                score_shard, schema="doc_id long, score double"
+            )
+        else:
             allowed_df = self._docs().where(doc_filter).select("shard", "doc_id")
 
             def score_shard_filtered(key, pdf, adf):
@@ -256,20 +285,20 @@ class IndexReader:
             local = rel.groupBy("shard").cogroup(
                 allowed_df.groupBy("shard")
             ).applyInPandas(score_shard_filtered, schema="doc_id long, score double")
-        else:
-            def score_shard(key, pdf):
-                shard = int(key[0])
-                rows = {r["term"]: r for r in pdf.to_dict("records")}
-                doc_ids, scores = score_shard_rows(
-                    rows, terms, idfs, fields, avgdl, shard, shard_size,
-                    index_dir, k, mode, prune,
-                )
-                return pd.DataFrame({"doc_id": doc_ids, "score": scores})
-
-            local = rel.groupBy("shard").applyInPandas(
-                score_shard, schema="doc_id long, score double"
-            )
-        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        # coordinator merge (the ES coordinating-node step): each shard
+        # returns ≤ k rows, so the global merge handles ≤ k·n_shards rows
+        # — collected and merged driver-side instead of paying a Spark
+        # sort stage for a frame this small. Bounded at any scale: 1000
+        # shards × k=10 is 10k rows.
+        with _no_aqe(spark):
+            rows = local.collect()
+        if not rows:
+            return spark.createDataFrame([], "doc_id long, score double")
+        ids = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+        scores = np.fromiter((r[1] for r in rows), np.float64, len(rows))
+        order = np.lexsort((ids, -scores))[:k]
+        out = pd.DataFrame({"doc_id": ids[order], "score": scores[order]})
+        return spark.createDataFrame(out, "doc_id long, score double")
 
     def search_pandas(self, query: str, k: int = 10, mode: str = "or",
                       prune: bool = True) -> pd.DataFrame:
@@ -351,7 +380,8 @@ class IndexReader:
             match_shard, schema="doc_id long, tf long, dl double"
         ).persist()
         try:
-            df_phrase = matches.count()  # global phrase df (tiny action)
+            with _no_aqe(spark):
+                df_phrase = matches.count()  # global phrase df (tiny action)
             if df_phrase == 0:
                 return empty
             st = self.stats["fields"]["content"]
@@ -365,12 +395,13 @@ class IndexReader:
             # unpersisted HERE — a lazily returned frame would either leak
             # the cache across queries or recompute the match job on
             # collect (the round-1 leak)
-            top = (
-                matches.select("doc_id", score.alias("score"))
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-                .collect()
-            )
+            with _no_aqe(spark):
+                top = (
+                    matches.select("doc_id", score.alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .collect()
+                )
             return spark.createDataFrame(top, "doc_id long, score double")
         finally:
             matches.unpersist()

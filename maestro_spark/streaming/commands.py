@@ -97,7 +97,8 @@ def read_command_stream_kafka(spark: SparkSession, bootstrap_servers: str,
 
 def apply_command_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
                         cfg: IndexConfig,
-                        reject_dir: str | None = None) -> dict:
+                        reject_dir: str | None = None,
+                        notifier=None) -> dict:
     """Apply one micro-batch of commands to the index: validate → resolve
     per-key winner by seq → route upsert/delete → incremental_update
     (stable ids, affected-shard-only rebuild). Returns the build manifest.
@@ -119,6 +120,9 @@ def apply_command_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
         n_bad = int(counts["n_bad"] or 0)
         if n_bad and reject_dir is not None:
             batch.where(~ok).write.mode("append").parquet(reject_dir)  # DLQ
+        if n_bad and notifier is not None:
+            notifier.notify("COMMAND_REJECTED", n_rejected=n_bad,
+                            reject_dir=reject_dir)
         if int(counts["n"]) == n_bad:
             from maestro_spark.sources.tableio import read_manifest
             return read_manifest(os.path.join(index_dir, "manifest.json")) or {}
@@ -142,7 +146,8 @@ def apply_command_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
 def run_command_stream(spark: SparkSession, commands_dir: str, index_dir: str,
                        cfg: IndexConfig, checkpoint_dir: str,
                        reject_dir: str | None = None,
-                       available_now: bool = True):
+                       available_now: bool = True,
+                       notifier=None):
     """Wire the stream: one foreachBatch call per micro-batch, checkpointed
     (restart-safe — the streaming analogue of the manifest resume).
     available_now=True drains pending files and stops (test/batch-catchup
@@ -152,7 +157,8 @@ def run_command_stream(spark: SparkSession, commands_dir: str, index_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_command_batch(spark, batch_df, index_dir, cfg, reject_dir)
+        apply_command_batch(spark, batch_df, index_dir, cfg, reject_dir,
+                            notifier=notifier)
 
     writer = (
         stream.writeStream.foreachBatch(process)
