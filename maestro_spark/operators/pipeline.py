@@ -117,9 +117,14 @@ def delete_docs(stored: DataFrame, delete_keys: DataFrame,
 def upsert_and_reindex(spark: SparkSession, index_dir: str,
                        updated_docs: DataFrame, cfg: IndexConfig,
                        id_col: str | None = None) -> dict:
-    """Apply a doc-table change and rebuild ONLY affected shards: the
-    build's per-shard fingerprints make resume=True skip every shard whose
-    docs are byte-identical (M5+M7). Returns the new manifest; its
-    `skipped_shards` is the untouched set."""
+    """Apply a FULL-corpus doc-table change and rebuild ONLY affected
+    shards: the build's per-shard fingerprints make resume=True skip every
+    shard whose docs are byte-identical (M5+M7). Returns the new manifest;
+    its `skipped_shards` is the untouched set.
+
+    This is the whole-table path (input = the complete new corpus; it
+    still fingerprints every shard). For DELTA-shaped changes (a batch of
+    upserts/deletes) use operators.incremental.incremental_update, which
+    keeps doc ids stable and never scans untouched shards."""
     return build_index(spark, updated_docs, index_dir, cfg, resume=True,
                        id_col=id_col)
