@@ -216,14 +216,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
-        _search_df(spark, sf_dir, q, 10).withColumn("qid", F.lit(qid))
-        for qid, q, _, _ in _BM25_QUERIES
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("qid", "doc_id", "score")
+    """All reference queries in ONE Spark job (search_many — the ES
+    _msearch analogue); per-qid re-rank on the rounded score mirrors
+    _search_df's oracle-alignment contract."""
+    reader = IndexReader(spark, _ensure_index(spark, sf_dir))
+    raw = reader.search_many({qid: q for qid, q, _, _ in _BM25_QUERIES}, k=40)
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return (
+        raw.select("qid", "doc_id", F.round("score", 6).alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10).drop("_rn")
+    )
 
 
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,6 +347,69 @@ def _file_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _analyses_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic analyses fixture (8 files per analysis + 2 samples
+    with donor/specimen structure varying by gid) — the P1 oracle input.
+    Every derived value is a pure function of gid so DuckDB can
+    reconstruct the expected nested outputs relationally."""
+    files = _file_rows(spark, sf_dir)
+    grouped = files.groupBy("gid").agg(
+        F.array_sort(F.collect_list(F.struct(
+            "object_id", "name",
+            F.lit(0).cast("long").alias("size"),
+            F.lit("m").alias("md5sum"),
+            F.lit("dt").alias("data_type"),
+        ))).alias("files"))
+    gid = F.col("gid")
+    d1 = (gid % 3).cast("string")
+    d2 = ((gid * 2) % 3).cast("string")
+
+    def gender(d):
+        return F.when(d.cast("int") < 2, F.lit("F")).otherwise(F.lit("M"))
+
+    s0 = F.struct(
+        F.concat(F.lit("d"), d1).alias("donor_id"), gender(d1).alias("gender"),
+        F.concat(F.lit("sp"), (gid % 2).cast("string")).alias("specimen_id"),
+        F.lit("Normal").alias("specimen_type"),
+        F.lit("sm0").alias("sample_id"), F.lit("DNA").alias("sample_type"))
+    s1 = F.struct(
+        F.concat(F.lit("d"), d2).alias("donor_id"), gender(d2).alias("gender"),
+        F.concat(F.lit("sp"), ((gid + 1) % 2).cast("string")).alias("specimen_id"),
+        F.lit("Tumour").alias("specimen_type"),
+        F.lit("sm1").alias("sample_id"), F.lit("RNA").alias("sample_type"))
+    repo = F.struct(
+        F.concat(F.lit("repo"), (gid % 4).cast("string")).alias("code"),
+        F.lit("org").alias("organization"), F.lit("Repo").alias("name"),
+        F.lit("http://r").alias("url"), F.lit("CA").alias("country"),
+        F.lit("S3").alias("storage_type"))
+    return grouped.select(
+        F.concat(F.lit("an"), gid.cast("string")).alias("analysis_id"),
+        F.lit("PUBLISHED").alias("analysis_state"),
+        F.lit("sequencing").alias("analysis_type"),
+        F.concat(F.lit("ST"), (gid % 5).cast("string")).alias("study_id"),
+        F.col("files"), F.array(s0, s1).alias("samples"), repo.alias("repository"))
+
+
+def _q_file_docs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 end-to-end under oracle check: build_file_docs (explode →
+    data-file filter → index-file association → donor tree → nested doc),
+    outputs derived FROM the nested structs via HOFs."""
+    out = nested.build_file_docs(_analyses_frame(spark, sf_dir))
+    return out.select(
+        "object_id", "study_id",
+        F.col("file.name").alias("name"),
+        F.col("file.index_file.object_id").alias("idx_object_id"),
+        F.element_at("repositories", 1)["code"].alias("repo_code"),
+        F.size("donors").cast("long").alias("n_donors"),
+        F.element_at("donors", 1)["donor_id"].alias("first_donor"),
+        F.aggregate(
+            "donors", F.lit(0).cast("long"),
+            lambda a, dn: a + F.aggregate(
+                dn["specimens"], F.lit(0).cast("long"),
+                lambda b, sp: b + F.size(sp["samples"]))).alias("n_samples"),
+    )
+
+
 def _q_index_file_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P4 as operators: data-file predicate then within-group
     index-file association via array HOFs (no shuffle beyond the group
@@ -415,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nested_doc_build"] = _q_nested_doc_build
     q["nested_filter"] = _q_nested_filter
     q["index_file_assoc"] = _q_index_file_assoc
+    q["file_docs_build"] = _q_file_docs_build
 
     # ---- dedup family
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(
@@ -668,6 +737,38 @@ SELECT d.object_id, d.name, i.object_id AS idx_object_id,
             WHEN CAST(d.doc_id % 8 AS INTEGER) = 0 THEN 'BAI'
             WHEN CAST(d.doc_id % 8 AS INTEGER) = 2 THEN 'TBI'
             ELSE 'CRAI' END AS idx_file_type
+FROM data d LEFT JOIN f i
+  ON i.gid = d.gid
+ AND lower(i.name) = lower(d.name || CASE CAST(d.doc_id % 8 AS INTEGER)
+       WHEN 0 THEN '.bai' WHEN 2 THEN '.tbi' WHEN 4 THEN '.crai' END)"""
+
+    # P1 doc build: every output is a pure function of gid (the fixture
+    # contract in _analyses_frame), so the oracle reconstructs the nested
+    # build's results relationally: donor count collapses to 1 exactly
+    # when the two samples share a donor (gid%3==0, since 2g≡g mod 3),
+    # first_donor is the sort-least donor id, n_samples is always 2
+    o["file_docs_build"] = """
+WITH f AS (SELECT doc_id, CAST(doc_id // 8 AS BIGINT) AS gid,
+                  'o' || CAST(doc_id AS VARCHAR) AS object_id,
+  CASE CAST(doc_id % 8 AS INTEGER)
+    WHEN 0 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.bam'
+    WHEN 1 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.bam.bai'
+    WHEN 2 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.vcf.gz'
+    WHEN 3 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.vcf.gz.tbi'
+    WHEN 4 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.cram'
+    WHEN 5 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.CRAM.CRAI'
+    WHEN 6 THEN 'r' || CAST(doc_id // 8 AS VARCHAR) || '.xml'
+    ELSE 'd' || CAST(doc_id // 8 AS VARCHAR) || '.txt' END AS name
+  FROM documents),
+data AS (SELECT * FROM f WHERE CAST(doc_id % 8 AS INTEGER) IN (0, 2, 4, 7))
+SELECT d.object_id,
+       'ST' || CAST(d.gid % 5 AS VARCHAR) AS study_id,
+       d.name,
+       i.object_id AS idx_object_id,
+       'repo' || CAST(d.gid % 4 AS VARCHAR) AS repo_code,
+       CAST(CASE WHEN d.gid % 3 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_donors,
+       'd' || CAST(least(d.gid % 3, (d.gid * 2) % 3) AS VARCHAR) AS first_donor,
+       CAST(2 AS BIGINT) AS n_samples
 FROM data d LEFT JOIN f i
   ON i.gid = d.gid
  AND lower(i.name) = lower(d.name || CASE CAST(d.doc_id % 8 AS INTEGER)

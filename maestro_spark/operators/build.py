@@ -344,6 +344,42 @@ def build_index(
             base.unpersist()
 
 
+def build_index_versioned(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    cfg: IndexConfig | None = None,
+    keep_versions: int = 2,
+    id_col: str | None = None,
+) -> dict:
+    """K4 alias-versioned build (blue/green): build into {base}/v{N+1},
+    then atomically flip {base}/alias.json — the ES index-per-version +
+    alias-swap migration contract (application.yml:59-67,
+    FileCentricElasticSearchAdapter.java:232-244). Readers that opened
+    the BASE dir keep serving the old version until the flip and pick up
+    the new one on their next query (IndexReader re-resolves the alias);
+    a reader can never observe a half-built index. Old versions beyond
+    `keep_versions` are pruned (never the current one)."""
+    import shutil
+
+    from maestro_spark.sources.tableio import (
+        list_versions,
+        next_version,
+        update_alias,
+    )
+
+    version = next_version(base_dir)
+    manifest = build_index(spark, docs, os.path.join(base_dir, version),
+                           cfg, resume=False, id_col=id_col)
+    update_alias(base_dir, version)
+    if keep_versions > 0:
+        for old in list_versions(base_dir)[:-keep_versions]:
+            if old != version:
+                shutil.rmtree(os.path.join(base_dir, old), ignore_errors=True)
+    manifest["version_dir"] = version
+    return manifest
+
+
 def _build_shards(
     spark: SparkSession,
     d: DataFrame,
@@ -476,7 +512,13 @@ def _build_shards(
         # The shuffle moves only compressed segments, and at target sizing
         # (1M-doc shards, 16 buckets) a partition file is ~50-100 MB.
         postings = postings.repartition(
-            max(len(pending), 1) * cfg.n_buckets, "shard", "term_bucket")
+            max(len(pending), 1) * cfg.n_buckets, "shard", "term_bucket"
+        # term-sorted within each (shard, bucket) file: parquet row-group
+        # min/max term stats then let the query-side term predicate skip
+        # whole row groups (matters once a bucket file spans many row
+        # groups at production shard sizes; free here — the rows are
+        # already shuffled, the sort is partition-local)
+        ).sortWithinPartitions("term")
         write_partitioned(postings, os.path.join(out_dir, "postings"),
                           ["shard", "term_bucket"], dynamic=dynamic)
         _phase("encode_merge_write", t)

@@ -39,7 +39,7 @@ from maestro_spark.functions import bm25
 from maestro_spark.functions.codec import decode_positions, decode_postings
 from maestro_spark.functions.tokenize import analyze_query, phrase_terms
 from maestro_spark.operators.build import _term_bucket
-from maestro_spark.sources.tableio import read_manifest
+from maestro_spark.sources.tableio import read_manifest, resolve_alias
 
 FIELD_OF_PREFIX = {"path:": "path", "lang:": "lang", "repo:": "repo"}
 
@@ -82,8 +82,15 @@ class IndexReader:
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
-        self.index_dir = index_dir
-        self._manifest_path = os.path.join(index_dir, "manifest.json")
+        # index_dir may be an alias BASE dir (tableio alias indirection,
+        # K4): resolve it now and re-resolve per query so an alias flip
+        # (blue/green rebuild) retargets this reader without restarts
+        self._given_dir = index_dir
+        self._bind(resolve_alias(index_dir))
+
+    def _bind(self, resolved_dir: str) -> None:
+        self.index_dir = resolved_dir
+        self._manifest_path = os.path.join(resolved_dir, "manifest.json")
         self._load_manifest()
 
     def _load_manifest(self) -> None:
@@ -99,11 +106,15 @@ class IndexReader:
 
     def _refresh_if_stale(self) -> None:
         """A reader held across an in-place incremental rebuild (the
-        streaming reindex path) must not serve stale dfs/file listings:
-        one stat call per query re-checks the manifest mtime and, on
-        change, drops every cached plan artifact (manifest, df cache,
-        cached parquet relations — their file listings are frozen at
-        first read)."""
+        streaming reindex path) or an alias flip must not serve stale
+        dfs/file listings: one stat/alias check per query; on change,
+        drop every cached plan artifact (manifest, df cache, cached
+        parquet relations — their file listings are frozen at first
+        read)."""
+        resolved = resolve_alias(self._given_dir)
+        if resolved != self.index_dir:
+            self._bind(resolved)
+            return
         if os.path.getmtime(self._manifest_path) != self._manifest_mtime:
             self._load_manifest()
 
@@ -304,14 +315,82 @@ class IndexReader:
                       prune: bool = True) -> pd.DataFrame:
         return self.search(query, k, mode, prune).toPandas()
 
+    def search_many(self, queries: dict[str, str], k: int = 10,
+                    mode: str = "or", prune: bool = True,
+                    boosts: dict[str, float] | None = None) -> DataFrame:
+        """ES _msearch analogue: score N queries in ONE Spark job.
+        Returns DataFrame(qid string, doc_id long, score double) — the
+        per-query top-k, each ordered (score desc, doc_id asc).
+
+        The posting scan covers the UNION of all queries' terms (still
+        partition-pruned + term-pushed-down); each shard then scores
+        every query against its in-memory rows, so N queries pay one
+        scan + one shuffle + one scheduling round-trip instead of N.
+        Scores are identical to N separate search() calls — the same
+        score_shard_rows runs per query."""
+        spark = self.spark
+        empty = spark.createDataFrame([], "qid string, doc_id long, score double")
+        plans = {qid: self.plan(q, boosts=boosts) for qid, q in queries.items()}
+        plans = {qid: p for qid, p in plans.items() if p.terms}
+        if not plans:
+            return empty
+        n_buckets = self.cfg["n_buckets"]
+        all_terms = sorted({t for p in plans.values() for t in p.terms})
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        payload = {qid: (p.terms, p.idfs, p.fields, p.avgdl)
+                   for qid, p in plans.items()}
+
+        def score_shard_multi(key, pdf):
+            shard = int(key[0])
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            outs = []
+            for qid, (terms, idfs, fields, avgdl) in payload.items():
+                doc_ids, scores = score_shard_rows(
+                    rows, terms, idfs, fields, avgdl, shard, shard_size,
+                    index_dir, k, mode, prune)
+                if doc_ids.size:
+                    outs.append(pd.DataFrame(
+                        {"qid": qid, "doc_id": doc_ids, "score": scores}))
+            if not outs:
+                return pd.DataFrame({"qid": pd.array([], dtype="string"),
+                                     "doc_id": pd.array([], dtype="int64"),
+                                     "score": pd.array([], dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+        local = rel.groupBy("shard").applyInPandas(
+            score_shard_multi, schema="qid string, doc_id long, score double")
+        with _no_aqe(spark):
+            rows = local.collect()
+        if not rows:
+            return empty
+        pdf = pd.DataFrame(rows, columns=["qid", "doc_id", "score"])
+        parts = []
+        for qid in sorted(queries):
+            g = pdf[pdf["qid"] == qid]
+            if not len(g):
+                continue
+            ids = g["doc_id"].to_numpy(np.int64)
+            sc = g["score"].to_numpy(np.float64)
+            order = np.lexsort((ids, -sc))[:k]
+            parts.append(pd.DataFrame(
+                {"qid": qid, "doc_id": ids[order], "score": sc[order]}))
+        return spark.createDataFrame(pd.concat(parts, ignore_index=True),
+                                     "qid string, doc_id long, score double")
+
     def search_with_docs(self, query: str, k: int = 10, mode: str = "or",
-                         display_cols: tuple = ("repo", "path", "lang")) -> DataFrame:
+                         display_cols: tuple = ("repo", "path", "lang"),
+                         boosts: dict[str, float] | None = None,
+                         doc_filter=None) -> DataFrame:
         """Top-k joined back to the docstore for display fields (the
         Arranger-style result page, SURVEY.md §3.4 last step). The join
         side is k rows → broadcast; the docstore scan prunes to the display
         columns + doc_id and, being shard-partitioned, is partition-pruned
         when the hits cluster in few shards."""
-        hits = self.search(query, k, mode)
+        hits = self.search(query, k, mode, boosts=boosts, doc_filter=doc_filter)
         docs = self._docs().select("doc_id", *display_cols)
         return (
             docs.join(F.broadcast(hits), "doc_id")
@@ -421,17 +500,25 @@ def _phrase_match(rows: dict[str, dict], seq: list[str]
     keys proposed by ALL terms — a k-way sorted intersection (np.isin on
     unique keys). Returns (doc_ids, tf_phrase) for docs with ≥1 occurrence.
     """
-    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    # doc-id intersection FIRST, rarest term first (fastest shrink, and a
+    # deterministic iteration order); positions are only decoded once the
+    # intersection is known non-empty — an absent-phrase query with one
+    # rare term never pays the common terms' position decode
+    uniq_terms = sorted(set(seq), key=lambda t: (rows[t]["df"], t))
+    doc_lists: dict[str, np.ndarray] = {}
     inter: np.ndarray | None = None
-    for t in set(seq):
+    for t in uniq_terms:
         pl = decode_postings(rows[t])
-        pos, tfs = decode_positions(rows[t])
-        offsets = np.concatenate(([0], np.cumsum(tfs)))
-        decoded[t] = (pl.doc_ids, pos, offsets)
+        doc_lists[t] = pl.doc_ids
         inter = pl.doc_ids if inter is None else inter[
             np.isin(inter, pl.doc_ids, assume_unique=True)]
         if inter.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for t in uniq_terms:
+        pos, tfs = decode_positions(rows[t])
+        offsets = np.concatenate(([0], np.cumsum(tfs)))
+        decoded[t] = (doc_lists[t], pos, offsets)
 
     m = np.int64(1 << _PHRASE_KEY_BITS)
     shift = len(seq)

@@ -72,3 +72,45 @@ def read_manifest(path: str) -> dict | None:
         return None
     with open(path) as f:
         return json.load(f)
+
+
+# ---- alias indirection (K4): versioned index dirs + atomic alias flip --
+# The reference versions its ES indexes and migrates by repointing an
+# alias (application.yml:59-67; FileCentricElasticSearchAdapter.java:
+# 232-244; docs/usage/03-index-mappings.md). Here: {base}/v{N} dirs and
+# an atomically-replaced {base}/alias.json pointer — readers opening via
+# the alias can never observe a half-built index, and an in-place
+# rebuild can run blue/green instead of mutating the serving version.
+
+ALIAS_FILE = "alias.json"
+
+
+def resolve_alias(path: str) -> str:
+    """If `path` holds an alias.json, return the aliased version dir;
+    otherwise return `path` unchanged (plain unversioned index)."""
+    alias = os.path.join(path, ALIAS_FILE)
+    if os.path.exists(alias):
+        with open(alias) as f:
+            return os.path.join(path, json.load(f)["current"])
+    return path
+
+
+def update_alias(base_dir: str, version: str) -> None:
+    """Atomically repoint {base}/alias.json at `version` (tmp + rename —
+    the alias-swap is the only publication step, like ES's atomic alias
+    actions)."""
+    write_manifest(os.path.join(base_dir, ALIAS_FILE), {"current": version})
+
+
+def list_versions(base_dir: str) -> list[str]:
+    if not os.path.isdir(base_dir):
+        return []
+    return sorted(
+        (d for d in os.listdir(base_dir)
+         if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]))
+
+
+def next_version(base_dir: str) -> str:
+    vs = list_versions(base_dir)
+    return f"v{int(vs[-1][1:]) + 1}" if vs else "v1"

@@ -92,6 +92,51 @@ def test_incremental_shard_locality(spark, tmp_path):
     assert m6["max_doc_id"] == 200
 
 
+def test_incremental_converges_to_batch(spark, tmp_path):
+    """Applying a change batch incrementally yields an index whose search
+    results are IDENTICAL (by doc key, bit-identical scores) to a fresh
+    batch build of the final corpus — doc ids may differ (high-water vs
+    dense), relevance must not: BM25 depends only on global stats and
+    per-doc tf/dl, which both paths derive from the same final corpus."""
+    idx_inc = str(tmp_path / "inc")
+    idx_batch = str(tmp_path / "batch")
+    base = synth_docs(spark, 120, seed=5, partitions=2)
+    build_index(spark, base, idx_inc, CFG)
+    rows = base.collect()
+    mods = [(r["repo"], r["path"], r["commit"], r["lang"],
+             r["content"] + " convmarker") for r in rows[3:8]]
+    news = [("aaa/n%d" % i, "p%d.py" % i, "c0", "py",
+             "brandnew doc %d convmarker" % i) for i in range(6)]
+    dels = [(r["repo"], r["path"], r["commit"]) for r in rows[50:57]]
+    incremental_update(
+        spark, idx_inc,
+        spark.createDataFrame(mods + news, DOC_SCHEMA),
+        spark.createDataFrame(dels, "repo string, path string, commit string"),
+        CFG)
+
+    del_keys = set(dels)
+    mod_by_key = {(m[0], m[1], m[2]): m[4] for m in mods}
+    final = [(r["repo"], r["path"], r["commit"], r["lang"],
+              mod_by_key.get((r["repo"], r["path"], r["commit"]), r["content"]))
+             for r in rows
+             if (r["repo"], r["path"], r["commit"]) not in del_keys] + news
+    build_index(spark, spark.createDataFrame(final, DOC_SCHEMA), idx_batch, CFG)
+
+    ra, rb = IndexReader(spark, idx_inc), IndexReader(spark, idx_batch)
+    assert ra.manifest["n_docs"] == rb.manifest["n_docs"] == len(final)
+    for q in ["convmarker", "brandnew doc", "return value"]:
+        def keyed(reader, idx_dir):
+            hits = reader.search(q, k=200)
+            docs = spark.read.parquet(os.path.join(idx_dir, "docs")).select(
+                "doc_id", "repo", "path", "commit")
+            return {
+                (r["repo"], r["path"], r["commit"]): r["score"]
+                for r in docs.join(hits, "doc_id").collect()
+            }
+        a, b = keyed(ra, idx_inc), keyed(rb, idx_batch)
+        assert a == b, f"query {q!r}: incremental != batch"
+
+
 def test_seq_tie_resolves_to_delete(spark, tmp_path):
     idx = str(tmp_path / "idx")
     base = synth_docs(spark, 60, seed=11, partitions=2)
@@ -108,6 +153,41 @@ def test_seq_tie_resolves_to_delete(spark, tmp_path):
     m = sc.apply_command_batch(spark, batch, idx, CFG)
     assert m["n_docs"] == 59  # delete won the tie
     assert IndexReader(spark, idx).search_pandas("tiebreakmarker", k=3).empty
+
+
+def test_alias_versioned_build_blue_green(spark, tmp_path):
+    """K4 alias indirection: builds land in {base}/v{N}, an atomic alias
+    flip publishes them, a live reader retargets on its next query, and
+    old versions are pruned beyond keep_versions."""
+    import os as _os
+
+    from maestro_spark.operators.build import build_index_versioned
+    from maestro_spark.sources.tableio import list_versions, resolve_alias
+
+    base = str(tmp_path / "aliased")
+    d1 = spark.createDataFrame(
+        [("r", "a.py", "c0", "py", "blue marker one")], DOC_SCHEMA)
+    m1 = build_index_versioned(spark, d1, base, CFG, keep_versions=2)
+    assert m1["version_dir"] == "v1"
+    reader = IndexReader(spark, base)
+    assert list(reader.search_pandas("blue", k=5)["doc_id"]) == [0]
+
+    d2 = spark.createDataFrame(
+        [("r", "a.py", "c0", "py", "green marker two"),
+         ("r", "b.py", "c0", "py", "green second doc")], DOC_SCHEMA)
+    m2 = build_index_versioned(spark, d2, base, CFG, keep_versions=2)
+    assert m2["version_dir"] == "v2"
+    assert resolve_alias(base).endswith("v2")
+    # the SAME reader serves the new version after the flip — no restart
+    assert reader.search_pandas("blue", k=5).empty
+    assert len(reader.search_pandas("green", k=5)) == 2
+    # v1 retained at keep_versions=2, pruned by the third build
+    assert list_versions(base) == ["v1", "v2"]
+    m3 = build_index_versioned(spark, d1, base, CFG, keep_versions=2)
+    assert m3["version_dir"] == "v3"
+    assert list_versions(base) == ["v2", "v3"]
+    assert not _os.path.exists(_os.path.join(base, "v1"))
+    assert len(reader.search_pandas("blue", k=5)) == 1
 
 
 def test_kafka_parse_and_route(spark, tmp_path):

@@ -193,6 +193,29 @@ def test_search_doc_filter_exact(spark, tmp_path):
                                   check_exact=True)
 
 
+def test_search_many_matches_single(spark, tmp_path):
+    """search_many (msearch, one Spark job) returns EXACTLY what N
+    separate search() calls return — same docs, bit-identical scores."""
+    idx = str(tmp_path / "idxm")
+    rows = [("r0", "p%d" % i, "c0", "py",
+             " ".join(["alpha"] * (i % 3 + 1) + ["beta"] * (i % 5)
+                      + ["gamma", "delta"][: i % 2 + 1]))
+            for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    cfg = IndexConfig(shard_size=40, n_buckets=4, n_salts=2, sample_fraction=1.0)
+    build_index(spark, docs, idx, cfg)
+    reader = IndexReader(spark, idx)
+    queries = {"q1": "alpha beta", "q2": "gamma delta", "q3": "beta",
+               "q4": "zzz_absent"}
+    many = reader.search_many(queries, k=7).toPandas()
+    for qid, q in queries.items():
+        single = reader.search(q, k=7).toPandas().reset_index(drop=True)
+        got = many[many["qid"] == qid][["doc_id", "score"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, single, check_exact=True)
+    assert set(many["qid"]) == {"q1", "q2", "q3"}  # q4 has no hits
+
+
 def test_search_boosts_rank_identical(spark, tmp_path):
     """BM25F boosts == brute-force per-field weighted sum (rank-identical
     on exact float64 scores)."""
