@@ -410,6 +410,21 @@ def _q_file_docs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_analysis_docs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 end-to-end under oracle check: one nested doc per analysis with
+    its data files[] array and donor tree."""
+    out = nested.build_analysis_docs(_analyses_frame(spark, sf_dir))
+    return out.select(
+        "analysis_id", "study_id",
+        F.size("files").cast("long").alias("n_data_files"),
+        F.element_at("files", 1)["object_id"].alias("first_file"),
+        F.size("donors").cast("long").alias("n_donors"),
+        F.aggregate(
+            "donors", F.lit(0).cast("long"),
+            lambda a, dn: a + F.size(dn["specimens"])).alias("n_specimens"),
+    )
+
+
 def _q_index_file_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P4 as operators: data-file predicate then within-group
     index-file association via array HOFs (no shuffle beyond the group
@@ -484,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nested_filter"] = _q_nested_filter
     q["index_file_assoc"] = _q_index_file_assoc
     q["file_docs_build"] = _q_file_docs_build
+    q["analysis_docs_build"] = _q_analysis_docs_build
 
     # ---- dedup family
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(
@@ -741,6 +757,31 @@ FROM data d LEFT JOIN f i
   ON i.gid = d.gid
  AND lower(i.name) = lower(d.name || CASE CAST(d.doc_id % 8 AS INTEGER)
        WHEN 0 THEN '.bai' WHEN 2 THEN '.tbi' WHEN 4 THEN '.crai' END)"""
+
+
+    o["analysis_docs_build"] = """
+WITH f AS (SELECT doc_id, CAST(doc_id // 8 AS BIGINT) AS gid,
+                  'o' || CAST(doc_id AS VARCHAR) AS object_id,
+  CASE CAST(doc_id % 8 AS INTEGER)
+    WHEN 0 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.bam'
+    WHEN 1 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.bam.bai'
+    WHEN 2 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.vcf.gz'
+    WHEN 3 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.vcf.gz.tbi'
+    WHEN 4 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.cram'
+    WHEN 5 THEN 'f' || CAST(doc_id // 8 AS VARCHAR) || '.CRAM.CRAI'
+    WHEN 6 THEN 'r' || CAST(doc_id // 8 AS VARCHAR) || '.xml'
+    ELSE 'd' || CAST(doc_id // 8 AS VARCHAR) || '.txt' END AS name
+  FROM documents),
+data AS (SELECT * FROM f WHERE CAST(doc_id % 8 AS INTEGER) IN (0, 2, 4, 7)),
+agg AS (SELECT gid, count(*) AS n_data_files, min(object_id) AS first_file
+        FROM data GROUP BY gid)
+SELECT 'an' || CAST(gid AS VARCHAR) AS analysis_id,
+       'ST' || CAST(gid % 5 AS VARCHAR) AS study_id,
+       CAST(n_data_files AS BIGINT) AS n_data_files,
+       first_file,
+       CAST(CASE WHEN gid % 3 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_donors,
+       CAST(2 AS BIGINT) AS n_specimens
+FROM agg"""
 
     # P1 doc build: every output is a pure function of gid (the fixture
     # contract in _analyses_frame), so the oracle reconstructs the nested

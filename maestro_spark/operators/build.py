@@ -491,9 +491,20 @@ def _build_shards(
         doclens = (
             tokens.groupBy("shard", "doc_id", "field").agg(F.first("dl").alias("dl"))
             .repartition(max(len(pending), 1), "shard")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         write_partitioned(doclens, os.path.join(out_dir, "doclens"), ["shard"],
                           dynamic=dynamic)
+        # per-shard per-field (n_docs, Σdl) — stored in the manifest so
+        # global BM25 stats fold driver-side from shard entries instead of
+        # re-scanning the corpus-sized doclens table on every (incremental)
+        # build; the agg reads the frame just written, still cached
+        field_sums: dict[int, dict[str, list[int]]] = {}
+        for r in doclens.groupBy("shard", "field").agg(
+                F.count("*").alias("n"), F.sum("dl").alias("dl")).collect():
+            field_sums.setdefault(int(r["shard"]), {})[r["field"]] = [
+                int(r["n"]), int(r["dl"])]
+        doclens.unpersist()
         _phase("tokenize_doclens", t)
 
         t = time.time()
@@ -553,6 +564,7 @@ def _build_shards(
                 "bytes": int(m["bytes"]) if m else 0,
                 "max_merge_fanin": int(m["max_merge_fanin"]) if m else 0,
                 "n_merged_terms": int(m["n_merged_terms"]) if m else 0,
+                "fields": field_sums.get(s, {}),
             }
         _phase("metrics", t)
         # hot-term bookkeeping: an incremental build detects hotness only
@@ -586,20 +598,41 @@ def _build_shards(
                           ["term_bucket"])
         _phase("termdict", t)
 
-    # global stats from doclens (tiny agg)
-    stats_rows = (
-        spark.read.parquet(os.path.join(out_dir, "doclens"))
-        .groupBy("field")
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("total_dl"))
-        .collect()
-    )
-    manifest["stats"] = {
-        "n_docs": n_docs,
-        "fields": {
-            r["field"]: {"n_docs": int(r["n"]), "avgdl": float(r["total_dl"]) / max(int(r["n"]), 1)}
-            for r in stats_rows
-        },
-    }
+    # global BM25 stats: fold the per-shard (n, Σdl) field sums carried in
+    # the manifest entries — pure driver arithmetic, NO corpus scan. Only
+    # indexes written before these sums existed fall back to the doclens
+    # aggregation (one column-pruned scan, then the next build records
+    # the sums and the fallback never runs again).
+    entries = manifest["shards"].values()
+    if entries and all("fields" in e for e in entries):
+        acc: dict[str, list[int]] = {}
+        for e in entries:
+            for fname, (n, dl) in e["fields"].items():
+                a = acc.setdefault(fname, [0, 0])
+                a[0] += int(n)
+                a[1] += int(dl)
+        manifest["stats"] = {
+            "n_docs": n_docs,
+            "fields": {
+                fname: {"n_docs": n, "avgdl": float(dl) / max(n, 1)}
+                for fname, (n, dl) in acc.items()
+            },
+        }
+    else:
+        stats_rows = (
+            spark.read.parquet(os.path.join(out_dir, "doclens"))
+            .groupBy("field")
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("total_dl"))
+            .collect()
+        )
+        manifest["stats"] = {
+            "n_docs": n_docs,
+            "fields": {
+                r["field"]: {"n_docs": int(r["n"]),
+                             "avgdl": float(r["total_dl"]) / max(int(r["n"]), 1)}
+                for r in stats_rows
+            },
+        }
     manifest["skipped_shards"] = sorted(done_shards | set(keep))
     manifest["max_doc_id"] = max_doc_id
     manifest["phase_ms"] = phase_ms
