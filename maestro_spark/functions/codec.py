@@ -175,6 +175,120 @@ def encode_postings(
     }
 
 
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    run_starts: np.ndarray,
+    block: int = BLOCK,
+    positions: np.ndarray | None = None,
+) -> dict:
+    """Encode MANY posting lists in one vectorized pass.
+
+    The flat arrays hold all runs back-to-back; run_starts marks where each
+    posting list begins (ascending, first 0). Output is byte-identical to
+    calling encode_postings on each run: the varint streams, blocking, and
+    per-block metadata all reset at run boundaries. One varint encode +
+    one length scan covers the whole partition, so per-run Python cost
+    drops to two byte-slices — the encoder's throughput no longer depends
+    on how many terms a partition holds, only on how many postings.
+
+    Returns dict of per-run sequences, aligned with run_starts:
+      df            int64 array (run sizes)
+      doc_bytes / tf_bytes [/ pos_bytes]   list[bytes]
+      block_last_doc / block_max_tf / block_min_dl / block_doc_off /
+      block_tf_off [/ block_pos_off]       list[np.ndarray int64]
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    run_starts = np.ascontiguousarray(run_starts, dtype=np.int64)
+    n = doc_ids.size
+    n_runs = run_starts.size
+    if n == 0 or n_runs == 0:
+        return {"df": np.empty(0, np.int64), "doc_bytes": [], "tf_bytes": [],
+                "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
+                "block_doc_off": [], "block_tf_off": [],
+                "pos_bytes": [], "block_pos_off": []}
+    run_ends = np.concatenate((run_starts[1:], [n]))
+    sizes = run_ends - run_starts
+    if (doc_ids < 0).any():
+        raise ValueError("doc_ids must be non-negative")
+    is_start = np.zeros(n, dtype=bool)
+    is_start[run_starts] = True
+    if n > 1 and not ((doc_ids[1:] > doc_ids[:-1]) | is_start[1:]).all():
+        raise ValueError("encode_postings requires strictly ascending doc_ids")
+
+    # global block-start index: every run restarts blocking at its first
+    # posting; blocks tile each run in `block`-sized strides
+    nb_run = (sizes + block - 1) // block                  # blocks per run
+    total_blocks = int(nb_run.sum())
+    blk_run = np.repeat(np.arange(n_runs, dtype=np.int64), nb_run)
+    blk_cum = np.concatenate(([0], np.cumsum(nb_run)))
+    within = np.arange(total_blocks, dtype=np.int64) - blk_cum[blk_run]
+    blk_first = run_starts[blk_run] + within * block
+    blk_end = np.minimum(blk_first + block, run_ends[blk_run])  # exclusive
+
+    # gap transform, absolute at every block start (run starts included)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[blk_first] = doc_ids[blk_first]
+
+    doc_all = varint_encode(deltas)
+    tf_all = varint_encode(tfs)
+    doc_cum = np.concatenate(([0], np.cumsum(_varint_lengths(deltas))))
+    tf_cum = np.concatenate(([0], np.cumsum(_varint_lengths(tfs))))
+
+    block_last_doc = doc_ids[blk_end - 1]
+    block_max_tf = np.maximum.reduceat(tfs, blk_first)
+    block_min_dl = np.minimum.reduceat(dls, blk_first)
+    # per-block byte offsets RELATIVE to the block's run byte start
+    blk_doc_off = doc_cum[blk_first] - doc_cum[run_starts[blk_run]]
+    blk_tf_off = tf_cum[blk_first] - tf_cum[run_starts[blk_run]]
+
+    splits = blk_cum[1:-1]
+    out = {
+        "df": sizes,
+        "block_last_doc": np.split(block_last_doc, splits),
+        "block_max_tf": np.split(block_max_tf, splits),
+        "block_min_dl": np.split(block_min_dl, splits),
+        "block_doc_off": np.split(blk_doc_off, splits),
+        "block_tf_off": np.split(blk_tf_off, splits),
+    }
+    dmv, tmv = memoryview(doc_all), memoryview(tf_all)
+    out["doc_bytes"] = [bytes(dmv[doc_cum[a]:doc_cum[b]])
+                        for a, b in zip(run_starts, run_ends)]
+    out["tf_bytes"] = [bytes(tmv[tf_cum[a]:tf_cum[b]])
+                       for a, b in zip(run_starts, run_ends)]
+
+    if positions is None:
+        out["pos_bytes"] = [b""] * n_runs
+        out["block_pos_off"] = [np.empty(0, np.int64)] * n_runs
+        return out
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    if positions.size != int(tfs.sum()):
+        raise ValueError("positions length must equal sum(tfs)")
+    # first-position index of each posting (document); every document's
+    # first position is stored absolute, so runs can't contaminate
+    doc_pos_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    pdeltas = np.empty(positions.size, dtype=np.int64)
+    if positions.size:
+        pdeltas[0] = positions[0]
+        pdeltas[1:] = positions[1:] - positions[:-1]
+        pdeltas[doc_pos_starts] = positions[doc_pos_starts]
+    pos_all = varint_encode(pdeltas)
+    pos_cum = np.concatenate(([0], np.cumsum(_varint_lengths(pdeltas))))
+    run_pos_byte = pos_cum[doc_pos_starts[run_starts]]
+    run_pos_end = np.concatenate((run_pos_byte[1:], [len(pos_all)]))
+    pmv = memoryview(pos_all)
+    out["pos_bytes"] = [bytes(pmv[a:b])
+                        for a, b in zip(run_pos_byte, run_pos_end)]
+    out["block_pos_off"] = np.split(
+        pos_cum[doc_pos_starts[blk_first]] - run_pos_byte[blk_run], splits)
+    return out
+
+
 def _varint_lengths(values: np.ndarray) -> np.ndarray:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     nb = np.ones(v.size, dtype=np.int64)

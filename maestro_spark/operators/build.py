@@ -45,7 +45,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maestro_spark.functions.codec import encode_postings, merge_segments
+from maestro_spark.functions.codec import encode_postings_batch, merge_segments
 from maestro_spark.functions.tokenize import doc_terms
 from maestro_spark.operators.docids import assign_doc_ids
 from maestro_spark.sources.tableio import (
@@ -205,39 +205,46 @@ def encode_tokens(tokens: DataFrame, hot_terms: list[str], cfg: IndexConfig) -> 
 
 
 def _encode_runs(pdf: pd.DataFrame, starts: np.ndarray, n_buckets: int) -> pd.DataFrame | None:
-    """Encode each (shard, term, salt) run in pdf. starts = run start
-    offsets (ascending, first is 0)."""
+    """Encode each (shard, term, salt) run in pdf with ONE vectorized pass
+    over the whole batch (codec.encode_postings_batch): per-run Python work
+    is just byte slicing, so throughput depends on posting count, not on
+    how many distinct terms the partition holds. starts = run start offsets
+    (ascending, first is 0)."""
     if not len(pdf):
         return None
-    ends = np.concatenate((starts[1:], [len(pdf)]))
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
     doc = pdf["doc_id"].to_numpy(np.int64)
     tf = pdf["tf"].to_numpy(np.int64)
     dl = pdf["dl"].to_numpy(np.int64)
     terms = pdf["term"].to_numpy()
     shards = pdf["shard"].to_numpy()
     salts = pdf["salt"].to_numpy()
-    pos_lists = pdf["positions"].to_numpy() if "positions" in pdf.columns else None
-    rows = []
-    for a, b in zip(starts, ends):
-        if pos_lists is not None:
-            flat_pos = (np.concatenate([np.asarray(p, dtype=np.int64)
-                                        for p in pos_lists[a:b]])
-                        if b > a else np.empty(0, np.int64))
-        else:
-            flat_pos = None
-        enc = encode_postings(doc[a:b], tf[a:b], dl[a:b], positions=flat_pos)
-        term = terms[a]
-        rows.append((
-            int(shards[a]), _term_bucket(term, n_buckets), term, int(salts[a]),
-            enc["df"], enc["doc_bytes"], enc["tf_bytes"], enc["block_last_doc"],
-            enc["block_max_tf"], enc["block_min_dl"], enc["block_doc_off"],
-            enc["block_tf_off"], enc["pos_bytes"], enc["block_pos_off"],
-        ))
-    return pd.DataFrame(rows, columns=[
-        "shard", "term_bucket", "term", "salt", "df", "doc_bytes", "tf_bytes",
-        "block_last_doc", "block_max_tf", "block_min_dl", "block_doc_off",
-        "block_tf_off", "pos_bytes", "block_pos_off",
-    ])
+    if "positions" in pdf.columns:
+        flat_pos = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"].to_numpy()]
+        ) if len(pdf) else np.empty(0, np.int64)
+    else:
+        flat_pos = None
+    enc = encode_postings_batch(doc, tf, dl, starts, positions=flat_pos)
+    run_terms = terms[starts]
+    return pd.DataFrame({
+        "shard": shards[starts].astype(np.int64),
+        "term_bucket": np.fromiter(
+            (_term_bucket(t, n_buckets) for t in run_terms),
+            dtype=np.int64, count=starts.size),
+        "term": run_terms,
+        "salt": salts[starts].astype(np.int64),
+        "df": enc["df"],
+        "doc_bytes": enc["doc_bytes"],
+        "tf_bytes": enc["tf_bytes"],
+        "block_last_doc": enc["block_last_doc"],
+        "block_max_tf": enc["block_max_tf"],
+        "block_min_dl": enc["block_min_dl"],
+        "block_doc_off": enc["block_doc_off"],
+        "block_tf_off": enc["block_tf_off"],
+        "pos_bytes": enc["pos_bytes"],
+        "block_pos_off": enc["block_pos_off"],
+    })
 
 
 def _term_bucket(term: str, n_buckets: int) -> int:

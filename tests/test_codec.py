@@ -105,3 +105,72 @@ def test_merge_segments_equals_single_encode():
     # block-subset decode still works on merged lists
     sub = decode_postings(merged, block_idx=np.array([2]))
     assert sub.doc_ids.size > 0
+
+
+# ----------------------------------------------------- batch encoder parity
+
+def _random_runs(rng, n_runs, with_pos, max_docs=5000):
+    """Flat (doc, tf, dl, positions, run_starts) with per-run sorted docs."""
+    sizes = rng.integers(1, 200, n_runs)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64)
+    docs = np.concatenate([
+        np.sort(rng.choice(max_docs, s, replace=False)) for s in sizes
+    ]).astype(np.int64)
+    tfs = rng.integers(1, 30, int(sizes.sum())).astype(np.int64)
+    dls = rng.integers(1, 4000, int(sizes.sum())).astype(np.int64)
+    pos = None
+    if with_pos:
+        # ascending positions per posting document
+        pos = np.concatenate([
+            np.sort(rng.choice(10000, t, replace=False)) for t in tfs
+        ]).astype(np.int64)
+    return docs, tfs, dls, pos, starts, sizes
+
+
+@pytest.mark.parametrize("with_pos", [False, True])
+@pytest.mark.parametrize("block", [8, BLOCK])
+def test_batch_encode_matches_per_run(with_pos, block):
+    from maestro_spark.functions.codec import encode_postings_batch
+
+    rng = np.random.default_rng(7)
+    docs, tfs, dls, pos, starts, sizes = _random_runs(rng, 37, with_pos)
+    out = encode_postings_batch(docs, tfs, dls, starts, block=block,
+                                positions=pos)
+    ends = np.concatenate((starts[1:], [docs.size]))
+    pcum = np.concatenate(([0], np.cumsum(tfs)))
+    for r, (a, b) in enumerate(zip(starts, ends)):
+        p = pos[pcum[a]:pcum[b]] if with_pos else None
+        ref = encode_postings(docs[a:b], tfs[a:b], dls[a:b], block=block,
+                              positions=p)
+        assert int(out["df"][r]) == ref["df"]
+        assert out["doc_bytes"][r] == ref["doc_bytes"]
+        assert out["tf_bytes"][r] == ref["tf_bytes"]
+        assert out["pos_bytes"][r] == ref["pos_bytes"]
+        for k in ("block_last_doc", "block_max_tf", "block_min_dl",
+                  "block_doc_off", "block_tf_off", "block_pos_off"):
+            assert list(out[k][r]) == list(ref[k]), (r, k)
+
+
+def test_batch_encode_single_and_empty():
+    from maestro_spark.functions.codec import encode_postings_batch
+
+    out = encode_postings_batch(np.empty(0, np.int64), np.empty(0, np.int64),
+                                np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(out["doc_bytes"]) == 0 and out["df"].size == 0
+    one = encode_postings_batch(np.array([5]), np.array([2]), np.array([9]),
+                                np.array([0]))
+    ref = encode_postings(np.array([5]), np.array([2]), np.array([9]))
+    assert one["doc_bytes"][0] == ref["doc_bytes"]
+    assert int(one["df"][0]) == 1
+
+
+def test_batch_encode_rejects_unsorted_within_run():
+    from maestro_spark.functions.codec import encode_postings_batch
+
+    with pytest.raises(ValueError):
+        encode_postings_batch(np.array([1, 3, 2]), np.ones(3, np.int64),
+                              np.ones(3, np.int64), np.array([0]))
+    # descending ACROSS a run boundary is fine (runs are independent)
+    out = encode_postings_batch(np.array([5, 9, 2, 4]), np.ones(4, np.int64),
+                                np.ones(4, np.int64), np.array([0, 2]))
+    assert int(out["df"][0]) == 2 and int(out["df"][1]) == 2
