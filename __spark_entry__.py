@@ -522,6 +522,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_join"] = _q_knn_join
     q["ann_sign_bucket"] = _q_ann_sign_bucket
 
+    def _q_ann_ivf_pq(s: SparkSession, d: str) -> DataFrame:
+        """IVF-PQ ADC search (no oracle_sql: PQ scores are approximate by
+        construction and not SQL-expressible — rows-only check; exactness
+        is covered by the planted-neighbor recall pytest)."""
+        e = _t(s, d, "embeddings")
+        qv = [float(x) for x in
+              e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        cents = similarity.fit_ivf_centroids(e, n_centroids=16, iters=4, seed=42)
+        books = similarity.fit_pq_codebooks(e, cents, n_subvectors=8,
+                                            n_codes=32, seed=42)
+        enc = similarity.pq_encode(similarity.ivf_assign(e, cents), cents, books)
+        return similarity.ann_ivf_pq_topk(enc, qv, cents, books, k=10,
+                                          n_probe=4, exclude_id=0)
+
+    q["ann_ivf_pq"] = _q_ann_ivf_pq
+
     # ---- text analysis
     q["lang_id"] = lambda s, d: textstats.marker_lang_id(
         _t(s, d, "documents"), _MARKERS, "text", "doc_id")

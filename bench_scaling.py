@@ -63,22 +63,27 @@ def run_one(n_docs: int, cores: int) -> dict:
     return json.loads(p.stdout.strip().splitlines()[-1])
 
 
-def run_best(n_docs: int, cores: int, repeats: int) -> tuple[dict, list]:
-    """Best-of-N wall clock. The sandbox VM's delivered CPU fluctuates
-    (noisy neighbors: identical runs vary ~2×), so a single sample
-    measures the neighbor, not the engine; best-of-N at each level is the
-    standard remedy and all samples are reported for honesty."""
-    runs = [run_one(n_docs, cores) for _ in range(repeats)]
-    best = max(runs, key=lambda r: r["docs_per_sec"])
-    return best, [r["docs_per_sec"] for r in runs]
+def run_best(n_docs: int, n: int, repeats: int) -> tuple[dict, list, dict, list]:
+    """Best-of-N wall clock, levels INTERLEAVED (lo,hi,lo,hi,…) so both
+    see the same distribution of VM weather. The sandbox VM's delivered
+    CPU fluctuates (noisy neighbors: identical runs vary ~2×), so a
+    single sample measures the neighbor, not the engine; best-of-N at
+    each level is the standard remedy and all samples are reported."""
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run_one(n_docs, n))
+        hi_runs.append(run_one(n_docs, 4 * n))
+    lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
+    return (lo, [r["docs_per_sec"] for r in lo_runs],
+            hi, [r["docs_per_sec"] for r in hi_runs])
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    lo, lo_all = run_best(n_docs, n, repeats)
-    hi, hi_all = run_best(n_docs, 4 * n, repeats)
+    lo, lo_all, hi, hi_all = run_best(n_docs, n, repeats)
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     result = {
@@ -120,8 +125,17 @@ Phase breakdown (ms):
 
 Run: `python bench_scaling.py {n_docs} {n}` — emits this file + one JSON line.
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
-        f.write(md)
+    # regenerate only the auto-written header block; hand-written analysis
+    # sections (everything from the first "## " heading on) are preserved
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
+    with open(bench_path, "w") as f:
+        f.write(md + tail)
     print(json.dumps(result))
 
 

@@ -228,6 +228,128 @@ def ann_ivf_topk(emb_assigned: DataFrame, query_vec: list[float],
     return brute_force_topk(d, query_vec, k, id_col, vec_col, exclude_id)
 
 
+# ----------------------------------------------------------------- IVF-PQ
+
+def fit_pq_codebooks(emb: DataFrame, centroids: np.ndarray,
+                     n_subvectors: int = 8, n_codes: int = 16,
+                     iters: int = 8, sample: int = 10_000, seed: int = 42,
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks on IVF RESIDUALS (Jégou et al.
+    2011, public): sample driver-side, normalize, assign to the coarse
+    centroid, split the residual v − c into n_subvectors contiguous
+    sub-vectors, k-means each independently. Returns codebooks of shape
+    (n_subvectors, n_codes, dim // n_subvectors). Deterministic (seeded).
+
+    Training is always a sample-fit (like fit_ivf_centroids); only the
+    cheap encode pass touches the full corpus."""
+    n = emb.count()
+    frac = min(1.0, sample / max(n, 1))
+    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    resid = x - c[np.argmax(x @ c.T, axis=1)]
+    dim = x.shape[1]
+    if dim % n_subvectors:
+        raise ValueError(f"dim {dim} not divisible by n_subvectors {n_subvectors}")
+    sub = dim // n_subvectors
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subvectors, n_codes, sub), dtype=np.float64)
+    for m in range(n_subvectors):
+        xm = resid[:, m * sub:(m + 1) * sub]
+        k = min(n_codes, len(xm))
+        cb = xm[rng.choice(len(xm), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((xm[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    cb[j] = xm[mask].mean(axis=0)
+        if k < n_codes:  # degenerate tiny sample: pad with repeats
+            cb = np.concatenate([cb, np.repeat(cb[:1], n_codes - k, axis=0)])
+        books[m] = cb
+    return books
+
+
+def pq_encode(emb_assigned: DataFrame, centroids: np.ndarray,
+              codebooks: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector's IVF residual as n_subvectors uint8 codes packed
+    into a BINARY column — dim·4 bytes shrink to n_subvectors bytes (e.g.
+    32× at dim=64, M=8). Narrow Arrow-batched map, no shuffle; `centroid`
+    stays as the cell/partition key, the raw vector column is DROPPED —
+    that is the point at 100 TB (cells hold codes, not vectors).
+
+    Output: (id, centroid, codes binary)."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    books = codebooks.astype(np.float64)
+    n_sub, n_codes, sub = books.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cells = pdf["centroid"].to_numpy()
+            resid = m - c[cells]
+            codes = np.empty((len(m), n_sub), dtype=np.uint8)
+            for s in range(n_sub):
+                r = resid[:, s * sub:(s + 1) * sub]
+                # ||r - cb||² argmin == argmax (r·cb - ||cb||²/2)
+                scores = r @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)
+                codes[:, s] = np.argmax(scores, axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid": cells,
+                "codes": [row.tobytes() for row in codes],
+            })
+
+    return emb_assigned.select(id_col, "centroid", vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, centroid int, codes binary")
+
+
+def ann_ivf_pq_topk(encoded: DataFrame, query_vec: list[float],
+                    centroids: np.ndarray, codebooks: np.ndarray,
+                    k: int = 10, n_probe: int = 2,
+                    id_col: str = "vec_id",
+                    exclude_id: int | None = None) -> DataFrame:
+    """IVF-PQ asymmetric-distance search: probe the n_probe nearest cells,
+    score every member from its codes with a per-query lookup table —
+    q·v ≈ q·c_cell + Σ_m LUT[m, code_m] where LUT[m, j] = q_m · codebook[m, j].
+    The LUT (n_subvectors × n_codes floats) broadcasts with the closure;
+    scoring a cell is one uint8 gather + sum per member — no vectors are
+    read at all. Exactness caveat is inherent to PQ: scores are
+    approximations; recall is tested against the brute-force oracle, and a
+    production flow re-ranks the top candidates with stored vectors."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(c @ q))[:n_probe]
+    n_sub, n_codes, sub = codebooks.shape
+    lut = np.einsum("mjs,ms->mj", codebooks,
+                    q.reshape(n_sub, sub)).astype(np.float64)
+    qc = (c @ q).astype(np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8).reshape(-1, n_sub)
+            approx = qc[pdf["centroid"].to_numpy()] + \
+                lut[np.arange(n_sub)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "score": np.round(approx, 6)})
+
+    d = encoded.where(F.col("centroid").isin([int(p) for p in probe]))
+    if exclude_id is not None:
+        d = d.where(F.col(id_col) != exclude_id)
+    out = d.mapInPandas(score, schema=f"{id_col} long, score double")
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 # ------------------------------------------------------- embedding near-dup
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,

@@ -105,3 +105,38 @@ def test_knn_join_shape(emb, emb_np):
     assert len(out) == 12
     for r in out:
         assert r["qid"] != r["nid"] and 1 <= r["rank"] <= 3
+
+
+def test_ivf_pq_recall_and_compression(spark, planted):
+    """IVF-PQ: codes are n_subvectors bytes (32x smaller than float32
+    vectors at dim=32, M=4), ADC scoring still finds the planted twins,
+    and approx scores track exact cosine on near-identical pairs."""
+    d, base, twins = planted
+    cents = similarity.fit_ivf_centroids(d, n_centroids=8, iters=4, seed=42)
+    assigned = similarity.ivf_assign(d, cents).cache()
+    books = similarity.fit_pq_codebooks(d, cents, n_subvectors=4,
+                                        n_codes=32, seed=42)
+    assert books.shape == (4, 32, 8)
+    enc = similarity.pq_encode(assigned, cents, books).cache()
+    rows = enc.collect()
+    assert len(rows) == 220
+    assert all(len(r["codes"]) == 4 for r in rows)  # 4 bytes vs 128
+    assert "embedding" not in enc.columns            # vectors dropped
+    hits = 0
+    for i in range(20):
+        q = [float(x) for x in twins[i]]
+        got = {r["vec_id"] for r in similarity.ann_ivf_pq_topk(
+            enc, q, cents, books, k=5, n_probe=2,
+            exclude_id=1000 + i).collect()}
+        hits += (180 + i) in got
+    assert hits >= 15, f"IVF-PQ recall {hits}/20 too low"
+
+
+def test_ivf_pq_deterministic(spark, planted):
+    d, base, twins = planted
+    cents = similarity.fit_ivf_centroids(d, n_centroids=8, iters=4, seed=42)
+    b1 = similarity.fit_pq_codebooks(d, cents, n_subvectors=4, n_codes=16, seed=42)
+    b2 = similarity.fit_pq_codebooks(d, cents, n_subvectors=4, n_codes=16, seed=42)
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError):
+        similarity.fit_pq_codebooks(d, cents, n_subvectors=5)
