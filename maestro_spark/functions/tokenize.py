@@ -42,12 +42,35 @@ FIELD_LANG = "lang"
 FIELD_REPO = "repo"
 
 
+def _lower_series(texts: pd.Series) -> pd.Series:
+    """Canonical lowercase for ALL analyzer paths: Arrow's utf8_lower
+    (utf8proc simple case-folding). Python's str.lower() diverges on
+    special-cased codepoints (e.g. U+0130 'İ' → 'i'+U+0307 in Python but
+    'i' in utf8proc); mixing conventions would let a query tokenize
+    differently from the index. Arrow is the convention because the
+    production build path (token_record_batches) is Arrow-native."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lowered = pc.utf8_lower(pa.Array.from_pandas(texts.fillna("")))
+    return pd.Series(lowered.to_pandas().to_numpy(), index=texts.index)
+
+
+def _lower_str(text: str) -> str:
+    """Scalar variant of _lower_series for query-side analysis."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.utf8_lower(pa.scalar(text)).as_py()
+
+
 def simple_tokens(texts: pd.Series) -> pd.Series:
     """Baseline SQL-reproducible tokenizer: lowercase, split on any run of
     non-[a-z0-9]. Exactly mirrors the duckdb oracle expression
     ``unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))`` minus
-    empty strings. Returns a Series of lists."""
-    return texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    empty strings (ASCII-identical; non-ASCII case-folds per utf8proc —
+    see _lower_series). Returns a Series of lists."""
+    return _lower_series(texts).str.findall(r"[a-z0-9]+")
 
 
 def code_tokens(texts: pd.Series) -> pd.Series:
@@ -277,7 +300,7 @@ def _field_tf(pos: np.ndarray, toks: np.ndarray, prefix: str,
 def _keyword_tf(values: pd.Series, prefix: str, field: str,
                 with_positions: bool = False) -> pd.DataFrame:
     """X1 keyword indexing: whole value, lowercased, tf=1, dl=1."""
-    vals = values.fillna("").str.lower().str.strip()
+    vals = _lower_series(values).str.strip()
     mask = vals != ""
     pos = np.flatnonzero(mask.to_numpy())
     out = pd.DataFrame({
@@ -292,6 +315,191 @@ def _keyword_tf(values: pd.Series, prefix: str, field: str,
     return out
 
 
+# --------------------------------------------------- Arrow-native fast path
+
+def _coded_code_tokens(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row, code, dictionary) for the code tokenizer — the fully
+    dictionary-coded variant of _flat_code_tokens: occurrences stay int64
+    codes end-to-end; token STRINGS exist only in the returned (deduped,
+    lowered) dictionary. Emission order per row is identical to
+    _flat_code_tokens (all subtokens, then whole-identifier tokens), so
+    position semantics are preserved."""
+    from itertools import chain
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    split = pc.split_pattern_regex(pc.fill_null(arr, ""), "[^A-Za-z0-9_]+")
+    flat_a = pc.list_flatten(split)
+    parents = pc.list_parent_indices(split)
+    mask = pc.not_equal(flat_a, "")
+    flat_a = flat_a.filter(mask)
+    if len(flat_a) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object))
+    row_of_ident = parents.filter(mask).to_numpy().astype(np.int64)
+    dic = pc.dictionary_encode(flat_a)
+    codes = dic.indices.to_numpy().astype(np.int64)
+    uni = dic.dictionary.to_pandas().astype(object)
+    subs_u = uni.str.findall(SUBTOKEN_RE)
+    nsubs_u = subs_u.str.len().to_numpy(dtype=np.int64)
+    # dedup the (unique-identifier × subtoken) pool and the compound whole
+    # forms into ONE dictionary; all remapping is dictionary-sized
+    pool = pd.Series(list(chain.from_iterable(subs_u)),
+                     dtype="object").str.lower().to_numpy()
+    pcodes, puniq = pd.factorize(pool)
+    whole_low = uni.str.lower().to_numpy()
+    compound = nsubs_u > 1
+    fcodes, funiq = pd.factorize(
+        np.concatenate([np.asarray(puniq, object), whole_low[compound]]))
+    sub_final = fcodes[:len(puniq)][pcodes]        # pool entry -> dict code
+    wmap = np.full(len(uni), -1, np.int64)
+    wmap[compound] = fcodes[len(puniq):]
+
+    offsets_u = np.concatenate(([0], np.cumsum(nsubs_u)[:-1]))
+    occ_len = nsubs_u[codes]
+    total = int(occ_len.sum())
+    occ_start = offsets_u[codes]
+    first_of_occ = np.concatenate(([0], np.cumsum(occ_len)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(first_of_occ, occ_len)
+    sub_codes = sub_final[np.repeat(occ_start, occ_len) + within]
+    sub_rows = np.repeat(row_of_ident, occ_len)
+
+    occ_whole = compound[codes]
+    whole_codes = wmap[codes[occ_whole]]
+    whole_rows = row_of_ident[occ_whole]
+    return (np.concatenate([sub_rows, whole_rows]),
+            np.concatenate([sub_codes, whole_codes]),
+            np.asarray(funiq, object))
+
+
+def _coded_simple_tokens(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row, code, dictionary) for the simple tokenizer — Arrow-native
+    lower + split + dictionary encode."""
+    import pyarrow.compute as pc
+
+    split = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(arr, "")), "[^a-z0-9]+")
+    flat = pc.list_flatten(split)
+    parents = pc.list_parent_indices(split)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object))
+    dic = pc.dictionary_encode(flat)
+    return (parents.filter(mask).to_numpy().astype(np.int64),
+            dic.indices.to_numpy().astype(np.int64),
+            dic.dictionary.to_pandas().astype(object).to_numpy())
+
+
+def _coded_keyword(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row, code, dictionary) for keyword fields: whole value, lowered,
+    trimmed; empty/null values emit nothing (X1 semantics)."""
+    import pyarrow.compute as pc
+
+    vals = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(arr, "")))
+    mask = pc.not_equal(vals, "")
+    vals = vals.filter(mask)
+    if len(vals) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object))
+    rows = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    dic = pc.dictionary_encode(vals)
+    return (rows.astype(np.int64),
+            dic.indices.to_numpy().astype(np.int64),
+            dic.dictionary.to_pandas().astype(object).to_numpy())
+
+
+def _coded_term_stats(rows: np.ndarray, cds: np.ndarray, dict_size: int,
+                      with_positions: bool):
+    """Aggregate coded occurrences → (out_row, out_code, tf, dl
+    [, pos_values, pos_offsets]). Pure int64 numpy; positions are returned
+    flat + offsets, ready for a zero-copy Arrow ListArray."""
+    dl = np.bincount(rows)
+    key = rows * np.int64(dict_size) + cds
+    uniq_key, tf = np.unique(key, return_counts=True)
+    out_row = uniq_key // dict_size
+    out_code = uniq_key % dict_size
+    if not with_positions:
+        return out_row, out_code, tf.astype(np.int64), dl[out_row], None, None
+    occ = _row_sequence(rows)
+    order = np.lexsort((occ, cds, rows))
+    pos_values = occ[order]
+    pos_offsets = np.concatenate(([0], np.cumsum(tf))).astype(np.int32)
+    return (out_row, out_code, tf.astype(np.int64), dl[out_row],
+            pos_values, pos_offsets)
+
+
+def token_record_batches(batch, use_fields: tuple, tokenizer: str,
+                         with_positions: bool):
+    """Arrow-native tokenizer for the index build: one input RecordBatch of
+    docs → one OUTPUT RecordBatch PER FIELD with columns (doc_id, shard,
+    term, tf, dl, field[, positions]).
+
+    Token/tf/dl/position multisets are identical to the pandas doc_terms
+    path (parity-tested); the difference is purely mechanical: terms stay
+    dictionary-coded through aggregation (one pd.factorize over the
+    dictionary instead of 3M-row string factorize), term strings
+    materialize via ONE Arrow C++ take per field, field prefixes apply to
+    the dictionary not the occurrences, and position lists are zero-copy
+    ListArrays — no pandas block consolidation anywhere (~2× the
+    single-thread throughput of the pandas path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc_id = batch.column("doc_id").to_numpy()
+    shard = batch.column("shard").to_numpy()
+
+    def emit(rows, cds, dictionary, field: str, prefix: str = "",
+             keyword: bool = False):
+        if rows.size == 0:
+            return None
+        if keyword:
+            out_row, out_code = rows, cds
+            tf = np.ones(rows.size, np.int64)
+            dl = np.ones(rows.size, np.int64)
+            pos_values = np.zeros(rows.size, np.int64) if with_positions else None
+            pos_offsets = (np.arange(rows.size + 1, dtype=np.int32)
+                           if with_positions else None)
+        else:
+            out_row, out_code, tf, dl, pos_values, pos_offsets = \
+                _coded_term_stats(rows, cds, len(dictionary), with_positions)
+        if prefix:
+            dictionary = np.array([prefix + t for t in dictionary], object)
+        term = pc.take(pa.array(dictionary, type=pa.string()),
+                       pa.array(out_code))
+        n = len(out_row)
+        cols = [
+            pa.array(doc_id[out_row]),
+            pa.array(shard[out_row]),
+            term,
+            pa.array(tf),
+            pa.array(dl),
+            pc.take(pa.array([field], type=pa.string()),
+                    pa.array(np.zeros(n, np.int64))),
+        ]
+        names = ["doc_id", "shard", "term", "tf", "dl", "field"]
+        if with_positions:
+            cols.append(pa.ListArray.from_arrays(
+                pa.array(pos_offsets, type=pa.int32()), pa.array(pos_values)))
+            names.append("positions")
+        return pa.RecordBatch.from_arrays(cols, names=names)
+
+    coded = _coded_code_tokens if tokenizer == "code" else _coded_simple_tokens
+    out = [emit(*coded(batch.column("content")), field=FIELD_CONTENT)]
+    if FIELD_PATH in use_fields:
+        out.append(emit(*_coded_code_tokens(batch.column("path")),
+                        field=FIELD_PATH, prefix="path:"))
+    if FIELD_LANG in use_fields:
+        out.append(emit(*_coded_keyword(batch.column("lang")),
+                        field=FIELD_LANG, prefix="lang:", keyword=True))
+    if FIELD_REPO in use_fields:
+        out.append(emit(*_coded_keyword(batch.column("repo")),
+                        field=FIELD_REPO, prefix="repo:", keyword=True))
+    return [b for b in out if b is not None]
+
+
 def phrase_terms(query: str, tokenizer: str = "code") -> list[str]:
     """Query analysis for PHRASE matching: the pure subtoken stream in
     textual order (no whole-identifier tokens, no field scoping) — matches
@@ -301,7 +509,7 @@ def phrase_terms(query: str, tokenizer: str = "code") -> list[str]:
         for ident in re.findall(IDENT_RE, query):
             out.extend(t.lower() for t in re.findall(SUBTOKEN_RE, ident))
         return out
-    return re.findall(r"[a-z0-9]+", query.lower())
+    return re.findall(r"[a-z0-9]+", _lower_str(query))
 
 
 def edge_ngrams(tokens: list[str], lo: int = 1, hi: int = 20) -> list[str]:
@@ -322,7 +530,7 @@ def analyze_query(query: str, tokenizer: str = "code") -> list[str]:
     for part in query.split():
         m = re.match(r"^(lang|repo):(.*)$", part)
         if m:
-            terms.append(f"{m.group(1)}:{m.group(2).lower()}")
+            terms.append(f"{m.group(1)}:{_lower_str(m.group(2))}")
             continue
         m = re.match(r"^path:(.*)$", part)
         if m:

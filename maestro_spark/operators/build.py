@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maestro_spark.functions.codec import encode_postings_batch, merge_segments
-from maestro_spark.functions.tokenize import doc_terms
+from maestro_spark.functions.tokenize import token_record_batches
 from maestro_spark.operators.docids import assign_doc_ids
 from maestro_spark.sources.tableio import (
     drop_partition_dir,
@@ -99,38 +99,24 @@ def tokenize_docs(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     tf is pre-aggregated per (doc, term) INSIDE the UDF (map-side combine:
     the shuffle carries ~unique-terms-per-doc rows, not every token).
     With cfg.store_positions each row also carries the ascending position
-    list of that term's occurrences (tf ints per row)."""
+    list of that term's occurrences (tf ints per row).
+
+    Runs as mapInArrow over token_record_batches — terms stay
+    dictionary-coded through aggregation and never touch pandas block
+    consolidation (the pandas path's dominant cost); the token multiset is
+    identical to functions.tokenize.doc_terms (parity-tested)."""
     use = cfg.index_fields
     tokenizer = cfg.tokenizer
     with_pos = cfg.store_positions
 
     def tok(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            tf = doc_terms(
-                content=pdf["content"],
-                path=pdf["path"] if "path" in use else None,
-                lang=pdf["lang"] if "lang" in use else None,
-                repo=pdf["repo"] if "repo" in use else None,
-                tokenizer=tokenizer,
-                with_positions=with_pos,
-            )
-            pos = tf["pos"].to_numpy()
-            out = pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy()[pos],
-                "shard": pdf["shard"].to_numpy()[pos],
-                "term": tf["term"].to_numpy(),
-                "tf": tf["tf"].to_numpy(),
-                "dl": tf["dl"].to_numpy(),
-                "field": tf["field"].to_numpy(),
-            })
-            if with_pos:
-                out["positions"] = tf["positions"].to_numpy()
-            yield out
+            yield from token_record_batches(b, use, tokenizer, with_pos)
 
-    return docs.mapInPandas(
-        tok, schema=TOKEN_SCHEMA_POS if with_pos else TOKEN_SCHEMA)
+    return docs.select("doc_id", "shard", "repo", "path", "lang", "content") \
+        .mapInArrow(tok, schema=TOKEN_SCHEMA_POS if with_pos else TOKEN_SCHEMA)
 
 
 def detect_hot_terms(tokens: DataFrame, n_docs: int, cfg: IndexConfig,

@@ -84,3 +84,75 @@ def test_analyze_query_field_scoped_and_subtokens():
     assert analyze_query("getUserName") == ["get", "user", "name", "getusername"]
     assert analyze_query("path:FooBar") == ["path:foo", "path:bar", "path:foobar"]
     assert analyze_query("repo:Org1/RepoA hash") == ["repo:org1/repoa", "hash"]
+
+
+def test_arrow_tokenizer_parity_with_pandas():
+    """token_record_batches (the mapInArrow build path) must produce the
+    EXACT token multiset of doc_terms — per (row, term, tf, dl, field),
+    including position lists — on a skewed synthetic corpus, both
+    tokenizers, with and without positions, plus null/empty edge rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from maestro_spark.functions.tokenize import token_record_batches
+    from maestro_spark.sources.corpus import generate_batch
+
+    pdf = generate_batch(np.arange(500, dtype=np.int64), seed=7)
+    pdf.loc[3, "content"] = ""          # empty doc
+    pdf.loc[4, "content"] = None        # null doc
+    pdf.loc[5, "lang"] = "  "           # blank keyword
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = np.arange(len(pdf), dtype=np.int64)
+    pdf["shard"] = (pdf["doc_id"] // 100).astype("int32")
+
+    for tokenizer in ("code", "simple"):
+        for with_pos in (False, True):
+            ref = doc_terms(pdf["content"], pdf["path"], pdf["lang"],
+                            pdf["repo"], tokenizer=tokenizer,
+                            with_positions=with_pos)
+
+            def key_of(row_pos, term, tf, dl, field, positions=None):
+                p = tuple(int(x) for x in positions) if positions is not None else ()
+                return (int(row_pos), str(term), int(tf), int(dl), str(field), p)
+
+            want = sorted(
+                key_of(r.pos, r.term, r.tf, r.dl, r.field,
+                       r.positions if with_pos else None)
+                for r in ref.itertuples())
+
+            batch = pa.RecordBatch.from_pandas(
+                pdf[["doc_id", "shard", "repo", "path", "lang", "content"]],
+                preserve_index=False)
+            got = []
+            for b in token_record_batches(
+                    batch, ("content", "path", "lang", "repo"),
+                    tokenizer, with_pos):
+                t = b.to_pydict()
+                for i in range(b.num_rows):
+                    got.append(key_of(
+                        t["doc_id"][i], t["term"][i], t["tf"][i], t["dl"][i],
+                        t["field"][i],
+                        t["positions"][i] if with_pos else None))
+            assert sorted(got) == want, (tokenizer, with_pos)
+
+
+def test_lowercase_convention_unicode():
+    """All analyzer paths must share ONE lowercase convention (Arrow
+    utf8proc). Python's 'İ'.lower() is 'i'+U+0307 while utf8proc gives
+    'i' — a mixed convention would tokenize a query differently from the
+    index. Regression for the hypothesis-found 'İ0' case."""
+    import pandas as pd
+
+    from maestro_spark.functions.tokenize import (
+        analyze_query, doc_terms, phrase_terms, simple_tokens)
+
+    s = pd.Series(["İ0"])
+    assert simple_tokens(s).iat[0] == ["i0"]
+    tf = doc_terms(s, tokenizer="simple")
+    assert sorted(tf[tf["field"] == "content"]["term"]) == ["i0"]
+    assert phrase_terms("İ0", tokenizer="simple") == ["i0"]
+    assert analyze_query("İ0", tokenizer="simple") == ["i0"]
+    assert analyze_query("lang:İ") == ["lang:i"]
+    # keyword-field indexing side agrees with the query side
+    kw = doc_terms(pd.Series(["x"]), lang=pd.Series(["İ"]))
+    assert kw[kw["field"] == "lang"]["term"].tolist() == ["lang:i"]
