@@ -112,6 +112,33 @@ def main() -> None:
                 samples.append(time.time() - t0)
             timings[f"phrase:{ph}"] = round(min(samples), 3)
 
+        # ---- 2a. serving path (no Spark job): per-query + msearch QPS ----
+        reader.search_local("warmup", k=10)
+        lat_local: list[float] = []
+        for rep in range(3):
+            for q in QUERIES:
+                t0 = time.time()
+                reader.search_local(q, k=10)
+                lat_local.append(time.time() - t0)
+        ll = np.asarray(lat_local).reshape(3, len(QUERIES)).min(axis=0)
+        for i, q in enumerate(QUERIES):
+            timings[f"query_local:{q}"] = round(float(ll[i]), 4)
+        query_local_p50 = float(np.percentile(ll, 50))
+        query_local_p95 = float(np.percentile(ll, 95))
+        for ph in PHRASES:
+            samples = []
+            for rep in range(2):
+                t0 = time.time()
+                reader.phrase_search_local(ph, k=10)
+                samples.append(time.time() - t0)
+            timings[f"phrase_local:{ph}"] = round(min(samples), 4)
+        batch = {f"q{i}": QUERIES[i % len(QUERIES)] for i in range(96)}
+        t0 = time.time()
+        reader.search_many_local(batch, k=10)
+        msearch_wall = time.time() - t0
+        timings["msearch_local_96"] = round(msearch_wall, 3)
+        msearch_local_qps = 96.0 / msearch_wall
+
         # ---- 2b. incremental upsert: stable ids, affected shards only ----
         from pyspark.sql import functions as FF
         from maestro_spark.operators.incremental import incremental_update
@@ -166,6 +193,9 @@ def main() -> None:
         "query_p50_s": round(query_p50, 4),
         "query_p95_s": round(query_p95, 4),
         "query_p95_mean_s": round(query_p95_mean, 4),
+        "query_local_p50_s": round(query_local_p50, 4),
+        "query_local_p95_s": round(query_local_p95, 4),
+        "msearch_local_qps": round(msearch_local_qps, 1),
         "build_phase_ms": manifest.get("phase_ms", {}),
         "incremental_rebuilt_shards": inc_rebuilt,
         "parallelism": spark.sparkContext.defaultParallelism,

@@ -103,6 +103,7 @@ class IndexReader:
         self._df_cache: dict[str, int] = {}   # term -> global df
         self._postings_rel: DataFrame | None = None
         self._docs_rel: DataFrame | None = None
+        self._postings_ds = None              # pyarrow dataset (serving path)
 
     def _refresh_if_stale(self) -> None:
         """A reader held across an in-place incremental rebuild (the
@@ -233,14 +234,26 @@ class IndexReader:
 
     # -------------------------------------------------------------- search
 
+    # postings a single serving process will happily decode for one query
+    # (~tens of MB at ~4 bytes/posting); beyond it, route to executors
+    LOCAL_DF_BUDGET = 5_000_000
+
     def search(self, query: str, k: int = 10, mode: str = "or",
                prune: bool = True,
                boosts: dict[str, float] | None = None,
-               doc_filter=None) -> DataFrame:
+               doc_filter=None, engine: str = "spark") -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
         ordered by (score desc, doc_id asc) — deterministic ranks (T1).
 
         boosts: optional per-field BM25F weights, e.g. {"lang": 2.0}.
+
+        engine: "spark" (distributed per-shard scoring — the path whose
+        per-query cost amortizes at huge posting budgets), "local" (the
+        serving path, see search_local — no Spark job), or "auto": serve
+        locally when the planned Σdf fits LOCAL_DF_BUDGET, else
+        distribute. Results are identical across engines (same scorer,
+        same float64 accumulation order). doc_filter forces the Spark
+        path (the filter predicate evaluates over the docstore relation).
 
         doc_filter: optional Column predicate over the DOCSTORE columns
         (including nested array<struct> stored columns — the X7 path:
@@ -255,6 +268,11 @@ class IndexReader:
         spark = self.spark
         if not plan.terms:
             return spark.createDataFrame([], "doc_id long, score double")
+        if doc_filter is None and (engine == "local" or (
+                engine == "auto"
+                and sum(plan.dfs.values()) <= self.LOCAL_DF_BUDGET)):
+            hits = self.search_local(query, k, mode, prune, boosts=boosts)
+            return spark.createDataFrame(hits, "doc_id long, score double")
         n_buckets = self.cfg["n_buckets"]
         buckets = sorted({_term_bucket(t, n_buckets) for t in plan.terms})
         shard_size = self.cfg["shard_size"]
@@ -314,6 +332,183 @@ class IndexReader:
     def search_pandas(self, query: str, k: int = 10, mode: str = "or",
                       prune: bool = True) -> pd.DataFrame:
         return self.search(query, k, mode, prune).toPandas()
+
+    # ----------------------------------------------------- serving path
+
+    def _postings_dataset(self):
+        """pyarrow dataset over the posting store (serving path). Cached
+        per reader — dataset discovery lists the partition tree once;
+        _refresh_if_stale drops it when the index changes."""
+        if self._postings_ds is None:
+            self._postings_ds = pads.dataset(
+                os.path.join(self.index_dir, "postings"),
+                format="parquet", partitioning="hive")
+        return self._postings_ds
+
+    def _fetch_posting_rows(self, terms: list[str], buckets: list[int]
+                            ) -> dict[int, dict[str, dict]]:
+        """Posting rows for the query terms, grouped {shard: {term: row}},
+        read via pyarrow with the same two-level pruning the Spark scan
+        gets: hive partition pruning on term_bucket + the term predicate
+        against parquet row-group min/max stats (posting files are written
+        term-sorted), so only row groups whose term range intersects the
+        query are decompressed. The bytes read are bounded by the query
+        terms' posting sizes — independent of corpus size."""
+        tbl = self._postings_dataset().to_table(
+            filter=pads.field("term_bucket").isin(buckets)
+            & pads.field("term").isin(terms))
+        out: dict[int, dict[str, dict]] = {}
+        for r in tbl.to_pylist():
+            out.setdefault(int(r["shard"]), {})[r["term"]] = r
+        return out
+
+    def _merge_topk(self, ids: np.ndarray, scores: np.ndarray, k: int
+                    ) -> pd.DataFrame:
+        order = np.lexsort((ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": ids[order].astype(np.int64),
+                             "score": scores[order].astype(np.float64)})
+
+    _EMPTY_HITS = staticmethod(lambda: pd.DataFrame(
+        {"doc_id": pd.array([], dtype="int64"),
+         "score": pd.array([], dtype="float64")}))
+
+    def search_local(self, query: str, k: int = 10, mode: str = "or",
+                     prune: bool = True,
+                     boosts: dict[str, float] | None = None,
+                     max_workers: int | None = None) -> pd.DataFrame:
+        """Serving-path top-k: the ES query-node analogue — plan from the
+        termdict sidecar, pyarrow row-group-pruned posting reads, the SAME
+        score_shard_rows scorer per shard (float64 bit-identical to
+        search()), coordinator merge. No Spark job → no scheduling floor;
+        latency is posting-decode bound (milliseconds).
+
+        Scale model: a query's work is bounded by its terms' posting
+        sizes, never by corpus size — exactly what an ES data node does
+        per shard. One process serves one query's shard fan-in via a
+        thread pool (Arrow reads release the GIL); production deployment
+        is many such serving processes behind a balancer, each reading
+        the shared index store. Queries whose posting budget is huge
+        (stop-word ANDs over 10^12 docs) belong on the distributed path —
+        search(engine="auto") routes on planned df. Returns a pandas
+        DataFrame(doc_id, score) ordered (score desc, doc_id asc)."""
+        plan = self.plan(query, boosts=boosts)
+        if not plan.terms:
+            return self._EMPTY_HITS()
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in plan.terms})
+        by_shard = self._fetch_posting_rows(plan.terms, buckets)
+        if not by_shard:
+            return self._EMPTY_HITS()
+        shard_size = self.cfg["shard_size"]
+
+        def run(item):
+            shard, rows = item
+            return score_shard_rows(
+                rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
+                shard, shard_size, self.index_dir, k, mode, prune)
+
+        results = _map_shards(run, sorted(by_shard.items()), max_workers)
+        ids = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        if ids.size == 0:
+            return self._EMPTY_HITS()
+        return self._merge_topk(ids, scores, k)
+
+    def search_many_local(self, queries: dict[str, str], k: int = 10,
+                          mode: str = "or", prune: bool = True,
+                          boosts: dict[str, float] | None = None,
+                          max_workers: int | None = None) -> pd.DataFrame:
+        """Serving-path msearch: ONE pruned posting fetch for the union of
+        all queries' terms, then every (shard, query) scored from the
+        in-memory rows — N queries pay one I/O round instead of N. Scores
+        identical to N search_local calls. Returns pandas
+        DataFrame(qid, doc_id, score)."""
+        plans = {qid: self.plan(q, boosts=boosts)
+                 for qid, q in queries.items()}
+        plans = {qid: p for qid, p in plans.items() if p.terms}
+        empty = pd.DataFrame({"qid": pd.array([], dtype="string"),
+                              "doc_id": pd.array([], dtype="int64"),
+                              "score": pd.array([], dtype="float64")})
+        if not plans:
+            return empty
+        n_buckets = self.cfg["n_buckets"]
+        all_terms = sorted({t for p in plans.values() for t in p.terms})
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
+        by_shard = self._fetch_posting_rows(all_terms, buckets)
+        if not by_shard:
+            return empty
+        shard_size = self.cfg["shard_size"]
+
+        def run(item):
+            shard, rows = item
+            out = {}
+            for qid, p in plans.items():
+                out[qid] = score_shard_rows(
+                    rows, p.terms, p.idfs, p.fields, p.avgdl,
+                    shard, shard_size, self.index_dir, k, mode, prune)
+            return out
+
+        per_shard = _map_shards(run, sorted(by_shard.items()), max_workers)
+        parts = []
+        for qid in sorted(plans):
+            ids = np.concatenate([r[qid][0] for r in per_shard])
+            scores = np.concatenate([r[qid][1] for r in per_shard])
+            if ids.size == 0:
+                continue
+            top = self._merge_topk(ids, scores, k)
+            top.insert(0, "qid", qid)
+            parts.append(top)
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    def phrase_search_local(self, phrase: str, k: int = 10,
+                            max_workers: int | None = None) -> pd.DataFrame:
+        """Serving-path exact-phrase top-k — same match + scoring semantics
+        as phrase_search (the phrase-as-pseudo-term BM25), no Spark job.
+        The global phrase df needs every shard's match count before
+        scoring, so matching runs first and scoring is a vectorized
+        epilogue over the (small) matched set."""
+        self._refresh_if_stale()
+        if not self.cfg.get("store_positions"):
+            raise ValueError(
+                "phrase_search requires an index built with "
+                "IndexConfig(store_positions=True); this index has no prox "
+                f"stream ({self.index_dir})")
+        terms = phrase_terms(phrase, tokenizer=self.cfg.get("tokenizer", "code"))
+        if not terms:
+            return self._EMPTY_HITS()
+        if len(terms) == 1:
+            return self.search_local(terms[0], k=k)
+        uniq = sorted(set(terms))
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
+        by_shard = self._fetch_posting_rows(uniq, buckets)
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        seq = list(terms)
+
+        def run(item):
+            shard, rows = item
+            if any(t not in rows for t in seq):
+                return (np.empty(0, np.int64), np.empty(0, np.int64),
+                        np.empty(0, np.float64))
+            docs, tf_phrase = _phrase_match(rows, seq)
+            if docs.size == 0:
+                return (docs, tf_phrase, np.empty(0, np.float64))
+            dls = _load_doclens(index_dir, shard, "content",
+                                shard * shard_size, shard_size)
+            return docs, tf_phrase, dls[docs - shard * shard_size]
+
+        matched = _map_shards(run, sorted(by_shard.items()), max_workers)
+        docs = np.concatenate([m[0] for m in matched]) if matched else np.empty(0, np.int64)
+        if docs.size == 0:
+            return self._EMPTY_HITS()
+        tfs = np.concatenate([m[1] for m in matched]).astype(np.float64)
+        dls = np.concatenate([m[2] for m in matched])
+        st = self.stats["fields"]["content"]
+        idf = float(bm25.idf(docs.size, st["n_docs"]))
+        avgdl = float(st["avgdl"])
+        scores = idf * (tfs / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl)))
+        return self._merge_topk(docs, scores, k)
 
     def search_many(self, queries: dict[str, str], k: int = 10,
                     mode: str = "or", prune: bool = True,
@@ -539,6 +734,19 @@ def _phrase_match(rows: dict[str, dict], seq: list[str]
     tf = np.bincount((start_keys // m).astype(np.int64), minlength=inter.size)
     keep = tf > 0
     return inter[keep], tf[keep].astype(np.int64)
+
+
+def _map_shards(fn, items: list, max_workers: int | None):
+    """Run fn over per-shard work items, threaded when there are several
+    shards (pyarrow parquet reads and large numpy kernels release the
+    GIL). Sequential for 0-1 items — no pool overhead on point lookups."""
+    if len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = max_workers or min(len(items), 8)
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        return list(ex.map(fn, items))
 
 
 # ---------------------------------------------------------------- scorer
