@@ -104,6 +104,15 @@ class IndexReader:
         self._postings_rel: DataFrame | None = None
         self._docs_rel: DataFrame | None = None
         self._postings_ds = None              # pyarrow dataset (serving path)
+        self._docs_ds = None                  # pyarrow dataset (serving path)
+        # serving-path posting-row cache: term -> {shard: row} (the ES
+        # query/filesystem-cache analogue for hot query terms). Lives on
+        # the reader and dies with any manifest change — _refresh_if_stale
+        # rebinds through here, so stale postings can never serve. Entry
+        # count is bounded; production sizing would bound resident BYTES
+        # (posting rows carry their compressed payload).
+        from collections import OrderedDict
+        self._posting_rows_cache: OrderedDict[str, dict[int, dict]] = OrderedDict()
 
     def _refresh_if_stale(self) -> None:
         """A reader held across an in-place incremental rebuild (the
@@ -345,7 +354,9 @@ class IndexReader:
                 format="parquet", partitioning="hive")
         return self._postings_ds
 
-    def _fetch_posting_rows(self, terms: list[str], buckets: list[int]
+    _POSTING_CACHE_TERMS = 512
+
+    def _fetch_posting_rows(self, terms: list[str]
                             ) -> dict[int, dict[str, dict]]:
         """Posting rows for the query terms, grouped {shard: {term: row}},
         read via pyarrow with the same two-level pruning the Spark scan
@@ -353,13 +364,33 @@ class IndexReader:
         against parquet row-group min/max stats (posting files are written
         term-sorted), so only row groups whose term range intersects the
         query are decompressed. The bytes read are bounded by the query
-        terms' posting sizes — independent of corpus size."""
-        tbl = self._postings_dataset().to_table(
-            filter=pads.field("term_bucket").isin(buckets)
-            & pads.field("term").isin(terms))
+        terms' posting sizes — independent of corpus size.
+
+        Rows are LRU-cached per term (absent terms cache an empty map), so
+        a hot query term pays its read once per reader per index version."""
+        cache = self._posting_rows_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            n_buckets = self.cfg["n_buckets"]
+            need_buckets = sorted({_term_bucket(t, n_buckets) for t in missing})
+            tbl = self._postings_dataset().to_table(
+                filter=pads.field("term_bucket").isin(need_buckets)
+                & pads.field("term").isin(missing))
+            fetched: dict[str, dict[int, dict]] = {t: {} for t in missing}
+            for r in tbl.to_pylist():
+                fetched[r["term"]][int(r["shard"])] = r
+            for t, by_shard in fetched.items():
+                cache[t] = by_shard
+            while len(cache) > self._POSTING_CACHE_TERMS:
+                cache.popitem(last=False)
         out: dict[int, dict[str, dict]] = {}
-        for r in tbl.to_pylist():
-            out.setdefault(int(r["shard"]), {})[r["term"]] = r
+        for t in terms:
+            hit = cache.get(t)
+            if hit is None:
+                continue
+            cache.move_to_end(t)
+            for shard, row in hit.items():
+                out.setdefault(shard, {})[t] = row
         return out
 
     def _merge_topk(self, ids: np.ndarray, scores: np.ndarray, k: int
@@ -394,9 +425,7 @@ class IndexReader:
         plan = self.plan(query, boosts=boosts)
         if not plan.terms:
             return self._EMPTY_HITS()
-        n_buckets = self.cfg["n_buckets"]
-        buckets = sorted({_term_bucket(t, n_buckets) for t in plan.terms})
-        by_shard = self._fetch_posting_rows(plan.terms, buckets)
+        by_shard = self._fetch_posting_rows(plan.terms)
         if not by_shard:
             return self._EMPTY_HITS()
         shard_size = self.cfg["shard_size"]
@@ -431,10 +460,8 @@ class IndexReader:
                               "score": pd.array([], dtype="float64")})
         if not plans:
             return empty
-        n_buckets = self.cfg["n_buckets"]
         all_terms = sorted({t for p in plans.values() for t in p.terms})
-        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
-        by_shard = self._fetch_posting_rows(all_terms, buckets)
+        by_shard = self._fetch_posting_rows(all_terms)
         if not by_shard:
             return empty
         shard_size = self.cfg["shard_size"]
@@ -460,6 +487,45 @@ class IndexReader:
             parts.append(top)
         return pd.concat(parts, ignore_index=True) if parts else empty
 
+    def fetch_docs_local(self, doc_ids, cols: tuple = ("repo", "path", "lang")
+                         ) -> pd.DataFrame:
+        """Driver-side docstore fetch for a bounded id set (the display
+        join's data). Shard partition pruning + a doc_id filter against
+        row-group stats (docs are written in id order within a shard);
+        parquet's columnar layout means only the requested display columns
+        are decompressed — never `content`."""
+        self._refresh_if_stale()
+        if self._docs_ds is None:
+            self._docs_ds = pads.dataset(
+                os.path.join(self.index_dir, "docs"),
+                format="parquet", partitioning="hive")
+        shard_size = self.cfg["shard_size"]
+        ids = sorted(int(i) for i in doc_ids)
+        shards = sorted({i // shard_size for i in ids})
+        tbl = self._docs_ds.to_table(
+            columns=["doc_id", *cols],
+            filter=pads.field("shard").isin(shards)
+            & pads.field("doc_id").isin(ids))
+        return tbl.to_pandas()
+
+    def search_with_docs_local(self, query: str, k: int = 10, mode: str = "or",
+                               display_cols: tuple = ("repo", "path", "lang"),
+                               boosts: dict[str, float] | None = None
+                               ) -> pd.DataFrame:
+        """Serving-path result page: search_local + a k-row docstore fetch
+        — same row set as search_with_docs, no Spark job."""
+        hits = self.search_local(query, k, mode, boosts=boosts)
+        if not len(hits):
+            out = hits.copy()
+            for c in display_cols:
+                out[c] = pd.array([], dtype="string")
+            return out
+        docs = self.fetch_docs_local(hits["doc_id"], display_cols)
+        out = hits.merge(docs, on="doc_id", how="left")
+        return (out.sort_values(["score", "doc_id"], ascending=[False, True],
+                                kind="mergesort")
+                .reset_index(drop=True))
+
     def phrase_search_local(self, phrase: str, k: int = 10,
                             max_workers: int | None = None) -> pd.DataFrame:
         """Serving-path exact-phrase top-k — same match + scoring semantics
@@ -479,9 +545,7 @@ class IndexReader:
         if len(terms) == 1:
             return self.search_local(terms[0], k=k)
         uniq = sorted(set(terms))
-        n_buckets = self.cfg["n_buckets"]
-        buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
-        by_shard = self._fetch_posting_rows(uniq, buckets)
+        by_shard = self._fetch_posting_rows(uniq)
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
         seq = list(terms)

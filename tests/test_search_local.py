@@ -128,3 +128,39 @@ def test_local_sees_incremental_rebuild(spark, built, tmp_path):
     # the corpus doubled; the result set must reflect the new index
     assert reader.manifest["n_docs"] == 120
     assert not base.equals(after) or len(base) == 0
+
+
+def test_posting_row_cache_hot_terms(spark, built):
+    """Repeat queries serve posting rows from the reader's LRU cache
+    (absent terms cache an empty map) with identical results; the cache
+    is proven to be the source by making the store unreadable."""
+    import os
+
+    reader = IndexReader(spark, built)
+    first = reader.search_local("index query merge", k=5)
+    # absent terms never reach the posting fetch (the PLANNER drops
+    # zero-df terms via the termdict), so the cache holds exactly the
+    # present query terms
+    assert {"index", "query", "merge"} <= set(reader._posting_rows_cache)
+    # hide the posting store: a second identical query must still answer,
+    # entirely from the cache
+    postings = os.path.join(built, "postings")
+    hidden = postings + ".hidden"
+    os.rename(postings, hidden)
+    try:
+        again = reader.search_local("index query merge", k=5)
+    finally:
+        os.rename(hidden, postings)
+    assert again["doc_id"].tolist() == first["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        again["score"].to_numpy(), first["score"].to_numpy())
+
+
+def test_search_with_docs_local_matches_spark(spark, built):
+    reader = IndexReader(spark, built)
+    for query in ("index query merge", "zzz_does_not_exist"):
+        want = reader.search_with_docs(query, k=5).toPandas()
+        got = reader.search_with_docs_local(query, k=5)
+        cols = ["doc_id", "score", "repo", "path", "lang"]
+        assert sorted(got.columns) == sorted(want.columns)
+        assert got[cols].values.tolist() == want[cols].values.tolist(), query
