@@ -517,6 +517,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), 0.5, 8, 2, "text", "doc_id", 3, "xx")
     q["simhash16"] = lambda s, d: dedup.simhash(_t(s, d, "documents"), 16, "text", "doc_id")
 
+    def _q_dedup_components(s: SparkSession, d: str) -> DataFrame:
+        """Connected-components cluster assembly (dedup.connected_components)
+        over a DETERMINISTIC edge graph derived from doc ids (+1 chains
+        broken every 7th id, +10 merge links every 23rd) — long chains
+        exercise multi-round propagation + pointer jumping against a
+        recursive-CTE oracle. The LSH front-end feeding real pairs is
+        separately oracle-paired (lsh_near_dup_pairs) and the combined
+        near_dup_components path is pytest-covered (transitive closure of
+        the emitted pair set)."""
+        docs = _t(s, d, "documents").select("doc_id")
+        e1 = (docs.where((F.col("doc_id") % 7) != 6)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b")))
+        e2 = (docs.where((F.col("doc_id") % 23) == 0)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 10).alias("id_b")))
+        edges = e1.unionByName(e2).join(
+            docs.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        comp = dedup.connected_components(edges)
+        return (docs.join(comp.withColumnRenamed("id", "doc_id"),
+                          "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("component", F.col("doc_id"))
+                        .alias("component")))
+
+    q["dedup_components"] = _q_dedup_components
+
     # ---- similarity search
     q["cosine_topk"] = _q_cosine_topk
     q["knn_join"] = _q_knn_join
@@ -874,6 +901,24 @@ SELECT i.id1, i.id2, i.n_inter, s1.n + s2.n - i.n_inter AS n_union,
        round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) AS jaccard
 FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1 JOIN sizes s2 ON s2.doc_id = i.id2
 WHERE round(i.n_inter::DOUBLE / (s1.n + s2.n - i.n_inter), 6) >= 0.5"""
+
+    o["dedup_components"] = """
+WITH RECURSIVE
+e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 <> 6
+  UNION ALL
+  SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 23 = 0
+),
+edges AS (SELECT a, b FROM e0 WHERE b IN (SELECT doc_id FROM documents)),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+walk(id, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.id
+),
+lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+SELECT d.doc_id, CAST(COALESCE(l.comp, d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN lab l ON l.id = d.doc_id"""
 
     o["ngram_jaccard_pairs"] = f"""
 WITH {_ARR}, {_SH},

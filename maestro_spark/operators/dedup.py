@@ -321,3 +321,92 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16,
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+# ----------------------------------------------- dedup cluster assembly
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over a pair/edge frame → (id, component) for
+    every node that appears in an edge; component = the minimum node id
+    reachable. This is the cluster-assembly step after any near-dup pair
+    generator (LSH, SimHash, embedding): pairs only say "these two are
+    dups"; curation needs the transitive closure to keep ONE canonical
+    doc per group.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    (a) takes the min label over neighbors+self (one hash-shuffle join +
+    aggregation) and (b) replaces every label by its label's label (a
+    self-join), which squares the propagation distance, so rounds =
+    O(log diameter) like the alternating star contractions of the public
+    MapReduce-CC literature (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), expressed in joins Catalyst/AQE can plan.
+    Near-dup graphs are near-cliques (diameter 2-4) → 2-3 rounds.
+
+    Scale notes: every join is hash-partitioned on id (uniform keys —
+    labels are doc ids); per-round frames are localCheckpointed to cut
+    the iterative lineage (physical plans otherwise grow with every
+    round) and the convergence check is a one-number aggregate (Σ label
+    strictly decreases until fixpoint; no extra join). The giant-
+    component worst case (all docs boilerplate-identical) is bounded
+    upstream by the LSH hot-bucket cap, the same skew contract as the
+    pair join itself."""
+    e = pairs.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+    edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .where(F.col("a") != F.col("b"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("label", "nbr_label").alias("label"))
+        )
+        # pointer jump: label <- label(label); every label IS a node id,
+        # so the self-join always resolves (coalesce is belt-and-braces)
+        x, y = prop.alias("x"), prop.alias("y")
+        labels = (
+            x.join(y, F.col("x.label") == F.col("y.id"), "left")
+            .select(F.col("x.id").alias("id"),
+                    F.coalesce(F.col("y.label"), F.col("x.label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def near_dup_components(docs: DataFrame, threshold: float = 0.5,
+                        n_hashes: int = 8, band_size: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
+    exact-Jaccard verify at `threshold` → connected components → every
+    doc labeled (doc_id, component, is_canonical). Docs in no surviving
+    pair are their own singleton component; the canonical doc of a group
+    is its min id (deterministic — swap in a quality score upstream by
+    remapping ids). This is the materialization step a training-data
+    pipeline runs before dropping `is_canonical = false` rows."""
+    pairs = near_dup_pairs(docs, threshold, n_hashes, band_size,
+                           text_col=text_col, id_col=id_col)
+    comp = connected_components(pairs, "id1", "id2")
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )

@@ -104,3 +104,54 @@ def test_minhash_variants_agree_on_pairs(spark, documents):
     b = {(r["id1"], r["id2"]) for r in dedup.near_dup_pairs(
         documents, 0.8, 8, 2, hash_fn="xxhash64").collect()}
     assert a == b and a
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dedup.connected_components(pairs).toPandas()
+    return dict(zip(got["id"], got["component"]))
+
+
+def test_connected_components_chain_star_merge(spark):
+    # long chain (exercises pointer jumping past one-hop propagation),
+    # a star, a merged pair of chains, and an isolated edge
+    chain = [(i, i + 1) for i in range(10, 20)]           # 10..20
+    star = [(100, x) for x in (101, 102, 103, 104)]       # 100..104
+    merge = [(200, 201), (202, 203), (201, 202)]          # 200..203
+    iso = [(300, 301)]
+    comp = _cc(spark, chain + star + merge + iso)
+    assert all(comp[i] == 10 for i in range(10, 21))
+    assert all(comp[i] == 100 for i in range(100, 105))
+    assert all(comp[i] == 200 for i in range(200, 204))
+    assert comp[300] == comp[301] == 300
+    # reversed/duplicated edges change nothing
+    comp2 = _cc(spark, [(b, a) for a, b in chain] + chain + star + merge + iso)
+    assert comp2 == comp
+
+
+def test_connected_components_converges_fast(spark, monkeypatch):
+    """Pointer jumping must close a 16-node chain in O(log d) rounds —
+    cap max_iter at 6 and require the exact answer."""
+    edges = [(i, i + 1) for i in range(16)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dedup.connected_components(pairs, max_iter=6).toPandas()
+    assert set(got["component"]) == {0}
+
+
+def test_near_dup_components_end_to_end(spark, documents):
+    out = dedup.near_dup_components(documents, threshold=0.5).toPandas()
+    assert len(out) == documents.count()
+    by_id = dict(zip(out["doc_id"], out["component"]))
+    # component labels are members' min id, and canonical flags agree
+    import collections
+    members = collections.defaultdict(list)
+    for i, c in by_id.items():
+        members[c].append(i)
+    for c, ms in members.items():
+        assert c == min(ms)
+    canon = dict(zip(out["doc_id"], out["is_canonical"]))
+    assert all(canon[i] == (by_id[i] == i) for i in by_id)
+    # clustering must be consistent with the pair set's transitive closure
+    pairs = dedup.near_dup_pairs(documents, 0.5).select("id1", "id2").collect()
+    for r in pairs:
+        assert by_id[r["id1"]] == by_id[r["id2"]]
