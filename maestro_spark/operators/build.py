@@ -523,8 +523,13 @@ def _build_shards(
         # groups at production shard sizes; free here — the rows are
         # already shuffled, the sort is partition-local)
         ).sortWithinPartitions("term")
+        # 8 MB row groups (not the 128 MB default): the file is term-
+        # sorted, so row-group min/max term stats are the intra-file
+        # index — smaller groups bound how many posting bytes one term's
+        # lookup must decompress once bucket files reach production size
         write_partitioned(postings, os.path.join(out_dir, "postings"),
-                          ["shard", "term_bucket"], dynamic=dynamic)
+                          ["shard", "term_bucket"], dynamic=dynamic,
+                          row_group_bytes=8 << 20)
         _phase("encode_merge_write", t)
         segments.unpersist()
         tokens.unpersist()
@@ -588,7 +593,7 @@ def _build_shards(
             .sortWithinPartitions("term")
         )
         write_partitioned(termdict, os.path.join(out_dir, "termdict"),
-                          ["term_bucket"])
+                          ["term_bucket"], row_group_bytes=4 << 20)
         _phase("termdict", t)
 
     # global BM25 stats: fold the per-shard (n, Σdl) field sums carried in

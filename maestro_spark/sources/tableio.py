@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       mode: str = "overwrite", dynamic: bool = False,
-                      compression: str = "zstd") -> None:
+                      compression: str = "zstd",
+                      row_group_bytes: int | None = None) -> None:
     """Write a partitioned parquet table. dynamic=True overwrites ONLY the
     partitions present in df (the resume / incremental-rebuild path — the
     analogue of Maestro re-upserting only affected docs, K1).
@@ -26,8 +27,18 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     compression defaults to zstd: measured on the posting store (binary
     varint payloads) it writes ~35% faster than snappy AND ~18% smaller;
     on the docstore it compresses text content harder at similar speed
-    (ROADMAP #6)."""
+    (ROADMAP #6).
+
+    row_group_bytes bounds the parquet row-group size (parquet.block.size,
+    default 128 MB). Stores whose files are sorted on a lookup key (the
+    term-sorted posting/termdict stores) set this SMALLER so row-group
+    min/max stats prune at finer key granularity: a query term then
+    touches ~one small row group of a bucket file instead of a 128 MB
+    one — this is what keeps a point lookup's I/O bounded when a
+    production bucket file spans gigabytes."""
     writer = df.write.mode(mode).option("compression", compression)
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
     if dynamic:
         writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_cols:

@@ -218,3 +218,26 @@ def test_kafka_parse_and_route(spark, tmp_path):
     assert spark.read.parquet(reject).count() == 1
     hits = IndexReader(spark, idx).search_pandas("kafka", k=5)
     assert len(hits) == 1
+
+
+def test_write_partitioned_bounds_row_groups(spark, tmp_path):
+    """row_group_bytes must reach the parquet writer: a sorted store's
+    row-group min/max stats are its intra-file index, so bounding group
+    size is what keeps a term lookup's I/O bounded at production file
+    sizes (the posting/termdict writes set this)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from maestro_spark.sources.tableio import write_partitioned
+
+    out = str(tmp_path / "rg")
+    df = spark.range(0, 200000).selectExpr(
+        "id", "id % 2 as p", "repeat('x', 64) as payload")
+    write_partitioned(df.repartition(1, "p"), out, ["p"],
+                      row_group_bytes=1 << 20)
+    f = glob.glob(f"{out}/p=0/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.num_row_groups >= 4
+    # and stats exist on the first column for pruning
+    assert md.row_group(0).column(0).statistics is not None

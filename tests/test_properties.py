@@ -152,3 +152,39 @@ def test_idf_positive_and_monotone(n, df):
 def test_tfnorm_bounded(tf, dl, avgdl):
     v = float(bm25.tfnorm(np.array([tf]), np.array([dl]), avgdl)[0])
     assert 0.0 < v < 1.0
+
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """dedup.connected_components vs a pure-Python union-find on random
+    small graphs (self-loops and duplicate/reversed edges included)."""
+    from maestro_spark.operators import dedup
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+            nodes.update((a, b))
+    want = {n: find(n) for n in sorted(nodes)}
+    if not nodes:
+        return
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "id_a long, id_b long")
+    got = dedup.connected_components(pairs).toPandas()
+    assert dict(zip(got["id"], got["component"])) == want
