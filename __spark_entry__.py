@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maestro_spark.operators import dedup, nested, similarity, textstats
+from maestro_spark.operators import curation, dedup, nested, similarity, textstats
 from maestro_spark.operators import pipeline as pl
 from maestro_spark.operators.build import IndexConfig, build_index
 from maestro_spark.operators.search import IndexReader
@@ -459,6 +459,11 @@ _MARKERS = {
     "zh": ("spark", "window", "row"),
 }
 _FETCH_IDS = [3, 5, 8, 13, 21, 34]
+
+# curation-family parameters (shared by the Spark query and its oracle):
+# an explicit mix allowlist (absent sources drop), and the audit quantiles
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0625}
+_QS = (0.25, 0.5, 0.75, 0.9)
 _SESSION_GAP_S = 1800
 
 
@@ -576,6 +581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "text", "doc_id")
     q["doc_sha256"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+    # ---- curation / data-mixing family
+    q["stratified_sample"] = lambda s, d: curation.stratified_sample(
+        _t(s, d, "documents"), _MIX, "source", "doc_id", "s1"
+    ).select("doc_id", "source")
+    q["token_budget_cap"] = lambda s, d: curation.token_budget_cap(
+        _t(s, d, "documents"), 40_000, "n_chars", "source", "n_chars",
+        "doc_id"
+    ).select("doc_id", "source", "cum_tokens")
+    q["length_quantiles"] = lambda s, d: curation.column_quantiles(
+        _t(s, d, "documents"), "n_chars", "lang", _QS)
 
     # ---- events (batch analogue of the streaming path)
     def _q_events(s: SparkSession, d: str) -> DataFrame:
@@ -1046,6 +1062,27 @@ SELECT b.doc_id, md5(b.norm) AS fingerprint,
 FROM base b LEFT JOIN roll r USING (doc_id)"""
 
     o["doc_sha256"] = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+    mix_pred = " OR ".join(
+        f"(source = '{s}' AND u < {f!r})" for s, f in _MIX.items())
+    o["stratified_sample"] = f"""
+WITH u AS (SELECT doc_id, source,
+                  {_hex16_sql("concat('s1', CAST(doc_id AS VARCHAR))")} / 65536.0 AS u
+           FROM documents)
+SELECT doc_id, source FROM u WHERE {mix_pred}"""
+
+    o["token_budget_cap"] = """
+WITH c AS (SELECT doc_id, source,
+                  CAST(sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+           FROM documents)
+SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 40000"""
+
+    qs_list = ", ".join(str(q) for q in _QS)
+    o["length_quantiles"] = f"""
+SELECT lang AS stratum, unnest([{qs_list}]) AS q,
+       round(unnest(quantile_cont(n_chars, [{qs_list}])), 6) AS value
+FROM documents GROUP BY lang"""
 
     o["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

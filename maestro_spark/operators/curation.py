@@ -1,0 +1,94 @@
+"""Corpus curation operators for training-data assembly: deterministic
+stratified sampling, per-stratum token-budget capping, and distribution
+statistics. These are the "data mixing" steps between dedup/quality
+scoring and training (beyond the reference's scope — Maestro only
+upserts/filters documents; SURVEY.md "beyond the reference" family).
+
+Design rules shared by all three:
+
+  * DETERMINISTIC, not pseudo-random. Sampling uses an md5-derived
+    uniform of (salt, id) — identical on every run, engine, partition
+    layout, and cluster size, so a 100 TB mix is resumable and auditable
+    (and SQL-reproducible for the oracle). Spark's sample()/sampleBy()
+    are seed-dependent on partitioning and unusable for reproducible
+    curation.
+  * One narrow pass each: the sampler is a filter (no shuffle at all);
+    the budget cap is one window over (stratum) — a single hash
+    shuffle on the stratum key; quantiles are one groupBy aggregation.
+  * Skew: strata counts are pipeline-chosen (languages, sources —
+    dozens), so a per-stratum window is safe; a pathological single
+    stratum degrades to a sort of that stratum only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from maestro_spark.operators.textstats import hex16_col
+
+
+def uniform01(id_col: str, salt: str = "s1") -> "F.Column":
+    """Deterministic uniform in [0, 1) from an id column: the first 16
+    bits of md5(salt || id) over 65536. 16-bit resolution bounds the
+    fraction granularity at 1/65536 — ample for mix ratios, and exactly
+    reproducible in ANSI SQL (oracle parity, textstats.hex16_col)."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    return hex16_col(key) / F.lit(65536.0)
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      salt: str = "s1") -> DataFrame:
+    """Keep each doc with its stratum's probability, deterministically:
+    doc survives iff uniform01(id) < fractions[stratum]. Strata absent
+    from `fractions` are dropped (a mix is an explicit allowlist).
+    Pure filter — no shuffle, no RNG state, stable under retries and
+    repartitioning."""
+    u = uniform01(id_col, salt)
+    frac = reduce(
+        lambda acc, kv: acc.when(F.col(strata_col) == kv[0], F.lit(kv[1])),
+        fractions.items(),
+        F.when(F.lit(False), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    return docs.where(u < frac)
+
+
+def token_budget_cap(docs: DataFrame, budget: int,
+                     token_col: str = "n_chars",
+                     strata_col: str = "source",
+                     order_col: str = "n_chars",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum budget cap: rank docs inside each stratum by
+    (order_col desc, id asc — deterministic ties) and keep the prefix
+    whose running token sum stays within `budget`. The greedy
+    best-first fill every mix pipeline runs ("top documents by quality
+    until N tokens per source"). One window = one hash shuffle on the
+    stratum key. Adds `cum_tokens` (the running sum, long)."""
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.desc(order_col), F.asc(id_col)))
+    cum = F.sum(token_col).over(w).cast("long")
+    return (docs.withColumn("cum_tokens", cum)
+            .where(F.col("cum_tokens") <= budget))
+
+
+def column_quantiles(docs: DataFrame, value_col: str = "n_chars",
+                     strata_col: str = "lang",
+                     qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> DataFrame:
+    """Exact per-stratum quantiles (linear interpolation) of a numeric
+    column → (stratum, q, value). The length/token distribution audit
+    every curation run records. Uses Spark's exact `percentile`
+    aggregate (one groupBy shuffle); at 100 TB swap in
+    `approx_percentile` for the same shape at sketch cost — kept exact
+    here so the result is oracle-checkable."""
+    arr = F.percentile(F.col(value_col), F.array(*[F.lit(float(q)) for q in qs]))
+    g = docs.groupBy(F.col(strata_col).alias("stratum")).agg(arr.alias("qv"))
+    return (g.select("stratum", F.posexplode("qv").alias("pos", "value"))
+            .select(
+                "stratum",
+                F.element_at(F.array(*[F.lit(float(q)) for q in qs]),
+                             F.col("pos") + 1).alias("q"),
+                F.round("value", 6).alias("value"),
+            ))

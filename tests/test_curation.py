@@ -1,0 +1,61 @@
+"""Curation operators: deterministic sampling (stable across runs and
+partitionings), greedy token-budget capping, exact quantiles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, docs):
+    mix = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = curation.stratified_sample(docs, mix).select("doc_id").toPandas()
+    # identical under a different partitioning (no RNG/partition coupling)
+    b = curation.stratified_sample(docs.repartition(13), mix) \
+        .select("doc_id").toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    kept = docs.sparkSession.createDataFrame(a).join(docs, "doc_id")
+    per = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n0 = docs.where(F.col("source") == "src0").count()
+    assert per.get("src0") == n0          # fraction 1.0 keeps all
+    assert "src2" not in per              # fraction 0.0 drops all
+    assert "src3" not in per              # absent stratum drops all
+    # fraction 0.5 keeps roughly half (16-bit uniform; loose bound)
+    assert 0.2 * n0 <= per.get("src1", 0) <= 0.8 * n0
+
+
+def test_token_budget_cap_greedy_prefix(spark, docs):
+    out = curation.token_budget_cap(docs, 10_000).toPandas()
+    assert (out["cum_tokens"] <= 10_000).all()
+    for src, grp in out.groupby("source"):
+        grp = grp.sort_values("cum_tokens")
+        # running sum consistent with members' own sizes
+        sizes = docs.where(F.col("source") == src).toPandas() \
+            .set_index("doc_id")["n_chars"]
+        assert grp["cum_tokens"].iloc[-1] == sum(sizes[i] for i in grp["doc_id"])
+        # greedy: the kept set is the largest-first prefix — every kept
+        # doc is >= every dropped doc (ties broken by id)
+        dropped = set(sizes.index) - set(grp["doc_id"])
+        if dropped:
+            worst_kept = min((sizes[i], -i) for i in grp["doc_id"])
+            best_drop = max((sizes[i], -i) for i in dropped)
+            assert best_drop <= worst_kept
+
+
+def test_column_quantiles_exact(spark, docs):
+    out = curation.column_quantiles(docs, "n_chars", "lang", (0.0, 0.5, 1.0))
+    pdf = out.toPandas()
+    import numpy as np
+    ref = docs.select("lang", "n_chars").toPandas()
+    for lang, grp in ref.groupby("lang"):
+        vals = np.sort(grp["n_chars"].to_numpy())
+        got = pdf[pdf["stratum"] == lang].set_index("q")["value"]
+        assert got[0.0] == vals.min()
+        assert got[1.0] == vals.max()
+        assert got[0.5] == round(float(np.percentile(vals, 50)), 6)
