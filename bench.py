@@ -166,6 +166,8 @@ def main() -> None:
     timed("dedup_exact", lambda: dedup.exact_duplicates(documents).count())
     timed("near_dup_minhash_lsh",
           lambda: dedup.near_dup_pairs(documents, 0.5, 16, 2).count())
+    timed("near_dup_components",
+          lambda: dedup.near_dup_components(documents, 0.5, 16, 2).count())
     timed("simhash", lambda: dedup.simhash(documents, 16).count())
     qv = [float(x) for x in embeddings.where(F.col("vec_id") == 0)
           .select("embedding").head()[0]]

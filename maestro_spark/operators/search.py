@@ -78,9 +78,17 @@ class QueryPlan:
 
 
 class IndexReader:
-    """Read-side handle on an index directory built by build_index."""
+    """Read-side handle on an index directory built by build_index.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    spark may be None for a SERVING-ONLY reader: the whole serving path
+    (plan → search_local / search_many_local / phrase_search_local /
+    search_with_docs_local) is pyarrow+numpy and never touches the JVM,
+    so a serving process is just `IndexReader(None, dir)` — no
+    SparkSession, no JVM startup, ~ms cold start. Only the distributed
+    methods (search/search_many/phrase_search/prefix-fallbacks and
+    doc_filter queries) need a session."""
+
+    def __init__(self, spark: SparkSession | None, index_dir: str):
         self.spark = spark
         # index_dir may be an alias BASE dir (tableio alias indirection,
         # K4): resolve it now and re-resolve per query so an alias flip
@@ -275,6 +283,11 @@ class IndexReader:
         accumulate mass."""
         plan = self.plan(query, boosts=boosts)
         spark = self.spark
+        if spark is None:
+            raise ValueError(
+                "IndexReader was opened without a SparkSession (serving "
+                "mode): use search_local()/search_many_local() etc., or "
+                "open the reader with a session for distributed queries")
         if not plan.terms:
             return spark.createDataFrame([], "doc_id long, score double")
         if doc_filter is None and (engine == "local" or (

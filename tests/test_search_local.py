@@ -164,3 +164,20 @@ def test_search_with_docs_local_matches_spark(spark, built):
         cols = ["doc_id", "score", "repo", "path", "lang"]
         assert sorted(got.columns) == sorted(want.columns)
         assert got[cols].values.tolist() == want[cols].values.tolist(), query
+
+
+def test_serving_reader_without_spark(spark, built):
+    """IndexReader(None, dir) is a full serving node: identical results
+    with no SparkSession; distributed methods fail with a clear error."""
+    ref = IndexReader(spark, built)
+    srv = IndexReader(None, built)
+    for q in ("index query merge", "lang:java stream"):
+        want = ref.search_local(q, k=5)
+        got = srv.search_local(q, k=5)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), want["score"].to_numpy())
+    ph = srv.phrase_search_local("get user", k=3)
+    assert ph["doc_id"].tolist() == ref.phrase_search_local("get user", k=3)["doc_id"].tolist()
+    with pytest.raises(ValueError, match="serving mode"):
+        srv.search("return", k=3)
