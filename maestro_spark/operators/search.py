@@ -780,7 +780,7 @@ def _phrase_match(rows: dict[str, dict], seq: list[str]
     doc_lists: dict[str, np.ndarray] = {}
     inter: np.ndarray | None = None
     for t in uniq_terms:
-        pl = decode_postings(rows[t])
+        pl = _decode_full(rows[t])
         doc_lists[t] = pl.doc_ids
         inter = pl.doc_ids if inter is None else inter[
             np.isin(inter, pl.doc_ids, assume_unique=True)]
@@ -813,23 +813,40 @@ def _phrase_match(rows: dict[str, dict], seq: list[str]
     return inter[keep], tf[keep].astype(np.int64)
 
 
-def _map_shards(fn, items: list, max_workers: int | None):
-    """Run fn over per-shard work items, threaded when there are several
-    shards (pyarrow parquet reads and large numpy kernels release the
-    GIL). Sequential for 0-1 items — no pool overhead on point lookups."""
-    if len(items) <= 1:
-        return [fn(it) for it in items]
-    from concurrent.futures import ThreadPoolExecutor
+_SHARD_POOL = None
+_SHARD_POOL_SIZE = 8
 
-    n = max_workers or min(len(items), 8)
-    with ThreadPoolExecutor(max_workers=n) as ex:
-        return list(ex.map(fn, items))
+
+def _map_shards(fn, items: list, max_workers: int | None):
+    """Run fn over per-shard work items. SEQUENTIAL by default: warm
+    queries score in-memory posting rows with small GIL-bound numpy
+    kernels, where measured thread-pool churn cost ~200 ms/query while
+    the work itself is ~ms (profile in BENCH.md). Pass max_workers to
+    opt into a shared, lazily-created pool — worthwhile only when
+    per-shard work is dominated by GIL-releasing phases (cold pyarrow
+    reads, production-size block decodes). Process-level parallelism
+    (bench_serving.py) is the serving tier's real scaling axis."""
+    if max_workers is None or max_workers <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    global _SHARD_POOL
+    if _SHARD_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SHARD_POOL = ThreadPoolExecutor(max_workers=_SHARD_POOL_SIZE)
+    return list(_SHARD_POOL.map(fn, items))
 
 
 # ---------------------------------------------------------------- scorer
 
-_DOCLENS_CACHE: dict[tuple, np.ndarray] = {}
-_DOCLENS_CACHE_MAX = 16
+from collections import OrderedDict as _OrderedDict
+
+_DOCLENS_CACHE: "_OrderedDict[tuple, np.ndarray]" = _OrderedDict()
+# sized for a serving process's working set: shards × fields. A 1M-doc
+# shard's array is 8 MB, so 128 entries bound resident doclens at ~1 GB
+# worst-case; entries evict LRU (a 16-entry FIFO measurably THRASHED at
+# 10 shards × 4 fields — every query re-read every sidecar, 6.5 of
+# 11.9 s in the serving profile).
+_DOCLENS_CACHE_MAX = 128
 
 
 def _load_doclens(index_dir: str, shard: int, field: str, base: int,
@@ -851,6 +868,7 @@ def _load_doclens(index_dir: str, shard: int, field: str, base: int,
     key = (index_dir, shard, field, stamp)
     hit = _DOCLENS_CACHE.get(key)
     if hit is not None:
+        _DOCLENS_CACHE.move_to_end(key)
         return hit
     ds = pads.dataset(path, format="parquet")
     tbl = ds.to_table(columns=["doc_id", "dl"],
@@ -859,9 +877,24 @@ def _load_doclens(index_dir: str, shard: int, field: str, base: int,
     ids = tbl.column("doc_id").to_numpy() - base
     arr[ids] = tbl.column("dl").to_numpy()
     if len(_DOCLENS_CACHE) >= _DOCLENS_CACHE_MAX:
-        _DOCLENS_CACHE.pop(next(iter(_DOCLENS_CACHE)))
+        _DOCLENS_CACHE.popitem(last=False)
     _DOCLENS_CACHE[key] = arr
     return arr
+
+
+
+def _decode_full(r: dict):
+    """Full posting decode memoized ON the row dict: rows living in a
+    reader's posting-row cache keep their decoded arrays across queries
+    (the ES query-cache analogue; memory is bounded by that cache's own
+    LRU), while the Spark path's per-query row dicts are fresh so
+    nothing accumulates. Scorers treat the arrays as read-only. Pruned
+    block_idx decodes are never cached (candidate-dependent)."""
+    hit = r.get("_decoded")
+    if hit is None:
+        hit = decode_postings(r)
+        r["_decoded"] = hit
+    return hit
 
 
 def score_shard_rows(
@@ -938,7 +971,7 @@ def score_shard_rows(
                 continue
             pl = decode_postings(r, block_idx=need)
         else:
-            pl = decode_postings(r)
+            pl = _decode_full(r)
 
         local = pl.doc_ids - base
         tfs = pl.tfs
@@ -986,7 +1019,7 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
     inter: np.ndarray | None = None if allowed is None else allowed + base
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for t in by_df:
-        pl = decode_postings(rows[t])
+        pl = _decode_full(rows[t])
         decoded[t] = (pl.doc_ids, pl.tfs)
         inter = pl.doc_ids if inter is None else inter[np.isin(inter, pl.doc_ids, assume_unique=True)]
         if inter.size == 0:
