@@ -88,13 +88,15 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
 def _search_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10,
                mode: str = "or", boosts: dict | None = None,
-               doc_filter=None) -> DataFrame:
+               doc_filter=None, exclude: str | None = None,
+               min_match: int = 1) -> DataFrame:
     """Engine search, re-ranked on round(score, 6) with doc_id tie-break so
     the top-k cut is identical to the oracle's regardless of float summation
     order (both sides rank by the ROUNDED score)."""
     reader = IndexReader(spark, _ensure_index(spark, sf_dir))
     raw = reader.search(query, k=max(4 * k, 40), mode=mode, boosts=boosts,
-                        doc_filter=doc_filter)
+                        doc_filter=doc_filter, exclude=exclude,
+                        min_match=min_match)
     return (
         raw.select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -131,7 +133,7 @@ def _hex16_sql(col: str) -> str:
 
 def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
               k: int = 10, mode: str = "or",
-              where: str | None = None) -> str:
+              where: str | None = None, offset: int = 0) -> str:
     """Brute-force BM25 oracle (k1=1.2, b=0.75 — Lucene formula) over the
     simple-tokenized content field plus keyword-field contributions
     (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1)). kw entries are
@@ -194,6 +196,7 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
         + "\nSELECT doc_id, round(score, 6) AS score FROM allsc "
         + flt
         + f"ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"
+        + (f" OFFSET {offset}" if offset else "")
     )
 
 
@@ -495,6 +498,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_field_repo"] = lambda s, d: _search_df(s, d, "repo:src3 dup window", 10)
     q["bm25_boosted"] = lambda s, d: _search_df(
         s, d, "lang:es spark stream", 10, boosts={"lang": 2.0})
+    q["bm25_not"] = lambda s, d: _search_df(
+        s, d, "spark stream", 10, exclude="merge")
+    q["bm25_msm"] = lambda s, d: _search_df(
+        s, d, "merge spark window", 10, min_match=2)
+
+    def _q_page2(s: SparkSession, d: str) -> DataFrame:
+        # deterministic cursor pagination: page 1's last (rounded score,
+        # doc_id) is the search_after cursor for page 2 — the ES
+        # search_after analogue, exact per shard at any depth
+        reader = IndexReader(s, _ensure_index(s, d))
+        p1 = reader.search_after_local("spark stream", k=10, score_round=6)
+        cur = (float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1]))
+        p2 = reader.search_after_local("spark stream", k=10, after=cur,
+                                       score_round=6)
+        return s.createDataFrame(p2, "doc_id long, score double")
+
+    q["bm25_page2"] = _q_page2
+
+    def _q_total_hits(s: SparkSession, d: str) -> DataFrame:
+        # the ES _count analogue across bool modes: or / and / msm / not
+        reader = IndexReader(s, _ensure_index(s, d))
+        row = (reader.count_local("merge spark stream"),
+               reader.count_local("merge spark stream", mode="and"),
+               reader.count_local("merge spark stream", min_match=2),
+               reader.count_local("merge spark stream", exclude="window"))
+        return s.createDataFrame(
+            [row], "n_or long, n_and long, n_msm2 long, n_not long")
+
+    q["total_hits"] = _q_total_hits
+
+    def _q_facets(s: SparkSession, d: str) -> DataFrame:
+        # ES terms-agg analogue: counts over the FULL match set, which
+        # stays on executors (match_docs -> docstore join -> partial agg)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_facets("spark stream", facet_cols=("lang",))
+
+    q["bm25_facets"] = _q_facets
     q["bm25_nested"] = _q_bm25_nested
     q["term_stats"] = _q_term_stats
     q["doc_token_stats"] = _q_doc_token_stats
@@ -771,6 +811,31 @@ LIMIT 10"""
     )
     o["bm25_field_repo"] = _bm25_sql(["dup", "window"], [("source", "src3")])
     o["bm25_boosted"] = _bm25_sql(["spark", "stream"], [("lang", "es", 2.0)])
+    o["bm25_not"] = _bm25_sql(
+        ["spark", "stream"],
+        where="doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+              "WHERE term = 'merge')")
+    o["bm25_msm"] = _bm25_sql(
+        ["merge", "spark", "window"],
+        where="doc_id IN (SELECT doc_id FROM tfq "
+              "WHERE term IN ('merge', 'spark', 'window') "
+              "GROUP BY doc_id HAVING count(*) >= 2)")
+    o["bm25_page2"] = _bm25_sql(["spark", "stream"], k=10, offset=10)
+    o["total_hits"] = f"""
+WITH {_TOK},
+m AS (SELECT doc_id, count(DISTINCT term) AS c FROM tok
+      WHERE term IN ('merge', 'spark', 'stream') GROUP BY doc_id)
+SELECT (SELECT count(*) FROM m) AS n_or,
+       (SELECT count(*) FROM m WHERE c = 3) AS n_and,
+       (SELECT count(*) FROM m WHERE c >= 2) AS n_msm2,
+       (SELECT count(*) FROM m WHERE doc_id NOT IN
+          (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')) AS n_not"""
+    o["bm25_facets"] = f"""
+WITH {_TOK}
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ('spark', 'stream'))
+GROUP BY lang ORDER BY n_docs DESC, lang"""
     # same-element (mirror, org9) holds for element 2 (doc_id%4==0) and
     # for element 1 exactly when both decoys coincide (%5 AND %7)
     o["bm25_nested"] = _bm25_sql(

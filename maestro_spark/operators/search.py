@@ -258,7 +258,9 @@ class IndexReader:
     def search(self, query: str, k: int = 10, mode: str = "or",
                prune: bool = True,
                boosts: dict[str, float] | None = None,
-               doc_filter=None, engine: str = "spark") -> DataFrame:
+               doc_filter=None, engine: str = "spark",
+               exclude: str | None = None,
+               min_match: int = 1) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
         ordered by (score desc, doc_id asc) — deterministic ranks (T1).
 
@@ -280,7 +282,19 @@ class IndexReader:
         accumulation to allowed docs — the true filtered top-k, not a
         post-filter of an unfiltered top-k (which could under-fill).
         MaxScore pruning stays exact: disallowed docs simply never
-        accumulate mass."""
+        accumulate mass.
+
+        exclude: optional must_not clause (the ES bool-query analogue,
+        DefaultIndexer's exclusion semantics applied at query time):
+        docs containing ANY of its analyzed terms never score. The
+        exclusion terms' postings ride the same pruned scan as the query
+        terms; their doc sets are subtracted per shard before
+        accumulation, so the result is the exact top-k of the non-
+        excluded set.
+
+        min_match: minimum_should_match for mode="or" — a doc must match
+        at least this many distinct query terms to qualify. min_match>1
+        disables score-based pruning (see score_shard_rows)."""
         plan = self.plan(query, boosts=boosts)
         spark = self.spark
         if spark is None:
@@ -293,24 +307,29 @@ class IndexReader:
         if doc_filter is None and (engine == "local" or (
                 engine == "auto"
                 and sum(plan.dfs.values()) <= self.LOCAL_DF_BUDGET)):
-            hits = self.search_local(query, k, mode, prune, boosts=boosts)
+            hits = self.search_local(query, k, mode, prune, boosts=boosts,
+                                     exclude=exclude, min_match=min_match)
             return spark.createDataFrame(hits, "doc_id long, score double")
         n_buckets = self.cfg["n_buckets"]
-        buckets = sorted({_term_bucket(t, n_buckets) for t in plan.terms})
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted(set(plan.terms) | set(ex_terms))
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
         terms, idfs, fields = plan.terms, plan.idfs, plan.fields
         avgdl = plan.avgdl
 
         rel = self._postings().where(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
         if doc_filter is None:
             def score_shard(key, pdf):
                 shard = int(key[0])
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
+                excluded = _excluded_local(rows, ex_terms, shard * shard_size)
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
                     index_dir, k, mode, prune,
+                    excluded=excluded, min_match=min_match,
                 )
                 return pd.DataFrame({"doc_id": doc_ids, "score": scores})
 
@@ -327,9 +346,11 @@ class IndexReader:
                                          "score": pd.array([], dtype="float64")})
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
                 allowed = np.sort(adf["doc_id"].to_numpy(np.int64)) - shard * shard_size
+                excluded = _excluded_local(rows, ex_terms, shard * shard_size)
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
                     index_dir, k, mode, prune, allowed=allowed,
+                    excluded=excluded, min_match=min_match,
                 )
                 return pd.DataFrame({"doc_id": doc_ids, "score": scores})
 
@@ -416,10 +437,18 @@ class IndexReader:
         {"doc_id": pd.array([], dtype="int64"),
          "score": pd.array([], dtype="float64")}))
 
+    def _exclusion_terms(self, exclude: str | None) -> list[str]:
+        if not exclude:
+            return []
+        return sorted(set(analyze_query(
+            exclude, tokenizer=self.cfg.get("tokenizer", "code"))))
+
     def search_local(self, query: str, k: int = 10, mode: str = "or",
                      prune: bool = True,
                      boosts: dict[str, float] | None = None,
-                     max_workers: int | None = None) -> pd.DataFrame:
+                     max_workers: int | None = None,
+                     exclude: str | None = None,
+                     min_match: int = 1) -> pd.DataFrame:
         """Serving-path top-k: the ES query-node analogue — plan from the
         termdict sidecar, pyarrow row-group-pruned posting reads, the SAME
         score_shard_rows scorer per shard (float64 bit-identical to
@@ -438,16 +467,21 @@ class IndexReader:
         plan = self.plan(query, boosts=boosts)
         if not plan.terms:
             return self._EMPTY_HITS()
-        by_shard = self._fetch_posting_rows(plan.terms)
+        ex_terms = self._exclusion_terms(exclude)
+        by_shard = self._fetch_posting_rows(
+            sorted(set(plan.terms) | set(ex_terms)))
         if not by_shard:
             return self._EMPTY_HITS()
         shard_size = self.cfg["shard_size"]
 
         def run(item):
             shard, rows = item
+            excluded = _excluded_local(rows, ex_terms,
+                                              shard * shard_size)
             return score_shard_rows(
                 rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
-                shard, shard_size, self.index_dir, k, mode, prune)
+                shard, shard_size, self.index_dir, k, mode, prune,
+                excluded=excluded, min_match=min_match)
 
         results = _map_shards(run, sorted(by_shard.items()), max_workers)
         ids = np.concatenate([r[0] for r in results])
@@ -499,6 +533,185 @@ class IndexReader:
             top.insert(0, "qid", qid)
             parts.append(top)
         return pd.concat(parts, ignore_index=True) if parts else empty
+
+    def count_local(self, query: str, mode: str = "or",
+                    exclude: str | None = None,
+                    min_match: int = 1) -> int:
+        """Total-hits count (the ES _count analogue): number of docs
+        matching the analyzed query under `mode`/`exclude`/`min_match`,
+        without scoring. Pure posting set algebra per shard — cost is
+        bounded by the query terms' posting sizes, never corpus size."""
+        plan = self.plan(query)
+        if not plan.terms:
+            return 0
+        ex_terms = self._exclusion_terms(exclude)
+        by_shard = self._fetch_posting_rows(
+            sorted(set(plan.terms) | set(ex_terms)))
+        total = 0
+        for shard, rows in sorted(by_shard.items()):
+            present = [t for t in plan.terms if t in rows]
+            if not present:
+                continue
+            if mode == "and":
+                if len(present) < len(plan.terms):
+                    continue
+                ids: np.ndarray | None = None
+                for t in sorted(present, key=lambda t: rows[t]["df"]):
+                    d = _decode_full(rows[t]).doc_ids
+                    ids = d if ids is None else ids[np.isin(
+                        ids, d, assume_unique=True)]
+                    if ids.size == 0:
+                        break
+            else:
+                parts = [_decode_full(rows[t]).doc_ids for t in present]
+                if min_match > 1:
+                    cat = np.concatenate(parts)
+                    uniq, cnt = np.unique(cat, return_counts=True)
+                    ids = uniq[cnt >= min_match]
+                else:
+                    ids = np.unique(np.concatenate(parts))
+            if ids is None or ids.size == 0:
+                continue
+            ex = _excluded_local(rows, ex_terms, 0)
+            if ex is not None and ex.size:
+                ids = ids[np.isin(ids, ex, assume_unique=True, invert=True)]
+            total += int(ids.size)
+        return total
+
+    def search_after_local(self, query: str, k: int = 10,
+                           after: tuple[float, int] | None = None,
+                           mode: str = "or",
+                           boosts: dict[str, float] | None = None,
+                           exclude: str | None = None,
+                           min_match: int = 1,
+                           score_round: int | None = None) -> pd.DataFrame:
+        """Deterministic cursor pagination (the ES search_after analogue,
+        S1's paginated-scan counterpart on the query side): returns the
+        top-k hits strictly AFTER the cursor `after = (score, doc_id)` in
+        the global (score desc, doc_id asc) order. Page 1 is
+        `after=None`; each page's cursor is its last row.
+
+        Exactness: each shard returns its top-k *of the after-cursor
+        subset*, so the coordinator merge is exact at any depth — no
+        from+size deep-paging blowup. Score-based pruning is disabled
+        (a doc below the shard's unconditional top-k can be needed after
+        the cursor), so a page costs one full accumulation of the query
+        terms' postings — still posting-bounded, independent of corpus
+        size, and identical for every page (no deep-page penalty).
+
+        score_round: optional decimal rounding applied to scores BEFORE
+        the cursor compare and merge, making the page order (rounded
+        score desc, doc_id asc) — a total order that is reproducible
+        across engines whose float summation order differs (the same
+        convention the driver's SQL oracles rank by)."""
+        plan = self.plan(query, boosts=boosts)
+        if not plan.terms:
+            return self._EMPTY_HITS()
+        ex_terms = self._exclusion_terms(exclude)
+        by_shard = self._fetch_posting_rows(
+            sorted(set(plan.terms) | set(ex_terms)))
+        if not by_shard:
+            return self._EMPTY_HITS()
+        shard_size = self.cfg["shard_size"]
+        parts_i, parts_s = [], []
+        for shard, rows in sorted(by_shard.items()):
+            excluded = _excluded_local(rows, ex_terms,
+                                              shard * shard_size)
+            ids, scores = score_shard_rows(
+                rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
+                shard, shard_size, self.index_dir, shard_size, mode,
+                prune=False, excluded=excluded, min_match=min_match)
+            if score_round is not None and scores.size:
+                scores = np.round(scores, score_round)
+                order = np.lexsort((ids, -scores))
+                ids, scores = ids[order], scores[order]
+            if after is not None and ids.size:
+                a_score, a_id = float(after[0]), int(after[1])
+                keep = (scores < a_score) | (
+                    (scores == a_score) & (ids > a_id))
+                ids, scores = ids[keep], scores[keep]
+            if ids.size:
+                parts_i.append(ids[:k])
+                parts_s.append(scores[:k])
+        if not parts_i:
+            return self._EMPTY_HITS()
+        return self._merge_topk(np.concatenate(parts_i),
+                                np.concatenate(parts_s), k)
+
+    def match_docs(self, query: str, mode: str = "or",
+                   exclude: str | None = None,
+                   min_match: int = 1) -> DataFrame:
+        """Distributed match set: DataFrame(shard int, doc_id long) of
+        every doc matching the analyzed query — the input to facet aggs
+        and bulk exports, where the result is corpus-scale and must stay
+        on executors. One grouped-map over the pruned posting scan; no
+        scoring, no doclens reads."""
+        self._refresh_if_stale()
+        plan = self.plan(query)
+        spark = self.spark
+        if spark is None:
+            raise ValueError("match_docs needs a SparkSession")
+        if not plan.terms:
+            return spark.createDataFrame([], "shard int, doc_id long")
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted(set(plan.terms) | set(ex_terms))
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
+        terms = plan.terms
+        n_terms = len(terms)
+
+        def match_shard(key, pdf):
+            shard = int(key[0])
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            present = [t for t in terms if t in rows]
+            empty = pd.DataFrame({"shard": pd.array([], dtype="int32"),
+                                  "doc_id": pd.array([], dtype="int64")})
+            if not present or (mode == "and" and len(present) < n_terms):
+                return empty
+            if mode == "and":
+                ids = None
+                for t in sorted(present, key=lambda t: rows[t]["df"]):
+                    d = _decode_full(rows[t]).doc_ids
+                    ids = d if ids is None else ids[np.isin(
+                        ids, d, assume_unique=True)]
+                    if ids.size == 0:
+                        return empty
+            elif min_match > 1:
+                cat = np.concatenate(
+                    [_decode_full(rows[t]).doc_ids for t in present])
+                uniq, cnt = np.unique(cat, return_counts=True)
+                ids = uniq[cnt >= min_match]
+            else:
+                ids = np.unique(np.concatenate(
+                    [_decode_full(rows[t]).doc_ids for t in present]))
+            ex = _excluded_local(rows, ex_terms, 0)
+            if ex is not None and ex.size:
+                ids = ids[np.isin(ids, ex, assume_unique=True, invert=True)]
+            return pd.DataFrame({"shard": np.full(ids.size, shard, np.int32),
+                                 "doc_id": ids.astype(np.int64)})
+
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(all_terms))
+        return rel.groupBy("shard").applyInPandas(
+            match_shard, schema="shard int, doc_id long")
+
+    def search_facets(self, query: str, facet_cols: tuple = ("lang",),
+                      mode: str = "or", exclude: str | None = None,
+                      min_match: int = 1) -> DataFrame:
+        """Facet aggregation over the FULL match set (the ES terms-agg
+        analogue): (facet value(s), n_docs) counts of every doc matching
+        the query, grouped by docstore columns. The match set never
+        reaches the driver: match_docs stays on executors, joins the
+        column-pruned docstore on (shard, doc_id) — shard equality keeps
+        the probe side partition-prunable — and a partial-agg count
+        shuffles only one row per facet value per task."""
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id", *facet_cols)
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.groupBy(*facet_cols)
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy(F.desc("n_docs"), *facet_cols))
 
     def fetch_docs_local(self, doc_ids, cols: tuple = ("repo", "path", "lang")
                          ) -> pd.DataFrame:
@@ -897,6 +1110,18 @@ def _decode_full(r: dict):
     return hit
 
 
+def _excluded_local(shard_rows: dict[str, dict], ex_terms: list[str],
+                    base: int) -> np.ndarray | None:
+    """Sorted unique LOCAL offsets of docs containing ANY exclusion term
+    in this shard (the bool must_not set; decodes reuse the posting-row
+    cache's memoized arrays when the rows came from it)."""
+    parts = [_decode_full(shard_rows[t]).doc_ids
+             for t in ex_terms if t in shard_rows]
+    if not parts:
+        return None
+    return np.unique(np.concatenate(parts)) - base
+
+
 def score_shard_rows(
     rows: dict[str, dict],
     terms: list[str],
@@ -910,6 +1135,8 @@ def score_shard_rows(
     mode: str = "or",
     prune: bool = True,
     allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+    min_match: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's query-term posting rows; return local top-k
     (doc_ids, scores) sorted by (score desc, doc_id asc).
@@ -923,7 +1150,18 @@ def score_shard_rows(
     allowed: optional sorted LOCAL doc offsets the scorer may emit (the
     doc_filter path) — contributions of other docs are dropped before
     accumulation, so the result is the exact top-k of the allowed set.
-    """
+
+    excluded: optional sorted LOCAL doc offsets that must never score
+    (the bool-query must_not clause, DefaultIndexer's ES bool analogue).
+    Dropped before accumulation, so MaxScore pruning stays exact —
+    excluded docs simply never gain mass.
+
+    min_match: minimum number of DISTINCT query terms a doc must match
+    to qualify (ES minimum_should_match). With min_match > 1 score-based
+    candidate pruning is disabled: theta derived from docs that later
+    fail the match floor could prune qualifying docs, so exactness
+    requires full accumulation (an msm-aware WAND bound is future work;
+    the cost is still bounded by the query's posting sizes)."""
     base = shard * shard_size
     present = [t for t in terms if t in rows]
     if not present or (allowed is not None and allowed.size == 0):
@@ -931,7 +1169,11 @@ def score_shard_rows(
 
     if mode == "and":
         return _score_and(rows, present, idfs, fields, avgdl, base,
-                          shard, shard_size, index_dir, k, allowed)
+                          shard, shard_size, index_dir, k, allowed,
+                          excluded)
+    if min_match > 1:
+        prune = False
+    counts = np.zeros(shard_size, dtype=np.int32) if min_match > 1 else None
 
     # per-term upper bounds from block metadata (query-time avgdl)
     ubound = {}
@@ -978,6 +1220,9 @@ def score_shard_rows(
         if allowed is not None:
             ok = np.isin(local, allowed, assume_unique=True)
             local, tfs = local[ok], tfs[ok]
+        if excluded is not None and excluded.size:
+            ok = np.isin(local, excluded, assume_unique=True, invert=True)
+            local, tfs = local[ok], tfs[ok]
         contrib = idf_t * bm25.tfnorm(tfs, dl_of(fields[t])[local], adl)
 
         if candidates is not None:
@@ -986,6 +1231,8 @@ def score_shard_rows(
             local, contrib = local[sel], contrib[sel]
         acc[local] += contrib
         touched[local] = True
+        if counts is not None:
+            counts[local] += 1
 
         if prune and candidates is None:
             nz = np.flatnonzero(touched)
@@ -999,6 +1246,8 @@ def score_shard_rows(
                 break
 
     nz = candidates if candidates is not None else np.flatnonzero(touched)
+    if counts is not None and nz.size:
+        nz = nz[counts[nz] >= min_match]
     if nz.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     kk = min(k, nz.size)
@@ -1010,11 +1259,13 @@ def score_shard_rows(
 
 
 def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
-               index_dir, k, allowed: np.ndarray | None = None):
+               index_dir, k, allowed: np.ndarray | None = None,
+               excluded: np.ndarray | None = None):
     """Conjunctive: k-way intersection starting from the rarest term
     (SURVEY.md §2.5 J4 — n-way merge of sorted posting lists), then exact
     scoring of the intersection in canonical order. `allowed` (sorted
-    local offsets) joins the intersection as one more sorted set."""
+    local offsets) joins the intersection as one more sorted set;
+    `excluded` (sorted local offsets) is subtracted from it."""
     by_df = sorted(present, key=lambda t: rows[t]["df"])
     inter: np.ndarray | None = None if allowed is None else allowed + base
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -1022,6 +1273,11 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
         pl = _decode_full(rows[t])
         decoded[t] = (pl.doc_ids, pl.tfs)
         inter = pl.doc_ids if inter is None else inter[np.isin(inter, pl.doc_ids, assume_unique=True)]
+        if inter.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    if excluded is not None and excluded.size:
+        inter = inter[np.isin(inter - base, excluded,
+                              assume_unique=True, invert=True)]
         if inter.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
     scores = np.zeros(inter.size, dtype=np.float64)
