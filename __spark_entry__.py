@@ -622,6 +622,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_sha256"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.sha2(F.col("text"), 256).alias("sha"))
 
+    def _q_pii_redact(s: SparkSession, d: str) -> DataFrame:
+        # deterministic PII injection (doc_id-derived, identical in the
+        # oracle) so the redactor has real work on the synthetic corpus
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.com/p/"),
+                F.col("doc_id").cast("string"), F.lit(" from 10.0."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".7"),
+            ).alias("text"))
+        red = textstats.redact_pii(docs, "text", "doc_id")
+        return red.select("doc_id", "n_urls", "n_emails", "n_ips",
+                          F.md5(F.col("redacted")).alias("red_md5"))
+
+    q["pii_redact"] = _q_pii_redact
+    q["repetition_ratio"] = lambda s, d: textstats.repetition_features(
+        _t(s, d, "documents"), "text", "doc_id")
+
     # ---- curation / data-mixing family
     q["stratified_sample"] = lambda s, d: curation.stratified_sample(
         _t(s, d, "documents"), _MIX, "source", "doc_id", "s1"
@@ -1127,6 +1147,32 @@ SELECT b.doc_id, md5(b.norm) AS fingerprint,
 FROM base b LEFT JOIN roll r USING (doc_id)"""
 
     o["doc_sha256"] = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+    from maestro_spark.operators.textstats import EMAIL_RE, IPV4_RE, URL_RE
+    o["pii_redact"] = f"""
+WITH inj AS (SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com via https://ex.com/p/'
+         || doc_id || ' from 10.0.' || (doc_id % 200) || '.7' AS text
+  FROM documents),
+r1 AS (SELECT doc_id,
+    len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+    regexp_replace(text, '{URL_RE}', '<URL>', 'g') AS text FROM inj),
+r2 AS (SELECT doc_id, n_urls,
+    len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+    regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text FROM r1),
+r3 AS (SELECT doc_id, n_urls, n_emails,
+    len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+    regexp_replace(text, '{IPV4_RE}', '<IP>', 'g') AS text FROM r2)
+SELECT doc_id, n_urls, n_emails, n_ips, md5(text) AS red_md5 FROM r3"""
+
+    o["repetition_ratio"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       GROUP BY doc_id, term)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(count(*) / sum(tf), 6) AS distinct_ratio,
+       round(max(tf) / sum(tf), 6) AS top_token_ratio
+FROM tf GROUP BY doc_id"""
 
     mix_pred = " OR ".join(
         f"(source = '{s}' AND u < {f!r})" for s, f in _MIX.items())

@@ -190,3 +190,63 @@ def lang_id_ngram(docs: DataFrame, profiles: dict[str, dict[str, float]],
     return docs.select(id_col, text_col).mapInPandas(
         score, schema=f"{id_col} long, lang_pred string, confidence double"
     )
+
+
+# --------------------------------------------------------------- PII / URLs
+
+# Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the
+# SAME regex runs in Spark (Java regex) and the DuckDB oracle (RE2), and a
+# production port to Hyperscan/re2 stays possible. Order matters: URLs are
+# redacted FIRST so an email-or-ip-looking substring inside a URL is part
+# of the URL's redaction, not double-counted.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_STEPS = (("url", URL_RE, "<URL>"),
+              ("email", EMAIL_RE, "<EMAIL>"),
+              ("ip", IPV4_RE, "<IP>"))
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Training-data PII scrubbing: replace URLs, emails, and IPv4
+    addresses with typed placeholders and count each kind. Pure
+    regexp_replace/regexp_count column expressions — whole-stage codegen,
+    zero shuffle, linear in bytes scanned; at 100 TB this is a map-only
+    pass whose cost is the scan itself. Returns (id, redacted text,
+    n_urls, n_emails, n_ips)."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, token in _PII_STEPS:
+        counts.append(F.regexp_count(redacted, F.lit(pat))
+                      .alias(f"n_{name}s"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return docs.select(F.col(id_col), *counts,
+                       redacted.alias("redacted"))
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the boilerplate/spam detector a
+    pretraining pipeline runs next to quality_score): per-doc distinct-
+    token ratio and the mass fraction of the single most frequent token.
+
+    Shape at scale: explode → two-level aggregation. Both groupBys
+    partial-aggregate map-side; the shuffled key (doc_id, term) is
+    near-unique so there is no hot key, and the second agg shuffles one
+    row per doc. No UDF, no driver work."""
+    toks = simple_token_col(F.col(text_col))
+    tf = (docs.select(F.col(id_col), F.explode(toks).alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    return (tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("tf").alias("top_tf"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+            .alias("distinct_ratio"),
+            F.round(F.col("top_tf") / F.col("n_tokens"), 6)
+            .alias("top_token_ratio")))

@@ -118,3 +118,34 @@ def test_fingerprint_order_sensitivity(spark):
     assert out[1]["fingerprint"] == out[3]["fingerprint"]
     assert out[1]["rolling_hash"] == out[3]["rolling_hash"]
     assert out[1]["rolling_hash"] != out[2]["rolling_hash"]
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "mail a@b.io and c.d+x@e-f.org, ip 10.0.0.1, "
+             "see https://x.io/p?q=1 end"),
+         (2, "clean text with no pii at all"),
+         (3, "url with embedded email https://x.io/u/a@b.io tail")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.redact_pii(d).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 1 \
+        and out[1]["n_urls"] == 1
+    red = out[1]["redacted"]
+    assert "<EMAIL>" in red and "<IP>" in red and "<URL>" in red
+    assert "a@b.io" not in red and "10.0.0.1" not in red
+    assert out[2]["n_emails"] == out[2]["n_ips"] == out[2]["n_urls"] == 0
+    assert out[2]["redacted"] == "clean text with no pii at all"
+    # URL redaction runs first: the embedded email is part of the URL
+    assert out[3]["n_urls"] == 1 and out[3]["n_emails"] == 0
+    assert out[3]["redacted"] == "url with embedded email <URL> tail"
+
+
+def test_repetition_features(spark):
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam ham"),        # 5 tokens, 2 distinct
+         (2, "all words here are unique")],     # 5 tokens, 5 distinct
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_features(d).collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["distinct_ratio"] == 0.4
+    assert out[1]["top_token_ratio"] == 0.8
+    assert out[2]["distinct_ratio"] == 1.0 and out[2]["top_token_ratio"] == 0.2
