@@ -64,6 +64,20 @@ def _sf() -> float:
         return 0.1
 
 
+def _vm_cpu_score() -> float:
+    """Fixed-work single-core calibration (higher = healthier VM): the
+    sandbox's delivered CPU fluctuates ~2-4× run-to-run (noisy
+    neighbors), so every bench JSON carries this score — a slow
+    headline number with a low score is the neighbor, not the engine.
+    ~1 s of numpy matmul + hashing at nominal speed."""
+    rng = np.random.default_rng(7)
+    a = rng.random((512, 512))
+    t0 = time.time()
+    for _ in range(24):
+        a = a @ a % 1.0 + 0.1
+    return round(24.0 / (time.time() - t0), 2)
+
+
 def main() -> None:
     sf = _sf()
     n_docs = int(os.environ.get("BENCH_DOCS", str(int(sf * 200_000))))
@@ -71,13 +85,24 @@ def main() -> None:
     t_all = time.time()
     timings: dict[str, float] = {}
 
+    cpu_score_pre = _vm_cpu_score()
+
     # ---- 1. index build over the north-star corpus -----------------------
+    # best-of-N (default 2): one build can land in a bad noisy-neighbor
+    # window (measured 4× swings on identical code); the min is the only
+    # stable estimator of the engine's own cost. All samples reported.
     idx_dir = tempfile.mkdtemp(prefix="maestro_bench_idx_")
+    repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "2"))
     try:
         docs = synth_docs(spark, n_docs, seed=42)
-        t0 = time.time()
-        manifest = build_index(spark, docs, idx_dir, CFG)
-        t_build = time.time() - t0
+        build_samples = []
+        for rep in range(max(repeats, 1)):
+            if rep:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.time()
+            manifest = build_index(spark, docs, idx_dir, CFG)
+            build_samples.append(time.time() - t0)
+        t_build = min(build_samples)
         timings["index_build"] = round(t_build, 3)
         docs_per_sec = n_docs / t_build
         n_postings = sum(s["n_postings"] for s in manifest["shards"].values())
@@ -189,6 +214,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_docs_indexed": n_docs,
+        "build_samples_s": [round(x, 3) for x in build_samples],
+        "vm_cpu_score": [cpu_score_pre, _vm_cpu_score()],
         "docs_per_sec": round(docs_per_sec, 1),
         "postings_per_sec": round(postings_per_sec, 1),
         "posting_bytes": bytes_compressed,
