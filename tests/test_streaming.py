@@ -99,3 +99,84 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     # held back; everything older must be present
     horizon = sorted({k[0] for k in want})[-3]
     assert not {k for k in missing if k[0] < horizon}
+
+
+# ---------------------------------------------------------------- sessions
+
+def _batch_sessions(rows, gap_s):
+    """Reference sessionizer: plain python over (user, ts_ms, value)."""
+    import collections
+    by_user = collections.defaultdict(list)
+    for user, ms, val in rows:
+        by_user[user].append((ms, val))
+    out = []
+    for user, evs in by_user.items():
+        evs.sort()
+        s0 = l0 = None
+        n = 0
+        tot = 0.0
+        for ms, val in evs:
+            if n and ms - l0 > gap_s * 1000:
+                out.append((user, s0, l0, n, round(tot, 4)))
+                n, tot = 0, 0.0
+            if n == 0:
+                s0 = ms
+            l0 = ms
+            n += 1
+            tot += val
+        out.append((user, s0, l0, n, round(tot, 4)))
+    return sorted(out)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Gap sessionization with applyInPandasWithState: sessions closed by
+    a newer event (within and ACROSS micro-batches) and sessions closed
+    by watermark timeout must all emit exactly once, matching the batch
+    reference. One file per micro-batch forces cross-batch state."""
+    from maestro_spark.streaming import sessions as ss
+    import datetime as dt
+
+    gap_s = 600  # 10 min
+    base = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def ev(eid, user, offset_s, value):
+        return (eid, base + dt.timedelta(seconds=offset_s), user,
+                "click", value, "{}")
+
+    # user 1: sessions [0..300], [1200..1300], [9000]
+    # user 2: sessions [100..800 (split across files)], [8000]
+    batch1 = [ev(1, 1, 0, 1.0), ev(2, 1, 300, 2.0), ev(3, 2, 100, 5.0),
+              ev(4, 2, 500, 1.5)]
+    batch2 = [ev(5, 1, 1200, 0.5), ev(6, 1, 1300, 0.25),
+              ev(7, 2, 800, 2.0), ev(8, 2, 8000, 1.0)]
+    batch3 = [ev(9, 1, 9000, 4.0)]
+    # sentinel far-future event advances the watermark past every gap
+    # deadline above so trailing sessions emit via EventTimeTimeout
+    batch4 = [ev(99, 999, 500_000, 0.0)]
+
+    ev_dir = str(tmp_path / "events")
+    for i, rows in enumerate([batch1, batch2, batch3, batch4]):
+        df = spark.createDataFrame(rows, sw.EVENT_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(ev_dir)
+        del i
+
+    ss.run_session_stream(spark, ev_dir, str(tmp_path / "ckpt"),
+                          query_name="sess_t", gap_s=gap_s,
+                          watermark="0 seconds")
+    got = spark.sql("SELECT * FROM sess_t").collect()
+    got_rows = sorted(
+        (r["user_id"],
+         int(r["session_start"].timestamp() * 1000),
+         int(r["session_end"].timestamp() * 1000),
+         r["n_events"], round(r["session_value"], 4))
+        for r in got)
+
+    all_events = []
+    for rows in [batch1, batch2, batch3]:
+        for eid, ts, user, _typ, val, _p in rows:
+            all_events.append((user, int(ts.timestamp() * 1000), val))
+    want = _batch_sessions(all_events, gap_s)
+
+    assert got_rows == want
+    # exactly-once: no duplicate sessions
+    assert len(got_rows) == len(set(got_rows))
