@@ -229,7 +229,13 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
     """The full MinHash→LSH→verify pipeline: signatures → banded candidate
     pairs → exact Jaccard filter ≥ threshold. The production dedup entry
     point (probabilistic recall from banding, exact precision from verify)."""
-    sigs = minhash_signatures(docs, n_hashes, text_col, id_col, shingle_n, hash_fn)
+    # persist signatures: the banding stage fans them into three plan
+    # branches (bucket sizing join + both sides of the bucket self-join);
+    # unpersisted, each branch would recompute the shingle-explode +
+    # n_hashes min-aggregation — the single heaviest map+shuffle of the
+    # whole pipeline. The cached frame is tiny (n_docs × n_hashes ints).
+    sigs = minhash_signatures(docs, n_hashes, text_col, id_col, shingle_n,
+                              hash_fn).persist()
     # persist candidates: the verify stage consumes them twice (doc-set
     # semi-join + pair semi-join); without this the whole shingle→minhash
     # →band pipeline would be recomputed per consumer
