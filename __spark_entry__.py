@@ -639,6 +639,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.md5(F.col("redacted")).alias("red_md5"))
 
     q["pii_redact"] = _q_pii_redact
+
+    def _q_index_audit(s: SparkSession, d: str) -> DataFrame:
+        # integrity audit over the entry index (rows-only check: the
+        # expected values live in the manifest, not in SQL-reachable
+        # tables). One row per shard, all checks true on a healthy index.
+        from maestro_spark.operators.audit import audit_index
+        rep, ok = audit_index(s, _ensure_index(s, d))
+        assert ok, "entry index failed its own integrity audit"
+        return rep
+
+    q["index_audit"] = _q_index_audit
     q["repetition_ratio"] = lambda s, d: textstats.repetition_features(
         _t(s, d, "documents"), "text", "doc_id")
 

@@ -493,12 +493,15 @@ class IndexReader:
     def search_many_local(self, queries: dict[str, str], k: int = 10,
                           mode: str = "or", prune: bool = True,
                           boosts: dict[str, float] | None = None,
-                          max_workers: int | None = None) -> pd.DataFrame:
+                          max_workers: int | None = None,
+                          exclude: str | None = None,
+                          min_match: int = 1) -> pd.DataFrame:
         """Serving-path msearch: ONE pruned posting fetch for the union of
         all queries' terms, then every (shard, query) scored from the
         in-memory rows — N queries pay one I/O round instead of N. Scores
-        identical to N search_local calls. Returns pandas
-        DataFrame(qid, doc_id, score)."""
+        identical to N search_local calls. exclude/min_match apply to
+        every query in the batch (the exclusion postings ride the same
+        single fetch). Returns pandas DataFrame(qid, doc_id, score)."""
         plans = {qid: self.plan(q, boosts=boosts)
                  for qid, q in queries.items()}
         plans = {qid: p for qid, p in plans.items() if p.terms}
@@ -507,7 +510,9 @@ class IndexReader:
                               "score": pd.array([], dtype="float64")})
         if not plans:
             return empty
-        all_terms = sorted({t for p in plans.values() for t in p.terms})
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted({t for p in plans.values() for t in p.terms}
+                           | set(ex_terms))
         by_shard = self._fetch_posting_rows(all_terms)
         if not by_shard:
             return empty
@@ -515,11 +520,13 @@ class IndexReader:
 
         def run(item):
             shard, rows = item
+            excluded = _excluded_local(rows, ex_terms, shard * shard_size)
             out = {}
             for qid, p in plans.items():
                 out[qid] = score_shard_rows(
                     rows, p.terms, p.idfs, p.fields, p.avgdl,
-                    shard, shard_size, self.index_dir, k, mode, prune)
+                    shard, shard_size, self.index_dir, k, mode, prune,
+                    excluded=excluded, min_match=min_match)
             return out
 
         per_shard = _map_shards(run, sorted(by_shard.items()), max_workers)
@@ -802,7 +809,9 @@ class IndexReader:
 
     def search_many(self, queries: dict[str, str], k: int = 10,
                     mode: str = "or", prune: bool = True,
-                    boosts: dict[str, float] | None = None) -> DataFrame:
+                    boosts: dict[str, float] | None = None,
+                    exclude: str | None = None,
+                    min_match: int = 1) -> DataFrame:
         """ES _msearch analogue: score N queries in ONE Spark job.
         Returns DataFrame(qid string, doc_id long, score double) — the
         per-query top-k, each ordered (score desc, doc_id asc).
@@ -820,7 +829,9 @@ class IndexReader:
         if not plans:
             return empty
         n_buckets = self.cfg["n_buckets"]
-        all_terms = sorted({t for p in plans.values() for t in p.terms})
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted({t for p in plans.values() for t in p.terms}
+                           | set(ex_terms))
         buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
         rel = self._postings().where(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
@@ -832,11 +843,13 @@ class IndexReader:
         def score_shard_multi(key, pdf):
             shard = int(key[0])
             rows = {r["term"]: r for r in pdf.to_dict("records")}
+            excluded = _excluded_local(rows, ex_terms, shard * shard_size)
             outs = []
             for qid, (terms, idfs, fields, avgdl) in payload.items():
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
-                    index_dir, k, mode, prune)
+                    index_dir, k, mode, prune,
+                    excluded=excluded, min_match=min_match)
                 if doc_ids.size:
                     outs.append(pd.DataFrame(
                         {"qid": qid, "doc_id": doc_ids, "score": scores}))

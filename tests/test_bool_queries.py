@@ -167,3 +167,20 @@ def test_facets_and_mode_and_exclude(spark, built, reader):
             .sort_values(["n_docs", "lang"], ascending=[False, True])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want.astype({"n_docs": "int64"}))
+
+
+def test_msearch_exclude_min_match_parity(spark, reader):
+    """Batched msearch with exclude/min_match equals per-query calls on
+    both engines."""
+    batch = {"a": Q, "b": "query merge", "c": "zzz_does_not_exist"}
+    kw = {"exclude": EX, "min_match": 2}
+    got_local = reader.search_many_local(batch, k=8, **kw)
+    got_spark = reader.search_many(batch, k=8, **kw).toPandas()
+    for qid, q in batch.items():
+        want = reader.search_local(q, k=8, **kw)
+        for got in (got_local, got_spark):
+            part = (got[got["qid"] == qid]
+                    .drop(columns="qid").reset_index(drop=True))
+            assert part["doc_id"].tolist() == want["doc_id"].tolist(), qid
+            np.testing.assert_array_equal(part["score"].to_numpy(),
+                                          want["score"].to_numpy())
