@@ -1307,3 +1307,50 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
     top, ts = inter[sel], scores[sel]
     order = np.lexsort((top, -ts))
     return top[order].astype(np.int64), ts[order]
+
+
+# ------------------------------------------------------- federated search
+
+def search_federated_local(readers: dict[str, IndexReader], query: str,
+                           k: int = 10, mode: str = "or",
+                           boosts: dict[str, float] | None = None,
+                           exclude: str | None = None,
+                           min_match: int = 1) -> pd.DataFrame:
+    """Cross-index search — the Maestro/ES pattern of one request spanning
+    the file-centric AND analysis-centric indices (DefaultIndexer
+    maintains both; file_centric.json:2-7 + analysis_centric.json:2-7 are
+    sibling indices behind aliases, and ES merges per-shard top-k across
+    them exactly as across shards of one index).
+
+    Each index scores with ITS OWN corpus statistics (per-shard BM25 —
+    the same contract ES applies cross-index, so relevance is comparable
+    to ES's default rather than to a global-stats rescore), then the
+    coordinator merges by (score desc, index asc, doc_id asc) — a total
+    order, so federated results are deterministic. Returns
+    pandas DataFrame(index, doc_id, score)."""
+    parts = []
+    for name in sorted(readers):
+        hits = readers[name].search_local(
+            query, k, mode, boosts=boosts, exclude=exclude,
+            min_match=min_match)
+        if len(hits):
+            hits.insert(0, "index", name)
+            parts.append(hits)
+    if not parts:
+        return pd.DataFrame({"index": pd.array([], dtype="string"),
+                             "doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    merged = pd.concat(parts, ignore_index=True)
+    merged = merged.sort_values(["score", "index", "doc_id"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(k)
+    return merged.reset_index(drop=True)
+
+
+def count_federated_local(readers: dict[str, IndexReader], query: str,
+                          mode: str = "or", exclude: str | None = None,
+                          min_match: int = 1) -> dict[str, int]:
+    """Per-index total hits for one query (the ES _count over a
+    multi-index alias); the grand total is sum(values)."""
+    return {name: readers[name].count_local(query, mode, exclude, min_match)
+            for name in sorted(readers)}

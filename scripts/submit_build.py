@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--audit", action="store_true",
+                    help="post-build integrity audit (recompute per-shard "
+                         "stats and compare to the manifest); non-zero exit "
+                         "on failure")
     args = ap.parse_args()
 
     # imports AFTER spark-submit has placed the --py-files zip on sys.path
@@ -60,15 +64,26 @@ def main() -> None:
     else:
         raise SystemExit("one of --input / --synthetic is required")
     manifest = build_index(spark, docs, args.output, cfg, resume=args.resume)
-    print(json.dumps({
+    out = {
         "n_docs": manifest["n_docs"],
         "shards": {k: {kk: v[kk] for kk in ("n_postings", "bytes", "status",
                                             "max_merge_fanin")}
                    for k, v in manifest["shards"].items()},
         "phase_ms": manifest.get("phase_ms", {}),
         "wall_ms": manifest["wall_ms"],
-    }))
+    }
+    audit_ok = True
+    if args.audit:
+        from maestro_spark.operators.audit import audit_index
+        rep, audit_ok = audit_index(spark, args.output)
+        out["audit_ok"] = audit_ok
+        if not audit_ok:
+            out["audit_failures"] = [r.asDict() for r in
+                                     rep.where(~rep["ok"]).collect()]
+    print(json.dumps(out))
     spark.stop()
+    if not audit_ok:
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":
