@@ -164,6 +164,26 @@ def main() -> None:
         timings["msearch_local_96"] = round(msearch_wall, 3)
         msearch_local_qps = 96.0 / msearch_wall
 
+        # bool/pagination/facet/count surface (round-2 additions)
+        t0 = time.time()
+        reader.search_local("index query merge", k=10, exclude="return",
+                            min_match=2)
+        timings["bool_not_msm_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        p1 = reader.search_after_local("index query merge", k=10)
+        if len(p1):
+            reader.search_after_local(
+                "index query merge", k=10,
+                after=(float(p1["score"].iloc[-1]),
+                       int(p1["doc_id"].iloc[-1])))
+        timings["search_after_2pages"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.count_local("index query merge")
+        timings["count_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.search_facets("index query merge", facet_cols=("lang",)).collect()
+        timings["facets_spark"] = round(time.time() - t0, 3)
+
         # ---- 2b. incremental upsert: stable ids, affected shards only ----
         from pyspark.sql import functions as FF
         from maestro_spark.operators.incremental import incremental_update
@@ -205,6 +225,10 @@ def main() -> None:
                                                  n_probe=2, exclude_id=0).collect())
     timed("quality_score", lambda: textstats.quality_features(documents)
           .agg(F.avg("quality_score")).collect())
+    timed("pii_redact", lambda: textstats.redact_pii(documents)
+          .agg(F.sum("n_urls")).collect())
+    timed("repetition_ratio", lambda: textstats.repetition_features(documents)
+          .agg(F.avg("distinct_ratio")).collect())
 
     total = time.time() - t_all
     out = {
