@@ -133,19 +133,26 @@ def _hex16_sql(col: str) -> str:
 
 def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
               k: int = 10, mode: str = "or",
-              where: str | None = None, offset: int = 0) -> str:
+              where: str | None = None, offset: int = 0,
+              term_pred: str | None = None) -> str:
     """Brute-force BM25 oracle (k1=1.2, b=0.75 — Lucene formula) over the
     simple-tokenized content field plus keyword-field contributions
     (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1)). kw entries are
     (col, val[, weight]) — weight is the BM25F field boost. `where`
-    filters candidate doc_ids (the doc_filter analogue)."""
+    filters candidate doc_ids (the doc_filter analogue). `term_pred` is
+    an extra SQL predicate over `term` OR'd into the query-term set —
+    the fuzzy/wildcard expansion analogue (each matching dictionary term
+    scores with its own idf, rewrite=scoring_boolean)."""
     terms = ", ".join(f"'{t}'" for t in content_terms)
+    tp = f"term IN ({terms})" if content_terms else "FALSE"
+    if term_pred:
+        tp = f"({tp} OR ({term_pred}))"
     ctes = [
         _TOK,
         "tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term)",
         "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id)",
         "st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl)",
-        f"dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq WHERE term IN ({terms}) GROUP BY term)",
+        f"dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq WHERE {tp} GROUP BY term)",
     ]
     having = (
         " HAVING count(*) = (SELECT count(*) FROM dft)" if mode == "and" else ""
@@ -502,6 +509,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "spark stream", 10, exclude="merge")
     q["bm25_msm"] = lambda s, d: _search_df(
         s, d, "merge spark window", 10, min_match=2)
+    # ES fuzzy / wildcard query analogues: termdict-driven expansion at
+    # plan time, each expanded term scored with its own idf
+    # (rewrite=scoring_boolean); expansion sets here are far below the
+    # 50-term cap, so engine and (uncapped) oracle see identical terms
+    q["bm25_fuzzy"] = lambda s, d: _search_df(s, d, "sort~2 window", 10)
+    q["bm25_wildcard"] = lambda s, d: _search_df(s, d, "s* merge", 10)
+
+    def _q_fuzzy_terms(s: SparkSession, d: str) -> DataFrame:
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.fuzzy_terms("sort", max_edits=2)
+
+    q["fuzzy_term_lookup"] = _q_fuzzy_terms
+
+    def _q_wildcard_terms(s: SparkSession, d: str) -> DataFrame:
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.wildcard_terms("?a??")
+
+    q["wildcard_term_lookup"] = _q_wildcard_terms
 
     def _q_page2(s: SparkSession, d: str) -> DataFrame:
         # deterministic cursor pagination: page 1's last (rounded score,
@@ -852,6 +877,17 @@ LIMIT 10"""
               "WHERE term IN ('merge', 'spark', 'window') "
               "GROUP BY doc_id HAVING count(*) >= 2)")
     o["bm25_page2"] = _bm25_sql(["spark", "stream"], k=10, offset=10)
+    o["bm25_fuzzy"] = _bm25_sql(
+        ["window"], term_pred="levenshtein(term, 'sort') <= 2")
+    o["bm25_wildcard"] = _bm25_sql(["merge"], term_pred="term LIKE 's%'")
+    o["fuzzy_term_lookup"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE levenshtein(term, 'sort') <= 2 GROUP BY term"
+    )
+    o["wildcard_term_lookup"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE term LIKE '_a__' GROUP BY term"
+    )
     o["total_hits"] = f"""
 WITH {_TOK},
 m AS (SELECT doc_id, count(DISTINCT term) AS c FROM tok

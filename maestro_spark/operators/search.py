@@ -26,6 +26,7 @@ lower bound — candidates receive every true contribution.
 from __future__ import annotations
 
 import os
+import re
 from contextlib import contextmanager
 from dataclasses import dataclass
 
@@ -42,6 +43,45 @@ from maestro_spark.operators.build import _term_bucket
 from maestro_spark.sources.tableio import read_manifest, resolve_alias
 
 FIELD_OF_PREFIX = {"path:": "path", "lang:": "lang", "repo:": "repo"}
+
+# Multi-term query syntax (ES fuzzy / wildcard query analogue,
+# FileCentricElasticSearchAdapter delegates these to ES query strings):
+# a bare content token `tok~` or `tok~N` is fuzzy (max_edits N, default
+# 1); a bare token containing `*` / `?` is a wildcard. Field-scoped
+# tokens (`lang:x`) never expand.
+_FUZZY_TOKEN_RE = re.compile(r"^([a-z0-9]+)~([0-9]?)$")
+_WILDCARD_TOKEN_RE = re.compile(r"^[a-z0-9*?]*[*?][a-z0-9*?]*$")
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein with early exit: True iff dist(a, b) <= k.
+    O(len(a) * (2k+1)) — the per-candidate check behind fuzzy expansion
+    (candidates are already length-banded to |len diff| <= k)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo, hi = max(1, i - k), min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        if hi < lb:
+            cur[hi + 1 :] = [k + 1] * (lb - hi)
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def _wildcard_regex(pattern: str) -> str:
+    return "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c)
+        for c in pattern
+    )
 
 
 @contextmanager
@@ -109,6 +149,9 @@ class IndexReader:
         self.cfg = self.manifest["config"]
         self.stats = self.manifest["stats"]
         self._df_cache: dict[str, int] = {}   # term -> global df
+        # (kind, pattern, edits) -> [(term, df), ...] — fuzzy/wildcard
+        # expansions; dies with any manifest change like _df_cache
+        self._expand_cache: dict[tuple, list[tuple[str, int]]] = {}
         self._postings_rel: DataFrame | None = None
         self._docs_rel: DataFrame | None = None
         self._postings_ds = None              # pyarrow dataset (serving path)
@@ -139,8 +182,36 @@ class IndexReader:
     # ---------------------------------------------------------------- plan
 
     def plan(self, query: str, boosts: dict[str, float] | None = None) -> QueryPlan:
+        """Build the QueryPlan: analyze, expand fuzzy/wildcard tokens
+        against the term dictionary, look up dfs, fold BM25F boosts into
+        idfs, canonical-order the terms.
+
+        Fuzzy (`tok~`/`tok~N`) and wildcard (`to*`, `t?k`) tokens expand
+        to their matching dictionary terms, each scored with its OWN idf
+        as an independent should-clause — the ES/Lucene multi-term
+        `rewrite: scoring_boolean` semantics. mode="and"/min_match count
+        expanded terms individually (document-level AND across an
+        expansion is not expressible under scoring_boolean; ES shares
+        this behavior when the rewrite produces a bool query)."""
         self._refresh_if_stale()
-        raw_terms = analyze_query(query, tokenizer=self.cfg.get("tokenizer", "code"))
+        plain_parts: list[str] = []
+        expansions: list[tuple[str, str, int]] = []
+        for part in query.split():
+            p = part.lower()
+            m = _FUZZY_TOKEN_RE.match(p)
+            if m:
+                expansions.append(("fuzzy", m.group(1), int(m.group(2) or 1)))
+                continue
+            if _WILDCARD_TOKEN_RE.match(p):
+                expansions.append(("wildcard", p, 0))
+                continue
+            plain_parts.append(part)
+        raw_terms = analyze_query(" ".join(plain_parts),
+                                  tokenizer=self.cfg.get("tokenizer", "code"))
+        for kind, pat, edits in expansions:
+            for term, df in self._expand_pattern(kind, pat, edits, 50):
+                raw_terms.append(term)
+                self._df_cache.setdefault(term, df)
         uniq = sorted(set(raw_terms))
         if not uniq:
             return QueryPlan([], {}, {}, {}, {}, {})
@@ -248,6 +319,88 @@ class IndexReader:
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
+
+    # ---------------------------------------------------- term expansion
+
+    def _content_termdict(self, lo: str | None = None,
+                          hi: str | None = None) -> "pd.DataFrame":
+        """(term, df) slice of the CONTENT term dictionary, driver-side.
+
+        Prefix-anchored requests ([lo, hi)) hit parquet row-group min/max
+        term stats exactly like prefix_terms; unanchored requests scan the
+        whole sidecar — two columns, dictionary-sized (≪ corpus; a 10^12-
+        doc code corpus has ~10^7-10^8 distinct terms → tens of MB
+        columnar), and results are cached per pattern on the reader.
+        Production note: Lucene serves these from a per-segment FST and
+        walks it with a Levenshtein automaton (Schulz & Mihov 2002); the
+        sorted sidecar scan is the same contract with coarser pruning.
+        Field-prefixed keyword terms (`lang:…`, `repo:…`, `path:…`) are
+        excluded — expansion is defined over the content field."""
+        td = os.path.join(self.index_dir, "termdict")
+        if os.path.exists(td):
+            ds = pads.dataset(td, format="parquet", partitioning="hive")
+            flt = None
+            if lo is not None:
+                flt = (pads.field("term") >= lo) & (pads.field("term") < hi)
+            pdf = ds.to_table(columns=["term", "df"], filter=flt).to_pandas()
+        else:
+            rel = self._postings().groupBy("term").agg(F.sum("df").alias("df"))
+            if lo is not None:
+                rel = rel.where((F.col("term") >= lo) & (F.col("term") < hi))
+            pdf = rel.toPandas()
+        return pdf[~pdf["term"].str.contains(":", regex=False)]
+
+    def _expand_pattern(self, kind: str, pattern: str, max_edits: int,
+                        max_expansions: int) -> list[tuple[str, int]]:
+        key = (kind, pattern, max_edits, max_expansions)
+        hit = self._expand_cache.get(key)
+        if hit is not None:
+            return hit
+        if kind == "wildcard":
+            meta = min((i for i, c in enumerate(pattern) if c in "*?"),
+                       default=len(pattern))
+            lit = pattern[:meta]
+            pdf = self._content_termdict(lit, lit + "￿") if lit \
+                else self._content_termdict()
+            m = pdf["term"].str.fullmatch(_wildcard_regex(pattern))
+            pdf = pdf[m]
+        else:
+            pdf = self._content_termdict()
+            lens = pdf["term"].str.len()
+            band = (lens - len(pattern)).abs() <= max_edits
+            pdf = pdf[band]
+            keep = [_edit_distance_le(t, pattern, max_edits)
+                    for t in pdf["term"]]
+            pdf = pdf[keep]
+        # deterministic expansion cap (the ES max_expansions analogue):
+        # keep the highest-df terms, ties by term
+        pdf = pdf.sort_values(["df", "term"], ascending=[False, True])
+        out = [(t, int(d)) for t, d in
+               pdf.head(max_expansions).itertuples(index=False)]
+        self._expand_cache[key] = out
+        return out
+
+    def fuzzy_terms(self, term: str, max_edits: int = 1,
+                    max_expansions: int = 50) -> DataFrame:
+        """Dictionary fuzzy lookup: (term, df) for every content term
+        within `max_edits` Levenshtein of `term` (ES fuzzy-query term
+        enumeration). Driver-side sidecar scan, no posting payload read."""
+        self._refresh_if_stale()
+        rows = self._expand_pattern("fuzzy", term.lower(), max_edits,
+                                    max_expansions)
+        return self.spark.createDataFrame(
+            rows or [], schema="term string, df long")
+
+    def wildcard_terms(self, pattern: str,
+                       max_expansions: int = 50) -> DataFrame:
+        """Dictionary wildcard lookup (`*` = any run, `?` = one char):
+        (term, df) for every matching content term. Prefix-anchored
+        patterns prune to the sidecar's [prefix, prefix+￿) row groups."""
+        self._refresh_if_stale()
+        rows = self._expand_pattern("wildcard", pattern.lower(), 0,
+                                    max_expansions)
+        return self.spark.createDataFrame(
+            rows or [], schema="term string, df long")
 
     # -------------------------------------------------------------- search
 

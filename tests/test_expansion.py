@@ -1,0 +1,127 @@
+"""Fuzzy / wildcard term expansion (the ES fuzzy & wildcard query
+analogue, rewrite=scoring_boolean): dictionary expansion vs a
+brute-force pandas oracle over the identical corpus, query-path
+equivalence with the explicit expanded-term query, serving/distributed
+parity, and the deterministic max_expansions cap."""
+
+import fnmatch
+import functools
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from maestro_spark.functions.tokenize import code_tokens
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader, _edit_distance_le
+from maestro_spark.sources.corpus import synth_docs, synth_docs_pandas
+
+N_DOCS = 300
+CFG = IndexConfig(
+    shard_size=128,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.02,
+    sample_fraction=1.0,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_expand"))
+    build_index(spark, synth_docs(spark, N_DOCS, seed=7, partitions=5),
+                out, CFG)
+    return out
+
+
+@pytest.fixture(scope="module")
+def content_df():
+    """Brute-force content-field term -> df from the IDENTICAL corpus."""
+    pdf = synth_docs_pandas(N_DOCS, seed=7)
+    vocab: dict[str, int] = {}
+    for ts in code_tokens(pdf["content"]):
+        for t in set(ts):
+            vocab[t] = vocab.get(t, 0) + 1
+    return vocab
+
+
+def _lev(a: str, b: str) -> int:
+    @functools.lru_cache(maxsize=None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+
+    return d(len(a), len(b))
+
+
+def test_edit_distance_le_randomized():
+    rng = random.Random(11)
+    alpha = "abc"
+    for _ in range(400):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 7)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 7)))
+        for k in (0, 1, 2, 3):
+            assert _edit_distance_le(a, b, k) == (_lev(a, b) <= k), (a, b, k)
+
+
+@pytest.mark.parametrize("probe,edits", [("cache", 2), ("user", 1),
+                                         ("getname", 2)])
+def test_fuzzy_terms_vs_bruteforce(spark, built, content_df, probe, edits):
+    got = IndexReader(spark, built).fuzzy_terms(
+        probe, max_edits=edits, max_expansions=10_000).toPandas()
+    want = {t: df for t, df in content_df.items() if _lev(t, probe) <= edits}
+    assert dict(zip(got["term"], got["df"])) == want
+
+
+@pytest.mark.parametrize("pattern", ["get*", "user*", "?ache", "*quest*"])
+def test_wildcard_terms_vs_bruteforce(spark, built, content_df, pattern):
+    got = IndexReader(spark, built).wildcard_terms(
+        pattern, max_expansions=10_000).toPandas()
+    want = {t: df for t, df in content_df.items()
+            if fnmatch.fnmatchcase(t, pattern)}
+    assert dict(zip(got["term"], got["df"])) == want
+
+
+def test_max_expansions_cap_deterministic(spark, built):
+    reader = IndexReader(spark, built)
+    full = reader.wildcard_terms("user*", max_expansions=10_000).toPandas()
+    top2 = reader.wildcard_terms("user*", max_expansions=2).toPandas()
+    want = full.sort_values(["df", "term"], ascending=[False, True]).head(2)
+    assert sorted(zip(top2["term"], top2["df"])) \
+        == sorted(zip(want["term"], want["df"]))
+
+
+def test_fuzzy_query_equals_explicit_expansion(spark, built):
+    """A query with a fuzzy token scores bit-identically to the same
+    query with the expansion written out as plain tokens."""
+    reader = IndexReader(spark, built)
+    exp = reader.fuzzy_terms("cache", max_edits=2).toPandas()["term"].tolist()
+    assert len(exp) > 1  # multi-term expansion, and far below the cap
+    got = reader.search_local("cache~2 merge", k=10)
+    want = reader.search_local(" ".join(sorted(exp)) + " merge", k=10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_wildcard_query_serving_matches_spark(spark, built):
+    reader = IndexReader(spark, built)
+    want = reader.search("get* user", k=10, engine="spark").toPandas()
+    got = reader.search_local("get* user", k=10)
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_no_match_expansion_is_empty(spark, built):
+    reader = IndexReader(spark, built)
+    assert reader.fuzzy_terms("zzzzzzzzz", max_edits=1).count() == 0
+    assert reader.wildcard_terms("zzz*zzz").count() == 0
+    # a query made only of non-matching expansions returns no hits
+    assert len(reader.search_local("zzzzzzzzz~1", k=5)) == 0
