@@ -469,6 +469,7 @@ _MARKERS = {
     "zh": ("spark", "window", "row"),
 }
 _FETCH_IDS = [3, 5, 8, 13, 21, 34]
+_EXPLAIN_IDS = [2, 3, 5, 7, 11, 21, 34]
 
 # curation-family parameters (shared by the Spark query and its oracle):
 # an explicit mix allowlist (absent sources drop), and the audit quantiles
@@ -561,6 +562,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_facets"] = _q_facets
     q["bm25_nested"] = _q_bm25_nested
+
+    def _q_explain(s: SparkSession, d: str) -> DataFrame:
+        # ES _explain analogue: per-(doc, term) BM25 contribution rows
+        # for a fixed doc set; contribs sum to the search score (the
+        # bit-identity is asserted in tests/test_explain_highlight.py)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.explain_local("merge spark window", _EXPLAIN_IDS)
+        pdf["idf"] = pdf["idf"].round(6)
+        pdf["contrib"] = pdf["contrib"].round(6)
+        return s.createDataFrame(
+            pdf, "doc_id long, term string, field string, df long, "
+                 "idf double, tf long, dl double, contrib double")
+
+    q["bm25_explain"] = _q_explain
+
+    def _q_highlight(s: SparkSession, d: str) -> DataFrame:
+        # plain-highlighter analogue: earliest 8-token window with the
+        # most distinct query terms, re-analyzed from stored content
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.highlight_local("slow query spark", _EXPLAIN_IDS,
+                                     window=8)
+        return s.createDataFrame(
+            pdf, "doc_id long, start long, n_terms long, snippet string")
+
+    q["highlight_snippets"] = _q_highlight
     q["term_stats"] = _q_term_stats
     q["doc_token_stats"] = _q_doc_token_stats
 
@@ -888,6 +914,43 @@ LIMIT 10"""
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE term LIKE '_a__' GROUP BY term"
     )
+
+    _eids = ", ".join(str(i) for i in _EXPLAIN_IDS)
+    o["bm25_explain"] = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ('merge', 'spark', 'window') GROUP BY term)
+SELECT t.doc_id, t.term, 'content' AS field, CAST(d.df AS BIGINT) AS df,
+       round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       CAST(t.tf AS BIGINT) AS tf, dl.dl AS dl,
+       round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+             * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6)
+           AS contrib
+FROM tfq t JOIN dft d ON t.term = d.term
+JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st
+WHERE t.doc_id IN ({_eids})"""
+
+    o["highlight_snippets"] = f"""
+WITH {_ARR},
+pos AS (SELECT doc_id, i, ts[i] AS tok
+        FROM arr, unnest(range(1, len(ts) + 1)) AS t(i)
+        WHERE doc_id IN ({_eids})),
+w AS (SELECT p.doc_id, p.i AS s1, count(DISTINCT p2.tok) AS n_terms
+      FROM pos p JOIN pos p2 ON p2.doc_id = p.doc_id
+        AND p2.i >= p.i AND p2.i < p.i + 8
+        AND p2.tok IN ('slow', 'query', 'spark')
+      GROUP BY 1, 2),
+best AS (SELECT doc_id, s1, n_terms,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_terms DESC, s1) AS rn
+         FROM w)
+SELECT b.doc_id, CAST(b.s1 - 1 AS BIGINT) AS start,
+       CAST(b.n_terms AS BIGINT) AS n_terms,
+       array_to_string(a.ts[b.s1 : b.s1 + 7], ' ') AS snippet
+FROM best b JOIN arr a ON a.doc_id = b.doc_id WHERE b.rn = 1"""
     o["total_hits"] = f"""
 WITH {_TOK},
 m AS (SELECT doc_id, count(DISTINCT term) AS c FROM tok

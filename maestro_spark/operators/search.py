@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 from maestro_spark.functions import bm25
 from maestro_spark.functions.codec import decode_positions, decode_postings
-from maestro_spark.functions.tokenize import analyze_query, phrase_terms
+from maestro_spark.functions.tokenize import (analyze_query, code_tokens,
+                                              phrase_terms, simple_tokens)
 from maestro_spark.operators.build import _term_bucket
 from maestro_spark.sources.tableio import read_manifest, resolve_alias
 
@@ -911,6 +912,136 @@ class IndexReader:
         return (out.sort_values(["score", "doc_id"], ascending=[False, True],
                                 kind="mergesort")
                 .reset_index(drop=True))
+
+    def explain_local(self, query: str, doc_ids,
+                      boosts: dict[str, float] | None = None) -> pd.DataFrame:
+        """Per-(doc, term) BM25 score breakdown — the ES `_explain` API
+        analogue (the reference delegates explain to ES; Lucene calls
+        this Explanation). Returns one row per (target doc, matching
+        query term): (doc_id, term, field, df, idf, tf, dl, contrib),
+        where contrib = idf * tf / (tf + k1*(1-b + b*dl/avgdl)) — the
+        SAME formula and float64 math as the scorers, so summing a doc's
+        contribs in canonical term order reproduces its search score
+        bit-identically (asserted in tests).
+
+        Work is bounded by the query terms' postings in the TARGET docs'
+        shards only: posting rows ride the reader's LRU cache, and only
+        those shards' rows are decoded — corpus-size independent, like
+        every serving-path op. Fuzzy/wildcard tokens expand exactly as in
+        search, so explain shows which expansion terms actually hit."""
+        cols = ("doc_id", "term", "field", "df", "idf", "tf", "dl",
+                "contrib")
+        empty = pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "term": pd.array([], dtype="string"),
+            "field": pd.array([], dtype="string"),
+            "df": pd.array([], dtype="int64"),
+            "idf": pd.array([], dtype="float64"),
+            "tf": pd.array([], dtype="int64"),
+            "dl": pd.array([], dtype="float64"),
+            "contrib": pd.array([], dtype="float64"),
+        })
+        plan = self.plan(query, boosts=boosts)
+        targets = sorted({int(d) for d in doc_ids})
+        if not plan.terms or not targets:
+            return empty
+        shard_size = self.cfg["shard_size"]
+        need: dict[int, list[int]] = {}
+        for d in targets:
+            need.setdefault(d // shard_size, []).append(d)
+        by_shard = self._fetch_posting_rows(plan.terms)
+        out: list[tuple] = []
+        for shard, docs_in in sorted(need.items()):
+            rows = by_shard.get(shard)
+            if not rows:
+                continue
+            base = shard * shard_size
+            want = np.asarray(docs_in, dtype=np.int64)
+            dl_cache: dict[str, np.ndarray] = {}
+            for t in plan.terms:  # canonical order
+                r = rows.get(t)
+                if r is None:
+                    continue
+                pl = _decode_full(r)
+                pos = np.searchsorted(pl.doc_ids, want)
+                ok = (pos < pl.doc_ids.size) & (pl.doc_ids[np.minimum(
+                    pos, pl.doc_ids.size - 1)] == want)
+                if not ok.any():
+                    continue
+                field = plan.fields[t]
+                if field not in dl_cache:
+                    dl_cache[field] = _load_doclens(
+                        self.index_dir, shard, field, base, shard_size)
+                adl = plan.avgdl[field]
+                idf_t = plan.idfs[t]
+                # same expression tree as the scorer (idf * tfnorm), so
+                # contribs sum bit-identically to the search score
+                tf_v = pl.tfs[pos[ok]]
+                dl_v = dl_cache[field][want[ok] - base]
+                contrib_v = idf_t * bm25.tfnorm(tf_v, dl_v, adl)
+                for d, tf, dl, contrib in zip(want[ok], tf_v, dl_v,
+                                              contrib_v):
+                    out.append((int(d), t, field, int(plan.dfs[t]),
+                                idf_t, int(tf), float(dl), float(contrib)))
+        if not out:
+            return empty
+        pdf = pd.DataFrame(out, columns=list(cols))
+        return (pdf.sort_values(["doc_id", "term"])
+                .reset_index(drop=True))
+
+    def highlight_local(self, query: str, doc_ids, window: int = 8
+                        ) -> pd.DataFrame:
+        """Best-window snippet per doc — the ES plain-highlighter
+        analogue: RE-ANALYZE the stored content of the target docs (the
+        plain highlighter's strategy; unified/FVH would use the prox
+        stream) and pick, per doc, the earliest `window`-token span
+        containing the most DISTINCT query terms. Returns
+        (doc_id, start, n_terms, snippet) with start = 0-based token
+        index and snippet = the window's tokens space-joined; docs
+        matching no query term are omitted.
+
+        Deterministic: max distinct terms, ties broken by earliest
+        start. Work = k docs' content fetch + re-tokenize — independent
+        of corpus size; the content column is only decompressed for the
+        target rows (parquet row-group pruning in fetch_docs_local)."""
+        plan = self.plan(query)
+        qset = {t for t in plan.terms if plan.fields[t] == "content"}
+        empty = pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "start": pd.array([], dtype="int64"),
+            "n_terms": pd.array([], dtype="int64"),
+            "snippet": pd.array([], dtype="string"),
+        })
+        targets = sorted({int(d) for d in doc_ids})
+        if not qset or not targets:
+            return empty
+        docs = self.fetch_docs_local(targets, cols=("content",))
+        if not len(docs):
+            return empty
+        tok_fn = (code_tokens if self.cfg.get("tokenizer", "code") == "code"
+                  else simple_tokens)
+        token_lists = tok_fn(docs["content"])
+        out = []
+        for d, toks in zip(docs["doc_id"], token_lists):
+            toks = list(toks)
+            n = len(toks)
+            if n == 0:
+                continue
+            hits = [i for i, t in enumerate(toks) if t in qset]
+            if not hits:
+                continue
+            best_start, best_n = 0, 0
+            for start in range(n):
+                got = {toks[i] for i in range(start, min(start + window, n))
+                       if toks[i] in qset}
+                if len(got) > best_n:
+                    best_start, best_n = start, len(got)
+            out.append((int(d), best_start, best_n,
+                        " ".join(toks[best_start:best_start + window])))
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["doc_id", "start", "n_terms",
+                                          "snippet"])
 
     def phrase_search_local(self, phrase: str, k: int = 10,
                             max_workers: int | None = None) -> pd.DataFrame:
