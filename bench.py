@@ -184,6 +184,19 @@ def main() -> None:
         reader.search_facets("index query merge", facet_cols=("lang",)).collect()
         timings["facets_spark"] = round(time.time() - t0, 3)
 
+        # fuzzy/wildcard expansion + explain/highlight (round-2 late adds)
+        t0 = time.time()
+        reader.search_local("merge~1 quer*", k=10)
+        timings["fuzzy_wildcard_local"] = round(time.time() - t0, 4)
+        top = reader.search_local("index query merge", k=10)
+        ids = top["doc_id"].tolist()
+        t0 = time.time()
+        reader.explain_local("index query merge", ids)
+        timings["explain_local_10"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.highlight_local("index query merge", ids, window=8)
+        timings["highlight_local_10"] = round(time.time() - t0, 4)
+
         # ---- 2b. incremental upsert: stable ids, affected shards only ----
         from pyspark.sql import functions as FF
         from maestro_spark.operators.incremental import incremental_update
