@@ -587,6 +587,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pdf, "doc_id long, start long, n_terms long, snippet string")
 
     q["highlight_snippets"] = _q_highlight
+
+    def _q_mlt(s: SparkSession, d: str) -> DataFrame:
+        # ES more_like_this analogue: integer-exact term selection
+        # (tf desc, df asc, term asc) from doc 21's content, BM25 OR
+        # query with the source doc removed
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.more_like_this_local(21, k=40, max_query_terms=5)
+        pdf["score"] = pdf["score"].round(6)
+        return (s.createDataFrame(pdf, "doc_id long, score double")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["more_like_this"] = _q_mlt
+
+    def _q_histogram(s: SparkSession, d: str) -> DataFrame:
+        # ES histogram-agg analogue over the FULL match set
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_histogram(
+            "spark stream", F.length("content"), 100)
+
+    q["bm25_histogram"] = _q_histogram
+
+    def _q_stats_agg(s: SparkSession, d: str) -> DataFrame:
+        # ES stats-agg analogue over the FULL match set
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_stats("merge window", F.length("content"))
+
+    q["bm25_stats_agg"] = _q_stats_agg
     q["term_stats"] = _q_term_stats
     q["doc_token_stats"] = _q_doc_token_stats
 
@@ -914,6 +941,32 @@ LIMIT 10"""
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE term LIKE '_a__' GROUP BY term"
     )
+
+    o["more_like_this"] = _bm25_sql(
+        [],
+        term_pred="""term IN (
+  SELECT t2.term FROM tfq t2
+  JOIN (SELECT term, count(*) AS dfa FROM tfq GROUP BY term) da
+    ON da.term = t2.term
+  WHERE t2.doc_id = 21
+  ORDER BY t2.tf DESC, da.dfa ASC, t2.term LIMIT 5)""",
+        where="doc_id <> 21")
+    o["bm25_histogram"] = f"""
+WITH {_TOK}
+SELECT floor(length(text) / 100.0) * 100.0 AS bucket, count(*) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ('spark', 'stream'))
+GROUP BY 1 ORDER BY 1"""
+    o["bm25_stats_agg"] = f"""
+WITH {_TOK}
+SELECT count(*) AS n, min(length(text))::DOUBLE AS min_v,
+       max(length(text))::DOUBLE AS max_v,
+       round(sum(length(text))::DOUBLE, 4) AS sum_v,
+       round(avg(length(text)), 6) AS avg_v
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ('merge', 'window'))"""
 
     _eids = ", ".join(str(i) for i in _EXPLAIN_IDS)
     o["bm25_explain"] = f"""

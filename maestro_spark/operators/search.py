@@ -874,6 +874,50 @@ class IndexReader:
                 .agg(F.count("*").alias("n_docs"))
                 .orderBy(F.desc("n_docs"), *facet_cols))
 
+    def search_histogram(self, query: str, value_col, interval: float,
+                         mode: str = "or", exclude: str | None = None,
+                         min_match: int = 1) -> DataFrame:
+        """Histogram aggregation over the FULL match set (the ES
+        histogram-agg analogue): (bucket, n_docs) where bucket =
+        floor(value / interval) * interval. Same scale shape as
+        search_facets — the match set stays on executors, one
+        partial-agg shuffle of one row per bucket per task.
+
+        value_col: a docstore column name or a Column expression over
+        docstore columns (e.g. F.length("content"))."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            (F.floor(value_col / F.lit(float(interval)))
+             * F.lit(float(interval))).alias("bucket"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.groupBy("bucket")
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy("bucket"))
+
+    def search_stats(self, query: str, value_col, mode: str = "or",
+                     exclude: str | None = None,
+                     min_match: int = 1) -> DataFrame:
+        """Stats aggregation over the FULL match set (the ES stats-agg
+        analogue): one row (n, min, max, sum, avg) of a numeric docstore
+        expression across every matching doc. Partial aggregation —
+        nothing corpus-sized leaves the executors."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return joined.agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+            F.round(F.avg("v"), 6).alias("avg_v"),
+        )
+
     def fetch_docs_local(self, doc_ids, cols: tuple = ("repo", "path", "lang")
                          ) -> pd.DataFrame:
         """Driver-side docstore fetch for a bounded id set (the display
@@ -1042,6 +1086,55 @@ class IndexReader:
             return empty
         return pd.DataFrame(out, columns=["doc_id", "start", "n_terms",
                                           "snippet"])
+
+    def more_like_this_local(self, doc_id: int, k: int = 10,
+                             max_query_terms: int = 10,
+                             min_term_freq: int = 1,
+                             min_doc_freq: int = 1) -> pd.DataFrame:
+        """Similar-document search — the ES more_like_this analogue:
+        re-analyze the source doc's stored content, select its most
+        characteristic terms, and run them as a BM25 should-query with
+        the source doc removed.
+
+        Term selection is INTEGER-exact (tf desc, df asc, term asc) —
+        rare-but-frequent-in-doc terms first — rather than ES's float
+        tf·idf ranking, so the selected set is reproducible bit-for-bit
+        across engines (the SQL oracle mirrors the same ORDER BY).
+        Work = one k-row content fetch + one termdict lookup + a normal
+        bounded-posting search; corpus-size independent."""
+        src = int(doc_id)
+        docs = self.fetch_docs_local([src], cols=("content",))
+        empty = self._EMPTY_HITS()
+        if not len(docs):
+            return empty
+        tok_fn = (code_tokens if self.cfg.get("tokenizer", "code") == "code"
+                  else simple_tokens)
+        toks = list(tok_fn(docs["content"])[0])
+        if not toks:
+            return empty
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        tokenizer = self.cfg.get("tokenizer", "code")
+        # only analyzer-stable terms qualify: the code tokenizer keeps
+        # compound originals (writer_user, parse58) ALONGSIDE their split
+        # parts, and re-querying a compound would re-expand it — its
+        # parts are independent candidates already
+        cand = sorted(
+            t for t in tf
+            if tf[t] >= min_term_freq
+            and analyze_query(t, tokenizer=tokenizer) == [t])
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in cand})
+        dfs = self._lookup_df(cand, buckets)
+        cand = [t for t in cand if dfs.get(t, 0) >= min_doc_freq]
+        cand.sort(key=lambda t: (-tf[t], dfs[t], t))
+        sel = cand[:max_query_terms]
+        if not sel:
+            return empty
+        hits = self.search_local(" ".join(sel), k=k + 1)
+        hits = hits[hits["doc_id"] != src].head(k)
+        return hits.reset_index(drop=True)
 
     def phrase_search_local(self, phrase: str, k: int = 10,
                             max_workers: int | None = None) -> pd.DataFrame:

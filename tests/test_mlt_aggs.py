@@ -1,0 +1,117 @@
+"""more_like_this (ES MLT analogue) and match-set histogram / stats
+aggregations: brute-force pandas oracles over the identical corpus on a
+code-tokenized index (exercises the analyzer-stable candidate filter
+that the simple-tokenized entry oracle can't)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.functions.tokenize import analyze_query, code_tokens
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader
+from maestro_spark.sources.corpus import synth_docs_pandas
+
+N_DOCS = 300
+CFG = IndexConfig(
+    shard_size=128,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.02,
+    sample_fraction=1.0,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_docs_pandas(N_DOCS, seed=7).reset_index(names="doc_id")
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory, corpus):
+    out = str(tmp_path_factory.mktemp("idx_mlt"))
+    build_index(spark, spark.createDataFrame(corpus), out, CFG,
+                id_col="doc_id")
+    return out
+
+
+@pytest.fixture(scope="module")
+def token_lists(corpus):
+    return list(code_tokens(corpus["content"]))
+
+
+def _brute_select(token_lists, src, n_terms):
+    """Mirror of the MLT selection rule: analyzer-stable candidates
+    ranked (tf desc, df asc, term asc)."""
+    tf: dict[str, int] = {}
+    for t in token_lists[src]:
+        tf[t] = tf.get(t, 0) + 1
+    df: dict[str, int] = {}
+    for toks in token_lists:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    cand = [t for t in tf if analyze_query(t) == [t]]
+    cand.sort(key=lambda t: (-tf[t], df[t], t))
+    return cand[:n_terms]
+
+
+@pytest.mark.parametrize("src", [0, 21, 137])
+def test_mlt_matches_explicit_query(spark, built, token_lists, src):
+    reader = IndexReader(spark, built)
+    sel = _brute_select(token_lists, src, 6)
+    assert len(sel) == 6
+    got = reader.more_like_this_local(src, k=10, max_query_terms=6)
+    want = reader.search_local(" ".join(sel), k=11)
+    want = want[want["doc_id"] != src].head(10).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+    assert src not in set(got["doc_id"])
+
+
+def test_mlt_excludes_compound_terms(spark, built, token_lists):
+    """Compound originals (writer_user, parse58) never get selected even
+    at a high term budget — their re-analysis would expand the query."""
+    reader = IndexReader(spark, built)
+    for src in (0, 21):
+        sel = _brute_select(token_lists, src, 10_000)
+        assert all(analyze_query(t) == [t] for t in sel)
+        hits = reader.more_like_this_local(src, k=5,
+                                           max_query_terms=10_000)
+        assert len(hits) == 5
+
+
+def _match_set(token_lists, terms):
+    qs = set(terms)
+    return {i for i, toks in enumerate(token_lists)
+            if qs & set(toks)}
+
+
+def test_histogram_matches_bruteforce(spark, built, corpus, token_lists):
+    reader = IndexReader(spark, built)
+    got = reader.search_histogram("user merge", F.length("content"), 50) \
+        .toPandas().set_index("bucket")["n_docs"].to_dict()
+    matched = _match_set(token_lists, reader.plan("user merge").terms)
+    want: dict[float, int] = {}
+    for i in matched:
+        b = float(len(corpus["content"][i]) // 50 * 50)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+def test_stats_matches_bruteforce(spark, built, corpus, token_lists):
+    reader = IndexReader(spark, built)
+    row = reader.search_stats("user merge", F.length("content")) \
+        .collect()[0]
+    matched = _match_set(token_lists, reader.plan("user merge").terms)
+    lens = np.array([len(corpus["content"][i]) for i in sorted(matched)],
+                    dtype=np.float64)
+    assert row["n"] == lens.size
+    assert row["min_v"] == lens.min() and row["max_v"] == lens.max()
+    assert row["sum_v"] == round(float(lens.sum()), 4)
+
+
+def test_mlt_missing_doc_is_empty(spark, built):
+    reader = IndexReader(spark, built)
+    assert len(reader.more_like_this_local(10_000_000)) == 0
