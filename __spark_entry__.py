@@ -614,6 +614,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reader.search_stats("merge window", F.length("content"))
 
     q["bm25_stats_agg"] = _q_stats_agg
+
+    def _q_sorted(s: SparkSession, d: str) -> DataFrame:
+        # ES sort-clause analogue: top-k of the match set by a stored
+        # field (TakeOrderedAndProject — no full sort)
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_sorted("spark stream", F.length("content"),
+                                   ascending=False, k=15)
+        return raw.select("doc_id", F.col("sort_value").cast("long")
+                          .alias("sort_value"))
+
+    q["bm25_sorted"] = _q_sorted
+
+    def _q_suggest(s: SparkSession, d: str) -> DataFrame:
+        # ES term-suggester (suggest_mode=missing): corrections only for
+        # tokens absent from the dictionary ('merge' is present -> none)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.suggest_terms_local("strem windoq merge")
+        return s.createDataFrame(
+            pdf, "token string, suggestion string, dist long, df long")
+
+    q["term_suggest"] = _q_suggest
     q["term_stats"] = _q_term_stats
     q["doc_token_stats"] = _q_doc_token_stats
 
@@ -967,6 +988,29 @@ SELECT count(*) AS n, min(length(text))::DOUBLE AS min_v,
 FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ('merge', 'window'))"""
+
+    o["bm25_sorted"] = f"""
+WITH {_TOK}
+SELECT doc_id, length(text) AS sort_value FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ('spark', 'stream'))
+ORDER BY length(text) DESC, doc_id LIMIT 15"""
+    o["term_suggest"] = f"""
+WITH {_TOK},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+c AS (
+  SELECT 'strem' AS token, term AS suggestion,
+         levenshtein(term, 'strem') AS dist, df
+  FROM d WHERE levenshtein(term, 'strem') <= 2
+  UNION ALL
+  SELECT 'windoq', term, levenshtein(term, 'windoq'), df
+  FROM d WHERE levenshtein(term, 'windoq') <= 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY token
+                                   ORDER BY dist, df DESC, suggestion) AS rn
+      FROM c)
+SELECT token, suggestion, CAST(dist AS BIGINT) AS dist, df
+FROM r WHERE rn <= 3"""
 
     _eids = ", ".join(str(i) for i in _EXPLAIN_IDS)
     o["bm25_explain"] = f"""

@@ -918,6 +918,71 @@ class IndexReader:
             F.round(F.avg("v"), 6).alias("avg_v"),
         )
 
+    def search_sorted(self, query: str, sort_col, ascending: bool = True,
+                      k: int = 10, mode: str = "or",
+                      exclude: str | None = None,
+                      min_match: int = 1) -> DataFrame:
+        """Field-sorted top-k — the ES `sort` clause analogue (rank by a
+        stored field instead of _score): the k lowest/highest docs of the
+        FULL match set by a docstore expression, ties broken doc_id asc.
+
+        Plan shape at scale: match_docs stays on executors, joins the
+        column-pruned docstore on (shard, doc_id), and the global
+        orderBy+limit compiles to TakeOrderedAndProject — per-partition
+        top-k heaps merged at the coordinator, k rows moved, never a
+        full sort of the match set."""
+        if isinstance(sort_col, str):
+            sort_col = F.col(sort_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   sort_col.alias("sort_value"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        order = F.asc("sort_value") if ascending else F.desc("sort_value")
+        return (joined.select("doc_id", "sort_value")
+                .orderBy(order, F.asc("doc_id")).limit(k))
+
+    def suggest_terms_local(self, query: str, max_edits: int = 2,
+                            per_term: int = 3) -> pd.DataFrame:
+        """Term suggester — the ES term-suggest `suggest_mode=missing`
+        analogue: for each analyzed content token ABSENT from the index,
+        up to per_term dictionary corrections ranked (edit distance asc,
+        df desc, term asc). Present tokens and field-scoped tokens get
+        no suggestions. Driver-side: one termdict df lookup for the
+        presence check + the fuzzy expansion scan (cached per pattern);
+        no posting payload is read."""
+        self._refresh_if_stale()
+        toks = analyze_query(query,
+                             tokenizer=self.cfg.get("tokenizer", "code"))
+        uniq = sorted({t for t in toks if ":" not in t})
+        empty = pd.DataFrame({
+            "token": pd.array([], dtype="string"),
+            "suggestion": pd.array([], dtype="string"),
+            "dist": pd.array([], dtype="int64"),
+            "df": pd.array([], dtype="int64"),
+        })
+        if not uniq:
+            return empty
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
+        dfs = self._lookup_df(uniq, buckets)
+        out: list[tuple] = []
+        for tok in uniq:
+            if dfs.get(tok, 0) > 0:
+                continue
+            cands = []
+            for term, df in self._expand_pattern("fuzzy", tok, max_edits,
+                                                 10_000):
+                dist = next(e for e in range(1, max_edits + 1)
+                            if _edit_distance_le(term, tok, e))
+                cands.append((dist, -df, term))
+            cands.sort()
+            out.extend((tok, term, dist, -negdf)
+                       for dist, negdf, term in cands[:per_term])
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["token", "suggestion", "dist",
+                                          "df"])
+
     def fetch_docs_local(self, doc_ids, cols: tuple = ("repo", "path", "lang")
                          ) -> pd.DataFrame:
         """Driver-side docstore fetch for a bounded id set (the display

@@ -115,3 +115,51 @@ def test_stats_matches_bruteforce(spark, built, corpus, token_lists):
 def test_mlt_missing_doc_is_empty(spark, built):
     reader = IndexReader(spark, built)
     assert len(reader.more_like_this_local(10_000_000)) == 0
+
+
+def test_search_sorted_matches_bruteforce(spark, built, corpus, token_lists):
+    reader = IndexReader(spark, built)
+    got = reader.search_sorted("user merge", F.length("content"),
+                               ascending=False, k=7).toPandas()
+    matched = _match_set(token_lists, reader.plan("user merge").terms)
+    want = sorted(((len(corpus["content"][i]), i) for i in matched),
+                  key=lambda x: (-x[0], x[1]))[:7]
+    assert [(int(r["sort_value"]), int(r["doc_id"]))
+            for _, r in got.iterrows()] == want
+    # plan shape: global sort+limit compiles to TakeOrderedAndProject
+    plan = reader.search_sorted("user merge", F.length("content"), k=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_suggest_terms(spark, built, token_lists, corpus):
+    reader = IndexReader(spark, built)
+    got = reader.suggest_terms_local("usre merge zzzzzzzz", max_edits=2,
+                                     per_term=3)
+    # 'merge' is present -> no suggestions; 'zzzzzzzz' has no neighbors
+    assert set(got["token"]) == {"usre"}
+    df: dict[str, int] = {}
+    for toks in token_lists:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    cands = sorted(
+        (min(e for e in (1, 2) if _lev2(t, "usre") <= e), -d, t)
+        for t, d in df.items() if _lev2(t, "usre") <= 2)
+    want = [(t, dist, -negdf) for dist, negdf, t in cands[:3]]
+    assert [(r["suggestion"], int(r["dist"]), int(r["df"]))
+            for _, r in got.iterrows()] == want
+
+
+def _lev2(a: str, b: str) -> int:
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+
+    return d(len(a), len(b))
