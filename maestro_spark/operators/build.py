@@ -373,6 +373,54 @@ def build_index_versioned(
     return manifest
 
 
+def reindex(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    cfg: IndexConfig | None = None,
+    keep_ids: bool = True,
+    versioned: bool = True,
+) -> dict:
+    """ES `_reindex` analogue (the reference's full-repository reindex +
+    index-migration path, DefaultIndexer.java indexRepository /
+    FileCentricElasticSearchAdapter.java:232-244 alias migration):
+    rebuild an index FROM another index's docstore — the stored fields
+    are the source of truth, no original source table needed.
+
+    Use cases: an IndexConfig change (shard size, tokenizer, positions,
+    indexed fields), compaction after heavy incremental churn, or a
+    topology re-shard. One column-pruned pass over the source docstore;
+    derived columns (shard, content_sha256) are dropped and recomputed
+    by the build. cfg=None reuses the source's config (pure compaction).
+
+    keep_ids=True preserves doc_ids, so BM25 results are IDENTICAL
+    across the swap (scores use global stats; tie-breaks are id-based)
+    even when shard membership changes. versioned=True builds blue/green
+    under dst_dir with an atomic alias flip (build_index_versioned)."""
+    from maestro_spark.sources.tableio import read_manifest, resolve_alias
+
+    src = resolve_alias(src_dir)
+    man = read_manifest(os.path.join(src, "manifest.json"))
+    if man is None:
+        raise FileNotFoundError(f"no manifest.json under {src}")
+    if os.path.abspath(resolve_alias(dst_dir)) == os.path.abspath(src):
+        raise ValueError("reindex target must differ from the source")
+    if cfg is None:
+        kw = dict(man["config"])
+        kw["index_fields"] = tuple(kw.get("index_fields", ()))
+        kw["stored_columns"] = tuple(kw.get("stored_columns", ()))
+        cfg = IndexConfig(**kw)
+    docs = spark.read.parquet(os.path.join(src, "docs")) \
+        .drop("shard", "content_sha256")
+    if not keep_ids:
+        docs = docs.drop("doc_id")
+    id_col = "doc_id" if keep_ids else None
+    if versioned:
+        return build_index_versioned(spark, docs, dst_dir, cfg,
+                                     id_col=id_col)
+    return build_index(spark, docs, dst_dir, cfg, id_col=id_col)
+
+
 def _build_shards(
     spark: SparkSession,
     d: DataFrame,
