@@ -89,14 +89,14 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 def _search_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10,
                mode: str = "or", boosts: dict | None = None,
                doc_filter=None, exclude: str | None = None,
-               min_match: int = 1) -> DataFrame:
+               min_match: int = 1, synonyms: dict | None = None) -> DataFrame:
     """Engine search, re-ranked on round(score, 6) with doc_id tie-break so
     the top-k cut is identical to the oracle's regardless of float summation
     order (both sides rank by the ROUNDED score)."""
     reader = IndexReader(spark, _ensure_index(spark, sf_dir))
     raw = reader.search(query, k=max(4 * k, 40), mode=mode, boosts=boosts,
                         doc_filter=doc_filter, exclude=exclude,
-                        min_match=min_match)
+                        min_match=min_match, synonyms=synonyms)
     return (
         raw.select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -134,7 +134,8 @@ def _hex16_sql(col: str) -> str:
 def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
               k: int = 10, mode: str = "or",
               where: str | None = None, offset: int = 0,
-              term_pred: str | None = None) -> str:
+              term_pred: str | None = None,
+              fscore: str | None = None) -> str:
     """Brute-force BM25 oracle (k1=1.2, b=0.75 — Lucene formula) over the
     simple-tokenized content field plus keyword-field contributions
     (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1)). kw entries are
@@ -142,7 +143,10 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
     filters candidate doc_ids (the doc_filter analogue). `term_pred` is
     an extra SQL predicate over `term` OR'd into the query-term set —
     the fuzzy/wildcard expansion analogue (each matching dictionary term
-    scores with its own idf, rewrite=scoring_boolean)."""
+    scores with its own idf, rewrite=scoring_boolean). `fscore` is an SQL
+    expression over `allsc.score` and documents alias `d` — the
+    function_score/field_value_factor analogue (ranking by the combined
+    score over the full match set)."""
     terms = ", ".join(f"'{t}'" for t in content_terms)
     tp = f"term IN ({terms})" if content_terms else "FALSE"
     if term_pred:
@@ -198,6 +202,17 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
         f"{' + '.join(score_parts)} AS score FROM {final_from})"
     )
     flt = f"WHERE {where} " if where else ""
+    if fscore:
+        # function_score: final = f(allsc.score, d.*) over the FULL match
+        # set (a low-BM25 doc can win after the field function), rounded
+        # and ranked like every other oracle
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT allsc.doc_id AS doc_id, round({fscore}, 6) AS score "
+            + "FROM allsc JOIN documents d ON allsc.doc_id = d.doc_id "
+            + flt
+            + f"ORDER BY round({fscore}, 6) DESC, allsc.doc_id LIMIT {k}"
+        )
     return (
         "WITH " + ",\n".join(ctes)
         + "\nSELECT doc_id, round(score, 6) AS score FROM allsc "
@@ -516,6 +531,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-term cap, so engine and (uncapped) oracle see identical terms
     q["bm25_fuzzy"] = lambda s, d: _search_df(s, d, "sort~2 window", 10)
     q["bm25_wildcard"] = lambda s, d: _search_df(s, d, "s* merge", 10)
+    # ES query-time synonym filter (expand=true): each synonym is an
+    # independent should-clause with its own idf, identical to the
+    # explicit multi-term query
+    q["bm25_synonyms"] = lambda s, d: _search_df(
+        s, d, "merge", 10, synonyms={"merge": ("query", "window")})
+
+    def _q_function_score(s: SparkSession, d: str) -> DataFrame:
+        # ES function_score/field_value_factor: bm25 * ln(1 + 0.001·len),
+        # exact over the FULL match set, re-ranked on the rounded score
+        # per the oracle-alignment contract
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_function_score(
+            "spark query merge", F.length("content"), k=40,
+            factor=0.001, modifier="ln1p", boost_mode="multiply")
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_function_score"] = _q_function_score
+
+    def _q_sig_terms(s: SparkSession, d: str) -> DataFrame:
+        # ES significant_terms agg (JLH): content terms over-represented
+        # in the match set of "customer" vs the whole corpus
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.significant_terms("customer", size=15)
+
+    q["significant_terms"] = _q_sig_terms
 
     def _q_fuzzy_terms(s: SparkSession, d: str) -> DataFrame:
         reader = IndexReader(s, _ensure_index(s, d))
@@ -954,6 +995,26 @@ LIMIT 10"""
     o["bm25_fuzzy"] = _bm25_sql(
         ["window"], term_pred="levenshtein(term, 'sort') <= 2")
     o["bm25_wildcard"] = _bm25_sql(["merge"], term_pred="term LIKE 's%'")
+    # synonym expansion ≡ the explicit multi-term query
+    o["bm25_synonyms"] = _bm25_sql(["merge", "query", "window"])
+    o["bm25_function_score"] = _bm25_sql(
+        ["merge", "query", "spark"],
+        fscore="allsc.score * ln(1 + 0.001 * length(d.text))")
+    o["significant_terms"] = f"""
+WITH {_TOK},
+q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),
+tot AS (SELECT (SELECT count(*) FROM q)::DOUBLE AS fg_n,
+               (SELECT count(*) FROM documents)::DOUBLE AS bg_n),
+fg AS (SELECT t.term, count(DISTINCT t.doc_id)::DOUBLE AS fg_df
+       FROM tok t JOIN q ON t.doc_id = q.doc_id GROUP BY t.term),
+bg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS bg_df
+       FROM tok GROUP BY term)
+SELECT f.term AS term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,
+       round((f.fg_df / tot.fg_n - b.bg_df / tot.bg_n)
+             * (f.fg_df / tot.fg_n) / (b.bg_df / tot.bg_n), 6) AS score
+FROM fg f JOIN bg b ON f.term = b.term CROSS JOIN tot
+WHERE f.fg_df / tot.fg_n > b.bg_df / tot.bg_n AND f.term <> 'customer'
+ORDER BY score DESC, term LIMIT 15"""
     o["fuzzy_term_lookup"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE levenshtein(term, 'sort') <= 2 GROUP BY term"

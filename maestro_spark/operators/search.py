@@ -182,7 +182,8 @@ class IndexReader:
 
     # ---------------------------------------------------------------- plan
 
-    def plan(self, query: str, boosts: dict[str, float] | None = None) -> QueryPlan:
+    def plan(self, query: str, boosts: dict[str, float] | None = None,
+             synonyms: dict[str, tuple] | None = None) -> QueryPlan:
         """Build the QueryPlan: analyze, expand fuzzy/wildcard tokens
         against the term dictionary, look up dfs, fold BM25F boosts into
         idfs, canonical-order the terms.
@@ -193,7 +194,15 @@ class IndexReader:
         `rewrite: scoring_boolean` semantics. mode="and"/min_match count
         expanded terms individually (document-level AND across an
         expansion is not expressible under scoring_boolean; ES shares
-        this behavior when the rewrite produces a bool query)."""
+        this behavior when the rewrite produces a bool query).
+
+        synonyms: optional {analyzed term -> synonym strings} map — the
+        ES query-time synonym filter (expand=true): every synonym is
+        analyzed and added as an independent should-clause with its own
+        idf, so `fetch` with {"fetch": ("get",)} scores exactly like the
+        explicit query `fetch get`. Applied AFTER analysis (keys are
+        analyzed tokens, so `lang:java` can map too) and after fuzzy/
+        wildcard expansion; expansion-time cost only — index unchanged."""
         self._refresh_if_stale()
         plain_parts: list[str] = []
         expansions: list[tuple[str, str, int]] = []
@@ -213,6 +222,13 @@ class IndexReader:
             for term, df in self._expand_pattern(kind, pat, edits, 50):
                 raw_terms.append(term)
                 self._df_cache.setdefault(term, df)
+        if synonyms:
+            tok = self.cfg.get("tokenizer", "code")
+            extra: list[str] = []
+            for t in raw_terms:
+                for s in synonyms.get(t, ()):
+                    extra.extend(analyze_query(s, tokenizer=tok))
+            raw_terms.extend(extra)
         uniq = sorted(set(raw_terms))
         if not uniq:
             return QueryPlan([], {}, {}, {}, {}, {})
@@ -414,7 +430,8 @@ class IndexReader:
                boosts: dict[str, float] | None = None,
                doc_filter=None, engine: str = "spark",
                exclude: str | None = None,
-               min_match: int = 1) -> DataFrame:
+               min_match: int = 1,
+               synonyms: dict[str, tuple] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
         ordered by (score desc, doc_id asc) — deterministic ranks (T1).
 
@@ -448,8 +465,10 @@ class IndexReader:
 
         min_match: minimum_should_match for mode="or" — a doc must match
         at least this many distinct query terms to qualify. min_match>1
-        disables score-based pruning (see score_shard_rows)."""
-        plan = self.plan(query, boosts=boosts)
+        disables score-based pruning (see score_shard_rows).
+
+        synonyms: query-time synonym expansion map — see plan()."""
+        plan = self.plan(query, boosts=boosts, synonyms=synonyms)
         spark = self.spark
         if spark is None:
             raise ValueError(
@@ -462,7 +481,8 @@ class IndexReader:
                 engine == "auto"
                 and sum(plan.dfs.values()) <= self.LOCAL_DF_BUDGET)):
             hits = self.search_local(query, k, mode, prune, boosts=boosts,
-                                     exclude=exclude, min_match=min_match)
+                                     exclude=exclude, min_match=min_match,
+                                     synonyms=synonyms)
             return spark.createDataFrame(hits, "doc_id long, score double")
         n_buckets = self.cfg["n_buckets"]
         ex_terms = self._exclusion_terms(exclude)
@@ -602,7 +622,8 @@ class IndexReader:
                      boosts: dict[str, float] | None = None,
                      max_workers: int | None = None,
                      exclude: str | None = None,
-                     min_match: int = 1) -> pd.DataFrame:
+                     min_match: int = 1,
+                     synonyms: dict[str, tuple] | None = None) -> pd.DataFrame:
         """Serving-path top-k: the ES query-node analogue — plan from the
         termdict sidecar, pyarrow row-group-pruned posting reads, the SAME
         score_shard_rows scorer per shard (float64 bit-identical to
@@ -618,7 +639,7 @@ class IndexReader:
         (stop-word ANDs over 10^12 docs) belong on the distributed path —
         search(engine="auto") routes on planned df. Returns a pandas
         DataFrame(doc_id, score) ordered (score desc, doc_id asc)."""
-        plan = self.plan(query, boosts=boosts)
+        plan = self.plan(query, boosts=boosts, synonyms=synonyms)
         if not plan.terms:
             return self._EMPTY_HITS()
         ex_terms = self._exclusion_terms(exclude)
@@ -940,6 +961,166 @@ class IndexReader:
         order = F.asc("sort_value") if ascending else F.desc("sort_value")
         return (joined.select("doc_id", "sort_value")
                 .orderBy(order, F.asc("doc_id")).limit(k))
+
+    def scored_matches(self, query: str, mode: str = "or",
+                       boosts: dict[str, float] | None = None,
+                       exclude: str | None = None,
+                       min_match: int = 1,
+                       synonyms: dict[str, tuple] | None = None) -> DataFrame:
+        """Distributed SCORED match set: DataFrame(shard, doc_id, score)
+        of every matching doc with its exact BM25 score — match_docs'
+        scoring sibling, the input to rescoring operators whose ranking
+        function needs the full match set (function_score) and to bulk
+        scored exports. Same scorer as search() (float64, canonical term
+        order) with pruning off and k=shard_size, so every touched doc
+        survives; the result is corpus-scale and stays on executors."""
+        plan = self.plan(query, boosts=boosts, synonyms=synonyms)
+        spark = self.spark
+        if spark is None:
+            raise ValueError("scored_matches needs a SparkSession")
+        schema = "shard int, doc_id long, score double"
+        if not plan.terms:
+            return spark.createDataFrame([], schema)
+        n_buckets = self.cfg["n_buckets"]
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted(set(plan.terms) | set(ex_terms))
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
+        terms, idfs, fields, avgdl = (plan.terms, plan.idfs, plan.fields,
+                                      plan.avgdl)
+
+        def score_all(key, pdf):
+            shard = int(key[0])
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            excluded = _excluded_local(rows, ex_terms, shard * shard_size)
+            ids, scores = score_shard_rows(
+                rows, terms, idfs, fields, avgdl, shard, shard_size,
+                index_dir, shard_size, mode, prune=False,
+                excluded=excluded, min_match=min_match)
+            return pd.DataFrame({
+                "shard": np.full(ids.size, shard, np.int32),
+                "doc_id": ids, "score": scores})
+
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(all_terms))
+        return rel.groupBy("shard").applyInPandas(score_all, schema=schema)
+
+    _FVF_MODIFIERS = ("none", "ln1p", "sqrt", "square", "reciprocal")
+
+    def search_function_score(self, query: str, value_col, k: int = 10,
+                              factor: float = 1.0, modifier: str = "ln1p",
+                              boost_mode: str = "multiply",
+                              mode: str = "or", exclude: str | None = None,
+                              min_match: int = 1) -> DataFrame:
+        """function_score / field_value_factor — the ES analogue of
+        re-weighting relevance by a stored numeric signal (stars,
+        recency, document length):
+
+            final = bm25 OP modifier(factor * value)
+
+        with OP = multiply|sum and modifier in none / ln1p (ln(1+x)) /
+        sqrt / square / reciprocal. EXACT, not a top-N rescore: a doc
+        ranked low by BM25 alone can win after the field function, so
+        the full scored match set is required — scored_matches stays on
+        executors, joins the column-pruned docstore on (shard, doc_id)
+        (shard equality keeps the probe partition-prunable), and the
+        global top-k compiles to TakeOrderedAndProject (per-partition
+        heaps, k rows moved — never a full sort of the match set).
+
+        value_col: a docstore column name or Column expression over
+        docstore columns (e.g. F.length("content"))."""
+        if modifier not in self._FVF_MODIFIERS:
+            raise ValueError(f"modifier must be one of {self._FVF_MODIFIERS}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError("boost_mode must be 'multiply' or 'sum'")
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        v = value_col.cast("double") * F.lit(float(factor))
+        fv = {
+            "none": v,
+            "ln1p": F.log1p(v),
+            "sqrt": F.sqrt(v),
+            "square": v * v,
+            "reciprocal": F.lit(1.0) / v,
+        }[modifier]
+        scored = self.scored_matches(query, mode, exclude=exclude,
+                                     min_match=min_match)
+        docs = self._docs().select("shard", "doc_id", fv.alias("fv"))
+        joined = scored.join(docs, ["shard", "doc_id"], "inner")
+        comb = (F.col("score") * F.col("fv") if boost_mode == "multiply"
+                else F.col("score") + F.col("fv"))
+        return (joined.select("doc_id", comb.alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def significant_terms(self, query: str, size: int = 10,
+                          mode: str = "or", exclude: str | None = None,
+                          min_match: int = 1,
+                          exclude_query_terms: bool = True) -> DataFrame:
+        """significant_terms aggregation over the content field (the ES
+        agg, JLH heuristic): terms OVER-represented in the query's match
+        set relative to the whole corpus —
+
+            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+        keeping only fg_pct > bg_pct. Returns DataFrame(term, fg_df,
+        bg_df, score) ordered (score desc, term asc), score rounded to 6.
+
+        Scale shape: the FOREGROUND side re-analyzes only the MATCHED
+        docs' stored content (the ES fielddata analogue — cost ∝ match
+        set size, never corpus size) via the index's own tokenizer in
+        one Arrow-batched pass, then one partial-agg groupBy(term). The
+        BACKGROUND side is the termdict sidecar — vocabulary-sized, no
+        posting bytes. One term-keyed join connects them; the global
+        top-size compiles to TakeOrderedAndProject. fg total comes from
+        a posting-bounded match count (a second pruned posting scan, no
+        docstore touch)."""
+        from maestro_spark.functions.tokenize import doc_terms
+        plan = self.plan(query)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        fg_n = matches.count()
+        if fg_n == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double")
+        docs = self._docs().select("shard", "doc_id", "content")
+        matched = (matches.join(docs, ["shard", "doc_id"], "inner")
+                   .select("doc_id", "content"))
+        tok_name = self.cfg.get("tokenizer", "code")
+
+        def fg_iter(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                t = doc_terms(pdf["content"], tokenizer=tok_name)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy()[t["pos"].to_numpy()],
+                    "term": t["term"].astype(str),
+                })
+
+        fg = (matched.mapInPandas(fg_iter, schema="doc_id long, term string")
+              .groupBy("term").agg(F.count("*").alias("fg_df")))
+        st = self.stats.get("fields", {}).get("content", {})
+        bg_n = float(st.get("n_docs", 1)) or 1.0
+        # keyword/path terms are field-prefixed ("lang:java"); content
+        # terms are bare and the tokenizers strip ':' — the filter keeps
+        # the background strictly content-field
+        bg = (self.spark.read.parquet(
+                  os.path.join(self.index_dir, "termdict"))
+              .where(~F.col("term").contains(":"))
+              .select("term", F.col("df").alias("bg_df")))
+        fg_pct = F.col("fg_df") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df") / F.lit(bg_n)
+        out = (fg.join(bg, "term")
+               .where(fg_pct > bg_pct)
+               .select("term",
+                       F.col("fg_df").cast("long").alias("fg_df"),
+                       F.col("bg_df").cast("long").alias("bg_df"),
+                       F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+                       .alias("score")))
+        if exclude_query_terms and plan.terms:
+            out = out.where(~F.col("term").isin(list(plan.terms)))
+        return out.orderBy(F.desc("score"), F.asc("term")).limit(size)
 
     def suggest_terms_local(self, query: str, max_edits: int = 2,
                             per_term: int = 3) -> pd.DataFrame:

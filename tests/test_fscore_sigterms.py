@@ -1,0 +1,148 @@
+"""function_score / significant_terms / synonym expansion / scored_matches:
+ES analogues the reference delegates to Elasticsearch query DSL
+(FileCentricElasticSearchAdapter.java builds queries; scoring is ES-side).
+Engine contracts:
+  - synonyms expand to independent should-clauses == the explicit query
+  - scored_matches is the exact full-set scorer (search's scores, no cut)
+  - function_score is exact over the FULL match set (brute-force oracle)
+  - significant_terms matches a pandas JLH recomputation
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.functions.tokenize import doc_terms
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader
+from maestro_spark.sources.corpus import synth_docs
+
+N_DOCS = 200
+CFG = IndexConfig(
+    shard_size=64,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.02,
+    sample_fraction=1.0,
+)
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_fs"))
+    build_index(spark, synth_docs(spark, N_DOCS, seed=11, partitions=4),
+                out, CFG)
+    return IndexReader(spark, out)
+
+
+def test_synonyms_equal_explicit_query(reader):
+    a = reader.search_local("user merge", k=15,
+                            synonyms={"user": ("client", "worker")})
+    b = reader.search_local("user merge client worker", k=15)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(),
+                                  b["score"].to_numpy())
+
+
+def test_synonyms_spark_and_local_agree(reader):
+    syn = {"merge": ("cache",)}
+    a = reader.search("merge", k=10, synonyms=syn).toPandas()
+    b = reader.search_local("merge", k=10, synonyms=syn)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(),
+                                  b["score"].to_numpy())
+
+
+def test_scored_matches_is_exact_full_set(reader):
+    q = "user merge"
+    sm = (reader.scored_matches(q).toPandas()
+          .sort_values(["score", "doc_id"], ascending=[False, True])
+          .reset_index(drop=True))
+    # full-set cardinality == the match count, and the head == search top-k
+    assert len(sm) == reader.count_local(q)
+    top = reader.search_local(q, k=10)
+    assert sm["doc_id"].head(10).tolist() == top["doc_id"].tolist()
+    np.testing.assert_array_equal(sm["score"].head(10).to_numpy(),
+                                  top["score"].to_numpy())
+
+
+def _brute_function_score(reader, query, factor, modifier, boost_mode):
+    sm = reader.scored_matches(query).toPandas()
+    docs = (reader._docs().select("shard", "doc_id",
+                                  F.length("content").alias("v"))
+            .toPandas())
+    m = sm.merge(docs, on=["shard", "doc_id"])
+    x = m["v"].to_numpy(np.float64) * factor
+    fv = {"none": x, "ln1p": np.log1p(x), "sqrt": np.sqrt(x),
+          "square": x * x, "reciprocal": 1.0 / x}[modifier]
+    s = (m["score"].to_numpy() * fv if boost_mode == "multiply"
+         else m["score"].to_numpy() + fv)
+    m = m.assign(final=s).sort_values(
+        ["final", "doc_id"], ascending=[False, True])
+    return m
+
+
+@pytest.mark.parametrize("modifier,boost_mode", [
+    ("ln1p", "multiply"), ("sqrt", "sum"), ("reciprocal", "multiply"),
+])
+def test_function_score_matches_brute_force(reader, modifier, boost_mode):
+    got = reader.search_function_score(
+        "user merge", F.length("content"), k=10, factor=0.01,
+        modifier=modifier, boost_mode=boost_mode).toPandas()
+    want = _brute_function_score(reader, "user merge", 0.01,
+                                 modifier, boost_mode).head(10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["final"].to_numpy(), rtol=1e-12)
+
+
+def test_function_score_reranks_vs_plain_bm25(reader):
+    # the field function must be able to change the ranking — otherwise
+    # the operator is an expensive no-op
+    plain = reader.search_local("user merge", k=10)["doc_id"].tolist()
+    fs = reader.search_function_score(
+        "user merge", F.length("content"), k=10, factor=1.0,
+        modifier="reciprocal").toPandas()["doc_id"].tolist()
+    assert plain != fs
+
+
+def test_function_score_rejects_bad_args(reader):
+    with pytest.raises(ValueError):
+        reader.search_function_score("user", "content", modifier="log9")
+    with pytest.raises(ValueError):
+        reader.search_function_score("user", "content", boost_mode="max")
+
+
+def test_significant_terms_matches_pandas_jlh(reader):
+    q = "getUserName"
+    got = reader.significant_terms(q, size=12).toPandas()
+
+    docs = reader._docs().select("doc_id", "content").toPandas()
+    t = doc_terms(docs["content"], tokenizer=reader.cfg["tokenizer"])
+    per_doc = pd.DataFrame({
+        "doc_id": docs["doc_id"].to_numpy()[t["pos"].to_numpy()],
+        "term": t["term"].astype(str)})
+    match_ids = set(reader.match_docs(q).toPandas()["doc_id"])
+    fg = (per_doc[per_doc["doc_id"].isin(match_ids)]
+          .groupby("term").size().rename("fg_df"))
+    bg = per_doc.groupby("term").size().rename("bg_df")
+    j = pd.concat([fg, bg], axis=1).dropna()
+    fg_n, bg_n = float(len(match_ids)), float(len(docs))
+    fg_pct, bg_pct = j["fg_df"] / fg_n, j["bg_df"] / bg_n
+    j = j.assign(score=((fg_pct - bg_pct) * (fg_pct / bg_pct)).round(6))
+    qterms = set(reader.plan(q).terms)
+    j = j[(fg_pct > bg_pct) & (~j.index.isin(qterms))]
+    want = (j.reset_index().rename(columns={"index": "term"})
+            .sort_values(["score", "term"], ascending=[False, True])
+            .head(12).reset_index(drop=True))
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["fg_df"].tolist() == want["fg_df"].astype(int).tolist()
+    assert got["bg_df"].tolist() == want["bg_df"].astype(int).tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_significant_terms_empty_match(reader):
+    out = reader.significant_terms("zzzznotaterm", size=5).toPandas()
+    assert len(out) == 0
