@@ -168,3 +168,65 @@ def incremental_update(
         hits.unpersist()
         if base is not None:
             base.unpersist()
+
+
+def incremental_update_versioned(
+    spark: SparkSession,
+    base_dir: str,
+    upserts: DataFrame,
+    deletes: DataFrame | None = None,
+    cfg: IndexConfig | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Snapshot-isolated incremental update (ROADMAP #3): the in-place
+    path above mutates the serving version's partition dirs, so a query
+    racing a rebuild window can observe mixed shard state. This variant
+    gives every batch ES's segment-immutability guarantee on a
+    plain-parquet index:
+
+      1. hardlink-clone the CURRENT version dir into {base}/v{N+1}
+         (metadata-only — O(#files), zero data bytes; see
+         tableio.hardlink_clone. Under Iceberg this step IS the snapshot),
+      2. run the affected-shard-only incremental_update inside the clone
+         (only touched shards write new files; untouched shards keep
+         serving the shared inodes),
+      3. atomically flip {base}/alias.json.
+
+    Readers opened on `base_dir` keep serving the old version mid-batch
+    and retarget on their next query (IndexReader re-resolves the alias)
+    — no reader can ever observe a half-applied batch. Old versions
+    beyond `keep_versions` are pruned (never the current).
+
+    On a missing index this bootstraps {base}/v1. An unversioned index
+    (manifest.json directly under base_dir) is refused — migrate once
+    with build.reindex(versioned=True)."""
+    import shutil
+
+    from maestro_spark.sources.tableio import (hardlink_clone, list_versions,
+                                               next_version, resolve_alias,
+                                               update_alias)
+
+    cur = resolve_alias(base_dir)
+    unversioned = os.path.abspath(cur) == os.path.abspath(base_dir)
+    if unversioned and read_manifest(
+            os.path.join(base_dir, "manifest.json")) is not None:
+        raise ValueError(
+            f"{base_dir} is an unversioned index — snapshot isolation "
+            "needs the alias layout; migrate once with "
+            "reindex(src, base, versioned=True)")
+    version = next_version(base_dir)
+    dst = os.path.join(base_dir, version)
+    try:
+        if not unversioned:
+            hardlink_clone(cur, dst)
+        manifest = incremental_update(spark, dst, upserts, deletes, cfg)
+    except BaseException:
+        shutil.rmtree(dst, ignore_errors=True)  # never flip to a bad clone
+        raise
+    update_alias(base_dir, version)
+    if keep_versions > 0:
+        for old in list_versions(base_dir)[:-keep_versions]:
+            if old != version:
+                shutil.rmtree(os.path.join(base_dir, old), ignore_errors=True)
+    manifest["version_dir"] = version
+    return manifest

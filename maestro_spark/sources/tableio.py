@@ -125,3 +125,31 @@ def list_versions(base_dir: str) -> list[str]:
 def next_version(base_dir: str) -> str:
     vs = list_versions(base_dir)
     return f"v{int(vs[-1][1:]) + 1}" if vs else "v1"
+
+
+def hardlink_clone(src: str, dst: str) -> int:
+    """Clone an index version dir via hardlinks — metadata-only, O(#files)
+    not O(bytes), because every store file (parquet, sidecars) is
+    IMMUTABLE once written: an in-place rebuild in the clone writes NEW
+    part files and unlinks the clone's links, never touching the source
+    version's inodes. This is the plain-filesystem stand-in for what an
+    Iceberg deployment gets from snapshot metadata (a new snapshot shares
+    every unchanged data file by reference); on an object store the
+    equivalent is manifest-level file sharing, not copies. Returns the
+    number of files linked; falls back to a copy when the filesystem
+    refuses links (cross-device)."""
+    import shutil
+
+    n = 0
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            s, t = os.path.join(root, f), os.path.join(troot, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+            n += 1
+    return n
