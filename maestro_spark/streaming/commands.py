@@ -98,11 +98,18 @@ def read_command_stream_kafka(spark: SparkSession, bootstrap_servers: str,
 def apply_command_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
                         cfg: IndexConfig,
                         reject_dir: str | None = None,
-                        notifier=None) -> dict:
+                        notifier=None, versioned: bool = False) -> dict:
     """Apply one micro-batch of commands to the index: validate → resolve
     per-key winner by seq → route upsert/delete → incremental_update
     (stable ids, affected-shard-only rebuild). Returns the build manifest.
-    Runs identically as a plain batch call."""
+    Runs identically as a plain batch call.
+
+    versioned=True lands each batch snapshot-isolated
+    (incremental_update_versioned: hardlink-cloned blue/green + atomic
+    alias flip) — index_dir is then the alias BASE dir, and live readers
+    never observe a half-applied batch. The in-place default is cheaper
+    per batch (no clone) and right when no reader serves during
+    ingestion."""
     batch = batch.persist()
     try:
         valid_op = F.col("op").isin("upsert", "delete")
@@ -124,8 +131,10 @@ def apply_command_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
             notifier.notify("COMMAND_REJECTED", n_rejected=n_bad,
                             reject_dir=reject_dir)
         if int(counts["n"]) == n_bad:
-            from maestro_spark.sources.tableio import read_manifest
-            return read_manifest(os.path.join(index_dir, "manifest.json")) or {}
+            from maestro_spark.sources.tableio import (read_manifest,
+                                                       resolve_alias)
+            return read_manifest(os.path.join(
+                resolve_alias(index_dir), "manifest.json")) or {}
 
         # per-key winner: max seq; seq tie → delete (deterministic)
         w = Window.partitionBy(*DOC_KEY).orderBy(
@@ -138,6 +147,11 @@ def apply_command_batch(spark: SparkSession, batch: DataFrame, index_dir: str,
         )
         ups = winner.where(F.col("op") == "upsert").select(*DOC_COLS)
         dels = winner.where(F.col("op") == "delete").select(*DOC_KEY)
+        if versioned:
+            from maestro_spark.operators.incremental import \
+                incremental_update_versioned
+            return incremental_update_versioned(spark, index_dir, ups,
+                                                dels, cfg)
         return incremental_update(spark, index_dir, ups, dels, cfg)
     finally:
         batch.unpersist()
@@ -147,18 +161,19 @@ def run_command_stream(spark: SparkSession, commands_dir: str, index_dir: str,
                        cfg: IndexConfig, checkpoint_dir: str,
                        reject_dir: str | None = None,
                        available_now: bool = True,
-                       notifier=None):
+                       notifier=None, versioned: bool = False):
     """Wire the stream: one foreachBatch call per micro-batch, checkpointed
     (restart-safe — the streaming analogue of the manifest resume).
     available_now=True drains pending files and stops (test/batch-catchup
-    mode); False runs continuously."""
+    mode); False runs continuously. versioned=True lands every batch
+    snapshot-isolated (see apply_command_batch)."""
     stream = read_command_stream(spark, commands_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         apply_command_batch(spark, batch_df, index_dir, cfg, reject_dir,
-                            notifier=notifier)
+                            notifier=notifier, versioned=versioned)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -70,6 +70,40 @@ def test_command_stream_end_to_end(spark, tmp_path):
     assert IndexReader(spark, idx_dir).manifest["shards"] == m_before
 
 
+def test_command_stream_versioned(spark, tmp_path):
+    """versioned=True: each micro-batch lands blue/green behind the alias;
+    a reader opened on the base dir follows the flips, and a reader
+    pinned to the pre-batch version is isolated from the batch."""
+    from maestro_spark.sources.tableio import resolve_alias
+
+    cmd_dir = str(tmp_path / "cmds")
+    base_dir = str(tmp_path / "idx_versioned")
+    ckpt = str(tmp_path / "ckpt_v")
+    os.makedirs(cmd_dir)
+
+    base = synth_docs(spark, 120, seed=9, partitions=3).collect()
+    ups = [(i, "upsert", r["repo"], r["path"], r["commit"], r["lang"],
+            r["content"]) for i, r in enumerate(base)]
+    _write_commands(spark, cmd_dir, ups, "b0")
+    sc.run_command_stream(spark, cmd_dir, base_dir, CFG, ckpt,
+                          versioned=True)
+    assert resolve_alias(base_dir).endswith("v1")
+    reader = IndexReader(spark, base_dir)
+    pinned = IndexReader(spark, resolve_alias(base_dir))
+    assert reader.manifest["n_docs"] == 120
+
+    ed = base[2]
+    _write_commands(spark, cmd_dir, [
+        (500, "upsert", ed["repo"], ed["path"], ed["commit"], ed["lang"],
+         ed["content"] + " zzqveredit"),
+    ], "b1")
+    sc.run_command_stream(spark, cmd_dir, base_dir, CFG, ckpt,
+                          versioned=True)
+    assert resolve_alias(base_dir).endswith("v2")
+    assert reader.count_local("zzqveredit") == 1   # alias reader follows
+    assert pinned.count_local("zzqveredit") == 0   # snapshot isolation
+
+
 def test_windowed_counts_match_batch(spark, tmp_path):
     """Streaming windowed agg over the events table == the same agg run as
     a plain batch query (completed windows only — append mode drops the
