@@ -197,6 +197,25 @@ def main() -> None:
         reader.highlight_local("index query merge", ids, window=8)
         timings["highlight_local_10"] = round(time.time() - t0, 4)
 
+        # full-match-set rescoring + corpus-contrast agg (round-2 adds)
+        t0 = time.time()
+        reader.search_function_score("index query merge",
+                                     F.length("content"), k=10,
+                                     factor=0.001).collect()
+        timings["function_score"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.significant_terms("error retry", size=10).collect()
+        timings["significant_terms"] = round(time.time() - t0, 3)
+
+        # snapshot-clone overhead (the versioned-incremental fixed cost:
+        # hardlinks only, O(#files) — must stay ~ms at any corpus size)
+        from maestro_spark.sources.tableio import hardlink_clone
+        clone_dir = idx_dir + "_snap"
+        t0 = time.time()
+        n_linked = hardlink_clone(idx_dir, clone_dir)
+        timings["snapshot_clone"] = round(time.time() - t0, 4)
+        shutil.rmtree(clone_dir, ignore_errors=True)
+
         # ---- 2b. incremental upsert: stable ids, affected shards only ----
         from pyspark.sql import functions as FF
         from maestro_spark.operators.incremental import incremental_update
@@ -264,6 +283,7 @@ def main() -> None:
         "msearch_local_qps": round(msearch_local_qps, 1),
         "build_phase_ms": manifest.get("phase_ms", {}),
         "incremental_rebuilt_shards": inc_rebuilt,
+        "snapshot_files_linked": n_linked,
         "parallelism": spark.sparkContext.defaultParallelism,
     }
     spark.stop()

@@ -1069,36 +1069,38 @@ class IndexReader:
 
         Scale shape: the FOREGROUND side re-analyzes only the MATCHED
         docs' stored content (the ES fielddata analogue — cost ∝ match
-        set size, never corpus size) via the index's own tokenizer in
-        one Arrow-batched pass, then one partial-agg groupBy(term). The
-        BACKGROUND side is the termdict sidecar — vocabulary-sized, no
-        posting bytes. One term-keyed join connects them; the global
-        top-size compiles to TakeOrderedAndProject. fg total comes from
-        a posting-bounded match count (a second pruned posting scan, no
-        docstore touch)."""
-        from maestro_spark.functions.tokenize import doc_terms
+        set size, never corpus size) with the SAME Arrow-native
+        dictionary-coded tokenizer the build uses (token_record_batches
+        via mapInArrow — no pandas block consolidation), then one
+        partial-agg groupBy(term). The BACKGROUND side is the termdict
+        sidecar — vocabulary-sized, no posting bytes. One term-keyed
+        join connects them; the global top-size compiles to
+        TakeOrderedAndProject. fg total comes from the SERVING-path
+        count (count_local: driver-side posting set algebra over the
+        same pruned rows — no extra Spark job; identical semantics to
+        match_docs by construction, covered by the total_hits oracle)."""
+        from maestro_spark.functions.tokenize import token_record_batches
         plan = self.plan(query)
         matches = self.match_docs(query, mode, exclude, min_match)
-        fg_n = matches.count()
+        fg_n = self.count_local(query, mode=mode, exclude=exclude,
+                                min_match=min_match)
         if fg_n == 0:
             return self.spark.createDataFrame(
                 [], "term string, fg_df long, bg_df long, score double")
         docs = self._docs().select("shard", "doc_id", "content")
-        matched = (matches.join(docs, ["shard", "doc_id"], "inner")
-                   .select("doc_id", "content"))
+        matched = matches.join(docs, ["shard", "doc_id"], "inner")
         tok_name = self.cfg.get("tokenizer", "code")
 
         def fg_iter(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                t = doc_terms(pdf["content"], tokenizer=tok_name)
-                yield pd.DataFrame({
-                    "doc_id": pdf["doc_id"].to_numpy()[t["pos"].to_numpy()],
-                    "term": t["term"].astype(str),
-                })
+            for b in batches:
+                if b.num_rows:
+                    yield from token_record_batches(
+                        b, ("content",), tok_name, False)
 
-        fg = (matched.mapInPandas(fg_iter, schema="doc_id long, term string")
+        fg = (matched.mapInArrow(
+                  fg_iter,
+                  schema="doc_id long, shard int, term string, tf long, "
+                         "dl long, field string")
               .groupBy("term").agg(F.count("*").alias("fg_df")))
         st = self.stats.get("fields", {}).get("content", {})
         bg_n = float(st.get("n_docs", 1)) or 1.0
