@@ -508,6 +508,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_search"] = _q_phrase
 
+    def _q_phrase_slop(s: SparkSession, d: str) -> DataFrame:
+        # span_near(in_order=true, slop=2): 'slow … query' within a
+        # 4-token window — the ES match_phrase-with-slop analogue
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.phrase_search("slow query", k=40, slop=2)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["phrase_slop"] = _q_phrase_slop
+
     def _q_topk_docs(s: SparkSession, d: str) -> DataFrame:
         reader = IndexReader(s, _ensure_index(s, d))
         raw = reader.search_with_docs("dup table", k=40,
@@ -963,6 +973,26 @@ big AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS s
         FROM arr, unnest(range(1, greatest(len(ts), 1))) AS t(i)),
 ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM big
        WHERE s = 'slow query' GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
+    o["phrase_slop"] = f"""
+WITH {_ARR},
+pos AS (SELECT doc_id, i AS p, ts[i] AS term
+        FROM arr, unnest(range(1, len(ts) + 1)) AS t(i)),
+ph AS (SELECT a.doc_id, count(*)::DOUBLE AS tf FROM pos a
+       WHERE a.term = 'slow' AND EXISTS (
+         SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id
+           AND b.term = 'query' AND b.p > a.p AND b.p <= a.p + 3)
+       GROUP BY a.doc_id),
 dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
 st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)

@@ -1385,9 +1385,11 @@ class IndexReader:
         return hits.reset_index(drop=True)
 
     def phrase_search_local(self, phrase: str, k: int = 10,
+                            slop: int = 0,
                             max_workers: int | None = None) -> pd.DataFrame:
         """Serving-path exact-phrase top-k — same match + scoring semantics
-        as phrase_search (the phrase-as-pseudo-term BM25), no Spark job.
+        as phrase_search (the phrase-as-pseudo-term BM25, including the
+        slop>0 span_near relaxation), no Spark job.
         The global phrase df needs every shard's match count before
         scoring, so matching runs first and scoring is a vectorized
         epilogue over the (small) matched set."""
@@ -1413,7 +1415,7 @@ class IndexReader:
             if any(t not in rows for t in seq):
                 return (np.empty(0, np.int64), np.empty(0, np.int64),
                         np.empty(0, np.float64))
-            docs, tf_phrase = _phrase_match(rows, seq)
+            docs, tf_phrase = _phrase_match(rows, seq, slop)
             if docs.size == 0:
                 return (docs, tf_phrase, np.empty(0, np.float64))
             dls = _load_doclens(index_dir, shard, "content",
@@ -1522,12 +1524,19 @@ class IndexReader:
 
     # ------------------------------------------------------------- phrase
 
-    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+    def phrase_search(self, phrase: str, k: int = 10,
+                      slop: int = 0) -> DataFrame:
         """Exact-phrase top-k over the positional (prox) stream: documents
         containing the query's subtoken sequence consecutively, scored as
         BM25 of the phrase-as-pseudo-term (tf = occurrence count, df =
         matching docs, content-field dl/avgdl/N). Requires an index built
         with IndexConfig(store_positions=True).
+
+        slop > 0 relaxes to span_near(in_order=true): terms in order with
+        total span ≤ len−1+slop; tf = matching start positions (see
+        _phrase_match). The ES analogue is match_phrase with slop, modulo
+        Lucene's move-based reorder allowance, which span_near does not
+        grant.
 
         Plan: posting+prox rows of the phrase terms (partition-pruned scan)
         → per-shard vectorized position-adjacency match (applyInPandas) →
@@ -1567,7 +1576,7 @@ class IndexReader:
             if any(t not in rows for t in seq):
                 return out_empty
             shard = int(key[0])
-            docs, tf_phrase = _phrase_match(rows, seq)
+            docs, tf_phrase = _phrase_match(rows, seq, slop)
             if docs.size == 0:
                 return out_empty
             dls = _load_doclens(index_dir, shard, "content",
@@ -1614,14 +1623,27 @@ class IndexReader:
 _PHRASE_KEY_BITS = 21  # doc-local positions < 2^21 (doc lengths ≪ 2M)
 
 
-def _phrase_match(rows: dict[str, dict], seq: list[str]
+def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0
                   ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized consecutive-position match for one shard.
+    """Vectorized positional phrase match for one shard.
 
-    For phrase term i, every occurrence at position p proposes phrase-start
-    key doc_idx·2^21 + (p − i + len(seq)); the phrase occurs exactly at the
-    keys proposed by ALL terms — a k-way sorted intersection (np.isin on
-    unique keys). Returns (doc_ids, tf_phrase) for docs with ≥1 occurrence.
+    slop=0 (exact phrase): for phrase term i, every occurrence at position
+    p proposes phrase-start key doc_idx·2^21 + (p − i + len(seq)); the
+    phrase occurs exactly at the keys proposed by ALL terms — a k-way
+    sorted intersection (np.isin on unique keys).
+
+    slop>0 (span_near, in_order=true — the Lucene SpanNearQuery contract,
+    not ES match_phrase's move-based sloppy matching): an occurrence of
+    seq[0] at p0 matches when a strictly-increasing chain
+    p0<p1<…<p_{n-1} over seq exists with p_{n-1} − p0 ≤ n−1+slop.
+    tf = number of matching start positions. The chain is found greedily
+    (each step takes the NEXT occurrence via one searchsorted over the
+    doc-keyed position array); greedy minimizes the chain end, so
+    greedy-existence ≡ any-chain-existence — the match is exact. Keys
+    embed doc_idx in the high bits, so a chain that would cross a document
+    boundary fails the ≤ n−1+slop bound automatically (positions < 2^21).
+
+    Returns (doc_ids, tf_phrase) for docs with ≥1 occurrence.
     """
     # doc-id intersection FIRST, rarest term first (fastest shrink, and a
     # deterministic iteration order); positions are only decoded once the
@@ -1644,9 +1666,10 @@ def _phrase_match(rows: dict[str, dict], seq: list[str]
         decoded[t] = (doc_lists[t], pos, offsets)
 
     m = np.int64(1 << _PHRASE_KEY_BITS)
-    shift = len(seq)
-    start_keys: np.ndarray | None = None
-    for i, t in enumerate(seq):
+
+    def term_keys(t: str, i: int, shift: int) -> np.ndarray:
+        """All occurrences of t in intersected docs as sorted int64 keys
+        doc_idx·2^21 + (p + shift − i)."""
         doc_ids_t, pos_t, off_t = decoded[t]
         idx = np.searchsorted(doc_ids_t, inter)
         lens = off_t[idx + 1] - off_t[idx]
@@ -1654,9 +1677,31 @@ def _phrase_match(rows: dict[str, dict], seq: list[str]
         first = np.concatenate(([0], np.cumsum(lens)[:-1]))
         within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(first, lens)
         p = pos_t[np.repeat(off_t[idx], lens) + within]
-        keys = flat_doc * m + (p - i + shift)
-        start_keys = keys if start_keys is None else start_keys[
-            np.isin(start_keys, keys, assume_unique=True)]
+        return flat_doc * m + (p - i + shift)
+
+    if slop > 0:
+        keys = {t: term_keys(t, 0, 0) for t in uniq_terms}
+        start = keys[seq[0]]
+        cur = start
+        sentinel = np.iinfo(np.int64).max - 1
+        for t in seq[1:]:
+            arr = keys[t]
+            j = np.searchsorted(arr, cur + 1, side="left")
+            hit = j < arr.size
+            cur = np.where(hit, arr[np.minimum(j, arr.size - 1)], sentinel)
+            cur = np.minimum(cur, sentinel)  # keep cur+1 overflow-safe
+        ok = (cur - start) <= np.int64(len(seq) - 1 + slop)
+        tf = np.bincount((start[ok] // m).astype(np.int64),
+                         minlength=inter.size)
+        keep = tf > 0
+        return inter[keep], tf[keep].astype(np.int64)
+
+    shift = len(seq)
+    start_keys: np.ndarray | None = None
+    for i, t in enumerate(seq):
+        start_keys = term_keys(t, i, shift) if start_keys is None \
+            else start_keys[np.isin(start_keys, term_keys(t, i, shift),
+                                    assume_unique=True)]
         if start_keys.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
     tf = np.bincount((start_keys // m).astype(np.int64), minlength=inter.size)

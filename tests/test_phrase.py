@@ -100,6 +100,84 @@ def test_phrase_rank_identical(spark, built, corpus, phrase):
     np.testing.assert_array_equal(got["score"].to_numpy(), want["score"].to_numpy())
 
 
+def brute_span_near(corpus: pd.DataFrame, phrase: str, slop: int,
+                    k: int = 10) -> pd.DataFrame:
+    """In-order span_near oracle: tf = count of start positions p0 of
+    seq[0] with a strictly-increasing completion whose span ≤ n−1+slop.
+    Exhaustive DP per start (not greedy) — independent of the engine's
+    greedy shortcut."""
+    seq = phrase_terms(phrase, "code")
+    n = len(seq)
+    rows = []
+    for _, r in corpus.iterrows():
+        stream = _subtoken_stream(r["content"])
+        tf = 0
+        for p0, tok in enumerate(stream):
+            if tok != seq[0]:
+                continue
+            # frontier of reachable positions after matching prefix i
+            frontier = [p0]
+            for t in seq[1:]:
+                frontier = [j for p in frontier
+                            for j in range(p + 1, min(len(stream),
+                                                      p0 + n + slop))
+                            if stream[j] == t and j > p]
+                if not frontier:
+                    break
+            if frontier and min(frontier) - p0 <= n - 1 + slop:
+                tf += 1
+        if tf:
+            dl = len(code_tokens(pd.Series([r["content"]])).iat[0])
+            rows.append((r["doc_id"], tf, dl))
+    if not rows:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    m = pd.DataFrame(rows, columns=["doc_id", "tf", "dl"])
+    n_docs = len(corpus)
+    total_dl = sum(len(code_tokens(pd.Series([c])).iat[0])
+                   for c in corpus["content"])
+    avgdl = float(total_dl) / n_docs
+    idf = float(bm25.idf(len(m), n_docs))
+    m["score"] = idf * (
+        m["tf"].to_numpy(np.float64)
+        / (m["tf"].to_numpy(np.float64)
+           + bm25.K1 * (1.0 - bm25.B + bm25.B * m["dl"].to_numpy(np.float64) / avgdl))
+    )
+    return (m.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)[["doc_id", "score"]].reset_index(drop=True))
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("get user", 2),           # relaxed bigram — superset of exact
+    ("token merge", 3),        # skips the middle of tokenWorkerMerge
+    ("user count", 1),         # userRequestCount: exactly one gap
+    ("return return", 2),      # repeated token, overlapping starts
+])
+def test_span_near_rank_identical(spark, built, corpus, phrase, slop):
+    reader = IndexReader(spark, built)
+    got = reader.phrase_search(phrase, k=10, slop=slop).toPandas()
+    want = brute_span_near(corpus, phrase, slop, k=10)
+    assert len(want) > 0, f"vacuous: oracle empty for {phrase!r}~{slop}"
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), (
+        f"{phrase!r}~{slop}:\n{got}\nvs\n{want}")
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+    # serving path agrees bit-identically
+    loc = reader.phrase_search_local(phrase, k=10, slop=slop)
+    assert loc["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(loc["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_span_near_superset_of_exact(spark, built):
+    """slop=0 via the slop path ≡ exact phrase; slop>0 only adds docs."""
+    reader = IndexReader(spark, built)
+    exact = set(reader.phrase_search("get user", k=300).toPandas()["doc_id"])
+    slopped = set(reader.phrase_search("get user", k=300, slop=2)
+                  .toPandas()["doc_id"])
+    assert exact <= slopped
+
+
 def test_single_term_phrase_delegates(spark, built):
     reader = IndexReader(spark, built)
     a = reader.phrase_search("getUserName", k=5).toPandas()
