@@ -135,7 +135,9 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
               k: int = 10, mode: str = "or",
               where: str | None = None, offset: int = 0,
               term_pred: str | None = None,
-              fscore: str | None = None) -> str:
+              fscore: str | None = None,
+              combine: str | None = None,
+              collapse: str | None = None) -> str:
     """Brute-force BM25 oracle (k1=1.2, b=0.75 — Lucene formula) over the
     simple-tokenized content field plus keyword-field contributions
     (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1)). kw entries are
@@ -146,7 +148,12 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
     scores with its own idf, rewrite=scoring_boolean). `fscore` is an SQL
     expression over `allsc.score` and documents alias `d` — the
     function_score/field_value_factor analogue (ranking by the combined
-    score over the full match set)."""
+    score over the full match set). `combine` is a positional format
+    template over the per-clause score expressions ({0}=content,
+    {1}=first kw field, ...) replacing the default bool-should sum —
+    the dis_max/multi_match analogue. `collapse` is a documents column:
+    keep only each distinct value's best (round(score,6) desc, doc_id)
+    row, then rank the group bests — the ES collapse analogue."""
     terms = ", ".join(f"'{t}'" for t in content_terms)
     tp = f"term IN ({terms})" if content_terms else "FALSE"
     if term_pred:
@@ -197,11 +204,24 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
         for jp in join_parts[1:]:
             final_from += f" FULL OUTER JOIN {jp} ON {join_parts[0]}.doc_id = {jp}.doc_id"
         doc_expr = "coalesce(" + ", ".join(f"{j}.doc_id" for j in join_parts) + ")"
+    score_expr = (combine.format(*score_parts) if combine
+                  else " + ".join(score_parts))
     ctes.append(
         f"allsc AS (SELECT {doc_expr} AS doc_id, "
-        f"{' + '.join(score_parts)} AS score FROM {final_from})"
+        f"{score_expr} AS score FROM {final_from})"
     )
     flt = f"WHERE {where} " if where else ""
+    if collapse:
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT d.{collapse} AS collapse_value, "
+            + "allsc.doc_id AS doc_id, round(score, 6) AS score "
+            + "FROM allsc JOIN documents d ON allsc.doc_id = d.doc_id "
+            + flt
+            + f"QUALIFY row_number() OVER (PARTITION BY d.{collapse} "
+            + "ORDER BY round(score, 6) DESC, allsc.doc_id) = 1 "
+            + f"ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"
+        )
     if fscore:
         # function_score: final = f(allsc.score, d.*) over the FULL match
         # set (a low-BM25 doc can win after the field function), rounded
@@ -517,6 +537,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
     q["phrase_slop"] = _q_phrase_slop
+
+    def _q_collapse(s: SparkSession, d: str) -> DataFrame:
+        # ES field collapsing: each repo represented by its best hit,
+        # top-10 of the group bests (score_round=6 = the oracle's
+        # cross-engine rank convention)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_collapse("spark query merge", "repo",
+                                      k=10, score_round=6)
+
+    q["bm25_collapse"] = _q_collapse
+
+    def _q_cardinality(s: SparkSession, d: str) -> DataFrame:
+        # ES cardinality agg (exact path; the HLL++ sketch variant is
+        # the 100 TB default, not oracle-comparable)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_cardinality("stream merge", "lang")
+
+    q["match_cardinality"] = _q_cardinality
+
+    def _q_dismax(s: SparkSession, d: str) -> DataFrame:
+        # multi_match best_fields across content + lang keyword field,
+        # tie_breaker=0.3 (dis_max)
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.multi_match("stream es", ("content", "lang"),
+                                 tie_breaker=0.3, k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_dismax"] = _q_dismax
+
+    def _q_qstring(s: SparkSession, d: str) -> DataFrame:
+        # query_string: should terms + must(+table, filter context that
+        # also scores) + must_not(-lang:java)
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.query_string("merge stream +table -lang:java", k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_query_string"] = _q_qstring
+
+    def _q_rescore(s: SparkSession, d: str) -> DataFrame:
+        # ES rescore: BM25 top-30 window re-scored by exact-phrase
+        # proximity (window-relative phrase idf — see the operator doc)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.rescore_phrase_local("dup table", window=30, k=30,
+                                          rescore_weight=2.0,
+                                          score_round=6)
+        pdf = pdf.assign(score=pdf["score"].round(6))
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["bm25_rescore"] = _q_rescore
 
     def _q_topk_docs(s: SparkSession, d: str) -> DataFrame:
         reader = IndexReader(s, _ensure_index(s, d))
@@ -1005,6 +1079,49 @@ ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
          ph.doc_id
 LIMIT 10"""
     o["bm25_field_lang"] = _bm25_sql(["spark", "stream"], [("lang", "es")])
+    o["bm25_collapse"] = _bm25_sql(["merge", "query", "spark"],
+                                   collapse="source")
+    o["match_cardinality"] = f"""
+WITH {_TOK}
+SELECT count(DISTINCT lang)::BIGINT AS n_values FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('stream', 'merge'))"""
+    o["bm25_dismax"] = _bm25_sql(
+        ["es", "stream"], [("lang", "es")],
+        combine="greatest({0}, {1}) + 0.3 * (({0} + {1}) - greatest({0}, {1}))")
+    o["bm25_query_string"] = _bm25_sql(
+        ["merge", "stream", "table"],
+        where=("doc_id IN (SELECT doc_id FROM tok WHERE term = 'table') "
+               "AND doc_id NOT IN (SELECT doc_id FROM documents "
+               "WHERE lower(trim(lang)) = 'java')"))
+    _RS_PHR = ("ln(1.0 + (wn.n - dfw.df + 0.5) / (dfw.df + 0.5)) "
+               "* ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))")
+    o["bm25_rescore"] = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ('dup', 'table') GROUP BY term),
+cs AS (SELECT t.doc_id,
+       sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+       FROM tfq t JOIN dft d ON t.term = d.term
+       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st GROUP BY t.doc_id),
+topn AS (SELECT doc_id, score FROM cs
+         ORDER BY round(score, 6) DESC, doc_id LIMIT 30),
+{_ARR},
+big AS (SELECT a.doc_id, ts[i] || ' ' || ts[i+1] AS s
+        FROM arr a, unnest(range(1, greatest(len(ts), 1))) AS t(i)
+        WHERE a.doc_id IN (SELECT doc_id FROM topn)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM big
+       WHERE s = 'dup table' GROUP BY doc_id),
+wn AS (SELECT count(*)::DOUBLE AS n FROM topn),
+dfw AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT t.doc_id, round(t.score + 2.0 * coalesce({_RS_PHR}, 0), 6) AS score
+FROM topn t LEFT JOIN ph ON ph.doc_id = t.doc_id
+JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st CROSS JOIN wn CROSS JOIN dfw
+ORDER BY round(t.score + 2.0 * coalesce({_RS_PHR}, 0), 6) DESC, t.doc_id
+LIMIT 10"""
 
     o["bm25_topk_docs"] = (
         f"SELECT s.doc_id, d.source, d.lang, s.score FROM "

@@ -197,6 +197,27 @@ def main() -> None:
         reader.highlight_local("index query merge", ids, window=8)
         timings["highlight_local_10"] = round(time.time() - t0, 4)
 
+        # bool-filter / query_string / dis_max / window-rescore surface
+        t0 = time.time()
+        reader.query_string("index query +merge -lambda", k=10,
+                            engine="local")
+        timings["query_string_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.multi_match_local("index java", ("content", "lang"),
+                                 tie_breaker=0.3, k=10)
+        timings["multi_match_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.rescore_phrase_local("index query", window=50, k=10,
+                                    rescore_weight=2.0)
+        timings["rescore_phrase_50"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.search_collapse("index query merge", "repo", k=10).collect()
+        timings["collapse_by_repo"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_cardinality("index query merge", "repo",
+                                  exact=False).collect()
+        timings["cardinality_hll"] = round(time.time() - t0, 3)
+
         # full-match-set rescoring + corpus-contrast agg (round-2 adds)
         t0 = time.time()
         reader.search_function_score("index query merge",

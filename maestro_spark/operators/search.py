@@ -108,6 +108,46 @@ def term_field(term: str) -> str:
     return "content"
 
 
+def parse_query_string(qs: str) -> dict[str, str]:
+    """Parse a Lucene-ish query string into bool clauses:
+
+        tok     → should (scores)
+        +tok    → must: required AND scored (filter context + should)
+        -tok    → must_not (excluded)
+
+    Tokens keep the engine's inline syntax — field prefixes (lang:java)
+    everywhere; fuzzy (tok~1) and wildcards (to*) on SHOULD clauses only
+    (must/must_not are hard set predicates over literal terms — a
+    multi-term expansion has no single posting set, so +to* / -tok~ are
+    rejected rather than silently mis-scoped). Quoted phrases are a
+    positional query, not a bool clause — use phrase_search /
+    rescore_phrase_local. Returns {"query", "require", "exclude"}
+    space-joined clause strings ready for search(query, require=,
+    exclude=)."""
+    if '"' in qs or "'" in qs:
+        raise ValueError(
+            "query_string does not support quoted phrases; use "
+            "phrase_search() / rescore_phrase_local()")
+    should: list[str] = []
+    must: list[str] = []
+    must_not: list[str] = []
+    for tok in qs.split():
+        if tok in ("+", "-"):
+            continue
+        if tok[0] in "+-":
+            body = tok[1:]
+            if any(c in body for c in "*?~"):
+                raise ValueError(
+                    f"{tok!r}: fuzzy/wildcard tokens are should-only — "
+                    "must/must_not need a literal posting set")
+            (must if tok[0] == "+" else must_not).append(body)
+        else:
+            should.append(tok)
+    return {"query": " ".join(should + must),
+            "require": " ".join(must),
+            "exclude": " ".join(must_not)}
+
+
 @dataclass
 class QueryPlan:
     terms: list[str]          # canonical order (desc idf, term asc)
@@ -430,6 +470,7 @@ class IndexReader:
                boosts: dict[str, float] | None = None,
                doc_filter=None, engine: str = "spark",
                exclude: str | None = None,
+               require: str | None = None,
                min_match: int = 1,
                synonyms: dict[str, tuple] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
@@ -467,6 +508,13 @@ class IndexReader:
         at least this many distinct query terms to qualify. min_match>1
         disables score-based pruning (see score_shard_rows).
 
+        require: optional filter-context must clause (the ES bool
+        `filter` analogue): docs must contain ALL of its analyzed terms
+        to qualify, but the clause contributes no score (score a
+        required term by also placing it in `query`). Required postings
+        ride the same pruned scan; per shard their intersection becomes
+        an `allowed` set, so MaxScore pruning stays exact.
+
         synonyms: query-time synonym expansion map — see plan()."""
         plan = self.plan(query, boosts=boosts, synonyms=synonyms)
         spark = self.spark
@@ -481,12 +529,14 @@ class IndexReader:
                 engine == "auto"
                 and sum(plan.dfs.values()) <= self.LOCAL_DF_BUDGET)):
             hits = self.search_local(query, k, mode, prune, boosts=boosts,
-                                     exclude=exclude, min_match=min_match,
+                                     exclude=exclude, require=require,
+                                     min_match=min_match,
                                      synonyms=synonyms)
             return spark.createDataFrame(hits, "doc_id long, score double")
         n_buckets = self.cfg["n_buckets"]
         ex_terms = self._exclusion_terms(exclude)
-        all_terms = sorted(set(plan.terms) | set(ex_terms))
+        req_terms = self._exclusion_terms(require)
+        all_terms = sorted(set(plan.terms) | set(ex_terms) | set(req_terms))
         buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
@@ -500,9 +550,10 @@ class IndexReader:
                 shard = int(key[0])
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
                 excluded = _excluded_local(rows, ex_terms, shard * shard_size)
+                required = _required_local(rows, req_terms, shard * shard_size)
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
-                    index_dir, k, mode, prune,
+                    index_dir, k, mode, prune, allowed=required,
                     excluded=excluded, min_match=min_match,
                 )
                 return pd.DataFrame({"doc_id": doc_ids, "score": scores})
@@ -520,6 +571,10 @@ class IndexReader:
                                          "score": pd.array([], dtype="float64")})
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
                 allowed = np.sort(adf["doc_id"].to_numpy(np.int64)) - shard * shard_size
+                required = _required_local(rows, req_terms, shard * shard_size)
+                if required is not None:
+                    allowed = allowed[np.isin(allowed, required,
+                                              assume_unique=True)]
                 excluded = _excluded_local(rows, ex_terms, shard * shard_size)
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
@@ -549,6 +604,133 @@ class IndexReader:
     def search_pandas(self, query: str, k: int = 10, mode: str = "or",
                       prune: bool = True) -> pd.DataFrame:
         return self.search(query, k, mode, prune).toPandas()
+
+    def query_string(self, qs: str, k: int = 10, mode: str = "or",
+                     prune: bool = True,
+                     boosts: dict[str, float] | None = None,
+                     engine: str = "spark"):
+        """Mini query-string query (the ES query_string/simple_query_string
+        analogue): `tok` scores (should), `+tok` is required AND scores
+        (must), `-tok` is excluded (must_not). Tokens keep the engine's
+        inline syntax — field prefixes (lang:java), fuzzy (tok~1),
+        wildcards (to*) — on should clauses. Parsed by parse_query_string,
+        executed on the bool search path (require/exclude ride the same
+        pruned posting scan). Returns a DataFrame on a Spark reader, a
+        pandas frame on a serving-only reader (spark=None) or
+        engine="local"."""
+        c = parse_query_string(qs)
+        if self.spark is None or engine == "local":
+            return self.search_local(
+                c["query"], k, mode, prune, boosts=boosts,
+                exclude=c["exclude"] or None, require=c["require"] or None)
+        return self.search(c["query"], k, mode, prune, boosts=boosts,
+                           exclude=c["exclude"] or None,
+                           require=c["require"] or None, engine=engine)
+
+    # --------------------------------------------------- multi_match/dis_max
+
+    def _field_subquery(self, text: str, field: str) -> str:
+        """Per-field subquery string for multi_match: content gets the raw
+        text; a keyword/path field gets each whitespace token prefixed
+        with its field scope (the X5 asymmetric-analyzer syntax)."""
+        if field == "content":
+            return text
+        prefixes = {f: p for p, f in FIELD_OF_PREFIX.items()}
+        if field not in prefixes:
+            raise ValueError(f"unknown field {field!r}; "
+                             f"one of ('content', {tuple(prefixes)})")
+        return " ".join(prefixes[field] + tok for tok in text.split())
+
+    def _multi_match_plans(self, text: str, fields: tuple
+                           ) -> dict[str, QueryPlan]:
+        plans = {f: self.plan(self._field_subquery(text, f)) for f in fields}
+        return {f: p for f, p in sorted(plans.items()) if p.terms}
+
+    def multi_match(self, text: str, fields: tuple = ("content",),
+                    tie_breaker: float = 0.0, k: int = 10,
+                    engine: str = "spark") -> DataFrame:
+        """multi_match, type=best_fields (the ES dis_max analogue): each
+        field scores the text as its own BM25 subquery (content: analyzed
+        terms; keyword fields: field-scoped terms), and a doc's final
+        score is
+
+            best + tie_breaker * (sum_of_others)
+
+        — the field that matches best dominates, other matching fields
+        contribute a fraction. tie_breaker=0 is pure dis_max;
+        tie_breaker=1 degenerates to the bool-should sum.
+
+        Exactness: every posting of a doc lives in its shard, so each
+        shard computes final dis_max scores completely and returns its
+        top-k; the coordinator merge is exact. Score pruning is off —
+        MaxScore bounds a SUM of contributions, not a max (block-max
+        dis_max is future work); cost stays bounded by the fields'
+        posting sizes. One pruned posting scan serves every subquery
+        (their term sets ride together)."""
+        plans = self._multi_match_plans(text, fields)
+        spark = self.spark
+        if spark is None:
+            raise ValueError("serving-mode reader: use multi_match_local")
+        schema = "doc_id long, score double"
+        if not plans:
+            return spark.createDataFrame([], schema)
+        if engine == "local":
+            return spark.createDataFrame(
+                self.multi_match_local(text, fields, tie_breaker, k), schema)
+        all_terms = sorted({t for p in plans.values() for t in p.terms})
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        tie = float(tie_breaker)
+        plan_list = list(plans.values())
+
+        def score_shard(key, pdf):
+            shard = int(key[0])
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            ids, scores = _dismax_shard_rows(
+                rows, plan_list, shard, shard_size, index_dir, k, tie)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        local = rel.groupBy("shard").applyInPandas(score_shard, schema=schema)
+        with _no_aqe(spark):
+            rows = local.collect()
+        if not rows:
+            return spark.createDataFrame([], schema)
+        ids = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+        scores = np.fromiter((r[1] for r in rows), np.float64, len(rows))
+        return spark.createDataFrame(self._merge_topk(ids, scores, k), schema)
+
+    def multi_match_local(self, text: str, fields: tuple = ("content",),
+                          tie_breaker: float = 0.0, k: int = 10,
+                          max_workers: int | None = None) -> pd.DataFrame:
+        """Serving-path multi_match — same dis_max semantics and float64
+        scores as multi_match (one posting fetch for all subqueries'
+        terms, per-shard combine, coordinator merge), no Spark job."""
+        plans = self._multi_match_plans(text, fields)
+        if not plans:
+            return self._EMPTY_HITS()
+        all_terms = sorted({t for p in plans.values() for t in p.terms})
+        by_shard = self._fetch_posting_rows(all_terms)
+        if not by_shard:
+            return self._EMPTY_HITS()
+        shard_size = self.cfg["shard_size"]
+        plan_list = list(plans.values())
+        tie = float(tie_breaker)
+
+        def run(item):
+            shard, rows = item
+            return _dismax_shard_rows(rows, plan_list, shard, shard_size,
+                                      self.index_dir, k, tie)
+
+        results = _map_shards(run, sorted(by_shard.items()), max_workers)
+        ids = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        if ids.size == 0:
+            return self._EMPTY_HITS()
+        return self._merge_topk(ids, scores, k)
 
     # ----------------------------------------------------- serving path
 
@@ -622,6 +804,7 @@ class IndexReader:
                      boosts: dict[str, float] | None = None,
                      max_workers: int | None = None,
                      exclude: str | None = None,
+                     require: str | None = None,
                      min_match: int = 1,
                      synonyms: dict[str, tuple] | None = None) -> pd.DataFrame:
         """Serving-path top-k: the ES query-node analogue — plan from the
@@ -643,8 +826,9 @@ class IndexReader:
         if not plan.terms:
             return self._EMPTY_HITS()
         ex_terms = self._exclusion_terms(exclude)
+        req_terms = self._exclusion_terms(require)
         by_shard = self._fetch_posting_rows(
-            sorted(set(plan.terms) | set(ex_terms)))
+            sorted(set(plan.terms) | set(ex_terms) | set(req_terms)))
         if not by_shard:
             return self._EMPTY_HITS()
         shard_size = self.cfg["shard_size"]
@@ -653,10 +837,11 @@ class IndexReader:
             shard, rows = item
             excluded = _excluded_local(rows, ex_terms,
                                               shard * shard_size)
+            required = _required_local(rows, req_terms, shard * shard_size)
             return score_shard_rows(
                 rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
                 shard, shard_size, self.index_dir, k, mode, prune,
-                excluded=excluded, min_match=min_match)
+                allowed=required, excluded=excluded, min_match=min_match)
 
         results = _map_shards(run, sorted(by_shard.items()), max_workers)
         ids = np.concatenate([r[0] for r in results])
@@ -718,17 +903,20 @@ class IndexReader:
 
     def count_local(self, query: str, mode: str = "or",
                     exclude: str | None = None,
+                    require: str | None = None,
                     min_match: int = 1) -> int:
         """Total-hits count (the ES _count analogue): number of docs
-        matching the analyzed query under `mode`/`exclude`/`min_match`,
-        without scoring. Pure posting set algebra per shard — cost is
-        bounded by the query terms' posting sizes, never corpus size."""
+        matching the analyzed query under `mode`/`exclude`/`require`/
+        `min_match`, without scoring. Pure posting set algebra per shard —
+        cost is bounded by the query terms' posting sizes, never corpus
+        size."""
         plan = self.plan(query)
         if not plan.terms:
             return 0
         ex_terms = self._exclusion_terms(exclude)
+        req_terms = self._exclusion_terms(require)
         by_shard = self._fetch_posting_rows(
-            sorted(set(plan.terms) | set(ex_terms)))
+            sorted(set(plan.terms) | set(ex_terms) | set(req_terms)))
         total = 0
         for shard, rows in sorted(by_shard.items()):
             present = [t for t in plan.terms if t in rows]
@@ -754,6 +942,9 @@ class IndexReader:
                     ids = np.unique(np.concatenate(parts))
             if ids is None or ids.size == 0:
                 continue
+            req = _required_local(rows, req_terms, 0)
+            if req is not None:
+                ids = ids[np.isin(ids, req, assume_unique=True)]
             ex = _excluded_local(rows, ex_terms, 0)
             if ex is not None and ex.size:
                 ids = ids[np.isin(ids, ex, assume_unique=True, invert=True)]
@@ -961,6 +1152,73 @@ class IndexReader:
         order = F.asc("sort_value") if ascending else F.desc("sort_value")
         return (joined.select("doc_id", "sort_value")
                 .orderBy(order, F.asc("doc_id")).limit(k))
+
+    def search_cardinality(self, query: str, card_col, mode: str = "or",
+                           exact: bool = True, rsd: float = 0.05,
+                           exclude: str | None = None,
+                           min_match: int = 1) -> DataFrame:
+        """Cardinality aggregation over the FULL match set (the ES
+        cardinality-agg analogue): one row `n_values` = number of
+        distinct values of a docstore expression across matching docs.
+
+        exact=True uses countDistinct — one extra shuffle keyed by the
+        value (exact at any scale, but the distinct set is moved).
+        exact=False uses approx_count_distinct (HyperLogLog++, `rsd`
+        relative error) — partial sketches merge map-side, one constant-
+        size row per task crosses the wire: the 100 TB default, exactly
+        ES's own sketch. Only the exact path is oracle-comparable."""
+        if isinstance(card_col, str):
+            card_col = F.col(card_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id", card_col.alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        agg = (F.count_distinct(F.col("v")) if exact
+               else F.approx_count_distinct(F.col("v"), rsd))
+        return joined.agg(agg.cast("long").alias("n_values"))
+
+    def search_collapse(self, query: str, collapse_col, k: int = 10,
+                        mode: str = "or",
+                        boosts: dict[str, float] | None = None,
+                        exclude: str | None = None,
+                        min_match: int = 1,
+                        score_round: int | None = None) -> DataFrame:
+        """Field collapsing (the ES `collapse` analogue): the global
+        ranking with each distinct value of a docstore expression
+        represented once — by its best hit under (score desc, doc_id
+        asc) — then the top-k of those group-best hits. Returns
+        DataFrame(collapse_value, doc_id, score).
+
+        EXACT at any k: a group's best hit can rank arbitrarily low in
+        the plain top-k, so the full scored match set is required —
+        scored_matches stays on executors, joins the column-pruned
+        docstore on (shard, doc_id), and the per-group argmax is ONE
+        partial aggregation (max of a (score, -doc_id) struct — map-side
+        combine, one row per group per task crosses the shuffle; never a
+        window sort of the match set). The global top-k compiles to
+        TakeOrderedAndProject.
+
+        score_round: optional decimal rounding applied BEFORE group-best
+        selection and ranking — the cross-engine-stable total order the
+        driver's SQL oracles rank by (same convention as
+        search_after_local)."""
+        if isinstance(collapse_col, str):
+            collapse_col = F.col(collapse_col)
+        scored = self.scored_matches(query, mode, boosts=boosts,
+                                     exclude=exclude, min_match=min_match)
+        if score_round is not None:
+            scored = scored.withColumn("score", F.round("score", score_round))
+        docs = self._docs().select("shard", "doc_id",
+                                   collapse_col.alias("collapse_value"))
+        joined = scored.join(docs, ["shard", "doc_id"], "inner")
+        best = (joined.groupBy("collapse_value")
+                .agg(F.max(F.struct(F.col("score"),
+                                    (-F.col("doc_id")).alias("neg_id")))
+                     .alias("b"))
+                .select("collapse_value",
+                        (-F.col("b.neg_id")).cast("long").alias("doc_id"),
+                        F.col("b.score").alias("score")))
+        return (best.orderBy(F.desc("score"), F.asc("doc_id"),
+                             F.asc("collapse_value")).limit(k))
 
     def scored_matches(self, query: str, mode: str = "or",
                        boosts: dict[str, float] | None = None,
@@ -1434,6 +1692,75 @@ class IndexReader:
         scores = idf * (tfs / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl)))
         return self._merge_topk(docs, scores, k)
 
+    def rescore_phrase_local(self, query: str, phrase: str | None = None,
+                             window: int = 50, k: int = 10,
+                             query_weight: float = 1.0,
+                             rescore_weight: float = 1.0,
+                             slop: int = 0,
+                             score_round: int | None = None,
+                             mode: str = "or") -> pd.DataFrame:
+        """Top-N rescoring (the ES `rescore` API analogue): a cheap
+        first-pass BM25 ranks the corpus, then only the top `window` docs
+        are re-scored by a phrase-proximity query and combined as
+
+            final = query_weight·bm25 + rescore_weight·phrase_score
+
+        phrase_score is the phrase-as-pseudo-term BM25 *within the
+        window*: tf = span_near occurrences (slop, in order), df = the
+        number of window docs matching, N = the window size — idf is
+        window-relative because the rescore query, by design, never
+        touches docs outside the window (computing a global phrase df
+        would cost a full positional match, which is exactly what rescore
+        exists to avoid; this is the documented deviation from ES, which
+        reuses index-wide stats). dl/avgdl are the content field's (same
+        normalization as phrase_search).
+
+        Cost model: first pass = one posting-bounded search; second pass
+        re-analyzes `window` stored docs (fetch_docs_local — shard/
+        row-group-pruned content reads) — bounded by the window, never
+        corpus size. score_round ranks the WINDOW CUT by (rounded score
+        desc, doc_id asc), the cross-engine-stable order the SQL oracles
+        use; combined scores stay unrounded.
+
+        Returns pandas DataFrame(doc_id, score) ordered (final desc,
+        doc_id asc), top k."""
+        first = self.search_local(query, k=max(4 * window, 40), mode=mode)
+        if not len(first):
+            return self._EMPTY_HITS()
+        if score_round is not None:
+            cut = first.assign(_ck=first["score"].round(score_round))
+            cut = cut.sort_values(["_ck", "doc_id"], ascending=[False, True],
+                                  kind="mergesort")
+            first = cut.drop(columns="_ck")
+        first = first.head(window).reset_index(drop=True)
+        tok_name = self.cfg.get("tokenizer", "code")
+        seq = phrase_terms(phrase if phrase is not None else query, tok_name)
+        docs = self.fetch_docs_local(first["doc_id"].tolist(),
+                                     cols=("content",))
+        tok_fn = code_tokens if tok_name == "code" else simple_tokens
+        toks = tok_fn(docs["content"])
+        tfs = np.fromiter(
+            (_phrase_tf_tokens(list(ts), seq, slop) for ts in toks),
+            np.float64, len(docs))
+        dls = np.fromiter((len(ts) for ts in toks), np.float64, len(docs))
+        w_n = len(first)
+        dfw = int((tfs > 0).sum())
+        phr = np.zeros(len(docs), np.float64)
+        if dfw:
+            avgdl = float(self.stats["fields"]["content"]["avgdl"])
+            idf_w = float(bm25.idf(dfw, w_n))
+            nz = tfs > 0
+            phr[nz] = idf_w * bm25.tfnorm(tfs[nz], dls[nz], avgdl)
+        phr_of = dict(zip(docs["doc_id"].astype(np.int64), phr))
+        final = (float(query_weight) * first["score"].to_numpy(np.float64)
+                 + float(rescore_weight)
+                 * np.fromiter((phr_of.get(int(i), 0.0)
+                                for i in first["doc_id"]),
+                               np.float64, len(first)))
+        ids = first["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, -final))[:k]
+        return pd.DataFrame({"doc_id": ids[order], "score": final[order]})
+
     def search_many(self, queries: dict[str, str], k: int = 10,
                     mode: str = "or", prune: bool = True,
                     boosts: dict[str, float] | None = None,
@@ -1805,6 +2132,30 @@ def _excluded_local(shard_rows: dict[str, dict], ex_terms: list[str],
     return np.unique(np.concatenate(parts)) - base
 
 
+_EMPTY_I64 = np.empty(0, np.int64)
+
+
+def _required_local(shard_rows: dict[str, dict], req_terms: list[str],
+                    base: int) -> np.ndarray | None:
+    """Sorted LOCAL offsets of docs containing ALL required terms in this
+    shard (the ES bool `filter`/must-as-filter context: a hard predicate
+    that does not itself contribute score). None = no require clause;
+    an empty array = the clause matches nothing in this shard (a term
+    absent from the shard empties the intersection). Intersection runs
+    rarest-term-first for the fastest shrink."""
+    if not req_terms:
+        return None
+    if any(t not in shard_rows for t in req_terms):
+        return _EMPTY_I64
+    ids: np.ndarray | None = None
+    for t in sorted(req_terms, key=lambda t: shard_rows[t]["df"]):
+        d = _decode_full(shard_rows[t]).doc_ids
+        ids = d if ids is None else ids[np.isin(ids, d, assume_unique=True)]
+        if ids.size == 0:
+            return _EMPTY_I64
+    return ids - base
+
+
 def score_shard_rows(
     rows: dict[str, dict],
     terms: list[str],
@@ -1933,12 +2284,101 @@ def score_shard_rows(
         nz = nz[counts[nz] >= min_match]
     if nz.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    kk = min(k, nz.size)
-    sel = np.argpartition(-acc[nz], kk - 1)[:kk]
-    top = nz[sel]
-    order = np.lexsort((top, -acc[top]))
-    top = top[order]
-    return (top + base).astype(np.int64), acc[top]
+    top, ts = _topk_ties(nz, acc[nz], k)
+    return (top + base).astype(np.int64), ts
+
+
+def _topk_ties(ids: np.ndarray, scores: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic top-k under (score desc, id asc) — tie-AWARE at the
+    k boundary: argpartition alone keeps an arbitrary subset of rows
+    whose score exactly equals the kth value (bit-equal floats happen
+    whenever a single term's contribution is the whole score — keyword
+    fields, dis_max with a dominant field), which breaks the T1
+    determinism contract. Cost stays O(n + k log k + t log t) for t tied
+    rows; `ids` must be ascending (posting/offset order), so the first
+    `need` tied rows are already the smallest ids."""
+    kk = min(k, ids.size)
+    if kk == ids.size:
+        order = np.lexsort((ids, -scores))
+        return ids[order], scores[order]
+    part = np.argpartition(-scores, kk - 1)[:kk]
+    thr = scores[part].min()
+    above = np.flatnonzero(scores > thr)
+    need = kk - above.size
+    if need:
+        tied = np.flatnonzero(scores == thr)[:need]
+        sel = np.concatenate([above, tied])
+    else:
+        sel = above
+    order = np.lexsort((ids[sel], -scores[sel]))
+    sel = sel[order]
+    return ids[sel], scores[sel]
+
+
+def _dismax_shard_rows(rows: dict[str, dict], plans: list,
+                       shard: int, shard_size: int, index_dir: str,
+                       k: int, tie: float
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """dis_max over per-field subquery scores for one shard: each
+    QueryPlan in `plans` is scored fully (prune off, k=shard_size — every
+    touched doc survives), the per-doc max and sum are combined as
+    best + tie·(sum − best), and the shard's top-k is returned sorted
+    (score desc, doc_id asc). Plans are scored in a deterministic order
+    (sorted by field upstream) so float64 results are reproducible."""
+    per_field = [
+        score_shard_rows(rows, p.terms, p.idfs, p.fields, p.avgdl,
+                         shard, shard_size, index_dir, shard_size,
+                         "or", prune=False)
+        for p in plans
+    ]
+    parts = [r[0] for r in per_field if r[0].size]
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    ids = np.unique(np.concatenate(parts))
+    best = np.zeros(ids.size, np.float64)
+    total = np.zeros(ids.size, np.float64)
+    for fid, fsc in per_field:
+        if fid.size == 0:
+            continue
+        pos = np.searchsorted(ids, fid)
+        np.maximum.at(best, pos, fsc)
+        total[pos] += fsc
+    final = best + tie * (total - best)
+    top, ts = _topk_ties(ids, final, k)
+    return top.astype(np.int64), ts
+
+
+def _phrase_tf_tokens(tokens: list[str], seq: list[str], slop: int = 0) -> int:
+    """Scalar span_near tf over one doc's ordered token stream: the number
+    of occurrences of seq[0] from which an in-order chain over seq exists
+    with total span ≤ len(seq)−1+slop (slop=0 ≡ exact consecutive
+    phrase). Greedy next-occurrence steps minimize the chain end, so
+    greedy-existence ≡ any-chain-existence — the same contract as the
+    posting-side _phrase_match. Used by the window-bounded rescore path,
+    where the doc set is ≤ the rescore window (never corpus-scale)."""
+    n = len(seq)
+    if n == 0 or not tokens:
+        return 0
+    if n == 1:
+        return tokens.count(seq[0])
+    tf = 0
+    limit = n - 1 + slop
+    for i, t in enumerate(tokens):
+        if t != seq[0]:
+            continue
+        p = i
+        for nxt in seq[1:]:
+            j = p + 1
+            while j < len(tokens) and tokens[j] != nxt:
+                j += 1
+            if j >= len(tokens):
+                p = -1
+                break
+            p = j
+        if p >= 0 and p - i <= limit:
+            tf += 1
+    return tf
 
 
 def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
@@ -1972,11 +2412,8 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
         if f not in dl_cache:
             dl_cache[f] = _load_doclens(index_dir, shard, f, base, shard_size)
         scores += idfs[t] * bm25.tfnorm(tfs[pos], dl_cache[f][inter - base], avgdl[f])
-    kk = min(k, inter.size)
-    sel = np.argpartition(-scores, kk - 1)[:kk]
-    top, ts = inter[sel], scores[sel]
-    order = np.lexsort((top, -ts))
-    return top[order].astype(np.int64), ts[order]
+    top, ts = _topk_ties(inter, scores, k)
+    return top.astype(np.int64), ts
 
 
 # ------------------------------------------------------- federated search

@@ -1,0 +1,273 @@
+"""Round-2 query-surface extensions, each checked against an independent
+brute-force oracle on the same corpus:
+
+  - require (bool filter context): hard ALL-terms predicate, scores
+    untouched; spark/local parity
+  - query_string: +must / -must_not / should parsing maps exactly onto
+    the explicit search(query, require=, exclude=) call
+  - search_collapse (ES collapse): per-field-value best hit, global
+    top-k of group bests — exact vs full-ranking pandas groupby
+  - search_cardinality: distinct docstore values over the match set
+  - multi_match dis_max (best_fields + tie_breaker): exact vs per-field
+    full rankings combined in pandas; spark/local parity; tie=1
+    degenerates to the bool-should sum
+  - rescore_phrase_local (ES rescore): window-bounded phrase proximity
+    second pass vs a pandas recomputation
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from maestro_spark.functions import bm25
+from maestro_spark.functions.tokenize import code_tokens, phrase_terms
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import (IndexReader, _phrase_tf_tokens,
+                                            parse_query_string)
+from maestro_spark.sources.corpus import synth_docs
+
+N_DOCS = 400
+CFG = IndexConfig(
+    shard_size=150,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.02,
+    sample_fraction=1.0,
+)
+
+Q = "index query merge"
+REQ = "return"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_qs2"))
+    docs = synth_docs(spark, N_DOCS, seed=42, partitions=7)
+    build_index(spark, docs, out, CFG)
+    return out
+
+
+@pytest.fixture(scope="module")
+def reader(spark, built):
+    return IndexReader(spark, built)
+
+
+@pytest.fixture(scope="module")
+def docstore(spark, built):
+    return (spark.read.parquet(built + "/docs")
+            .select("doc_id", "repo", "lang", "content")
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def _full(reader, q, **kw) -> pd.DataFrame:
+    return reader.search_local(q, k=N_DOCS, **kw)
+
+
+# ------------------------------------------------------------------ require
+
+def test_require_semantics(reader):
+    """require == intersection filter on doc_ids with scores untouched."""
+    base = _full(reader, Q)
+    req_ids = set(_full(reader, REQ)["doc_id"])
+    assert req_ids and req_ids != set(base["doc_id"])
+    got = _full(reader, Q, require=REQ)
+    want = base[base["doc_id"].isin(req_ids)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_require_multi_term_is_conjunctive(reader):
+    a = set(_full(reader, "return")["doc_id"])
+    b = set(_full(reader, "import")["doc_id"])
+    got = set(_full(reader, Q, require="return import")["doc_id"])
+    want = set(_full(reader, Q)["doc_id"]) & a & b
+    assert got == want
+
+
+def test_require_spark_local_parity(spark, reader):
+    loc = reader.search_local(Q, k=20, require=REQ, exclude="lambda")
+    spk = reader.search(Q, k=20, require=REQ, exclude="lambda").toPandas()
+    assert spk["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  loc["score"].to_numpy())
+
+
+def test_require_count(reader):
+    n = reader.count_local(Q, require=REQ)
+    assert n == len(_full(reader, Q, require=REQ))
+
+
+# ------------------------------------------------------------- query_string
+
+def test_parse_query_string():
+    c = parse_query_string("merge stream +table -lang:java")
+    assert c == {"query": "merge stream table",
+                 "require": "table", "exclude": "lang:java"}
+    with pytest.raises(ValueError):
+        parse_query_string('find "a phrase" here')
+    with pytest.raises(ValueError):
+        parse_query_string("merge +wild*")
+    with pytest.raises(ValueError):
+        parse_query_string("merge -fuzzy~1")
+
+
+def test_query_string_equals_explicit(reader):
+    qs = "index query +return -lambda"
+    got = reader.query_string(qs, k=25, engine="local")
+    want = reader.search_local("index query return", k=25,
+                               require="return", exclude="lambda")
+    pd.testing.assert_frame_equal(got, want)
+    spk = reader.query_string(qs, k=25).toPandas()
+    assert spk["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+# ----------------------------------------------------------------- collapse
+
+def test_collapse_exact(reader, docstore):
+    """Per-repo best hit + top-k of bests == pandas groupby over the full
+    scored ranking (same floats: both sides are score_shard_rows sums)."""
+    full = _full(reader, Q, prune=False)
+    merged = full.merge(docstore[["doc_id", "repo"]], on="doc_id")
+    merged = merged.sort_values(["score", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+    want = (merged.drop_duplicates("repo").head(8)
+            .rename(columns={"repo": "collapse_value"})
+            [["collapse_value", "doc_id", "score"]].reset_index(drop=True))
+    got = reader.search_collapse(Q, "repo", k=8).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["collapse_value"].tolist() == want["collapse_value"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_collapse_distinct_groups(reader):
+    got = reader.search_collapse(Q, "lang", k=10).toPandas()
+    assert got["collapse_value"].is_unique
+    assert (got["score"].to_numpy()[:-1] >= got["score"].to_numpy()[1:]).all()
+
+
+# -------------------------------------------------------------- cardinality
+
+def test_cardinality_exact(reader, docstore):
+    matched = set(_full(reader, Q)["doc_id"])
+    want = docstore[docstore["doc_id"].isin(matched)]["lang"].nunique()
+    got = reader.search_cardinality(Q, "lang").collect()[0]["n_values"]
+    assert got == want
+
+
+def test_cardinality_approx_runs(reader):
+    est = reader.search_cardinality(Q, "repo", exact=False,
+                                    rsd=0.05).collect()[0]["n_values"]
+    exact = reader.search_cardinality(Q, "repo").collect()[0]["n_values"]
+    assert est == pytest.approx(exact, rel=0.25)
+
+
+# ------------------------------------------------------- multi_match/dis_max
+
+MM_TEXT = "index java"
+MM_FIELDS = ("content", "lang")
+
+
+def _dismax_brute(reader, tie: float, k: int) -> pd.DataFrame:
+    c = _full(reader, MM_TEXT, prune=False)
+    kw = _full(reader, "lang:index lang:java", prune=False)
+    m = c.merge(kw, on="doc_id", how="outer", suffixes=("_c", "_k")).fillna(0.0)
+    best = m[["score_c", "score_k"]].max(axis=1)
+    total = m["score_c"] + m["score_k"]
+    m["score"] = best + tie * (total - best)
+    m = m.sort_values(["score", "doc_id"], ascending=[False, True],
+                      kind="mergesort").head(k)
+    return m[["doc_id", "score"]].reset_index(drop=True)
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.4])
+def test_multi_match_exact(reader, tie):
+    want = _dismax_brute(reader, tie, 12)
+    got = reader.multi_match_local(MM_TEXT, MM_FIELDS, tie_breaker=tie, k=12)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), rtol=1e-12)
+
+
+def test_multi_match_spark_local_parity(reader):
+    loc = reader.multi_match_local(MM_TEXT, MM_FIELDS, tie_breaker=0.3, k=12)
+    spk = reader.multi_match(MM_TEXT, MM_FIELDS, tie_breaker=0.3, k=12).toPandas()
+    assert spk["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  loc["score"].to_numpy())
+
+
+def test_multi_match_tie1_is_bool_sum(reader):
+    """tie_breaker=1 == the plain bool should sum over both fields'
+    terms (float addition order differs, so allclose not bit-equal)."""
+    got = reader.multi_match_local(MM_TEXT, MM_FIELDS, tie_breaker=1.0, k=15)
+    want = reader.search_local("index java lang:java", k=15, prune=False)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), rtol=1e-12)
+
+
+# ------------------------------------------------------- boundary-tie top-k
+
+def test_keyword_only_tiebreak_deterministic(reader, docstore):
+    """Every lang:java doc scores bit-identically (single keyword term),
+    so top-k is purely the doc_id tie-break — the argpartition-arbitrary
+    subset regression guard. Spark path must agree."""
+    java_ids = sorted(docstore[docstore["lang"] == "java"]["doc_id"])
+    assert len(java_ids) > 5
+    got = reader.search_local("lang:java", k=5)
+    assert got["doc_id"].tolist() == java_ids[:5]
+    assert got["score"].nunique() == 1
+    spk = reader.search("lang:java", k=5).toPandas()
+    assert spk["doc_id"].tolist() == java_ids[:5]
+
+
+# ------------------------------------------------------------------ rescore
+
+RS_Q = "index query"
+
+
+def _rescore_brute(reader, docstore, window, k, qw, rw, slop):
+    first = _full(reader, RS_Q).head(window).reset_index(drop=True)
+    seq = phrase_terms(RS_Q, "code")
+    sub = docstore[docstore["doc_id"].isin(set(first["doc_id"]))]
+    toks = {int(r["doc_id"]): list(code_tokens(pd.Series([r["content"]])).iat[0])
+            for _, r in sub.iterrows()}
+    tf = {d: _phrase_tf_tokens(ts, seq, slop) for d, ts in toks.items()}
+    dfw = sum(1 for v in tf.values() if v > 0)
+    avgdl = float(reader.stats["fields"]["content"]["avgdl"])
+    idf_w = float(bm25.idf(dfw, len(first))) if dfw else 0.0
+    phr = {d: (idf_w * float(bm25.tfnorm(np.array([float(v)]),
+                                         np.array([float(len(toks[d]))]),
+                                         avgdl)[0])
+               if v > 0 else 0.0)
+           for d, v in tf.items()}
+    out = first.assign(score=[qw * s + rw * phr[int(d)]
+                              for d, s in zip(first["doc_id"], first["score"])])
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("slop,rw", [(0, 2.0), (2, 1.5)])
+def test_rescore_exact(reader, docstore, slop, rw):
+    want = _rescore_brute(reader, docstore, 40, 10, 1.0, rw, slop)
+    got = reader.rescore_phrase_local(RS_Q, window=40, k=10,
+                                      rescore_weight=rw, slop=slop)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), rtol=1e-12)
+
+
+def test_rescore_weight_zero_is_first_pass(reader):
+    got = reader.rescore_phrase_local(RS_Q, window=40, k=10,
+                                      rescore_weight=0.0)
+    want = _full(reader, RS_Q).head(10).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_rescore_subset_of_window(reader):
+    got = reader.rescore_phrase_local(RS_Q, window=25, k=25)
+    window = set(_full(reader, RS_Q).head(25)["doc_id"])
+    assert set(got["doc_id"]) <= window
