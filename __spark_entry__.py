@@ -548,6 +548,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_collapse"] = _q_collapse
 
+    def _q_phrase_prefix(s: SparkSession, d: str) -> DataFrame:
+        # match_phrase_prefix: last token is a dictionary prefix
+        # (uncapped here so the SQL LIKE oracle is exactly equivalent)
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.phrase_search("big s", k=40, prefix_last=True,
+                                   max_expansions=10 ** 6)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["phrase_prefix"] = _q_phrase_prefix
+
+    def _q_boosting(s: SparkSession, d: str) -> DataFrame:
+        # ES boosting query: positive BM25, negative matches demoted ×0.4
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_boosting("spark query merge", "sort",
+                                     negative_boost=0.4, k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_boosting"] = _q_boosting
+
     def _q_cardinality(s: SparkSession, d: str) -> DataFrame:
         # ES cardinality agg (exact path; the HLL++ sketch variant is
         # the 100 TB default, not oracle-comparable)
@@ -1081,6 +1102,28 @@ LIMIT 10"""
     o["bm25_field_lang"] = _bm25_sql(["spark", "stream"], [("lang", "es")])
     o["bm25_collapse"] = _bm25_sql(["merge", "query", "spark"],
                                    collapse="source")
+    o["bm25_boosting"] = _bm25_sql(
+        ["merge", "query", "spark"],
+        fscore=("CASE WHEN allsc.doc_id IN (SELECT doc_id FROM tok "
+                "WHERE term = 'sort') THEN allsc.score * 0.4 "
+                "ELSE allsc.score END"))
+    o["phrase_prefix"] = f"""
+WITH {_ARR},
+bg AS (SELECT doc_id, ts[i] AS t1, ts[i+1] AS t2
+       FROM arr, unnest(range(1, greatest(len(ts), 1))) AS t(i)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM bg
+       WHERE t1 = 'big' AND t2 LIKE 's%' GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
     o["match_cardinality"] = f"""
 WITH {_TOK}
 SELECT count(DISTINCT lang)::BIGINT AS n_values FROM documents

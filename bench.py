@@ -211,6 +211,13 @@ def main() -> None:
                                     rescore_weight=2.0)
         timings["rescore_phrase_50"] = round(time.time() - t0, 4)
         t0 = time.time()
+        reader.search_boosting("index query merge", "return",
+                               negative_boost=0.4, k=10, engine="local")
+        timings["boosting_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.phrase_search_local("index qu", k=10, prefix_last=True)
+        timings["phrase_prefix_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
         reader.search_collapse("index query merge", "repo", k=10).collect()
         timings["collapse_by_repo"] = round(time.time() - t0, 3)
         t0 = time.time()

@@ -107,12 +107,20 @@ def code_tokens(texts: pd.Series) -> pd.Series:
     return pd.Series(out_lists, index=texts.index)
 
 
-def _flat_code_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(row_pos, token) flat arrays for the code tokenizer — the zero-
+def _flat_code_tokens(texts: pd.Series
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_pos, token, occ) flat arrays for the code tokenizer — the zero-
     Python-loop path (itertools.chain is C; everything else numpy/pandas
     vectorized). Token MULTISET per row is identical to code_tokens();
     only intra-row order differs (whole-identifier tokens emitted after
-    all subtokens instead of interleaved), which is irrelevant to tf/dl."""
+    all subtokens instead of interleaved), which is irrelevant to tf/dl.
+
+    occ is the POSITION stream: subtokens take consecutive textual
+    positions (0,1,2,… counting subtokens only); a compound identifier's
+    whole-form token takes its FIRST subtoken's position — the ES
+    synonym-token-at-same-position semantics, so whole forms participate
+    in positional (phrase/prefix) matching exactly where the identifier
+    occurs instead of at an artificial tail offset."""
     from itertools import chain
 
     import pyarrow as pa
@@ -129,7 +137,8 @@ def _flat_code_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     mask = pc.not_equal(flat_a, "")
     flat_a = flat_a.filter(mask)
     if len(flat_a) == 0:
-        return np.empty(0, np.int64), np.empty(0, object)
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64))
     row_of_ident = parents.filter(mask).to_numpy().astype(np.int64)
     dic = pc.dictionary_encode(flat_a)
     codes = dic.indices.to_numpy().astype(np.int64)
@@ -153,14 +162,19 @@ def _flat_code_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     whole_tokens = whole_pool[codes[occ_whole]]
     whole_rows = row_of_ident[occ_whole]
 
+    sub_occ = _row_sequence(sub_rows)
+    whole_occ = sub_occ[first_of_occ[occ_whole]]
     toks = np.concatenate([sub_tokens, whole_tokens])
     pos = np.concatenate([sub_rows, whole_rows])
-    return pos, toks
+    occ = np.concatenate([sub_occ, whole_occ])
+    return pos, toks, occ
 
 
-def _flat_simple_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(row_pos, token) flat arrays for the simple tokenizer — Arrow-native
-    lower + split (same token stream as lower().findall('[a-z0-9]+'))."""
+def _flat_simple_tokens(texts: pd.Series
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_pos, token, occ) flat arrays for the simple tokenizer —
+    Arrow-native lower + split (same token stream as
+    lower().findall('[a-z0-9]+')); occ = exact textual positions."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -171,7 +185,7 @@ def _flat_simple_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     mask = pc.not_equal(flat, "")
     toks = flat.filter(mask).to_numpy(zero_copy_only=False)
     pos = parents.filter(mask).to_numpy().astype(np.int64)
-    return pos, toks
+    return pos, toks, _row_sequence(pos)
 
 
 def _row_sequence(rows: np.ndarray) -> np.ndarray:
@@ -269,9 +283,11 @@ def doc_terms(
     with_positions adds ascending in-document token positions per
     (doc, term) — the prox stream for phrase queries. Position semantics:
     simple tokenizer = exact textual order; code tokenizer = subtokens in
-    textual order with compound whole-identifier tokens assigned positions
-    AFTER all subtokens (so subtoken adjacency — what phrase matching
-    uses — is preserved); keyword fields = position 0."""
+    textual order with a compound identifier's whole-form token sharing
+    its FIRST subtoken's position (the ES synonym-token-at-same-position
+    convention — subtoken adjacency is preserved AND whole forms match
+    positionally where the identifier occurs, e.g. match_phrase_prefix
+    `get userreq*` hits `getUserRequest`); keyword fields = position 0."""
     flat = _flat_code_tokens if tokenizer == "code" else _flat_simple_tokens
     parts = [_field_tf(*flat(content), prefix="", field=FIELD_CONTENT,
                        with_positions=with_positions)]
@@ -287,10 +303,10 @@ def doc_terms(
     return pd.concat(parts, ignore_index=True)
 
 
-def _field_tf(pos: np.ndarray, toks: np.ndarray, prefix: str,
-              field: str, with_positions: bool = False) -> pd.DataFrame:
-    occ = _row_sequence(pos) if with_positions else None
-    tf = _flat_term_stats(pos, toks, occ)
+def _field_tf(pos: np.ndarray, toks: np.ndarray, occ: np.ndarray,
+              prefix: str, field: str,
+              with_positions: bool = False) -> pd.DataFrame:
+    tf = _flat_term_stats(pos, toks, occ if with_positions else None)
     if prefix and len(tf):
         tf["term"] = prefix + tf["term"].astype(str)
     tf["field"] = field
@@ -368,14 +384,19 @@ def _coded_code_tokens(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     occ_whole = compound[codes]
     whole_codes = wmap[codes[occ_whole]]
     whole_rows = row_of_ident[occ_whole]
+    sub_occ = _row_sequence(sub_rows)
+    whole_occ = sub_occ[first_of_occ[occ_whole]]
     return (np.concatenate([sub_rows, whole_rows]),
             np.concatenate([sub_codes, whole_codes]),
-            np.asarray(funiq, object))
+            np.asarray(funiq, object),
+            np.concatenate([sub_occ, whole_occ]))
 
 
-def _coded_simple_tokens(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(row, code, dictionary) for the simple tokenizer — Arrow-native
-    lower + split + dictionary encode."""
+def _coded_simple_tokens(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                       np.ndarray]:
+    """(row, code, dictionary, occ) for the simple tokenizer —
+    Arrow-native lower + split + dictionary encode; occ = exact textual
+    positions."""
     import pyarrow.compute as pc
 
     split = pc.split_pattern_regex(
@@ -386,16 +407,20 @@ def _coded_simple_tokens(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     flat = flat.filter(mask)
     if len(flat) == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
-                np.empty(0, object))
+                np.empty(0, object), np.empty(0, np.int64))
     dic = pc.dictionary_encode(flat)
-    return (parents.filter(mask).to_numpy().astype(np.int64),
+    rows = parents.filter(mask).to_numpy().astype(np.int64)
+    return (rows,
             dic.indices.to_numpy().astype(np.int64),
-            dic.dictionary.to_pandas().astype(object).to_numpy())
+            dic.dictionary.to_pandas().astype(object).to_numpy(),
+            _row_sequence(rows))
 
 
-def _coded_keyword(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(row, code, dictionary) for keyword fields: whole value, lowered,
-    trimmed; empty/null values emit nothing (X1 semantics)."""
+def _coded_keyword(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+    """(row, code, dictionary, occ) for keyword fields: whole value,
+    lowered, trimmed; empty/null values emit nothing (X1 semantics);
+    positions are all 0."""
     import pyarrow.compute as pc
 
     vals = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(arr, "")))
@@ -403,19 +428,22 @@ def _coded_keyword(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     vals = vals.filter(mask)
     if len(vals) == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
-                np.empty(0, object))
+                np.empty(0, object), np.empty(0, np.int64))
     rows = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
     dic = pc.dictionary_encode(vals)
     return (rows.astype(np.int64),
             dic.indices.to_numpy().astype(np.int64),
-            dic.dictionary.to_pandas().astype(object).to_numpy())
+            dic.dictionary.to_pandas().astype(object).to_numpy(),
+            np.zeros(len(rows), np.int64))
 
 
 def _coded_term_stats(rows: np.ndarray, cds: np.ndarray, dict_size: int,
-                      with_positions: bool):
+                      with_positions: bool, occ: np.ndarray | None = None):
     """Aggregate coded occurrences → (out_row, out_code, tf, dl
     [, pos_values, pos_offsets]). Pure int64 numpy; positions are returned
-    flat + offsets, ready for a zero-copy Arrow ListArray."""
+    flat + offsets, ready for a zero-copy Arrow ListArray. occ carries the
+    tokenizer's position stream (whole-ident tokens share their first
+    subtoken's position — doc_terms semantics)."""
     dl = np.bincount(rows)
     key = rows * np.int64(dict_size) + cds
     uniq_key, tf = np.unique(key, return_counts=True)
@@ -423,7 +451,8 @@ def _coded_term_stats(rows: np.ndarray, cds: np.ndarray, dict_size: int,
     out_code = uniq_key % dict_size
     if not with_positions:
         return out_row, out_code, tf.astype(np.int64), dl[out_row], None, None
-    occ = _row_sequence(rows)
+    if occ is None:
+        occ = _row_sequence(rows)
     order = np.lexsort((occ, cds, rows))
     pos_values = occ[order]
     pos_offsets = np.concatenate(([0], np.cumsum(tf))).astype(np.int32)
@@ -451,7 +480,7 @@ def token_record_batches(batch, use_fields: tuple, tokenizer: str,
     doc_id = batch.column("doc_id").to_numpy()
     shard = batch.column("shard").to_numpy()
 
-    def emit(rows, cds, dictionary, field: str, prefix: str = "",
+    def emit(rows, cds, dictionary, occ, field: str, prefix: str = "",
              keyword: bool = False):
         if rows.size == 0:
             return None
@@ -464,7 +493,8 @@ def token_record_batches(batch, use_fields: tuple, tokenizer: str,
                            if with_positions else None)
         else:
             out_row, out_code, tf, dl, pos_values, pos_offsets = \
-                _coded_term_stats(rows, cds, len(dictionary), with_positions)
+                _coded_term_stats(rows, cds, len(dictionary),
+                                  with_positions, occ)
         if prefix:
             dictionary = np.array([prefix + t for t in dictionary], object)
         term = pc.take(pa.array(dictionary, type=pa.string()),

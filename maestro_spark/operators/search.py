@@ -627,6 +627,83 @@ class IndexReader:
                            exclude=c["exclude"] or None,
                            require=c["require"] or None, engine=engine)
 
+    def search_boosting(self, query: str, negative: str,
+                        negative_boost: float = 0.5, k: int = 10,
+                        mode: str = "or", engine: str = "spark"):
+        """Boosting query (the ES `boosting` analogue): the positive
+        query scores normally; docs ALSO matching any analyzed term of
+        `negative` keep their hit but their score is multiplied by
+        negative_boost (0..1) — demotion, not exclusion (must_not is
+        `exclude=`). Returns a DataFrame on the Spark path, pandas on a
+        serving-only reader or engine="local".
+
+        Exactness: demotion can promote a doc from below a shard's raw
+        top-k, so score pruning is off (MaxScore bounds the RAW sum, not
+        the demoted one — a demotion-aware bound is future work); cost
+        stays bounded by the query+negative posting sizes. Negative
+        postings ride the same pruned scan; per shard the demotion set is
+        one union, applied before the tie-aware top-k."""
+        if not (0.0 <= negative_boost <= 1.0):
+            raise ValueError("negative_boost must be in [0, 1]")
+        plan = self.plan(query)
+        neg_terms = self._exclusion_terms(negative)
+        nb = float(negative_boost)
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+
+        def shard_fn(shard: int, rows: dict) -> tuple[np.ndarray, np.ndarray]:
+            ids, scores = score_shard_rows(
+                rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
+                shard, shard_size, index_dir, shard_size, mode,
+                prune=False)
+            if ids.size == 0:
+                return ids, scores
+            neg = _excluded_local(rows, neg_terms, shard * shard_size)
+            if neg is not None and neg.size:
+                demote = np.isin(ids - shard * shard_size, neg,
+                                 assume_unique=True)
+                scores = np.where(demote, scores * nb, scores)
+            top, ts = _topk_ties(ids, scores, k)
+            return top, ts
+
+        spark = self.spark
+        if spark is None or engine == "local":
+            if not plan.terms:
+                return self._EMPTY_HITS()
+            by_shard = self._fetch_posting_rows(
+                sorted(set(plan.terms) | set(neg_terms)))
+            if not by_shard:
+                return self._EMPTY_HITS()
+            results = _map_shards(lambda it: shard_fn(it[0], it[1]),
+                                  sorted(by_shard.items()), None)
+            ids = np.concatenate([r[0] for r in results])
+            scores = np.concatenate([r[1] for r in results])
+            if ids.size == 0:
+                return self._EMPTY_HITS()
+            return self._merge_topk(ids, scores, k)
+        schema = "doc_id long, score double"
+        if not plan.terms:
+            return spark.createDataFrame([], schema)
+        all_terms = sorted(set(plan.terms) | set(neg_terms))
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
+
+        def score_shard(key, pdf):
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            ids, scores = shard_fn(int(key[0]), rows)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        local = rel.groupBy("shard").applyInPandas(score_shard, schema=schema)
+        with _no_aqe(spark):
+            rows = local.collect()
+        if not rows:
+            return spark.createDataFrame([], schema)
+        ids = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+        scores = np.fromiter((r[1] for r in rows), np.float64, len(rows))
+        return spark.createDataFrame(self._merge_topk(ids, scores, k), schema)
+
     # --------------------------------------------------- multi_match/dis_max
 
     def _field_subquery(self, text: str, field: str) -> str:
@@ -1643,11 +1720,13 @@ class IndexReader:
         return hits.reset_index(drop=True)
 
     def phrase_search_local(self, phrase: str, k: int = 10,
-                            slop: int = 0,
+                            slop: int = 0, prefix_last: bool = False,
+                            max_expansions: int = 50,
                             max_workers: int | None = None) -> pd.DataFrame:
         """Serving-path exact-phrase top-k — same match + scoring semantics
         as phrase_search (the phrase-as-pseudo-term BM25, including the
-        slop>0 span_near relaxation), no Spark job.
+        slop>0 span_near relaxation and prefix_last=match_phrase_prefix),
+        no Spark job.
         The global phrase df needs every shard's match count before
         scoring, so matching runs first and scoring is a vectorized
         epilogue over the (small) matched set."""
@@ -1660,20 +1739,28 @@ class IndexReader:
         terms = phrase_terms(phrase, tokenizer=self.cfg.get("tokenizer", "code"))
         if not terms:
             return self._EMPTY_HITS()
-        if len(terms) == 1:
-            return self.search_local(terms[0], k=k)
-        uniq = sorted(set(terms))
+        alts: list[str] | None = None
+        if prefix_last:
+            seq = list(terms[:-1])
+            alts = self._prefix_alts(terms[-1], max_expansions)
+            if not alts:
+                return self._EMPTY_HITS()
+            uniq = sorted(set(seq) | set(alts))
+        else:
+            if len(terms) == 1:
+                return self.search_local(terms[0], k=k)
+            seq = list(terms)
+            uniq = sorted(set(terms))
         by_shard = self._fetch_posting_rows(uniq)
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
-        seq = list(terms)
 
         def run(item):
             shard, rows = item
             if any(t not in rows for t in seq):
                 return (np.empty(0, np.int64), np.empty(0, np.int64),
                         np.empty(0, np.float64))
-            docs, tf_phrase = _phrase_match(rows, seq, slop)
+            docs, tf_phrase = _phrase_match(rows, seq, slop, alts)
             if docs.size == 0:
                 return (docs, tf_phrase, np.empty(0, np.float64))
             dls = _load_doclens(index_dir, shard, "content",
@@ -1851,8 +1938,23 @@ class IndexReader:
 
     # ------------------------------------------------------------- phrase
 
+    def _prefix_alts(self, prefix: str, max_expansions: int) -> list[str]:
+        """Dictionary expansion of a prefix token for match_phrase_prefix:
+        SORTED termdict range scan [prefix, prefix+U+FFFF) — zero posting
+        bytes — capped at max_expansions in term order (the ES
+        match_phrase_prefix cap; deterministic, documented as first-N of
+        the sorted dictionary, so a hit beyond the cap is silently
+        unmatched exactly like ES). Code-tokenizer indexes expand over
+        subtoken AND whole-identifier terms alike — whole forms share
+        their first subtoken's position (doc_terms semantics), so
+        `get userreq*` matches `getUserRequest` exactly as ES's
+        synonym-position analyzer would."""
+        pdf = self._content_termdict(prefix, prefix + "￿")
+        return sorted(pdf["term"].tolist())[:max_expansions]
+
     def phrase_search(self, phrase: str, k: int = 10,
-                      slop: int = 0) -> DataFrame:
+                      slop: int = 0, prefix_last: bool = False,
+                      max_expansions: int = 50) -> DataFrame:
         """Exact-phrase top-k over the positional (prox) stream: documents
         containing the query's subtoken sequence consecutively, scored as
         BM25 of the phrase-as-pseudo-term (tf = occurrence count, df =
@@ -1864,6 +1966,11 @@ class IndexReader:
         _phrase_match). The ES analogue is match_phrase with slop, modulo
         Lucene's move-based reorder allowance, which span_near does not
         grant.
+
+        prefix_last=True is match_phrase_prefix: the LAST token is a
+        prefix, expanded against the sorted term dictionary (first
+        max_expansions in term order — the ES cap) and accepted at the
+        final position as any-of (see _phrase_match last_alts).
 
         Plan: posting+prox rows of the phrase terms (partition-pruned scan)
         → per-shard vectorized position-adjacency match (applyInPandas) →
@@ -1883,9 +1990,18 @@ class IndexReader:
         terms = phrase_terms(phrase, tokenizer=self.cfg.get("tokenizer", "code"))
         if not terms:
             return empty
-        if len(terms) == 1:
-            return self.search(terms[0], k=k)
-        uniq = sorted(set(terms))
+        alts: list[str] | None = None
+        if prefix_last:
+            seq = list(terms[:-1])
+            alts = self._prefix_alts(terms[-1], max_expansions)
+            if not alts:
+                return empty
+            uniq = sorted(set(seq) | set(alts))
+        else:
+            if len(terms) == 1:
+                return self.search(terms[0], k=k)
+            seq = list(terms)
+            uniq = sorted(set(terms))
         n_buckets = self.cfg["n_buckets"]
         buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
         rel = self._postings().where(
@@ -1893,7 +2009,6 @@ class IndexReader:
         )
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
-        seq = list(terms)
 
         def match_shard(key, pdf):
             out_empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
@@ -1903,7 +2018,7 @@ class IndexReader:
             if any(t not in rows for t in seq):
                 return out_empty
             shard = int(key[0])
-            docs, tf_phrase = _phrase_match(rows, seq, slop)
+            docs, tf_phrase = _phrase_match(rows, seq, slop, alts)
             if docs.size == 0:
                 return out_empty
             dls = _load_doclens(index_dir, shard, "content",
@@ -1950,7 +2065,8 @@ class IndexReader:
 _PHRASE_KEY_BITS = 21  # doc-local positions < 2^21 (doc lengths ≪ 2M)
 
 
-def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0
+def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0,
+                  last_alts: list[str] | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized positional phrase match for one shard.
 
@@ -1970,8 +2086,23 @@ def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0
     embed doc_idx in the high bits, so a chain that would cross a document
     boundary fails the ≤ n−1+slop bound automatically (positions < 2^21).
 
+    last_alts (match_phrase_prefix): the phrase is seq + [ANY of
+    last_alts] — the final position accepts any alternative (the
+    dictionary expansion of the prefix token). Distinct terms never share
+    a position, so the alternatives' key arrays are disjoint and their
+    sorted union plays the role of one more term. seq may be empty
+    (single-token prefix phrase): tf = total occurrences of any
+    alternative.
+
     Returns (doc_ids, tf_phrase) for docs with ≥1 occurrence.
     """
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    alts: list[str] = []
+    if last_alts is not None:
+        alts = sorted(t for t in set(last_alts) if t in rows)
+        if not alts:
+            return empty
+    n = len(seq) + (1 if last_alts is not None else 0)
     # doc-id intersection FIRST, rarest term first (fastest shrink, and a
     # deterministic iteration order); positions are only decoded once the
     # intersection is known non-empty — an absent-phrase query with one
@@ -1985,9 +2116,18 @@ def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0
         inter = pl.doc_ids if inter is None else inter[
             np.isin(inter, pl.doc_ids, assume_unique=True)]
         if inter.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return empty
+    if alts:
+        for t in alts:
+            doc_lists[t] = _decode_full(rows[t]).doc_ids
+        alt_union = (doc_lists[alts[0]] if len(alts) == 1 else
+                     np.unique(np.concatenate([doc_lists[t] for t in alts])))
+        inter = alt_union if inter is None else inter[
+            np.isin(inter, alt_union, assume_unique=True)]
+        if inter.size == 0:
+            return empty
     decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    for t in uniq_terms:
+    for t in uniq_terms + alts:
         pos, tfs = decode_positions(rows[t])
         offsets = np.concatenate(([0], np.cumsum(tfs)))
         decoded[t] = (doc_lists[t], pos, offsets)
@@ -1995,45 +2135,69 @@ def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0
     m = np.int64(1 << _PHRASE_KEY_BITS)
 
     def term_keys(t: str, i: int, shift: int) -> np.ndarray:
-        """All occurrences of t in intersected docs as sorted int64 keys
-        doc_idx·2^21 + (p + shift − i)."""
+        """All occurrences of t in intersected docs (those also holding
+        t) as sorted int64 keys doc_idx·2^21 + (p + shift − i)."""
         doc_ids_t, pos_t, off_t = decoded[t]
-        idx = np.searchsorted(doc_ids_t, inter)
+        sub = inter[np.isin(inter, doc_ids_t, assume_unique=True)] \
+            if t in alts else inter
+        if sub.size == 0:
+            return np.empty(0, np.int64)
+        idx = np.searchsorted(doc_ids_t, sub)
         lens = off_t[idx + 1] - off_t[idx]
-        flat_doc = np.repeat(np.arange(inter.size, dtype=np.int64), lens)
+        flat_doc = np.repeat(np.searchsorted(inter, sub), lens)
         first = np.concatenate(([0], np.cumsum(lens)[:-1]))
         within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(first, lens)
         p = pos_t[np.repeat(off_t[idx], lens) + within]
         return flat_doc * m + (p - i + shift)
 
-    if slop > 0:
-        keys = {t: term_keys(t, 0, 0) for t in uniq_terms}
-        start = keys[seq[0]]
-        cur = start
-        sentinel = np.iinfo(np.int64).max - 1
-        for t in seq[1:]:
-            arr = keys[t]
-            j = np.searchsorted(arr, cur + 1, side="left")
-            hit = j < arr.size
-            cur = np.where(hit, arr[np.minimum(j, arr.size - 1)], sentinel)
-            cur = np.minimum(cur, sentinel)  # keep cur+1 overflow-safe
-        ok = (cur - start) <= np.int64(len(seq) - 1 + slop)
-        tf = np.bincount((start[ok] // m).astype(np.int64),
+    def last_keys(i: int, shift: int) -> np.ndarray:
+        """Union of the alternatives' keys. np.unique, not just sort: a
+        subtoken and a whole-ident form can legitimately share a (doc,
+        position) slot — ES MultiPhrase semantics count the POSITION
+        once, not once per matching expansion."""
+        parts = [term_keys(t, i, shift) for t in alts]
+        return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+
+    def finish(start_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        tf = np.bincount((start_keys // m).astype(np.int64),
                          minlength=inter.size)
         keep = tf > 0
         return inter[keep], tf[keep].astype(np.int64)
 
-    shift = len(seq)
+    if alts and not seq:
+        return finish(last_keys(0, 0))
+
+    if slop > 0:
+        keys = {t: term_keys(t, 0, 0) for t in uniq_terms}
+        chain = [keys[t] for t in seq[1:]]
+        if alts:
+            chain.append(last_keys(0, 0))
+        start = keys[seq[0]]
+        cur = start
+        sentinel = np.iinfo(np.int64).max - 1
+        for arr in chain:
+            j = np.searchsorted(arr, cur + 1, side="left")
+            hit = j < arr.size
+            cur = np.where(hit, arr[np.minimum(j, arr.size - 1)], sentinel)
+            cur = np.minimum(cur, sentinel)  # keep cur+1 overflow-safe
+        ok = (cur - start) <= np.int64(n - 1 + slop)
+        return finish(start[ok])
+
+    shift = n
     start_keys: np.ndarray | None = None
     for i, t in enumerate(seq):
         start_keys = term_keys(t, i, shift) if start_keys is None \
             else start_keys[np.isin(start_keys, term_keys(t, i, shift),
                                     assume_unique=True)]
         if start_keys.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-    tf = np.bincount((start_keys // m).astype(np.int64), minlength=inter.size)
-    keep = tf > 0
-    return inter[keep], tf[keep].astype(np.int64)
+            return empty
+    if alts:
+        start_keys = start_keys[np.isin(start_keys,
+                                        last_keys(len(seq), shift),
+                                        assume_unique=True)]
+        if start_keys.size == 0:
+            return empty
+    return finish(start_keys)
 
 
 _SHARD_POOL = None
@@ -2459,5 +2623,6 @@ def count_federated_local(readers: dict[str, IndexReader], query: str,
                           min_match: int = 1) -> dict[str, int]:
     """Per-index total hits for one query (the ES _count over a
     multi-index alias); the grand total is sum(values)."""
-    return {name: readers[name].count_local(query, mode, exclude, min_match)
+    return {name: readers[name].count_local(query, mode, exclude=exclude,
+                                            min_match=min_match)
             for name in sorted(readers)}

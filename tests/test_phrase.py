@@ -178,6 +178,124 @@ def test_span_near_superset_of_exact(spark, built):
     assert exact <= slopped
 
 
+def _position_slots(text: str) -> list[set]:
+    """Positional token model of the code analyzer: one slot per subtoken
+    in textual order; a compound identifier's whole lowered form joins its
+    FIRST subtoken's slot (doc_terms position semantics)."""
+    slots: list[set] = []
+    for ident in re.findall(IDENT_RE, text):
+        subs = [t.lower() for t in re.findall(SUBTOKEN_RE, ident)]
+        start = len(slots)
+        slots.extend({s} for s in subs)
+        if len(subs) > 1:
+            slots[start].add(ident.lower())
+    return slots
+
+
+def _span_tf(slots: list[set], preds, slop: int) -> int:
+    """Exhaustive (any-chain) span tf over position slots: #start
+    positions p0 with preds[0] matching a token in slot p0 and an
+    in-order completion within total span ≤ len(preds)−1+slop.
+    Independent of the engine's greedy shortcut; position-level (a slot
+    matching via several tokens counts once — ES MultiPhrase)."""
+    n = len(preds)
+    tf = 0
+    hit = [[any(pr(t) for t in s) for s in slots] for pr in preds]
+    for p0 in range(len(slots)):
+        if not hit[0][p0]:
+            continue
+        frontier = [p0]
+        for hi in hit[1:]:
+            frontier = [j for p in frontier
+                        for j in range(p + 1, min(len(slots), p0 + n + slop))
+                        if hi[j] and j > p]
+            if not frontier:
+                break
+        if frontier and min(frontier) - p0 <= n - 1 + slop:
+            tf += 1
+    return tf
+
+
+def brute_phrase_prefix(corpus: pd.DataFrame, phrase: str, k: int = 10,
+                        slop: int = 0) -> pd.DataFrame:
+    """match_phrase_prefix oracle: last token is a prefix predicate
+    (uncapped — pair with a large max_expansions on the engine side)."""
+    seq_full = phrase_terms(phrase, "code")
+    seq, pfx = seq_full[:-1], seq_full[-1]
+    preds = [(lambda want: lambda t: t == want)(w) for w in seq]
+    preds.append(lambda t: t.startswith(pfx))
+    rows = []
+    for _, r in corpus.iterrows():
+        slots = _position_slots(r["content"])
+        tf = _span_tf(slots, preds, slop)
+        if tf:
+            dl = len(code_tokens(pd.Series([r["content"]])).iat[0])
+            rows.append((r["doc_id"], tf, dl))
+    if not rows:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    m = pd.DataFrame(rows, columns=["doc_id", "tf", "dl"])
+    n_docs = len(corpus)
+    total_dl = sum(len(code_tokens(pd.Series([c])).iat[0])
+                   for c in corpus["content"])
+    avgdl = float(total_dl) / n_docs
+    idf = float(bm25.idf(len(m), n_docs))
+    m["score"] = idf * (
+        m["tf"].to_numpy(np.float64)
+        / (m["tf"].to_numpy(np.float64)
+           + bm25.K1 * (1.0 - bm25.B + bm25.B * m["dl"].to_numpy(np.float64) / avgdl))
+    )
+    return (m.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)[["doc_id", "score"]].reset_index(drop=True))
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("get us", 0),       # bigram, prefix expands user/util/...
+    ("token work", 0),   # worker/workers compounds
+    ("user re", 2),      # sloppy prefix (request/reader/record...)
+    ("hand", 0),         # single prefix token (handler...)
+    ("get userre", 0),   # prefix SPANNING a subtoken boundary: only the
+                         # whole-ident form (userrequest…@first-sub
+                         # position) can match — the ES synonym-position
+                         # behavior the tail-position scheme couldn't give
+])
+def test_phrase_prefix_rank_identical(spark, built, corpus, phrase, slop):
+    reader = IndexReader(spark, built)
+    want = brute_phrase_prefix(corpus, phrase, k=10, slop=slop)
+    assert len(want) > 0, f"vacuous: oracle empty for {phrase!r}*"
+    got = reader.phrase_search(phrase, k=10, slop=slop, prefix_last=True,
+                               max_expansions=10 ** 6).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), (
+        f"{phrase!r}*~{slop}:\n{got}\nvs\n{want}")
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+    loc = reader.phrase_search_local(phrase, k=10, slop=slop,
+                                     prefix_last=True,
+                                     max_expansions=10 ** 6)
+    assert loc["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(loc["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_phrase_prefix_expansion_cap_deterministic(spark, built):
+    reader = IndexReader(spark, built)
+    full = reader._prefix_alts("us", 10 ** 6)
+    assert full == sorted(full)
+    assert reader._prefix_alts("us", 2) == full[:2]
+    # a complete term is its own expansion
+    assert "user" in full
+
+
+def test_phrase_prefix_complete_term_superset(spark, built):
+    """'get user' as prefix query matches at least the exact-phrase set
+    (user itself is in the expansion of 'user')."""
+    reader = IndexReader(spark, built)
+    exact = set(reader.phrase_search_local("get user", k=300)["doc_id"])
+    pfx = set(reader.phrase_search_local("get user", k=300, prefix_last=True,
+                                         max_expansions=10 ** 6)["doc_id"])
+    assert exact <= pfx
+
+
 def test_single_term_phrase_delegates(spark, built):
     reader = IndexReader(spark, built)
     a = reader.phrase_search("getUserName", k=5).toPandas()

@@ -104,3 +104,24 @@ def test_dedup_exact_join_strategy(spark):
             or "SortMergeJoin" in plan)
     assert "hashpartitioning(fingerprint" in plan  # the groupBy(fingerprint)
     assert "BatchEvalPython" not in plan
+
+def test_collapse_plan_partial_agg_no_window(spark, idx):
+    """search_collapse's per-group argmax must be ONE aggregation with a
+    map-side partial phase (max of a (score, -doc_id) struct), never a
+    Window sort of the match set; the global top-k must compile to
+    TakeOrderedAndProject (per-partition heaps, k rows moved)."""
+    reader = IndexReader(spark, idx)
+    plan = _plan(reader.search_collapse("index query merge", "repo", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_cardinality_sketch_plan(spark, idx):
+    """approx cardinality must merge HLL sketches map-side: a
+    partial_approx_count_distinct phase, one constant-size row per task
+    across the single-partition exchange."""
+    reader = IndexReader(spark, idx)
+    plan = _plan(reader.search_cardinality("index query", "repo",
+                                           exact=False))
+    assert "partial_approx_count_distinct" in plan

@@ -117,7 +117,16 @@ def test_tokenizer_invariants(rows):
             allpos = np.concatenate([np.asarray(x) for x in grp["positions"]])
             assert len(allpos) == len(toks)
             assert allpos.min() >= 0 and allpos.max() < len(toks)
-            assert len(np.unique(allpos)) == len(allpos)
+            # positions are unique per TERM (ascending lists); across terms
+            # a slot holds at most 2 tokens — a subtoken plus the compound
+            # whole-ident form sharing its first subtoken's position (the
+            # ES synonym-position convention; doc_terms docstring)
+            for plist in grp["positions"]:
+                arr = np.asarray(plist)
+                assert (np.diff(arr) > 0).all()
+            assert np.bincount(allpos).max() <= 2
+            if tokenizer == "simple":
+                assert len(np.unique(allpos)) == len(allpos)
             # multiset equality
             from collections import Counter
             got = Counter()

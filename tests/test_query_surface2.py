@@ -206,6 +206,49 @@ def test_multi_match_tie1_is_bool_sum(reader):
                                want["score"].to_numpy(), rtol=1e-12)
 
 
+# ------------------------------------------------------------ boosting query
+
+def test_boosting_exact(reader):
+    """negative docs keep their hit with score × nb; ranking = demoted
+    full set (bit-identical floats: one multiply on the same sums)."""
+    base = _full(reader, Q, prune=False)
+    neg_ids = set(_full(reader, "lambda")["doc_id"])
+    assert neg_ids & set(base["doc_id"]), "demotion set must intersect hits"
+    want = base.copy()
+    want["score"] = np.where(want["doc_id"].isin(neg_ids),
+                             want["score"] * 0.4, want["score"])
+    order = np.lexsort((want["doc_id"].to_numpy(),
+                        -want["score"].to_numpy()))
+    want = want.iloc[order].head(20).reset_index(drop=True)
+    got = reader.search_boosting(Q, "lambda", negative_boost=0.4, k=20,
+                                 engine="local")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_boosting_spark_local_parity(reader):
+    loc = reader.search_boosting(Q, "lambda", negative_boost=0.4, k=15,
+                                 engine="local")
+    spk = reader.search_boosting(Q, "lambda", negative_boost=0.4,
+                                 k=15).toPandas()
+    assert spk["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  loc["score"].to_numpy())
+
+
+def test_boosting_validates(reader):
+    with pytest.raises(ValueError):
+        reader.search_boosting(Q, "lambda", negative_boost=1.5)
+
+
+def test_boosting_nb1_is_plain_search(reader):
+    got = reader.search_boosting(Q, "lambda", negative_boost=1.0, k=10,
+                                 engine="local")
+    want = _full(reader, Q).head(10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 # ------------------------------------------------------- boundary-tie top-k
 
 def test_keyword_only_tiebreak_deterministic(reader, docstore):
