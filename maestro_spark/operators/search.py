@@ -629,20 +629,20 @@ class IndexReader:
 
     def search_boosting(self, query: str, negative: str,
                         negative_boost: float = 0.5, k: int = 10,
-                        mode: str = "or", engine: str = "spark"):
+                        mode: str = "or", prune: bool = True,
+                        engine: str = "spark"):
         """Boosting query (the ES `boosting` analogue): the positive
         query scores normally; docs ALSO matching any analyzed term of
-        `negative` keep their hit but their score is multiplied by
-        negative_boost (0..1) — demotion, not exclusion (must_not is
-        `exclude=`). Returns a DataFrame on the Spark path, pandas on a
-        serving-only reader or engine="local".
+        `negative` keep their hit but every contribution is scaled by
+        negative_boost (0..1) as it accumulates — demotion, not exclusion
+        (must_not is `exclude=`). Returns a DataFrame on the Spark path,
+        pandas on a serving-only reader or engine="local".
 
-        Exactness: demotion can promote a doc from below a shard's raw
-        top-k, so score pruning is off (MaxScore bounds the RAW sum, not
-        the demoted one — a demotion-aware bound is future work); cost
-        stays bounded by the query+negative posting sizes. Negative
-        postings ride the same pruned scan; per shard the demotion set is
-        one union, applied before the tie-aware top-k."""
+        MaxScore pruning stays EXACT under demotion: contributions only
+        shrink, so the per-term upper bounds remain valid and theta is
+        computed over already-demoted mass (see score_shard_rows
+        demoted=). Negative postings ride the same pruned scan; per shard
+        the demotion set is one posting union."""
         if not (0.0 <= negative_boost <= 1.0):
             raise ValueError("negative_boost must be in [0, 1]")
         plan = self.plan(query)
@@ -652,19 +652,11 @@ class IndexReader:
         index_dir = self.index_dir
 
         def shard_fn(shard: int, rows: dict) -> tuple[np.ndarray, np.ndarray]:
-            ids, scores = score_shard_rows(
-                rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
-                shard, shard_size, index_dir, shard_size, mode,
-                prune=False)
-            if ids.size == 0:
-                return ids, scores
             neg = _excluded_local(rows, neg_terms, shard * shard_size)
-            if neg is not None and neg.size:
-                demote = np.isin(ids - shard * shard_size, neg,
-                                 assume_unique=True)
-                scores = np.where(demote, scores * nb, scores)
-            top, ts = _topk_ties(ids, scores, k)
-            return top, ts
+            return score_shard_rows(
+                rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
+                shard, shard_size, index_dir, k, mode, prune,
+                demoted=neg, demote_factor=nb)
 
         spark = self.spark
         if spark is None or engine == "local":
@@ -2335,6 +2327,8 @@ def score_shard_rows(
     allowed: np.ndarray | None = None,
     excluded: np.ndarray | None = None,
     min_match: int = 1,
+    demoted: np.ndarray | None = None,
+    demote_factor: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's query-term posting rows; return local top-k
     (doc_ids, scores) sorted by (score desc, doc_id asc).
@@ -2359,7 +2353,14 @@ def score_shard_rows(
     candidate pruning is disabled: theta derived from docs that later
     fail the match floor could prune qualifying docs, so exactness
     requires full accumulation (an msm-aware WAND bound is future work;
-    the cost is still bounded by the query's posting sizes)."""
+    the cost is still bounded by the query's posting sizes).
+
+    demoted: optional sorted LOCAL doc offsets whose contributions are
+    scaled by demote_factor (0..1) AS THEY ACCUMULATE — the boosting-
+    query demotion folded into the scorer. Because each contribution
+    only shrinks, the per-term upper bounds stay valid and MaxScore
+    pruning remains EXACT under demotion (a demoted doc simply
+    accumulates less mass toward theta)."""
     base = shard * shard_size
     present = [t for t in terms if t in rows]
     if not present or (allowed is not None and allowed.size == 0):
@@ -2368,7 +2369,7 @@ def score_shard_rows(
     if mode == "and":
         return _score_and(rows, present, idfs, fields, avgdl, base,
                           shard, shard_size, index_dir, k, allowed,
-                          excluded)
+                          excluded, demoted, demote_factor)
     if min_match > 1:
         prune = False
     counts = np.zeros(shard_size, dtype=np.int32) if min_match > 1 else None
@@ -2422,6 +2423,10 @@ def score_shard_rows(
             ok = np.isin(local, excluded, assume_unique=True, invert=True)
             local, tfs = local[ok], tfs[ok]
         contrib = idf_t * bm25.tfnorm(tfs, dl_of(fields[t])[local], adl)
+        if demoted is not None and demoted.size:
+            contrib = np.where(
+                np.isin(local, demoted, assume_unique=True),
+                contrib * demote_factor, contrib)
 
         if candidates is not None:
             # only candidates can still reach top-k; restrict adds to them
@@ -2547,12 +2552,16 @@ def _phrase_tf_tokens(tokens: list[str], seq: list[str], slop: int = 0) -> int:
 
 def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
                index_dir, k, allowed: np.ndarray | None = None,
-               excluded: np.ndarray | None = None):
+               excluded: np.ndarray | None = None,
+               demoted: np.ndarray | None = None,
+               demote_factor: float = 1.0):
     """Conjunctive: k-way intersection starting from the rarest term
     (SURVEY.md §2.5 J4 — n-way merge of sorted posting lists), then exact
     scoring of the intersection in canonical order. `allowed` (sorted
     local offsets) joins the intersection as one more sorted set;
-    `excluded` (sorted local offsets) is subtracted from it."""
+    `excluded` (sorted local offsets) is subtracted from it; `demoted`
+    rows' summed scores scale by demote_factor (one multiply — the whole
+    sum scales)."""
     by_df = sorted(present, key=lambda t: rows[t]["df"])
     inter: np.ndarray | None = None if allowed is None else allowed + base
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -2568,6 +2577,8 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
         if inter.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
     scores = np.zeros(inter.size, dtype=np.float64)
+    dm = (np.isin(inter - base, demoted, assume_unique=True)
+          if demoted is not None and demoted.size else None)
     dl_cache: dict[str, np.ndarray] = {}
     for t in present:  # canonical order for float-identical sums
         docs, tfs = decoded[t]
@@ -2575,7 +2586,12 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
         f = fields[t]
         if f not in dl_cache:
             dl_cache[f] = _load_doclens(index_dir, shard, f, base, shard_size)
-        scores += idfs[t] * bm25.tfnorm(tfs[pos], dl_cache[f][inter - base], avgdl[f])
+        contrib = idfs[t] * bm25.tfnorm(tfs[pos], dl_cache[f][inter - base], avgdl[f])
+        if dm is not None:
+            # per-contribution scaling — the same accumulation convention
+            # as the OR path, so spark/local/and/or agree to the bit
+            contrib = np.where(dm, contrib * demote_factor, contrib)
+        scores += contrib
     top, ts = _topk_ties(inter, scores, k)
     return top.astype(np.int64), ts
 

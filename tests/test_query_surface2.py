@@ -209,22 +209,36 @@ def test_multi_match_tie1_is_bool_sum(reader):
 # ------------------------------------------------------------ boosting query
 
 def test_boosting_exact(reader):
-    """negative docs keep their hit with score × nb; ranking = demoted
-    full set (bit-identical floats: one multiply on the same sums)."""
-    base = _full(reader, Q, prune=False)
+    """Demotion scales each CONTRIBUTION by nb as it accumulates (the
+    pruning-exact convention) — rebuild the sum per doc from single-term
+    searches in canonical plan order and compare bit-identically."""
     neg_ids = set(_full(reader, "lambda")["doc_id"])
-    assert neg_ids & set(base["doc_id"]), "demotion set must intersect hits"
-    want = base.copy()
-    want["score"] = np.where(want["doc_id"].isin(neg_ids),
-                             want["score"] * 0.4, want["score"])
-    order = np.lexsort((want["doc_id"].to_numpy(),
-                        -want["score"].to_numpy()))
-    want = want.iloc[order].head(20).reset_index(drop=True)
+    assert neg_ids, "demotion set must be non-empty"
+    plan_terms = reader.plan(Q).terms
+    acc: dict[int, float] = {}
+    for t in plan_terms:
+        for _, r in _full(reader, t, prune=False).iterrows():
+            d = int(r["doc_id"])
+            c = float(r["score"])
+            if d in neg_ids:
+                c *= 0.4
+            acc[d] = acc.get(d, 0.0) + c
+    ids = np.fromiter(acc.keys(), np.int64, len(acc))
+    scores = np.fromiter(acc.values(), np.float64, len(acc))
+    order = np.lexsort((ids, -scores))[:20]
     got = reader.search_boosting(Q, "lambda", negative_boost=0.4, k=20,
                                  engine="local")
-    assert got["doc_id"].tolist() == want["doc_id"].tolist()
-    np.testing.assert_array_equal(got["score"].to_numpy(),
-                                  want["score"].to_numpy())
+    assert got["doc_id"].tolist() == ids[order].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), scores[order])
+
+
+def test_boosting_prune_parity(reader):
+    """MaxScore pruning under demotion is exact: prune on == prune off."""
+    a = reader.search_boosting(Q, "lambda", negative_boost=0.3, k=15,
+                               prune=True, engine="local")
+    b = reader.search_boosting(Q, "lambda", negative_boost=0.3, k=15,
+                               prune=False, engine="local")
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_boosting_spark_local_parity(reader):
