@@ -598,6 +598,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_query_string"] = _q_qstring
 
+    def _q_terms_filter(s: SparkSession, d: str) -> DataFrame:
+        # ES `terms` filter: OR-set filter context (no score contribution)
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search("spark merge", k=40, require_any="dup vector")
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_terms_filter"] = _q_terms_filter
+
+    def _q_percentiles(s: SparkSession, d: str) -> DataFrame:
+        # ES percentiles agg (exact path; t-digest approx is the 100 TB
+        # default, not oracle-comparable)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_percentiles("stream merge",
+                                         F.length("content"),
+                                         (0.25, 0.5, 0.75))
+
+    q["match_percentiles"] = _q_percentiles
+
     def _q_rescore(s: SparkSession, d: str) -> DataFrame:
         # ES rescore: BM25 top-30 window re-scored by exact-phrase
         # proximity (window-relative phrase idf — see the operator doc)
@@ -1136,6 +1155,17 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('stream', 'merge'))"""
         where=("doc_id IN (SELECT doc_id FROM tok WHERE term = 'table') "
                "AND doc_id NOT IN (SELECT doc_id FROM documents "
                "WHERE lower(trim(lang)) = 'java')"))
+    o["bm25_terms_filter"] = _bm25_sql(
+        ["merge", "spark"],
+        where=("doc_id IN (SELECT doc_id FROM tok "
+               "WHERE term IN ('dup', 'vector'))"))
+    o["match_percentiles"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('stream', 'merge'))
+SELECT round(quantile_cont(length(d.text), 0.25), 6) AS p25,
+       round(quantile_cont(length(d.text), 0.50), 6) AS p50,
+       round(quantile_cont(length(d.text), 0.75), 6) AS p75
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
     _RS_PHR = ("ln(1.0 + (wn.n - dfw.df + 0.5) / (dfw.df + 0.5)) "
                "* ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))")
     o["bm25_rescore"] = f"""

@@ -224,6 +224,10 @@ def main() -> None:
         reader.search_cardinality("index query merge", "repo",
                                   exact=False).collect()
         timings["cardinality_hll"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_percentiles("index query merge", F.length("content"),
+                                  (0.5, 0.95), exact=False).collect()
+        timings["percentiles_tdigest"] = round(time.time() - t0, 3)
 
         # full-match-set rescoring + corpus-contrast agg (round-2 adds)
         t0 = time.time()

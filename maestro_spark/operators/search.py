@@ -471,6 +471,7 @@ class IndexReader:
                doc_filter=None, engine: str = "spark",
                exclude: str | None = None,
                require: str | None = None,
+               require_any: str | None = None,
                min_match: int = 1,
                synonyms: dict[str, tuple] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
@@ -515,6 +516,10 @@ class IndexReader:
         ride the same pruned scan; per shard their intersection becomes
         an `allowed` set, so MaxScore pruning stays exact.
 
+        require_any: the ES `terms` filter — docs must contain AT LEAST
+        ONE of its analyzed terms (OR-set filter context, no score).
+        Composes with `require` by intersection.
+
         synonyms: query-time synonym expansion map — see plan()."""
         plan = self.plan(query, boosts=boosts, synonyms=synonyms)
         spark = self.spark
@@ -530,13 +535,16 @@ class IndexReader:
                 and sum(plan.dfs.values()) <= self.LOCAL_DF_BUDGET)):
             hits = self.search_local(query, k, mode, prune, boosts=boosts,
                                      exclude=exclude, require=require,
+                                     require_any=require_any,
                                      min_match=min_match,
                                      synonyms=synonyms)
             return spark.createDataFrame(hits, "doc_id long, score double")
         n_buckets = self.cfg["n_buckets"]
         ex_terms = self._exclusion_terms(exclude)
         req_terms = self._exclusion_terms(require)
-        all_terms = sorted(set(plan.terms) | set(ex_terms) | set(req_terms))
+        any_terms = self._exclusion_terms(require_any)
+        all_terms = sorted(set(plan.terms) | set(ex_terms)
+                           | set(req_terms) | set(any_terms))
         buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
@@ -550,7 +558,8 @@ class IndexReader:
                 shard = int(key[0])
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
                 excluded = _excluded_local(rows, ex_terms, shard * shard_size)
-                required = _required_local(rows, req_terms, shard * shard_size)
+                required = _filter_allowed(rows, req_terms, any_terms,
+                                           shard * shard_size)
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
                     index_dir, k, mode, prune, allowed=required,
@@ -571,7 +580,8 @@ class IndexReader:
                                          "score": pd.array([], dtype="float64")})
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
                 allowed = np.sort(adf["doc_id"].to_numpy(np.int64)) - shard * shard_size
-                required = _required_local(rows, req_terms, shard * shard_size)
+                required = _filter_allowed(rows, req_terms, any_terms,
+                                           shard * shard_size)
                 if required is not None:
                     allowed = allowed[np.isin(allowed, required,
                                               assume_unique=True)]
@@ -874,6 +884,7 @@ class IndexReader:
                      max_workers: int | None = None,
                      exclude: str | None = None,
                      require: str | None = None,
+                     require_any: str | None = None,
                      min_match: int = 1,
                      synonyms: dict[str, tuple] | None = None) -> pd.DataFrame:
         """Serving-path top-k: the ES query-node analogue — plan from the
@@ -896,8 +907,10 @@ class IndexReader:
             return self._EMPTY_HITS()
         ex_terms = self._exclusion_terms(exclude)
         req_terms = self._exclusion_terms(require)
+        any_terms = self._exclusion_terms(require_any)
         by_shard = self._fetch_posting_rows(
-            sorted(set(plan.terms) | set(ex_terms) | set(req_terms)))
+            sorted(set(plan.terms) | set(ex_terms)
+                   | set(req_terms) | set(any_terms)))
         if not by_shard:
             return self._EMPTY_HITS()
         shard_size = self.cfg["shard_size"]
@@ -906,7 +919,8 @@ class IndexReader:
             shard, rows = item
             excluded = _excluded_local(rows, ex_terms,
                                               shard * shard_size)
-            required = _required_local(rows, req_terms, shard * shard_size)
+            required = _filter_allowed(rows, req_terms, any_terms,
+                                       shard * shard_size)
             return score_shard_rows(
                 rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
                 shard, shard_size, self.index_dir, k, mode, prune,
@@ -973,6 +987,7 @@ class IndexReader:
     def count_local(self, query: str, mode: str = "or",
                     exclude: str | None = None,
                     require: str | None = None,
+                    require_any: str | None = None,
                     min_match: int = 1) -> int:
         """Total-hits count (the ES _count analogue): number of docs
         matching the analyzed query under `mode`/`exclude`/`require`/
@@ -984,8 +999,10 @@ class IndexReader:
             return 0
         ex_terms = self._exclusion_terms(exclude)
         req_terms = self._exclusion_terms(require)
+        any_terms = self._exclusion_terms(require_any)
         by_shard = self._fetch_posting_rows(
-            sorted(set(plan.terms) | set(ex_terms) | set(req_terms)))
+            sorted(set(plan.terms) | set(ex_terms)
+                   | set(req_terms) | set(any_terms)))
         total = 0
         for shard, rows in sorted(by_shard.items()):
             present = [t for t in plan.terms if t in rows]
@@ -1011,7 +1028,7 @@ class IndexReader:
                     ids = np.unique(np.concatenate(parts))
             if ids is None or ids.size == 0:
                 continue
-            req = _required_local(rows, req_terms, 0)
+            req = _filter_allowed(rows, req_terms, any_terms, 0)
             if req is not None:
                 ids = ids[np.isin(ids, req, assume_unique=True)]
             ex = _excluded_local(rows, ex_terms, 0)
@@ -1198,6 +1215,35 @@ class IndexReader:
             F.round(F.sum("v"), 4).alias("sum_v"),
             F.round(F.avg("v"), 6).alias("avg_v"),
         )
+
+    def search_percentiles(self, query: str, value_col,
+                           percentiles: tuple = (0.25, 0.5, 0.75),
+                           mode: str = "or", exact: bool = True,
+                           accuracy: int = 10000,
+                           exclude: str | None = None,
+                           min_match: int = 1) -> DataFrame:
+        """Percentiles aggregation over the FULL match set (the ES
+        percentiles-agg analogue): one row with a p{NN} column per
+        requested fraction (linear interpolation), rounded to 6.
+
+        exact=True uses Spark's exact `percentile` (one sort-based agg of
+        the value column — the values move, fine up to ~10^9 matched
+        rows). exact=False uses approx_percentile (t-digest-style sketch,
+        `accuracy` knob): partial sketches merge map-side, constant bytes
+        per task — the 100 TB default and what ES itself computes
+        (t-digest), at the cost of not being oracle-exact."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        fn = F.percentile if exact else (
+            lambda c, p: F.percentile_approx(c, p, accuracy))
+        aggs = [F.round(fn(F.col("v"), F.lit(float(p))), 6)
+                .alias(f"p{int(round(p * 100)):02d}")
+                for p in percentiles]
+        return joined.agg(*aggs)
 
     def search_sorted(self, query: str, sort_col, ascending: bool = True,
                       k: int = 10, mode: str = "or",
@@ -2289,6 +2335,33 @@ def _excluded_local(shard_rows: dict[str, dict], ex_terms: list[str],
 
 
 _EMPTY_I64 = np.empty(0, np.int64)
+
+
+def _any_of_local(shard_rows: dict[str, dict], any_terms: list[str],
+                  base: int) -> np.ndarray | None:
+    """Sorted LOCAL offsets of docs containing AT LEAST ONE of any_terms
+    (the ES `terms` filter: an OR-set in filter context, no score
+    contribution). None = no clause; empty = nothing matches in shard."""
+    if not any_terms:
+        return None
+    parts = [_decode_full(shard_rows[t]).doc_ids
+             for t in any_terms if t in shard_rows]
+    if not parts:
+        return _EMPTY_I64
+    return np.unique(np.concatenate(parts)) - base
+
+
+def _filter_allowed(shard_rows: dict[str, dict], req_terms: list[str],
+                    any_terms: list[str], base: int) -> np.ndarray | None:
+    """Combined filter-context allowed set: require (ALL terms) ∧
+    require_any (≥1 term). None = unconstrained."""
+    req = _required_local(shard_rows, req_terms, base)
+    anyof = _any_of_local(shard_rows, any_terms, base)
+    if req is None:
+        return anyof
+    if anyof is None:
+        return req
+    return req[np.isin(req, anyof, assume_unique=True)]
 
 
 def _required_local(shard_rows: dict[str, dict], req_terms: list[str],

@@ -18,6 +18,7 @@ brute-force oracle on the same corpus:
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from maestro_spark.functions import bm25
 from maestro_spark.functions.tokenize import code_tokens, phrase_terms
@@ -94,6 +95,51 @@ def test_require_spark_local_parity(spark, reader):
 def test_require_count(reader):
     n = reader.count_local(Q, require=REQ)
     assert n == len(_full(reader, Q, require=REQ))
+
+
+def test_require_any_semantics(reader):
+    """require_any == union filter (ES terms filter), scores untouched;
+    composes with require by intersection."""
+    base = _full(reader, Q)
+    a = set(_full(reader, "lambda")["doc_id"])
+    b = set(_full(reader, "defer")["doc_id"])
+    assert a and b and a != b
+    got = _full(reader, Q, require_any="lambda defer")
+    want = base[base["doc_id"].isin(a | b)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    both = _full(reader, Q, require="return", require_any="lambda defer")
+    r = set(_full(reader, "return")["doc_id"])
+    want2 = base[base["doc_id"].isin((a | b) & r)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(both, want2)
+    n = reader.count_local(Q, require_any="lambda defer")
+    assert n == len(got)
+
+
+def test_require_any_spark_local_parity(reader):
+    loc = reader.search_local(Q, k=15, require_any="lambda defer")
+    spk = reader.search(Q, k=15, require_any="lambda defer").toPandas()
+    assert spk["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  loc["score"].to_numpy())
+
+
+def test_percentiles_exact(reader, docstore):
+    matched = set(_full(reader, Q)["doc_id"])
+    vals = (docstore[docstore["doc_id"].isin(matched)]["content"]
+            .str.len().to_numpy(np.float64))
+    got = reader.search_percentiles(Q, F.length("content"),
+                                    (0.25, 0.5, 0.75)).collect()[0]
+    for p, col in ((25, "p25"), (50, "p50"), (75, "p75")):
+        want = round(float(np.percentile(vals, p)), 6)  # linear interp
+        assert got[col] == pytest.approx(want, abs=1e-6), (p, got[col], want)
+
+
+def test_percentiles_approx_runs(reader):
+    row = reader.search_percentiles(Q, F.length("content"), (0.5,),
+                                    exact=False).collect()[0]
+    exact = reader.search_percentiles(Q, F.length("content"),
+                                      (0.5,)).collect()[0]
+    assert row["p50"] == pytest.approx(exact["p50"], rel=0.1)
 
 
 # ------------------------------------------------------------- query_string
