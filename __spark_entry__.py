@@ -617,6 +617,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_percentiles"] = _q_percentiles
 
+    def _q_paragraph_dedup(s: SparkSession, d: str) -> DataFrame:
+        # CCNet/RefinedWeb-style paragraph dedup: global first-occurrence
+        # over 10-token chunks (the separator-less corpus stand-in);
+        # per-doc survival counts
+        docs = _t(s, d, "documents")
+        pars = dedup.chunk_paragraphs(docs, "text", chunk=10)
+        kept = dedup.dedup_paragraphs(pars, hash_fn="md5")
+        n_all = pars.groupBy("doc_id").agg(F.count("*").alias("n_pars"))
+        n_kept = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+        return (n_all.join(n_kept, "doc_id", "left")
+                .select("doc_id", "n_pars",
+                        F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+    q["paragraph_dedup"] = _q_paragraph_dedup
+
+    def _q_decontaminate(s: SparkSession, d: str) -> DataFrame:
+        # GPT-3-style benchmark decontamination: corpus docs sharing any
+        # word 8-gram with the (synthetic) eval slice get flagged
+        docs = _t(s, d, "documents")
+        ev = docs.where(F.col("doc_id") % 97 == 0)
+        corpus = docs.where(F.col("doc_id") % 97 != 0)
+        return curation.decontaminate(corpus, ev, n=8)
+
+    q["decontaminate"] = _q_decontaminate
+
     def _q_rescore(s: SparkSession, d: str) -> DataFrame:
         # ES rescore: BM25 top-30 window re-scored by exact-phrase
         # proximity (window-relative phrase idf — see the operator doc)
@@ -1155,6 +1180,32 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('stream', 'merge'))"""
         where=("doc_id IN (SELECT doc_id FROM tok WHERE term = 'table') "
                "AND doc_id NOT IN (SELECT doc_id FROM documents "
                "WHERE lower(trim(lang)) = 'java')"))
+    o["paragraph_dedup"] = f"""
+WITH {_ARR},
+pars AS (SELECT doc_id, i - 1 AS par_idx,
+                array_to_string(ts[(i - 1) * 10 + 1 : i * 10], ' ') AS par
+         FROM arr, unnest(range(1, cast(ceil(len(ts) / 10.0) AS BIGINT) + 1)) AS t(i)
+         WHERE len(ts) > 0),
+kept AS (SELECT doc_id, par_idx FROM (
+           SELECT doc_id, par_idx,
+                  row_number() OVER (PARTITION BY par
+                                     ORDER BY doc_id, par_idx) AS rn
+           FROM pars) WHERE rn = 1)
+SELECT p.doc_id, count(*)::BIGINT AS n_pars, count(k.par_idx)::BIGINT AS n_kept
+FROM pars p LEFT JOIN kept k ON k.doc_id = p.doc_id AND k.par_idx = p.par_idx
+GROUP BY p.doc_id"""
+    o["decontaminate"] = f"""
+WITH {_ARR},
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 7], ' ') AS s
+       FROM arr, unnest(range(1, len(ts) - 6)) AS t(i) WHERE len(ts) >= 8),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+hits AS (SELECT d.doc_id, count(*)::BIGINT AS n_bad
+         FROM sh d JOIN ev USING (s) WHERE d.doc_id % 97 <> 0
+         GROUP BY d.doc_id)
+SELECT c.doc_id, coalesce(h.n_bad, 0)::BIGINT AS n_bad,
+       coalesce(h.n_bad, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+LEFT JOIN hits h ON h.doc_id = c.doc_id"""
     o["bm25_terms_filter"] = _bm25_sql(
         ["merge", "spark"],
         where=("doc_id IN (SELECT doc_id FROM tok "

@@ -23,7 +23,7 @@ import time
 import numpy as np
 from pyspark.sql import functions as F
 
-from maestro_spark.operators import dedup, similarity, textstats
+from maestro_spark.operators import curation, dedup, similarity, textstats
 from maestro_spark.operators.build import IndexConfig, build_index
 from maestro_spark.operators.search import IndexReader
 from maestro_spark.session import get_spark
@@ -293,6 +293,12 @@ def main() -> None:
           .agg(F.sum("n_urls")).collect())
     timed("repetition_ratio", lambda: textstats.repetition_features(documents)
           .agg(F.avg("distinct_ratio")).collect())
+    timed("paragraph_dedup", lambda: dedup.dedup_paragraphs(
+        dedup.chunk_paragraphs(documents, "text", chunk=10)).count())
+    timed("decontaminate", lambda: curation.decontaminate(
+        documents.where(F.col("doc_id") % 97 != 0),
+        documents.where(F.col("doc_id") % 97 == 0), n=8)
+        .agg(F.sum(F.col("contaminated").cast("long"))).collect())
 
     total = time.time() - t_all
     out = {

@@ -92,3 +92,37 @@ def column_quantiles(docs: DataFrame, value_col: str = "n_chars",
                              F.col("pos") + 1).alias("q"),
                 F.round("value", 6).alias("value"),
             ))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM appendix rule): flag
+    training docs sharing any word n-gram with the evaluation set.
+    Returns (id, n_bad, contaminated): n_bad = number of the doc's
+    DISTINCT n-grams that appear anywhere in the eval set.
+
+    100 TB shape: the eval side is dim-sized by definition — its distinct
+    shingle set BROADCASTS; the corpus side explodes to (id, shingle)
+    distinct (one partial-agg dedup) and the overlap check is a
+    broadcast semi-join, so nothing corpus-scale shuffles on the n-gram
+    key. If the eval set ever outgrows broadcast, drop the broadcast()
+    hint and the same plan becomes a shuffle join on the shingle hash."""
+    from maestro_spark.operators.dedup import shingle_col
+
+    ev = (eval_docs
+          .select(F.explode(shingle_col(F.col(eval_text_col), n))
+                  .alias("shingle"))
+          .distinct())
+    corp = (docs
+            .select(F.col(id_col),
+                    F.explode(shingle_col(F.col(text_col), n))
+                    .alias("shingle"))
+            .distinct())
+    hits = (corp.join(F.broadcast(ev), "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bad")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
+                    (F.coalesce("n_bad", F.lit(0)) > 0).alias("contaminated")))

@@ -416,3 +416,73 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.5,
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("component"))
     )
+
+
+# ------------------------------------------------ paragraph-level dedup
+
+def split_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     delim: str = r"\n{2,}") -> DataFrame:
+    """(id, par_idx, paragraph) by structural separator — the normal
+    paragraph source for web/text corpora. Empty segments are dropped;
+    par_idx is the 0-based ORIGINAL position (survives the filter), so
+    first-occurrence order is the document's real reading order."""
+    parts = F.posexplode(F.split(F.col(text_col), delim))
+    return (docs.select(F.col(id_col), parts)
+            .withColumnRenamed("pos", "par_idx")
+            .withColumnRenamed("col", "paragraph")
+            .where(F.trim("paragraph") != ""))
+
+
+def chunk_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", chunk: int = 10) -> DataFrame:
+    """(id, par_idx, paragraph) by chunking the simple-token stream into
+    fixed windows of `chunk` tokens — the paragraph stand-in for corpora
+    without structural separators. 1-based list ops mirror DuckDB so the
+    oracle expression is structurally identical."""
+    toks = simple_token_col(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * chunk + 1, chunk)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    parts = F.posexplode(chunks)
+    return (docs.select(F.col(id_col), parts)
+            .withColumnRenamed("pos", "par_idx")
+            .withColumnRenamed("col", "paragraph"))
+
+
+def dedup_paragraphs(pars: DataFrame, id_col: str = "doc_id",
+                     idx_col: str = "par_idx",
+                     par_col: str = "paragraph",
+                     hash_fn: str = "xxhash64") -> DataFrame:
+    """Global first-occurrence paragraph dedup (the CCNet/RefinedWeb
+    training-data step: repeated boilerplate survives exactly once,
+    corpus-wide): among rows with identical paragraph content, only the
+    earliest (id, idx) is kept. Returns the kept rows (same columns).
+
+    100 TB shape: ONE partial-agg min(struct(id, idx)) per content hash
+    (map-side combine — the shuffle carries one row per distinct
+    paragraph per task) + one hash-partitioned join back; no window over
+    the corpus, no driver-side state. Boilerplate paragraphs repeated
+    millions of times collapse map-side — the skew lands on the combiner,
+    not the shuffle. hash_fn: xxhash64 (production) or md5 (64 hex bits,
+    SQL-oracle-reproducible); the winner join re-checks nothing — a hash
+    collision would merge distinct paragraphs (md5/xxhash64 collision at
+    corpus scale: negligible / possible-but-rare; use md5 at 100 TB if
+    that risk matters)."""
+    h = (F.md5(F.col(par_col)) if hash_fn == "md5"
+         else F.xxhash64(F.col(par_col)))
+    keyed = pars.withColumn("_phash", h)
+    winners = (keyed.groupBy("_phash")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col(idx_col).alias("x"))).alias("w"))
+               .select("_phash", F.col("w.i").alias("_wi"),
+                       F.col("w.x").alias("_wx")))
+    kept = keyed.join(winners, "_phash").where(
+        (F.col(id_col) == F.col("_wi")) & (F.col(idx_col) == F.col("_wx")))
+    return kept.drop("_phash", "_wi", "_wx")

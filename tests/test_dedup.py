@@ -155,3 +155,61 @@ def test_near_dup_components_end_to_end(spark, documents):
     pairs = dedup.near_dup_pairs(documents, 0.5).select("id1", "id2").collect()
     for r in pairs:
         assert by_id[r["id1"]] == by_id[r["id2"]]
+
+
+# ------------------------------------------------ paragraph-level dedup
+
+def test_split_paragraphs_preserves_original_index(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb\n\n\n\ncc dd\n\n\n\nee"), (2, "")],
+        "doc_id long, text string")
+    got = dedup.split_paragraphs(df).orderBy("doc_id", "par_idx").collect()
+    assert [(r["doc_id"], r["par_idx"], r["paragraph"]) for r in got] == [
+        (1, 0, "aa bb"), (1, 1, "cc dd"), (1, 2, "ee")]
+
+
+def test_chunk_paragraphs_fixed_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string")
+    got = dedup.chunk_paragraphs(df, chunk=3).orderBy(
+        "doc_id", "par_idx").collect()
+    assert [(r["doc_id"], r["par_idx"], r["paragraph"]) for r in got] == [
+        (1, 0, "a b c"), (1, 1, "d e f"), (1, 2, "g"), (2, 0, "x y")]
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_dedup_paragraphs_first_occurrence(spark, hash_fn):
+    """Global first-occurrence wins under (doc_id, par_idx) order —
+    brute-forced in pandas over the same exploded frame."""
+    rows = [(1, "dup par\n\n\n\nunique one\n\n\n\ndup par"),
+            (2, "dup par\n\n\n\nanother text"),
+            (3, "another text\n\n\n\nlast bit")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pars = dedup.split_paragraphs(df)
+    got = (dedup.dedup_paragraphs(pars, hash_fn=hash_fn)
+           .orderBy("doc_id", "par_idx").toPandas())
+    pdf = pars.toPandas().sort_values(["doc_id", "par_idx"])
+    seen, keep = set(), []
+    for _, r in pdf.iterrows():
+        if r["paragraph"] not in seen:
+            seen.add(r["paragraph"])
+            keep.append((r["doc_id"], r["par_idx"], r["paragraph"]))
+    assert list(map(tuple, got[["doc_id", "par_idx", "paragraph"]]
+                    .itertuples(index=False))) == keep
+    # the duplicate mass is gone: every surviving paragraph is unique
+    assert got["paragraph"].is_unique
+
+
+def test_decontaminate_overlap(spark):
+    from maestro_spark.operators.curation import decontaminate
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h extra words here"),   # contains eval 8-gram
+         (2, "totally different content with no overlap at all okay")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bad"], r["contaminated"])
+           for r in decontaminate(corpus, ev, n=8).collect()}
+    assert got[1][0] >= 1 and got[1][1] is True
+    assert got[2] == (0, False)
