@@ -506,8 +506,9 @@ class IndexReader:
         excluded set.
 
         min_match: minimum_should_match for mode="or" — a doc must match
-        at least this many distinct query terms to qualify. min_match>1
-        disables score-based pruning (see score_shard_rows).
+        at least this many distinct query terms to qualify; the
+        qualifying set folds into `allowed`, so MaxScore pruning stays
+        exact (see score_shard_rows).
 
         require: optional filter-context must clause (the ES bool
         `filter` analogue): docs must contain ALL of its analyzed terms
@@ -2422,11 +2423,12 @@ def score_shard_rows(
     excluded docs simply never gain mass.
 
     min_match: minimum number of DISTINCT query terms a doc must match
-    to qualify (ES minimum_should_match). With min_match > 1 score-based
-    candidate pruning is disabled: theta derived from docs that later
-    fail the match floor could prune qualifying docs, so exactness
-    requires full accumulation (an msm-aware WAND bound is future work;
-    the cost is still bounded by the query's posting sizes).
+    to qualify (ES minimum_should_match). Pruning stays EXACT under
+    min_match: the qualifying doc set is computed FIRST from the terms'
+    doc-id arrays alone (one bincount over already-decoded postings —
+    decodes are memoized on cached rows and needed for scoring anyway)
+    and folded into `allowed`, so theta only ever forms over qualifying
+    docs and MaxScore skipping applies to the restricted accumulation.
 
     demoted: optional sorted LOCAL doc offsets whose contributions are
     scaled by demote_factor (0..1) AS THEY ACCUMULATE — the boosting-
@@ -2444,8 +2446,20 @@ def score_shard_rows(
                           shard, shard_size, index_dir, k, allowed,
                           excluded, demoted, demote_factor)
     if min_match > 1:
-        prune = False
-    counts = np.zeros(shard_size, dtype=np.int32) if min_match > 1 else None
+        if len(present) < min_match:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # qualifying set from doc ids alone, BEFORE scoring: distinct-term
+        # counts via one concat+unique over the (memoized) decoded arrays
+        cat = np.concatenate([_decode_full(rows[t]).doc_ids
+                              for t in present])
+        uniq, cnt = np.unique(cat, return_counts=True)
+        qualify = uniq[cnt >= min_match] - base
+        if qualify.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        allowed = qualify if allowed is None else allowed[
+            np.isin(allowed, qualify, assume_unique=True)]
+        if allowed.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
 
     # per-term upper bounds from block metadata (query-time avgdl)
     ubound = {}
@@ -2507,8 +2521,6 @@ def score_shard_rows(
             local, contrib = local[sel], contrib[sel]
         acc[local] += contrib
         touched[local] = True
-        if counts is not None:
-            counts[local] += 1
 
         if prune and candidates is None:
             nz = np.flatnonzero(touched)
@@ -2522,8 +2534,6 @@ def score_shard_rows(
                 break
 
     nz = candidates if candidates is not None else np.flatnonzero(touched)
-    if counts is not None and nz.size:
-        nz = nz[counts[nz] >= min_match]
     if nz.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     top, ts = _topk_ties(nz, acc[nz], k)

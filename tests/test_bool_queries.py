@@ -184,3 +184,16 @@ def test_msearch_exclude_min_match_parity(spark, reader):
             assert part["doc_id"].tolist() == want["doc_id"].tolist(), qid
             np.testing.assert_array_equal(part["score"].to_numpy(),
                                           want["score"].to_numpy())
+
+
+def test_min_match_prune_parity(reader):
+    """MaxScore pruning under min_match is exact: the qualifying set is
+    computed before scoring, so prune on == prune off."""
+    a = reader.search_local(Q, k=15, min_match=2, prune=True)
+    b = reader.search_local(Q, k=15, min_match=2, prune=False)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_min_match_above_present_terms_empty(reader):
+    assert len(reader.search_local(Q, k=10, min_match=99)) == 0
+    assert reader.count_local(Q, min_match=99) == 0
