@@ -96,7 +96,8 @@ def column_quantiles(docs: DataFrame, value_col: str = "n_chars",
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  eval_text_col: str = "text") -> DataFrame:
+                  eval_text_col: str = "text",
+                  hash_shingles: bool = True) -> DataFrame:
     """Benchmark decontamination (the GPT-3/PaLM appendix rule): flag
     training docs sharing any word n-gram with the evaluation set.
     Returns (id, n_bad, contaminated): n_bad = number of the doc's
@@ -107,18 +108,37 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     distinct (one partial-agg dedup) and the overlap check is a
     broadcast semi-join, so nothing corpus-scale shuffles on the n-gram
     key. If the eval set ever outgrows broadcast, drop the broadcast()
-    hint and the same plan becomes a shuffle join on the shingle hash."""
-    from maestro_spark.operators.dedup import shingle_col
+    hint and the same plan becomes a shuffle join on the shingle hash.
 
-    ev = (eval_docs
-          .select(F.explode(shingle_col(F.col(eval_text_col), n))
-                  .alias("shingle"))
-          .distinct())
-    corp = (docs
-            .select(F.col(id_col),
-                    F.explode(shingle_col(F.col(text_col), n))
-                    .alias("shingle"))
-            .distinct())
+    hash_shingles=True (default) hashes each n-gram WINDOW directly
+    (xxhash64 over the token-array slice — no n-gram string is ever
+    built, and the corpus-scale distinct/join moves 8-byte longs instead
+    of ~n-word strings). Tokens contain no separator characters, so
+    array-window distinctness ≡ joined-string distinctness. A 64-bit
+    collision would miscount one doc's n_bad (birthday odds ~1e-6 at
+    10^7 shingles; rerun with hash_shingles=False to verify a specific
+    hit)."""
+    from maestro_spark.operators.dedup import shingle_col
+    from maestro_spark.operators.textstats import simple_token_col
+
+    def keyed(frame, col, with_id):
+        if hash_shingles:
+            toks = simple_token_col(F.col(col))
+            arr = F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.xxhash64(F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        else:
+            arr = shingle_col(F.col(col), n)
+        sh = F.explode(arr).alias("shingle")
+        sel = [F.col(id_col), sh] if with_id else [sh]
+        return frame.select(*sel).distinct()
+
+    ev = keyed(eval_docs, eval_text_col, with_id=False)
+    corp = keyed(docs, text_col, with_id=True)
     hits = (corp.join(F.broadcast(ev), "shingle", "left_semi")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bad")))

@@ -125,3 +125,29 @@ def test_cardinality_sketch_plan(spark, idx):
     plan = _plan(reader.search_cardinality("index query", "repo",
                                            exact=False))
     assert "partial_approx_count_distinct" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast (dim-sized by definition) and
+    the per-doc overlap count must have a map-side partial phase; no
+    corpus-scale shuffle keyed on the n-gram string."""
+    from maestro_spark.operators.curation import decontaminate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    plan = _plan(decontaminate(corpus, ev, n=8))
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_partial_agg(spark):
+    """First-occurrence winner selection must be a partial-agg min — the
+    shuffle carries one row per distinct paragraph per task, never a
+    corpus-wide window sort."""
+    from maestro_spark.operators.dedup import (chunk_paragraphs,
+                                               dedup_paragraphs)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup_paragraphs(chunk_paragraphs(docs, "text")))
+    assert "partial_min" in plan
+    assert "Window" not in plan
