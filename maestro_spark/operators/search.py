@@ -939,6 +939,8 @@ class IndexReader:
                           boosts: dict[str, float] | None = None,
                           max_workers: int | None = None,
                           exclude: str | None = None,
+                          require: str | None = None,
+                          require_any: str | None = None,
                           min_match: int = 1) -> pd.DataFrame:
         """Serving-path msearch: ONE pruned posting fetch for the union of
         all queries' terms, then every (shard, query) scored from the
@@ -955,8 +957,10 @@ class IndexReader:
         if not plans:
             return empty
         ex_terms = self._exclusion_terms(exclude)
+        req_terms = self._exclusion_terms(require)
+        any_terms = self._exclusion_terms(require_any)
         all_terms = sorted({t for p in plans.values() for t in p.terms}
-                           | set(ex_terms))
+                           | set(ex_terms) | set(req_terms) | set(any_terms))
         by_shard = self._fetch_posting_rows(all_terms)
         if not by_shard:
             return empty
@@ -965,11 +969,14 @@ class IndexReader:
         def run(item):
             shard, rows = item
             excluded = _excluded_local(rows, ex_terms, shard * shard_size)
+            required = _filter_allowed(rows, req_terms, any_terms,
+                                       shard * shard_size)
             out = {}
             for qid, p in plans.items():
                 out[qid] = score_shard_rows(
                     rows, p.terms, p.idfs, p.fields, p.avgdl,
                     shard, shard_size, self.index_dir, k, mode, prune,
+                    allowed=required,
                     excluded=excluded, min_match=min_match)
             return out
 
@@ -1891,6 +1898,8 @@ class IndexReader:
                     mode: str = "or", prune: bool = True,
                     boosts: dict[str, float] | None = None,
                     exclude: str | None = None,
+                    require: str | None = None,
+                    require_any: str | None = None,
                     min_match: int = 1) -> DataFrame:
         """ES _msearch analogue: score N queries in ONE Spark job.
         Returns DataFrame(qid string, doc_id long, score double) — the
@@ -1910,8 +1919,10 @@ class IndexReader:
             return empty
         n_buckets = self.cfg["n_buckets"]
         ex_terms = self._exclusion_terms(exclude)
+        req_terms = self._exclusion_terms(require)
+        any_terms = self._exclusion_terms(require_any)
         all_terms = sorted({t for p in plans.values() for t in p.terms}
-                           | set(ex_terms))
+                           | set(ex_terms) | set(req_terms) | set(any_terms))
         buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
         rel = self._postings().where(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
@@ -1924,11 +1935,13 @@ class IndexReader:
             shard = int(key[0])
             rows = {r["term"]: r for r in pdf.to_dict("records")}
             excluded = _excluded_local(rows, ex_terms, shard * shard_size)
+            required = _filter_allowed(rows, req_terms, any_terms,
+                                       shard * shard_size)
             outs = []
             for qid, (terms, idfs, fields, avgdl) in payload.items():
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
-                    index_dir, k, mode, prune,
+                    index_dir, k, mode, prune, allowed=required,
                     excluded=excluded, min_match=min_match)
                 if doc_ids.size:
                     outs.append(pd.DataFrame(

@@ -374,3 +374,23 @@ def test_rescore_subset_of_window(reader):
     got = reader.rescore_phrase_local(RS_Q, window=25, k=25)
     window = set(_full(reader, RS_Q).head(25)["doc_id"])
     assert set(got["doc_id"]) <= window
+
+
+def test_msearch_require_parity(reader):
+    """msearch with bool filter clauses == per-query search with the
+    same clauses, bit-identically, on both engines."""
+    qs = {"a": Q, "b": "index merge"}
+    kw = dict(require="return", require_any="lambda defer", exclude="none")
+    many = reader.search_many_local(qs, k=8, **kw)
+    for qid, q in qs.items():
+        one = reader.search_local(q, k=8, **kw)
+        part = many[many["qid"] == qid].reset_index(drop=True)
+        assert part["doc_id"].tolist() == one["doc_id"].tolist()
+        np.testing.assert_array_equal(part["score"].to_numpy(),
+                                      one["score"].to_numpy())
+    spk = reader.search_many(qs, k=8, **kw).toPandas()
+    spk = spk.sort_values(["qid", "score", "doc_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    many_s = many.sort_values(["qid", "score", "doc_id"],
+                              ascending=[True, False, True]).reset_index(drop=True)
+    assert spk["doc_id"].tolist() == many_s["doc_id"].tolist()
