@@ -719,6 +719,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wildcard_term_lookup"] = _q_wildcard_terms
 
+    def _q_regex_terms(s: SparkSession, d: str) -> DataFrame:
+        # ES regexp-query term enumeration over the sorted dictionary
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.regex_terms("s(can|ort|mall)")
+
+    q["regex_term_lookup"] = _q_regex_terms
+
+    def _q_bm25_regex(s: SparkSession, d: str) -> DataFrame:
+        # regexp query inline: /s(can|ort|mall)/ expands to scan/sort/
+        # small, each scored with its own idf (rewrite=scoring_boolean)
+        return _search_df(s, d, "/s(can|ort|mall)/ table")
+
+    q["bm25_regex"] = _q_bm25_regex
+
     def _q_page2(s: SparkSession, d: str) -> DataFrame:
         # deterministic cursor pagination: page 1's last (rounded score,
         # doc_id) is the search_after cursor for page 2 — the ES
@@ -1265,6 +1279,12 @@ LIMIT 10"""
     o["bm25_page2"] = _bm25_sql(["spark", "stream"], k=10, offset=10)
     o["bm25_fuzzy"] = _bm25_sql(
         ["window"], term_pred="levenshtein(term, 'sort') <= 2")
+    o["bm25_regex"] = _bm25_sql(
+        ["table"], term_pred="regexp_full_match(term, 's(can|ort|mall)')")
+    o["regex_term_lookup"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE regexp_full_match(term, 's(can|ort|mall)') GROUP BY term"
+    )
     o["bm25_wildcard"] = _bm25_sql(["merge"], term_pred="term LIKE 's%'")
     # synonym expansion ≡ the explicit multi-term query
     o["bm25_synonyms"] = _bm25_sql(["merge", "query", "window"])

@@ -255,6 +255,11 @@ class IndexReader:
             if _WILDCARD_TOKEN_RE.match(p):
                 expansions.append(("wildcard", p, 0))
                 continue
+            if len(p) > 2 and p.startswith("/") and p.endswith("/"):
+                # ES regexp query: /st.*m/ — dictionary expansion like
+                # fuzzy/wildcard, rewrite=scoring_boolean
+                expansions.append(("regex", p[1:-1], 0))
+                continue
             plain_parts.append(part)
         raw_terms = analyze_query(" ".join(plain_parts),
                                   tokenizer=self.cfg.get("tokenizer", "code"))
@@ -421,6 +426,21 @@ class IndexReader:
                 else self._content_termdict()
             m = pdf["term"].str.fullmatch(_wildcard_regex(pattern))
             pdf = pdf[m]
+        elif kind == "regex":
+            try:
+                rx = re.compile(pattern)
+            except re.error as e:
+                raise ValueError(f"bad regex query {pattern!r}: {e}") from e
+            # literal-prefix range prune, invalidated by top-level
+            # alternation or a quantifier acting on the last literal char
+            lit = re.match(r"[a-z0-9]*", pattern).group(0)
+            if "|" in pattern:
+                lit = ""
+            elif len(lit) < len(pattern) and pattern[len(lit)] in "?*{":
+                lit = lit[:-1]
+            pdf = self._content_termdict(lit, lit + "￿") if lit \
+                else self._content_termdict()
+            pdf = pdf[[bool(rx.fullmatch(t)) for t in pdf["term"]]]
         else:
             pdf = self._content_termdict()
             lens = pdf["term"].str.len()
@@ -444,6 +464,19 @@ class IndexReader:
         enumeration). Driver-side sidecar scan, no posting payload read."""
         self._refresh_if_stale()
         rows = self._expand_pattern("fuzzy", term.lower(), max_edits,
+                                    max_expansions)
+        return self.spark.createDataFrame(
+            rows or [], schema="term string, df long")
+
+    def regex_terms(self, pattern: str,
+                    max_expansions: int = 50) -> DataFrame:
+        """Dictionary regexp lookup (ES regexp query term enumeration):
+        (term, df) for every content term FULLY matching the pattern.
+        Driver-side sidecar scan; a literal prefix prunes the sorted
+        dictionary's row-group range (production = RegExp → automaton
+        intersection with the FST, same contract)."""
+        self._refresh_if_stale()
+        rows = self._expand_pattern("regex", pattern.lower(), 0,
                                     max_expansions)
         return self.spark.createDataFrame(
             rows or [], schema="term string, df long")

@@ -125,3 +125,50 @@ def test_no_match_expansion_is_empty(spark, built):
     assert reader.wildcard_terms("zzz*zzz").count() == 0
     # a query made only of non-matching expansions returns no hits
     assert len(reader.search_local("zzzzzzzzz~1", k=5)) == 0
+
+
+# --------------------------------------------------------------- regexp
+
+import re as _re
+
+
+@pytest.mark.parametrize("pattern", [
+    "get[a-z]*",          # prefix-prunable
+    "us(er|age)[a-z0-9]*",  # alternation inside a group (prefix 'us' safe)
+    "cach?e",             # quantifier invalidates last literal char
+    "(merge|stream)",     # top-level alternation: full dictionary scan
+])
+def test_regex_terms_vs_bruteforce(spark, built, content_df, pattern):
+    reader = IndexReader(spark, built)
+    got = {r["term"]: r["df"]
+           for r in reader.regex_terms(pattern, 10 ** 6).collect()}
+    rx = _re.compile(pattern)
+    want = {t: df for t, df in content_df.items() if rx.fullmatch(t)}
+    assert got == want and got, pattern
+
+
+def test_regex_query_equals_explicit_expansion(spark, built):
+    reader = IndexReader(spark, built)
+    exp = reader.regex_terms("cach[a-z]*").toPandas()["term"].tolist()
+    assert len(exp) >= 1
+    got = reader.search_local("/cach[a-z]*/ merge", k=10)
+    want = reader.search_local(" ".join(sorted(exp)) + " merge", k=10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_regex_query_serving_matches_spark(spark, built):
+    reader = IndexReader(spark, built)
+    want = reader.search("/st.*m/ user", k=10, engine="spark").toPandas()
+    got = reader.search_local("/st.*m/ user", k=10)
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_regex_bad_pattern_raises(spark, built):
+    reader = IndexReader(spark, built)
+    with pytest.raises(ValueError):
+        reader.regex_terms("st[")
