@@ -733,6 +733,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_regex"] = _q_bm25_regex
 
+    def _q_query_plan(s: SparkSession, d: str) -> DataFrame:
+        # ES _validate?explain analogue: the planned terms with analyzed
+        # field, df, and idf — keyword + wildcard expansion included
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.explain_query("merge stream lang:es sc*")
+
+    q["query_plan"] = _q_query_plan
+
     def _q_page2(s: SparkSession, d: str) -> DataFrame:
         # deterministic cursor pagination: page 1's last (rounded score,
         # doc_id) is the search_after cursor for page 2 — the ES
@@ -1285,6 +1293,23 @@ LIMIT 10"""
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE regexp_full_match(term, 's(can|ort|mall)') GROUP BY term"
     )
+    o["query_plan"] = f"""
+WITH {_TOK},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n FROM dl),
+ct AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN ('merge', 'stream') OR term LIKE 'sc%' GROUP BY term),
+kn AS (SELECT count(*)::DOUBLE AS n FROM documents
+       WHERE lang IS NOT NULL AND trim(lang) <> ''),
+kd AS (SELECT count(*)::DOUBLE AS df FROM documents
+       WHERE lower(trim(lang)) = 'es')
+SELECT term, 'content' AS field, df::BIGINT AS df,
+       round(ln(1.0 + (st.n - df + 0.5) / (df + 0.5)), 6) AS idf
+FROM ct CROSS JOIN st
+UNION ALL
+SELECT 'lang:es' AS term, 'lang' AS field, kd.df::BIGINT AS df,
+       round(ln(1.0 + (kn.n - kd.df + 0.5) / (kd.df + 0.5)), 6) AS idf
+FROM kn CROSS JOIN kd WHERE kd.df > 0"""
     o["bm25_wildcard"] = _bm25_sql(["merge"], term_pred="term LIKE 's%'")
     # synonym expansion ≡ the explicit multi-term query
     o["bm25_synonyms"] = _bm25_sql(["merge", "query", "window"])

@@ -308,6 +308,21 @@ class IndexReader:
             {fields[t]: n_docs[t] for t in present},
         )
 
+    def explain_query(self, query: str,
+                      boosts: dict[str, float] | None = None,
+                      synonyms: dict[str, tuple] | None = None) -> DataFrame:
+        """Query-plan introspection (the ES _validate?explain analogue):
+        one row per planned term — (term, field, df, idf) after analysis,
+        fuzzy/wildcard/regex expansion, synonym expansion, and BM25F
+        boost folding, in canonical scoring order. Pure plan-time data:
+        termdict sidecar lookups only, no posting bytes, no Spark job
+        beyond createDataFrame."""
+        plan = self.plan(query, boosts=boosts, synonyms=synonyms)
+        rows = [(t, plan.fields[t], int(plan.dfs[t]),
+                 round(float(plan.idfs[t]), 6)) for t in plan.terms]
+        return self.spark.createDataFrame(
+            rows or [], schema="term string, field string, df long, idf double")
+
     def _postings(self) -> DataFrame:
         # cached per reader: re-creating the relation per query re-lists
         # the partition tree (O(shards × buckets) file-system calls) before

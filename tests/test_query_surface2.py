@@ -394,3 +394,16 @@ def test_msearch_require_parity(reader):
     many_s = many.sort_values(["qid", "score", "doc_id"],
                               ascending=[True, False, True]).reset_index(drop=True)
     assert spk["doc_id"].tolist() == many_s["doc_id"].tolist()
+
+
+def test_explain_query_plan(reader):
+    """_validate?explain analogue: canonical order (idf desc, term asc),
+    df/idf consistent with the scorer's plan, boosts folded."""
+    df = reader.explain_query(Q).toPandas()
+    plan = reader.plan(Q)
+    assert df["term"].tolist() == plan.terms
+    assert (df["idf"].to_numpy()[:-1] >= df["idf"].to_numpy()[1:] - 1e-9).all()
+    boosted = reader.explain_query(Q, boosts={"content": 2.0}).toPandas()
+    m = df.merge(boosted, on="term", suffixes=("", "_b"))
+    # both sides are rounded to 6 decimals before the compare
+    np.testing.assert_allclose(m["idf_b"], 2.0 * m["idf"], atol=3e-6)
