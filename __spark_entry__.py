@@ -137,7 +137,8 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
               term_pred: str | None = None,
               fscore: str | None = None,
               combine: str | None = None,
-              collapse: str | None = None) -> str:
+              collapse: str | None = None,
+              top_hits: tuple | None = None) -> str:
     """Brute-force BM25 oracle (k1=1.2, b=0.75 — Lucene formula) over the
     simple-tokenized content field plus keyword-field contributions
     (tf=1, dl=1, avgdl=1 → tfnorm = 1/(1+k1)). kw entries are
@@ -211,6 +212,23 @@ def _bm25_sql(content_terms: list[str], kw: list[tuple] = (),
         f"{score_expr} AS score FROM {final_from})"
     )
     flt = f"WHERE {where} " if where else ""
+    if top_hits:
+        col, per_group, k_groups = top_hits
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f""",
+ranked AS (SELECT d.{col} AS group_value, allsc.doc_id AS doc_id,
+                  round(score, 6) AS score,
+                  row_number() OVER (PARTITION BY d.{col}
+                                     ORDER BY round(score, 6) DESC,
+                                              allsc.doc_id) AS grp_rank
+           FROM allsc JOIN documents d ON allsc.doc_id = d.doc_id),
+best AS (SELECT group_value FROM ranked WHERE grp_rank = 1
+         ORDER BY score DESC, doc_id LIMIT {k_groups})
+SELECT r.group_value, r.grp_rank, r.doc_id, r.score
+FROM ranked r JOIN best b ON b.group_value = r.group_value
+WHERE r.grp_rank <= {per_group}"""
+        )
     if collapse:
         return (
             "WITH " + ",\n".join(ctes)
@@ -741,6 +759,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["query_plan"] = _q_query_plan
 
+    def _q_top_hits(s: SparkSession, d: str) -> DataFrame:
+        # ES terms-agg + top_hits: best-5 repos by their best hit, with
+        # each repo's top-2 hits
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_top_hits("spark query merge", "repo",
+                                      per_group=2, k_groups=5,
+                                      score_round=6)
+
+    q["bm25_top_hits"] = _q_top_hits
+
     def _q_page2(s: SparkSession, d: str) -> DataFrame:
         # deterministic cursor pagination: page 1's last (rounded score,
         # doc_id) is the search_after cursor for page 2 — the ES
@@ -1168,6 +1196,8 @@ LIMIT 10"""
     o["bm25_field_lang"] = _bm25_sql(["spark", "stream"], [("lang", "es")])
     o["bm25_collapse"] = _bm25_sql(["merge", "query", "spark"],
                                    collapse="source")
+    o["bm25_top_hits"] = _bm25_sql(["merge", "query", "spark"],
+                                   top_hits=("source", 2, 5))
     o["bm25_boosting"] = _bm25_sql(
         ["merge", "query", "spark"],
         fscore=("CASE WHEN allsc.doc_id IN (SELECT doc_id FROM tok "

@@ -1391,6 +1391,54 @@ class IndexReader:
         return (best.orderBy(F.desc("score"), F.asc("doc_id"),
                              F.asc("collapse_value")).limit(k))
 
+    def search_top_hits(self, query: str, group_col, per_group: int = 3,
+                        k_groups: int = 10, mode: str = "or",
+                        boosts: dict[str, float] | None = None,
+                        exclude: str | None = None,
+                        min_match: int = 1,
+                        score_round: int | None = None) -> DataFrame:
+        """top_hits aggregation (the ES terms-agg + top_hits analogue):
+        the best `k_groups` buckets of a docstore expression — ranked by
+        each bucket's best hit under (score desc, doc_id asc) — with each
+        bucket's top `per_group` hits. Returns DataFrame(group_value,
+        grp_rank, doc_id, score) ordered (bucket best desc, group asc,
+        grp_rank asc).
+
+        Scale shape: the full scored match set joins the column-pruned
+        docstore; the per-bucket rank is ONE window partitioned by the
+        bucket value (the shuffle is keyed by bucket — a pathological
+        mega-bucket would sort only its own partition slice; a per-bucket
+        bounded heap via applyInPandas is the swap-in if per_group ≪
+        bucket size at extreme skew). Bucket selection reuses the rn=1
+        rows — no second scan. collapse (per_group=1 without grp_rank) is
+        the cheaper partial-agg special case: prefer search_collapse when
+        you only need one hit per bucket."""
+        from pyspark.sql import Window
+        if isinstance(group_col, str):
+            group_col = F.col(group_col)
+        scored = self.scored_matches(query, mode, boosts=boosts,
+                                     exclude=exclude, min_match=min_match)
+        if score_round is not None:
+            scored = scored.withColumn("score", F.round("score", score_round))
+        docs = self._docs().select("shard", "doc_id",
+                                   group_col.alias("group_value"))
+        joined = scored.join(docs, ["shard", "doc_id"], "inner")
+        w = Window.partitionBy("group_value").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        ranked = (joined.withColumn("grp_rank", F.row_number().over(w))
+                  .where(F.col("grp_rank") <= per_group)
+                  .select("group_value", "grp_rank", "doc_id", "score"))
+        best = (ranked.where(F.col("grp_rank") == 1)
+                .select(F.col("group_value"),
+                        F.col("score").alias("best_score"),
+                        F.col("doc_id").alias("best_id"))
+                .orderBy(F.desc("best_score"), F.asc("best_id"))
+                .limit(k_groups))
+        return (ranked.join(F.broadcast(best), "group_value")
+                .orderBy(F.desc("best_score"), F.asc("group_value"),
+                         F.asc("grp_rank"))
+                .select("group_value", "grp_rank", "doc_id", "score"))
+
     def scored_matches(self, query: str, mode: str = "or",
                        boosts: dict[str, float] | None = None,
                        exclude: str | None = None,

@@ -407,3 +407,38 @@ def test_explain_query_plan(reader):
     m = df.merge(boosted, on="term", suffixes=("", "_b"))
     # both sides are rounded to 6 decimals before the compare
     np.testing.assert_allclose(m["idf_b"], 2.0 * m["idf"], atol=3e-6)
+
+
+def test_top_hits_exact(reader, docstore):
+    """top_hits == pandas groupby over the full ranking: top-3 hits of
+    the best-5 repos, ranked by each repo's best hit."""
+    full = _full(reader, Q, prune=False)
+    m = full.merge(docstore[["doc_id", "repo"]], on="doc_id")
+    m = m.sort_values(["score", "doc_id"], ascending=[False, True],
+                      kind="mergesort")
+    m["grp_rank"] = m.groupby("repo").cumcount() + 1
+    best = (m[m["grp_rank"] == 1]
+            .sort_values(["score", "doc_id"], ascending=[False, True],
+                         kind="mergesort").head(5))
+    keep = m[(m["repo"].isin(set(best["repo"]))) & (m["grp_rank"] <= 3)]
+    order = {g: i for i, g in enumerate(best["repo"])}
+    keep = keep.assign(_o=keep["repo"].map(order)).sort_values(
+        ["_o", "grp_rank"], kind="mergesort")
+    want = keep[["repo", "grp_rank", "doc_id", "score"]].reset_index(drop=True)
+    got = reader.search_top_hits(Q, "repo", per_group=3,
+                                 k_groups=5).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["group_value"].tolist() == want["repo"].tolist()
+    assert got["grp_rank"].tolist() == want["grp_rank"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_top_hits_collapse_consistency(reader):
+    """per_group=1 top_hits == search_collapse (same bucket bests)."""
+    th = reader.search_top_hits(Q, "lang", per_group=1,
+                                k_groups=10).toPandas()
+    cl = reader.search_collapse(Q, "lang", k=10).toPandas()
+    assert th["doc_id"].tolist() == cl["doc_id"].tolist()
+    np.testing.assert_array_equal(th["score"].to_numpy(),
+                                  cl["score"].to_numpy())
