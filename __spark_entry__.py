@@ -866,6 +866,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_sorted"] = _q_sorted
 
+    def _q_sorted_page2(s: SparkSession, d: str) -> DataFrame:
+        # sort + search_after: page 2 via page 1's (sort_value, doc_id)
+        # cursor — exact at any depth, same cost per page
+        reader = IndexReader(s, _ensure_index(s, d))
+        p1 = reader.search_sorted("spark stream", F.length("content"),
+                                  ascending=False, k=15).collect()
+        cur = (p1[-1]["sort_value"], int(p1[-1]["doc_id"]))
+        raw = reader.search_sorted("spark stream", F.length("content"),
+                                   ascending=False, k=15, after=cur)
+        return raw.select("doc_id", F.col("sort_value").cast("long")
+                          .alias("sort_value"))
+
+    q["bm25_sorted_page2"] = _q_sorted_page2
+
     def _q_suggest(s: SparkSession, d: str) -> DataFrame:
         # ES term-suggester (suggest_mode=missing): corrections only for
         # tokens absent from the dictionary ('merge' is present -> none)
@@ -1402,6 +1416,12 @@ SELECT doc_id, length(text) AS sort_value FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ('spark', 'stream'))
 ORDER BY length(text) DESC, doc_id LIMIT 15"""
+    o["bm25_sorted_page2"] = f"""
+WITH {_TOK}
+SELECT doc_id, length(text) AS sort_value FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ('spark', 'stream'))
+ORDER BY length(text) DESC, doc_id LIMIT 15 OFFSET 15"""
     o["term_suggest"] = f"""
 WITH {_TOK},
 d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),

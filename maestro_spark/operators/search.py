@@ -1304,10 +1304,19 @@ class IndexReader:
     def search_sorted(self, query: str, sort_col, ascending: bool = True,
                       k: int = 10, mode: str = "or",
                       exclude: str | None = None,
-                      min_match: int = 1) -> DataFrame:
+                      min_match: int = 1,
+                      after: tuple | None = None) -> DataFrame:
         """Field-sorted top-k — the ES `sort` clause analogue (rank by a
         stored field instead of _score): the k lowest/highest docs of the
         FULL match set by a docstore expression, ties broken doc_id asc.
+
+        after: optional (sort_value, doc_id) cursor — the ES sort +
+        search_after combination: returns the top-k strictly AFTER the
+        cursor in the (sort_value, doc_id) total order, so pagination is
+        exact at any depth with no from+size blowup. The cursor predicate
+        is a plain filter on the joined frame — it pushes into the same
+        TakeOrderedAndProject plan, and every page costs the same one
+        match + join.
 
         Plan shape at scale: match_docs stays on executors, joins the
         column-pruned docstore on (shard, doc_id), and the global
@@ -1320,6 +1329,13 @@ class IndexReader:
         docs = self._docs().select("shard", "doc_id",
                                    sort_col.alias("sort_value"))
         joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        if after is not None:
+            a_val, a_id = after
+            beyond = (F.col("sort_value") > F.lit(a_val) if ascending
+                      else F.col("sort_value") < F.lit(a_val))
+            joined = joined.where(
+                beyond | ((F.col("sort_value") == F.lit(a_val))
+                          & (F.col("doc_id") > F.lit(int(a_id)))))
         order = F.asc("sort_value") if ascending else F.desc("sort_value")
         return (joined.select("doc_id", "sort_value")
                 .orderBy(order, F.asc("doc_id")).limit(k))

@@ -442,3 +442,23 @@ def test_top_hits_collapse_consistency(reader):
     assert th["doc_id"].tolist() == cl["doc_id"].tolist()
     np.testing.assert_array_equal(th["score"].to_numpy(),
                                   cl["score"].to_numpy())
+
+
+def test_sorted_pagination_tiles(reader):
+    """sort + search_after pages are disjoint, ordered, and concatenate
+    to the deep sorted top-k (both directions)."""
+    for asc in (True, False):
+        deep = reader.search_sorted(Q, F.length("content"), ascending=asc,
+                                    k=30).toPandas()
+        pages, after = [], None
+        for _ in range(3):
+            p = reader.search_sorted(Q, F.length("content"), ascending=asc,
+                                     k=10, after=after).toPandas()
+            if not len(p):
+                break
+            pages.append(p)
+            after = (p["sort_value"].iloc[-1], int(p["doc_id"].iloc[-1]))
+        got = pd.concat(pages, ignore_index=True)
+        assert got["doc_id"].tolist() == deep["doc_id"].tolist(), asc
+        np.testing.assert_array_equal(got["sort_value"].to_numpy(),
+                                      deep["sort_value"].to_numpy())
