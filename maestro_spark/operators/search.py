@@ -2810,6 +2810,8 @@ def search_federated_local(readers: dict[str, IndexReader], query: str,
                            k: int = 10, mode: str = "or",
                            boosts: dict[str, float] | None = None,
                            exclude: str | None = None,
+                           require: str | None = None,
+                           require_any: str | None = None,
                            min_match: int = 1) -> pd.DataFrame:
     """Cross-index search — the Maestro/ES pattern of one request spanning
     the file-centric AND analysis-centric indices (DefaultIndexer
@@ -2827,6 +2829,7 @@ def search_federated_local(readers: dict[str, IndexReader], query: str,
     for name in sorted(readers):
         hits = readers[name].search_local(
             query, k, mode, boosts=boosts, exclude=exclude,
+            require=require, require_any=require_any,
             min_match=min_match)
         if len(hits):
             hits.insert(0, "index", name)
@@ -2844,9 +2847,13 @@ def search_federated_local(readers: dict[str, IndexReader], query: str,
 
 def count_federated_local(readers: dict[str, IndexReader], query: str,
                           mode: str = "or", exclude: str | None = None,
+                          require: str | None = None,
+                          require_any: str | None = None,
                           min_match: int = 1) -> dict[str, int]:
     """Per-index total hits for one query (the ES _count over a
     multi-index alias); the grand total is sum(values)."""
     return {name: readers[name].count_local(query, mode, exclude=exclude,
+                                            require=require,
+                                            require_any=require_any,
                                             min_match=min_match)
             for name in sorted(readers)}
