@@ -769,6 +769,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_top_hits"] = _q_top_hits
 
+    def _q_filters(s: SparkSession, d: str) -> DataFrame:
+        # ES filters agg: N named filters counted from one posting fetch
+        reader = IndexReader(s, _ensure_index(s, d))
+        counts = reader.count_many_local({"spark_merge": "spark merge",
+                                          "dup": "dup",
+                                          "es_lang": "lang:es"})
+        return s.createDataFrame(sorted(counts.items()), "name string, n long")
+
+    q["filters_counts"] = _q_filters
+
     def _q_page2(s: SparkSession, d: str) -> DataFrame:
         # deterministic cursor pagination: page 1's last (rounded score,
         # doc_id) is the search_after cursor for page 2 — the ES
@@ -1212,6 +1222,16 @@ LIMIT 10"""
                                    collapse="source")
     o["bm25_top_hits"] = _bm25_sql(["merge", "query", "spark"],
                                    top_hits=("source", 2, 5))
+    o["filters_counts"] = f"""
+WITH {_TOK}
+SELECT 'spark_merge' AS name, count(DISTINCT doc_id)::BIGINT AS n
+FROM tok WHERE term IN ('spark', 'merge')
+UNION ALL
+SELECT 'dup' AS name, count(DISTINCT doc_id)::BIGINT AS n
+FROM tok WHERE term = 'dup'
+UNION ALL
+SELECT 'es_lang' AS name, count(*)::BIGINT AS n
+FROM documents WHERE lower(trim(lang)) = 'es'"""
     o["bm25_boosting"] = _bm25_sql(
         ["merge", "query", "spark"],
         fscore=("CASE WHEN allsc.doc_id IN (SELECT doc_id FROM tok "

@@ -1093,6 +1093,61 @@ class IndexReader:
             total += int(ids.size)
         return total
 
+    def count_many_local(self, queries: dict[str, str], mode: str = "or",
+                         exclude: str | None = None,
+                         require: str | None = None,
+                         require_any: str | None = None,
+                         min_match: int = 1) -> dict[str, int]:
+        """Batched total-hits counts (the ES `filters` aggregation / a
+        _msearch of _counts): N named queries counted from ONE pruned
+        posting fetch over the union of their terms — same set algebra
+        as count_local per query, same bool clauses applied to each.
+        Returns {name: count}."""
+        plans = {qid: self.plan(q) for qid, q in queries.items()}
+        ex_terms = self._exclusion_terms(exclude)
+        req_terms = self._exclusion_terms(require)
+        any_terms = self._exclusion_terms(require_any)
+        all_terms = sorted({t for p in plans.values() for t in p.terms}
+                           | set(ex_terms) | set(req_terms) | set(any_terms))
+        out = {qid: 0 for qid in queries}
+        if not all_terms:
+            return out
+        by_shard = self._fetch_posting_rows(all_terms)
+        for shard, rows in sorted(by_shard.items()):
+            req = _filter_allowed(rows, req_terms, any_terms, 0)
+            ex = _excluded_local(rows, ex_terms, 0)
+            for qid, plan in plans.items():
+                present = [t for t in plan.terms if t in rows]
+                if not present:
+                    continue
+                if mode == "and":
+                    if len(present) < len(plan.terms):
+                        continue
+                    ids: np.ndarray | None = None
+                    for t in sorted(present, key=lambda t: rows[t]["df"]):
+                        d = _decode_full(rows[t]).doc_ids
+                        ids = d if ids is None else ids[np.isin(
+                            ids, d, assume_unique=True)]
+                        if ids.size == 0:
+                            break
+                else:
+                    parts = [_decode_full(rows[t]).doc_ids for t in present]
+                    if min_match > 1:
+                        cat = np.concatenate(parts)
+                        uniq, cnt = np.unique(cat, return_counts=True)
+                        ids = uniq[cnt >= min_match]
+                    else:
+                        ids = np.unique(np.concatenate(parts))
+                if ids is None or ids.size == 0:
+                    continue
+                if req is not None:
+                    ids = ids[np.isin(ids, req, assume_unique=True)]
+                if ex is not None and ex.size:
+                    ids = ids[np.isin(ids, ex, assume_unique=True,
+                                      invert=True)]
+                out[qid] += int(ids.size)
+        return out
+
     def search_after_local(self, query: str, k: int = 10,
                            after: tuple[float, int] | None = None,
                            mode: str = "or",

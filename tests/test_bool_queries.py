@@ -197,3 +197,16 @@ def test_min_match_prune_parity(reader):
 def test_min_match_above_present_terms_empty(reader):
     assert len(reader.search_local(Q, k=10, min_match=99)) == 0
     assert reader.count_local(Q, min_match=99) == 0
+
+
+def test_count_many_equals_individual_counts(reader):
+    """filters agg: batched counts == per-query count_local, with and
+    without bool clauses."""
+    qs = {"a": Q, "b": "query merge", "c": "zzznothing"}
+    got = reader.count_many_local(qs)
+    for qid, q in qs.items():
+        assert got[qid] == reader.count_local(q), qid
+    kw = dict(exclude=EX, require="import", min_match=1)
+    got2 = reader.count_many_local(qs, **kw)
+    for qid, q in qs.items():
+        assert got2[qid] == reader.count_local(q, **kw), qid
