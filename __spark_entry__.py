@@ -779,6 +779,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filters_counts"] = _q_filters
 
+    def _q_range_filter(s: SparkSession, d: str) -> DataFrame:
+        # ES range filter context on the SERVING path: doc-values scan
+        # (pyarrow, row-group-pruned) -> within_ids into the scorer
+        reader = IndexReader(s, _ensure_index(s, d))
+        ids = reader.doc_value_ids("doc_id", ge=100, le=300)
+        pdf = reader.search_local("spark merge", k=40, within_ids=ids)
+        pdf = pdf.assign(score=pdf["score"].round(6)).sort_values(
+            ["score", "doc_id"], ascending=[False, True],
+            kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["bm25_range_filter"] = _q_range_filter
+
     def _q_page2(s: SparkSession, d: str) -> DataFrame:
         # deterministic cursor pagination: page 1's last (rounded score,
         # doc_id) is the search_after cursor for page 2 — the ES
@@ -1222,6 +1235,8 @@ LIMIT 10"""
                                    collapse="source")
     o["bm25_top_hits"] = _bm25_sql(["merge", "query", "spark"],
                                    top_hits=("source", 2, 5))
+    o["bm25_range_filter"] = _bm25_sql(
+        ["merge", "spark"], where="doc_id BETWEEN 100 AND 300")
     o["filters_counts"] = f"""
 WITH {_TOK}
 SELECT 'spark_merge' AS name, count(DISTINCT doc_id)::BIGINT AS n

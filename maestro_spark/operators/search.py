@@ -935,7 +935,8 @@ class IndexReader:
                      require: str | None = None,
                      require_any: str | None = None,
                      min_match: int = 1,
-                     synonyms: dict[str, tuple] | None = None) -> pd.DataFrame:
+                     synonyms: dict[str, tuple] | None = None,
+                     within_ids: np.ndarray | None = None) -> pd.DataFrame:
         """Serving-path top-k: the ES query-node analogue — plan from the
         termdict sidecar, pyarrow row-group-pruned posting reads, the SAME
         score_shard_rows scorer per shard (float64 bit-identical to
@@ -970,6 +971,13 @@ class IndexReader:
                                               shard * shard_size)
             required = _filter_allowed(rows, req_terms, any_terms,
                                        shard * shard_size)
+            if within_ids is not None:
+                base = shard * shard_size
+                lo = np.searchsorted(within_ids, base)
+                hi = np.searchsorted(within_ids, base + shard_size)
+                w = within_ids[lo:hi] - base
+                required = w if required is None else required[
+                    np.isin(required, w, assume_unique=True)]
             return score_shard_rows(
                 rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
                 shard, shard_size, self.index_dir, k, mode, prune,
@@ -1092,6 +1100,33 @@ class IndexReader:
                 ids = ids[np.isin(ids, ex, assume_unique=True, invert=True)]
             total += int(ids.size)
         return total
+
+    def doc_value_ids(self, col: str, ge=None, le=None, eq=None
+                      ) -> np.ndarray:
+        """Serving-path doc-values filter (the ES range / term filter
+        context evaluated WITHOUT postings): sorted doc_ids whose stored
+        column satisfies ge/le/eq, read via a pyarrow columnar scan of
+        (doc_id, col) with the predicate pushed to parquet row-group
+        stats. Cost ∝ that column's bytes across the corpus — the ES
+        doc-values/BKD model; feed the result to search_local(
+        within_ids=...). At true corpus scale a selective filter belongs
+        on the Spark path (search(doc_filter=...) cogroups the allowed
+        set into the scorer without materializing ids driver-side)."""
+        if ge is None and le is None and eq is None:
+            raise ValueError("doc_value_ids needs ge/le/eq")
+        self._refresh_if_stale()
+        if self._docs_ds is None:
+            self._docs_ds = pads.dataset(
+                os.path.join(self.index_dir, "docs"),
+                format="parquet", partitioning="hive")
+        f = None
+        for pred in ([] if ge is None else [pads.field(col) >= ge]) + \
+                ([] if le is None else [pads.field(col) <= le]) + \
+                ([] if eq is None else [pads.field(col) == eq]):
+            f = pred if f is None else f & pred
+        tbl = self._docs_ds.to_table(columns=["doc_id"], filter=f)
+        return np.sort(tbl.column("doc_id").to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
 
     def count_many_local(self, queries: dict[str, str], mode: str = "or",
                          exclude: str | None = None,

@@ -462,3 +462,29 @@ def test_sorted_pagination_tiles(reader):
         assert got["doc_id"].tolist() == deep["doc_id"].tolist(), asc
         np.testing.assert_array_equal(got["sort_value"].to_numpy(),
                                       deep["sort_value"].to_numpy())
+
+
+def test_doc_values_range_filter(reader, spark):
+    """Serving-path range filter: within_ids == post-filter of the full
+    ranking; parity with the Spark doc_filter path."""
+    ids = reader.doc_value_ids("doc_id", ge=50, le=250)
+    assert (ids >= 50).all() and (ids <= 250).all() and len(ids) == 201
+    got = reader.search_local(Q, k=20, within_ids=ids)
+    base = _full(reader, Q)
+    want = base[(base["doc_id"] >= 50) & (base["doc_id"] <= 250)] \
+        .head(20).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    spk = reader.search(Q, k=20,
+                        doc_filter=(F.col("doc_id") >= 50)
+                        & (F.col("doc_id") <= 250)).toPandas()
+    assert spk["doc_id"].tolist() == got["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  got["score"].to_numpy())
+
+
+def test_doc_values_eq_filter(reader, docstore):
+    ids = reader.doc_value_ids("lang", eq="java")
+    want = sorted(docstore[docstore["lang"] == "java"]["doc_id"])
+    assert ids.tolist() == want
+    with pytest.raises(ValueError):
+        reader.doc_value_ids("lang")
