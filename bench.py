@@ -228,6 +228,18 @@ def main() -> None:
         reader.search_percentiles("index query merge", F.length("content"),
                                   (0.5, 0.95), exact=False).collect()
         timings["percentiles_tdigest"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_top_hits("index query merge", "repo",
+                               per_group=2, k_groups=5).collect()
+        timings["top_hits"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.count_many_local({"a": "index query", "b": "merge",
+                                 "c": "return"})
+        timings["filters_counts_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        ids = reader.doc_value_ids("doc_id", ge=0, le=5000)
+        reader.search_local("index query merge", k=10, within_ids=ids)
+        timings["range_filter_local"] = round(time.time() - t0, 4)
 
         # full-match-set rescoring + corpus-contrast agg (round-2 adds)
         t0 = time.time()
