@@ -107,6 +107,37 @@ def code_tokens(texts: pd.Series) -> pd.Series:
     return pd.Series(out_lists, index=texts.index)
 
 
+def subtoken_streams(texts: pd.Series) -> pd.Series:
+    """Pure subtoken stream per text for the code tokenizer, where the
+    LIST INDEX equals the index position: subtokens occupy consecutive
+    positions; whole-identifier tokens are OMITTED because in the index
+    position stream they share their first subtoken's position and never
+    consume a slot (_flat_code_tokens docstring). Positional (phrase/
+    span) matching over stored content must run on THIS stream —
+    code_tokens() interleaves whole forms into the list, shifting every
+    position after a compound identifier and breaking spans that cross
+    its boundary (e.g. 'getUserRequest foo': phrase 'request foo' is
+    adjacent at index positions 2,3 but code_tokens yields
+    [get,user,request,getuserrequest,foo], span 2→4). Returns a Series
+    of lists; dl for BM25 normalization still comes from the full token
+    multiset (code_tokens / index doclens), which includes whole forms."""
+    texts = texts.fillna("")
+    idents = texts.str.findall(IDENT_RE)
+    counts = idents.str.len().to_numpy(dtype=np.int64)
+    flat = pd.Series([t for lst in idents for t in lst], dtype="object")
+    if flat.empty:
+        return pd.Series([[] for _ in range(len(texts))], index=texts.index)
+    subs = flat.str.findall(SUBTOKEN_RE)
+    per_row = np.split(np.arange(len(flat)), np.cumsum(counts)[:-1])
+    out_lists: list[list[str]] = []
+    for row_ids in per_row:
+        toks: list[str] = []
+        for i in row_ids:
+            toks.extend(t.lower() for t in subs.iat[i])
+        out_lists.append(toks)
+    return pd.Series(out_lists, index=texts.index)
+
+
 def _flat_code_tokens(texts: pd.Series
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(row_pos, token, occ) flat arrays for the code tokenizer — the zero-

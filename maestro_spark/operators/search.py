@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from maestro_spark.functions import bm25
 from maestro_spark.functions.codec import decode_positions, decode_postings
 from maestro_spark.functions.tokenize import (analyze_query, code_tokens,
-                                              phrase_terms, simple_tokens)
+                                              phrase_terms, simple_tokens,
+                                              subtoken_streams)
 from maestro_spark.operators.build import _term_bucket
 from maestro_spark.sources.tableio import read_manifest, resolve_alias
 
@@ -83,6 +84,26 @@ def _wildcard_regex(pattern: str) -> str:
         ".*" if c == "*" else "." if c == "?" else re.escape(c)
         for c in pattern
     )
+
+
+def _casefold_regex(pattern: str) -> str:
+    """Case-fold a regex pattern's LITERAL characters only. A blanket
+    .lower() silently inverts uppercase escape classes (\\S→\\s, \\W→\\w,
+    \\D→\\d, \\B→\\b), changing match semantics instead of folding case —
+    so backslash escapes pass through untouched and everything else
+    lowercases (terms in the dictionary are already lowercase, so folding
+    literals preserves intent)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i:i + 2])
+            i += 2
+        else:
+            out.append(c.lower())
+            i += 1
+    return "".join(out)
 
 
 @contextmanager
@@ -136,13 +157,22 @@ def parse_query_string(qs: str) -> dict[str, str]:
             continue
         if tok[0] in "+-":
             body = tok[1:]
-            if any(c in body for c in "*?~"):
+            if (any(c in body for c in "*?~")
+                    or (len(body) > 2 and body.startswith("/")
+                        and body.endswith("/"))):
                 raise ValueError(
-                    f"{tok!r}: fuzzy/wildcard tokens are should-only — "
-                    "must/must_not need a literal posting set")
+                    f"{tok!r}: fuzzy/wildcard/regex tokens are should-only "
+                    "— must/must_not need a literal posting set")
             (must if tok[0] == "+" else must_not).append(body)
         else:
             should.append(tok)
+    if must_not and not should and not must:
+        # a pure-negative query has no scoring clause: ES's query_string
+        # resolves it against match_all; our search(query=...) would
+        # silently return empty instead of the complement, so reject.
+        raise ValueError(
+            "query_string with only must_not clauses has no scoring "
+            "clause; add at least one should/must term")
     return {"query": " ".join(should + must),
             "require": " ".join(must),
             "exclude": " ".join(must_not)}
@@ -257,8 +287,10 @@ class IndexReader:
                 continue
             if len(p) > 2 and p.startswith("/") and p.endswith("/"):
                 # ES regexp query: /st.*m/ — dictionary expansion like
-                # fuzzy/wildcard, rewrite=scoring_boolean
-                expansions.append(("regex", p[1:-1], 0))
+                # fuzzy/wildcard, rewrite=scoring_boolean. Fold case from
+                # the ORIGINAL token (escape-preserving): p = part.lower()
+                # would invert \S/\W/\D/\B into their complements.
+                expansions.append(("regex", _casefold_regex(part[1:-1]), 0))
                 continue
             plain_parts.append(part)
         raw_terms = analyze_query(" ".join(plain_parts),
@@ -491,7 +523,7 @@ class IndexReader:
         dictionary's row-group range (production = RegExp → automaton
         intersection with the FST, same contract)."""
         self._refresh_if_stale()
-        rows = self._expand_pattern("regex", pattern.lower(), 0,
+        rows = self._expand_pattern("regex", _casefold_regex(pattern), 0,
                                     max_expansions)
         return self.spark.createDataFrame(
             rows or [], schema="term string, df long")
@@ -2074,8 +2106,16 @@ class IndexReader:
                                      cols=("content",))
         tok_fn = code_tokens if tok_name == "code" else simple_tokens
         toks = tok_fn(docs["content"])
+        # span tf must run over the POSITION-mirroring stream: for the
+        # code tokenizer that is the pure subtoken stream (whole-identifier
+        # tokens share their first subtoken's position in the index and
+        # never consume a slot — see subtoken_streams), matching the
+        # posting-side _phrase_match contract across compound-identifier
+        # boundaries. dl stays the full token multiset (= index doclens).
+        streams = (subtoken_streams(docs["content"])
+                   if tok_name == "code" else toks)
         tfs = np.fromiter(
-            (_phrase_tf_tokens(list(ts), seq, slop) for ts in toks),
+            (_phrase_tf_tokens(list(ts), seq, slop) for ts in streams),
             np.float64, len(docs))
         dls = np.fromiter((len(ts) for ts in toks), np.float64, len(docs))
         w_n = len(first)

@@ -172,3 +172,25 @@ def test_regex_bad_pattern_raises(spark, built):
     reader = IndexReader(spark, built)
     with pytest.raises(ValueError):
         reader.regex_terms("st[")
+
+
+def test_regex_casefold_preserves_escape_classes(spark, built, content_df):
+    """Case folding must only fold LITERALS: a blanket .lower() turns
+    \\S into \\s (etc.), inverting the class. ``get\\S*`` over an all-
+    lowercase dictionary must behave like ``get.*`` / ``get\\w*``, and
+    the uppercase input GET\\S* must fold the literal 'GET' but keep
+    the escape."""
+    from maestro_spark.operators.search import _casefold_regex
+
+    assert _casefold_regex("GET\\S*") == "get\\S*"
+    assert _casefold_regex("A\\Wb\\D\\B") == "a\\Wb\\D\\B"
+    assert _casefold_regex("ab\\\\CD") == "ab\\\\cd"  # escaped backslash
+    rx = _re.compile("get\\S*")
+    want = {t: df for t, df in content_df.items() if rx.fullmatch(t)}
+    got = {r["term"]: r["df"]
+           for r in reader_terms(spark, built, "GET\\S*")}
+    assert got == want and got
+
+
+def reader_terms(spark, built, pattern):
+    return IndexReader(spark, built).regex_terms(pattern, 10 ** 6).collect()

@@ -319,3 +319,22 @@ def test_compound_identifier_matches_phrase(spark, built, corpus):
     }
     assert has_compound, "corpus should contain userRequestCount occurrences"
     assert has_compound <= got
+
+def test_rescore_stream_matches_posting_phrase_membership(spark, built, corpus):
+    """The rescore pass's span tf (subtoken_streams + _phrase_tf_tokens,
+    slop=0) must agree doc-by-doc with the posting-side positional engine
+    (phrase_search over index positions) — the compound-identifier
+    boundary case code_tokens-based streams get wrong."""
+    from maestro_spark.functions.tokenize import subtoken_streams
+    from maestro_spark.operators.search import _phrase_tf_tokens
+
+    reader = IndexReader(spark, built)
+    for phrase in ("user request", "token worker merge", "get user"):
+        seq = phrase_terms(phrase, "code")
+        posting_docs = set(
+            reader.phrase_search(phrase, k=N_DOCS).toPandas()["doc_id"]
+            .astype(int))
+        streams = subtoken_streams(corpus["content"])
+        for doc_id, strm in zip(corpus["doc_id"], streams):
+            tf = _phrase_tf_tokens(list(strm), seq, 0)
+            assert (tf > 0) == (int(doc_id) in posting_docs), (phrase, doc_id)

@@ -21,7 +21,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from maestro_spark.functions import bm25
-from maestro_spark.functions.tokenize import code_tokens, phrase_terms
+from maestro_spark.functions.tokenize import (code_tokens, phrase_terms,
+                                              subtoken_streams)
 from maestro_spark.operators.build import IndexConfig, build_index
 from maestro_spark.operators.search import (IndexReader, _phrase_tf_tokens,
                                             parse_query_string)
@@ -154,6 +155,19 @@ def test_parse_query_string():
         parse_query_string("merge +wild*")
     with pytest.raises(ValueError):
         parse_query_string("merge -fuzzy~1")
+    # /regex/ tokens are should-only too: '+/abc/' would regex-expand on
+    # the should side but analyze as the literal 'abc' in filter context,
+    # silently emptying the result set.
+    with pytest.raises(ValueError):
+        parse_query_string("merge +/ab.*/")
+    with pytest.raises(ValueError):
+        parse_query_string("merge -/ab.*/")
+    # pure-negative query strings have no scoring clause — reject instead
+    # of silently returning empty.
+    with pytest.raises(ValueError):
+        parse_query_string("-lang:java -stream")
+    # short '-/' body is a literal term, not a regex delimiter pair
+    assert parse_query_string("x +ab/cd")["require"] == "ab/cd"
 
 
 def test_query_string_equals_explicit(reader):
@@ -333,9 +347,15 @@ def _rescore_brute(reader, docstore, window, k, qw, rw, slop):
     first = _full(reader, RS_Q).head(window).reset_index(drop=True)
     seq = phrase_terms(RS_Q, "code")
     sub = docstore[docstore["doc_id"].isin(set(first["doc_id"]))]
+    # span tf over the pure subtoken stream (index position semantics:
+    # whole-identifier tokens share their first subtoken's position and
+    # never consume a slot); dl over the full code_tokens multiset.
     toks = {int(r["doc_id"]): list(code_tokens(pd.Series([r["content"]])).iat[0])
             for _, r in sub.iterrows()}
-    tf = {d: _phrase_tf_tokens(ts, seq, slop) for d, ts in toks.items()}
+    strm = {int(r["doc_id"]):
+            list(subtoken_streams(pd.Series([r["content"]])).iat[0])
+            for _, r in sub.iterrows()}
+    tf = {d: _phrase_tf_tokens(ts, seq, slop) for d, ts in strm.items()}
     dfw = sum(1 for v in tf.values() if v > 0)
     avgdl = float(reader.stats["fields"]["content"]["avgdl"])
     idf_w = float(bm25.idf(dfw, len(first))) if dfw else 0.0
@@ -368,6 +388,23 @@ def test_rescore_weight_zero_is_first_pass(reader):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     np.testing.assert_array_equal(got["score"].to_numpy(),
                                   want["score"].to_numpy())
+
+
+def test_rescore_stream_crosses_compound_boundary():
+    """Regression: the rescore tf stream must mirror INDEX positions.
+    'getUserRequest foo' indexes as subtokens get,user,request at
+    positions 0,1,2 (whole form getuserrequest shares position 0) and
+    foo at position 3 — phrase 'request foo' is adjacent (slop=0).
+    code_tokens() interleaves the whole form into the list
+    ([get,user,request,getuserrequest,foo]) which would report tf=0."""
+    text = "getUserRequest foo"
+    seq = phrase_terms("request foo", "code")
+    stream = list(subtoken_streams(pd.Series([text])).iat[0])
+    assert stream == ["get", "user", "request", "foo"]
+    assert _phrase_tf_tokens(stream, seq, 0) == 1
+    # the buggy stream (guards against regressing to code_tokens)
+    ct = list(code_tokens(pd.Series([text])).iat[0])
+    assert _phrase_tf_tokens(ct, seq, 0) == 0
 
 
 def test_rescore_subset_of_window(reader):
