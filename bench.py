@@ -241,6 +241,23 @@ def main() -> None:
         reader.search_local("index query merge", k=10, within_ids=ids)
         timings["range_filter_local"] = round(time.time() - t0, 4)
 
+        # MaxScore block skipping audit (VERDICT r3 #1): run the pruned
+        # serving-path query mix and report decoded vs total posting
+        # blocks — the unpruned engine would decode every block
+        from maestro_spark.operators.search import reset_prune_stats
+        reset_prune_stats()
+        for q in QUERIES:
+            reader.search_local(q, k=10)
+        reader.multi_match_local("index java", ("content", "lang"),
+                                 tie_breaker=0.3, k=10)
+        if len(p1):
+            reader.search_after_local(
+                "index query merge", k=10,
+                after=(float(p1["score"].iloc[-1]),
+                       int(p1["doc_id"].iloc[-1])))
+        reader.search_local("index query merge", k=10, within_ids=ids)
+        prune_stats = reset_prune_stats()
+
         # full-match-set rescoring + corpus-contrast agg (round-2 adds)
         t0 = time.time()
         reader.search_function_score("index query merge",
@@ -334,6 +351,8 @@ def main() -> None:
         "build_phase_ms": manifest.get("phase_ms", {}),
         "incremental_rebuilt_shards": inc_rebuilt,
         "snapshot_files_linked": n_linked,
+        "prune_blocks_decoded": prune_stats["blocks_decoded"],
+        "prune_blocks_total": prune_stats["blocks_total"],
         "parallelism": spark.sparkContext.defaultParallelism,
     }
     spark.stop()

@@ -645,6 +645,7 @@ class IndexReader:
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
                     index_dir, k, mode, prune, allowed=required,
                     excluded=excluded, min_match=min_match,
+                    restrict_blocks=True,
                 )
                 return pd.DataFrame({"doc_id": doc_ids, "score": scores})
 
@@ -671,6 +672,7 @@ class IndexReader:
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
                     index_dir, k, mode, prune, allowed=allowed,
                     excluded=excluded, min_match=min_match,
+                    restrict_blocks=True,
                 )
                 return pd.DataFrame({"doc_id": doc_ids, "score": scores})
 
@@ -808,7 +810,7 @@ class IndexReader:
 
     def multi_match(self, text: str, fields: tuple = ("content",),
                     tie_breaker: float = 0.0, k: int = 10,
-                    engine: str = "spark") -> DataFrame:
+                    engine: str = "spark", prune: bool = True) -> DataFrame:
         """multi_match, type=best_fields (the ES dis_max analogue): each
         field scores the text as its own BM25 subquery (content: analyzed
         terms; keyword fields: field-scoped terms), and a doc's final
@@ -822,10 +824,13 @@ class IndexReader:
 
         Exactness: every posting of a doc lives in its shard, so each
         shard computes final dis_max scores completely and returns its
-        top-k; the coordinator merge is exact. Score pruning is off —
-        MaxScore bounds a SUM of contributions, not a max (block-max
-        dis_max is future work); cost stays bounded by the fields'
-        posting sizes. One pruned posting scan serves every subquery
+        top-k; the coordinator merge is exact. Cross-field MaxScore
+        pruning is ON (the reference's ES delegate runs WAND on
+        dis_max): once the kth-best combined score exceeds what the
+        remaining fields' max-of-sums block-max bounds can add, later
+        subqueries decode only posting blocks intersecting the
+        candidate set — see _dismax_shard_rows; results bit-identical
+        to prune=False. One pruned posting scan serves every subquery
         (their term sets ride together)."""
         plans = self._multi_match_plans(text, fields)
         spark = self.spark
@@ -836,7 +841,8 @@ class IndexReader:
             return spark.createDataFrame([], schema)
         if engine == "local":
             return spark.createDataFrame(
-                self.multi_match_local(text, fields, tie_breaker, k), schema)
+                self.multi_match_local(text, fields, tie_breaker, k,
+                                       prune=prune), schema)
         all_terms = sorted({t for p in plans.values() for t in p.terms})
         n_buckets = self.cfg["n_buckets"]
         buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
@@ -845,11 +851,14 @@ class IndexReader:
         tie = float(tie_breaker)
         plan_list = list(plans.values())
 
+        do_prune = prune
+
         def score_shard(key, pdf):
             shard = int(key[0])
             rows = {r["term"]: r for r in pdf.to_dict("records")}
             ids, scores = _dismax_shard_rows(
-                rows, plan_list, shard, shard_size, index_dir, k, tie)
+                rows, plan_list, shard, shard_size, index_dir, k, tie,
+                prune=do_prune)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         rel = self._postings().where(
@@ -865,7 +874,8 @@ class IndexReader:
 
     def multi_match_local(self, text: str, fields: tuple = ("content",),
                           tie_breaker: float = 0.0, k: int = 10,
-                          max_workers: int | None = None) -> pd.DataFrame:
+                          max_workers: int | None = None,
+                          prune: bool = True) -> pd.DataFrame:
         """Serving-path multi_match — same dis_max semantics and float64
         scores as multi_match (one posting fetch for all subqueries'
         terms, per-shard combine, coordinator merge), no Spark job."""
@@ -883,7 +893,7 @@ class IndexReader:
         def run(item):
             shard, rows = item
             return _dismax_shard_rows(rows, plan_list, shard, shard_size,
-                                      self.index_dir, k, tie)
+                                      self.index_dir, k, tie, prune=prune)
 
         results = _map_shards(run, sorted(by_shard.items()), max_workers)
         ids = np.concatenate([r[0] for r in results])
@@ -1013,7 +1023,8 @@ class IndexReader:
             return score_shard_rows(
                 rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
                 shard, shard_size, self.index_dir, k, mode, prune,
-                allowed=required, excluded=excluded, min_match=min_match)
+                allowed=required, excluded=excluded, min_match=min_match,
+                restrict_blocks=True)
 
         results = _map_shards(run, sorted(by_shard.items()), max_workers)
         ids = np.concatenate([r[0] for r in results])
@@ -1065,7 +1076,8 @@ class IndexReader:
                     rows, p.terms, p.idfs, p.fields, p.avgdl,
                     shard, shard_size, self.index_dir, k, mode, prune,
                     allowed=required,
-                    excluded=excluded, min_match=min_match)
+                    excluded=excluded, min_match=min_match,
+                    restrict_blocks=True)
             return out
 
         per_shard = _map_shards(run, sorted(by_shard.items()), max_workers)
@@ -1230,11 +1242,13 @@ class IndexReader:
 
         Exactness: each shard returns its top-k *of the after-cursor
         subset*, so the coordinator merge is exact at any depth — no
-        from+size deep-paging blowup. Score-based pruning is disabled
-        (a doc below the shard's unconditional top-k can be needed after
-        the cursor), so a page costs one full accumulation of the query
-        terms' postings — still posting-bounded, independent of corpus
-        size, and identical for every page (no deep-page penalty).
+        from+size deep-paging blowup. MaxScore pruning stays ON under
+        the cursor (score_shard_rows' ceiling mode): theta forms only
+        over docs whose block-max upper bound already clears the cursor
+        (guaranteed page members), docs provably above it leave
+        candidacy, and rounding slack widens every bound — so a deep
+        page skips the same posting blocks page 1 does, bit-identically
+        to the unpruned scorer (test_search_after_prune_parity).
 
         score_round: optional decimal rounding applied to scores BEFORE
         the cursor compare and merge, making the page order (rounded
@@ -1256,20 +1270,12 @@ class IndexReader:
                                               shard * shard_size)
             ids, scores = score_shard_rows(
                 rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
-                shard, shard_size, self.index_dir, shard_size, mode,
-                prune=False, excluded=excluded, min_match=min_match)
-            if score_round is not None and scores.size:
-                scores = np.round(scores, score_round)
-                order = np.lexsort((ids, -scores))
-                ids, scores = ids[order], scores[order]
-            if after is not None and ids.size:
-                a_score, a_id = float(after[0]), int(after[1])
-                keep = (scores < a_score) | (
-                    (scores == a_score) & (ids > a_id))
-                ids, scores = ids[keep], scores[keep]
+                shard, shard_size, self.index_dir, k, mode,
+                prune=True, excluded=excluded, min_match=min_match,
+                ceiling=after, score_round=score_round)
             if ids.size:
-                parts_i.append(ids[:k])
-                parts_s.append(scores[:k])
+                parts_i.append(ids)
+                parts_s.append(scores)
         if not parts_i:
             return self._EMPTY_HITS()
         return self._merge_topk(np.concatenate(parts_i),
@@ -2184,7 +2190,8 @@ class IndexReader:
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
                     index_dir, k, mode, prune, allowed=required,
-                    excluded=excluded, min_match=min_match)
+                    excluded=excluded, min_match=min_match,
+                    restrict_blocks=True)
                 if doc_ids.size:
                     outs.append(pd.DataFrame(
                         {"qid": qid, "doc_id": doc_ids, "score": scores}))
@@ -2519,6 +2526,37 @@ def _map_shards(fn, items: list, max_workers: int | None):
 
 # ---------------------------------------------------------------- scorer
 
+# Pruning audit counters (serving-path/in-process only — Spark-path
+# executors have their own interpreter). Read-modify-write is guarded by
+# a lock because _map_shards may run shards on a thread pool. bench.py
+# reports blocks_decoded / blocks_total for the pruned query mix.
+import threading as _threading
+
+# Relative slack applied to every pruning-bound comparison: suffix upper
+# bounds are float sums whose associativity drift (~1e-16 relative) must
+# never evict a doc sitting exactly at the theta/ceiling boundary. 1e-9
+# forfeits no observable pruning (bounds are orders of magnitude coarser).
+_BOUND_SLACK = 1e-9
+
+PRUNE_STATS = {"blocks_decoded": 0, "blocks_total": 0}
+_PRUNE_LOCK = _threading.Lock()
+
+
+def _prune_stats_add(decoded: int, total: int) -> None:
+    with _PRUNE_LOCK:
+        PRUNE_STATS["blocks_decoded"] += decoded
+        PRUNE_STATS["blocks_total"] += total
+
+
+def reset_prune_stats() -> dict:
+    """Return-and-reset the block decode counters (bench hook)."""
+    with _PRUNE_LOCK:
+        out = dict(PRUNE_STATS)
+        PRUNE_STATS["blocks_decoded"] = 0
+        PRUNE_STATS["blocks_total"] = 0
+    return out
+
+
 from collections import OrderedDict as _OrderedDict
 
 _DOCLENS_CACHE: "_OrderedDict[tuple, np.ndarray]" = _OrderedDict()
@@ -2658,6 +2696,9 @@ def score_shard_rows(
     min_match: int = 1,
     demoted: np.ndarray | None = None,
     demote_factor: float = 1.0,
+    restrict_blocks: bool = False,
+    ceiling: tuple[float, int] | None = None,
+    score_round: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one shard's query-term posting rows; return local top-k
     (doc_ids, scores) sorted by (score desc, doc_id asc).
@@ -2690,16 +2731,39 @@ def score_shard_rows(
     query demotion folded into the scorer. Because each contribution
     only shrinks, the per-term upper bounds stay valid and MaxScore
     pruning remains EXACT under demotion (a demoted doc simply
-    accumulates less mass toward theta)."""
+    accumulates less mass toward theta).
+
+    restrict_blocks: when True and `allowed` is given, the allowed set
+    seeds the candidate set UP FRONT, so every term decodes only blocks
+    whose doc range intersects it (the skip Lucene gets from advancing
+    postings past the filtered set). Scores of allowed docs accumulate
+    the same contributions in the same order — bit-identical; blocks
+    with no allowed doc are simply never decoded.
+
+    ceiling: optional (score, doc_id) cursor — restrict the result to
+    docs ranking strictly AFTER it in (score desc, doc_id asc) order
+    (the ES search_after analogue) and return the exact top-k of that
+    subset. Pruning stays exact under a ceiling: theta may only form
+    over docs whose upper bound already clears the cursor (guaranteed
+    page members), docs whose accumulated score provably exceeds the
+    cursor are dropped from candidacy, and rounding slack (score_round)
+    widens every bound by a full last-decimal unit.
+
+    score_round: optional decimal rounding applied to the final scores
+    BEFORE the ceiling compare, ranking, and top-k cut — the
+    cross-engine-stable (rounded score desc, doc_id asc) total order
+    the SQL oracles use. Returned scores are the rounded values."""
     base = shard * shard_size
     present = [t for t in terms if t in rows]
     if not present or (allowed is not None and allowed.size == 0):
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    eps = 10.0 ** (-score_round) if score_round is not None else 0.0
 
     if mode == "and":
         return _score_and(rows, present, idfs, fields, avgdl, base,
                           shard, shard_size, index_dir, k, allowed,
-                          excluded, demoted, demote_factor)
+                          excluded, demoted, demote_factor,
+                          ceiling=ceiling, score_round=score_round)
     if min_match > 1:
         if len(present) < min_match:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -2716,6 +2780,14 @@ def score_shard_rows(
         if allowed.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
 
+    candidates: np.ndarray | None = None  # local offsets, sorted
+    if restrict_blocks and prune and allowed is not None:
+        # seed the candidate set from the filter: block skipping active
+        # from the FIRST term, and the isin(candidates) selection
+        # subsumes the allowed filter
+        candidates = np.asarray(allowed, dtype=np.int64)
+        allowed = None
+
     # per-term upper bounds from block metadata (query-time avgdl)
     ubound = {}
     for t in present:
@@ -2729,7 +2801,6 @@ def score_shard_rows(
     touched = np.zeros(shard_size, dtype=bool)
     rem = float(sum(ubound[t] for t in present))
     theta = -np.inf
-    candidates: np.ndarray | None = None  # local offsets, sorted
     dl_cache: dict[str, np.ndarray] = {}
 
     def dl_of(field: str) -> np.ndarray:
@@ -2739,7 +2810,12 @@ def score_shard_rows(
 
     for t in present:
         r = rows[t]
-        rem -= ubound[t]
+        # suffix bound by decremental subtraction accumulates ulp drift
+        # (the last term leaves -0.0±ulp, which once pruned a boundary
+        # doc below its OWN partial score); clamp at 0 and give every
+        # bound compare a relative slack (_BOUND_SLACK) so float
+        # associativity can never evict an exact-boundary doc
+        rem = max(rem - ubound[t], 0.0)
         idf_t = idfs[t]
         adl = avgdl[fields[t]]
 
@@ -2750,11 +2826,14 @@ def score_shard_rows(
             lo = np.searchsorted(candidates + base, np.concatenate(([-1], block_last[:-1])), side="right")
             hi = np.searchsorted(candidates + base, block_last, side="right")
             need = np.flatnonzero(hi > lo)
+            _prune_stats_add(int(need.size), int(block_last.size))
             if need.size == 0:
                 continue
             pl = decode_postings(r, block_idx=need)
         else:
             pl = _decode_full(r)
+            _prune_stats_add(len(r["block_last_doc"]),
+                             len(r["block_last_doc"]))
 
         local = pl.doc_ids - base
         tfs = pl.tfs
@@ -2777,21 +2856,60 @@ def score_shard_rows(
         acc[local] += contrib
         touched[local] = True
 
-        if prune and candidates is None:
-            nz = np.flatnonzero(touched)
-            if nz.size > k:
-                top_scores = np.partition(acc[nz], nz.size - k)
-                theta = top_scores[nz.size - k]
-                if rem < theta and rem > 0.0:
+        if prune and rem > 0.0:
+            # When candidates is still None, restriction may only start
+            # once untouched docs are provably out (rem < theta). Once a
+            # candidate set exists (theta-formed or seeded from a filter
+            # via restrict_blocks), every potential doc is inside it, so
+            # each round may TIGHTEN it — an untouched candidate
+            # survives exactly while rem alone could still reach theta.
+            nz = candidates if candidates is not None \
+                else np.flatnonzero(touched)
+            if ceiling is not None:
+                # theta may only form over docs GUARANTEED to clear the
+                # cursor (upper bound below it): a doc still able to end
+                # above the ceiling is not evidence about the page's kth
+                # score. Docs provably above the cursor leave candidacy.
+                c_score = float(ceiling[0])
+                margin = eps + _BOUND_SLACK * (abs(c_score) + 1.0)
+                sure = nz[acc[nz] + rem < c_score - margin]
+                if sure.size > k:
+                    kth = np.partition(acc[sure], sure.size - k)[
+                        sure.size - k]
+                    # rounding can move a final by half a last-decimal
+                    # unit each way — widen theta by a full unit, plus
+                    # the float-drift slack
+                    theta = kth - 2.0 * eps - _BOUND_SLACK * (abs(kth)
+                                                              + 1.0)
+                    if candidates is not None or rem < theta:
+                        m = (acc[nz] + rem >= theta) \
+                            & (acc[nz] <= c_score + margin)
+                        candidates = nz[m]
+            elif nz.size > k:
+                kth = np.partition(acc[nz], nz.size - k)[nz.size - k]
+                theta = kth - 2.0 * eps - _BOUND_SLACK * (abs(kth) + 1.0)
+                if candidates is not None or rem < theta:
                     candidates = nz[acc[nz] + rem >= theta]
-                    candidates.sort()
-            if rem == 0.0:
-                break
+        if rem == 0.0:
+            break
 
-    nz = candidates if candidates is not None else np.flatnonzero(touched)
+    if candidates is not None:
+        nz = candidates[touched[candidates]]
+    else:
+        nz = np.flatnonzero(touched)
     if nz.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    top, ts = _topk_ties(nz, acc[nz], k)
+    scores = acc[nz]
+    if score_round is not None:
+        scores = np.round(scores, score_round)
+    if ceiling is not None:
+        c_score, c_id = float(ceiling[0]), int(ceiling[1])
+        keep = (scores < c_score) | ((scores == c_score)
+                                     & (nz + base > c_id))
+        nz, scores = nz[keep], scores[keep]
+        if nz.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    top, ts = _topk_ties(nz, scores, k)
     return (top + base).astype(np.int64), ts
 
 
@@ -2823,37 +2941,104 @@ def _topk_ties(ids: np.ndarray, scores: np.ndarray, k: int
     return ids[sel], scores[sel]
 
 
+def _field_ubound(rows: dict[str, dict], plan) -> float:
+    """Block-max upper bound of one dis_max subquery's score on a shard:
+    the sum over its terms of idf · max block tf-norm — the same per-term
+    bound score_shard_rows uses, summed (MaxScore max-of-sums)."""
+    s = 0.0
+    for t in plan.terms:
+        r = rows.get(t)
+        if r is None:
+            continue
+        bmax = np.asarray(r["block_max_tf"], dtype=np.float64)
+        bmin = np.asarray(r["block_min_dl"], dtype=np.float64)
+        f = plan.fields[t]
+        tfn = bmax / (bmax + bm25.K1
+                      * (1.0 - bm25.B + bm25.B * bmin / plan.avgdl[f]))
+        s += plan.idfs[t] * float(tfn.max())
+    return s
+
+
 def _dismax_shard_rows(rows: dict[str, dict], plans: list,
                        shard: int, shard_size: int, index_dir: str,
-                       k: int, tie: float
+                       k: int, tie: float, prune: bool = True
                        ) -> tuple[np.ndarray, np.ndarray]:
     """dis_max over per-field subquery scores for one shard: each
-    QueryPlan in `plans` is scored fully (prune off, k=shard_size — every
-    touched doc survives), the per-doc max and sum are combined as
-    best + tie·(sum − best), and the shard's top-k is returned sorted
-    (score desc, doc_id asc). Plans are scored in a deterministic order
-    (sorted by field upstream) so float64 results are reproducible."""
-    per_field = [
-        score_shard_rows(rows, p.terms, p.idfs, p.fields, p.avgdl,
-                         shard, shard_size, index_dir, shard_size,
-                         "or", prune=False)
-        for p in plans
-    ]
-    parts = [r[0] for r in per_field if r[0].size]
-    if not parts:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    ids = np.unique(np.concatenate(parts))
-    best = np.zeros(ids.size, np.float64)
-    total = np.zeros(ids.size, np.float64)
-    for fid, fsc in per_field:
-        if fid.size == 0:
+    QueryPlan in `plans` is scored with its per-doc max and sum combined
+    as best + tie·(sum − best); the shard's top-k is returned sorted
+    (score desc, doc_id asc). Plans are scored strongest-bound-first
+    (deterministic: stable argsort of the block-max bounds), the same
+    order under prune=True and prune=False, so float64 results are
+    reproducible and pruned ≡ unpruned bit-identically.
+
+    Cross-field MaxScore pruning (prune=True): each field's full upper
+    bound is its max-of-sums block-max bound (_field_ubound — the bound
+    the reference's ES delegate applies via WAND on dis_max). After each
+    field, theta = the kth best combined score over docs scored so far
+    (a lower bound: contributions only grow the combine, which is
+    monotone in every coordinate). A doc's upper bound treats every
+    remaining field as scoring at its full bound; a FRESH doc's bound is
+    the combine of the remaining bounds alone. Once fresh docs are
+    provably out, later fields restrict to the surviving candidates —
+    score_shard_rows decodes only posting blocks intersecting them
+    (restrict_blocks). Candidate sums accumulate the same contributions
+    in the same field order, so pruned output is BIT-IDENTICAL to
+    prune=False (test_dismax_prune_parity)."""
+    nf = len(plans)
+    base = shard * shard_size
+    ubf = np.array([_field_ubound(rows, p) for p in plans], np.float64) \
+        if nf > 1 else np.zeros(nf)
+    # strongest-bound field first: theta forms from the discriminative
+    # field, so weaker fields restrict sooner. The SAME order is used
+    # with prune=False — per-field sums are independent accumulators,
+    # but `total` adds across fields in processing order, so sharing the
+    # order keeps pruned/unpruned output bit-identical.
+    order = np.argsort(-ubf, kind="stable") if nf > 1 else np.arange(nf)
+    best = np.zeros(shard_size, np.float64)
+    total = np.zeros(shard_size, np.float64)
+    touched = np.zeros(shard_size, bool)
+    candidates: np.ndarray | None = None  # sorted LOCAL offsets
+    for step, fi in enumerate(order):
+        p = plans[fi]
+        # k=shard_size is load-bearing: it keeps the inner scorer from
+        # forming its OWN single-field theta (nz.size > k is impossible),
+        # which would top-k-prune a field's scores and corrupt the
+        # cross-field combine. Block skipping comes solely from the
+        # seeded candidate set (restrict_blocks).
+        ids_f, sc_f = score_shard_rows(
+            rows, p.terms, p.idfs, p.fields, p.avgdl, shard, shard_size,
+            index_dir, shard_size, "or", prune=True,
+            allowed=candidates, restrict_blocks=True)
+        if ids_f.size:
+            loc = ids_f - base
+            best[loc] = np.maximum(best[loc], sc_f)
+            total[loc] += sc_f
+            touched[loc] = True
+        if not prune or step >= nf - 1:
             continue
-        pos = np.searchsorted(ids, fid)
-        np.maximum.at(best, pos, fsc)
-        total[pos] += fsc
-    final = best + tie * (total - best)
-    top, ts = _topk_ties(ids, final, k)
-    return top.astype(np.int64), ts
+        rem = ubf[order[step + 1:]]
+        nz = candidates if candidates is not None else \
+            np.flatnonzero(touched)
+        if nz.size <= k:
+            continue
+        cur = best[nz] + tie * (total[nz] - best[nz])
+        kth = np.partition(cur, nz.size - k)[nz.size - k]
+        theta = kth - _BOUND_SLACK * (abs(kth) + 1.0)
+        rmax = float(rem.max())
+        rsum = float(rem.sum())
+        if candidates is None and rmax + tie * (rsum - rmax) >= theta:
+            # an untouched doc could still reach theta from the remaining
+            # fields alone — restriction would wrongly silence it
+            continue
+        b2 = np.maximum(best[nz], rmax)
+        ub_doc = b2 + tie * (total[nz] + rsum - b2)
+        candidates = nz[ub_doc >= theta]
+    nz = candidates if candidates is not None else np.flatnonzero(touched)
+    if nz.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    final = best[nz] + tie * (total[nz] - best[nz])
+    top, ts = _topk_ties(nz, final, k)
+    return (top + base).astype(np.int64), ts
 
 
 def _phrase_tf_tokens(tokens: list[str], seq: list[str], slop: int = 0) -> int:
@@ -2892,7 +3077,9 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
                index_dir, k, allowed: np.ndarray | None = None,
                excluded: np.ndarray | None = None,
                demoted: np.ndarray | None = None,
-               demote_factor: float = 1.0):
+               demote_factor: float = 1.0,
+               ceiling: tuple[float, int] | None = None,
+               score_round: int | None = None):
     """Conjunctive: k-way intersection starting from the rarest term
     (SURVEY.md §2.5 J4 — n-way merge of sorted posting lists), then exact
     scoring of the intersection in canonical order. `allowed` (sorted
@@ -2930,6 +3117,14 @@ def _score_and(rows, present, idfs, fields, avgdl, base, shard, shard_size,
             # as the OR path, so spark/local/and/or agree to the bit
             contrib = np.where(dm, contrib * demote_factor, contrib)
         scores += contrib
+    if score_round is not None:
+        scores = np.round(scores, score_round)
+    if ceiling is not None:
+        c_score, c_id = float(ceiling[0]), int(ceiling[1])
+        keep = (scores < c_score) | ((scores == c_score) & (inter > c_id))
+        inter, scores = inter[keep], scores[keep]
+        if inter.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
     top, ts = _topk_ties(inter, scores, k)
     return top.astype(np.int64), ts
 
