@@ -1548,16 +1548,19 @@ class IndexReader:
         grp_rank, doc_id, score) ordered (bucket best desc, group asc,
         grp_rank asc).
 
-        Scale shape: the full scored match set joins the column-pruned
-        docstore; the per-bucket rank is ONE window partitioned by the
-        bucket value (the shuffle is keyed by bucket — a pathological
-        mega-bucket would sort only its own partition slice; a per-bucket
-        bounded heap via applyInPandas is the swap-in if per_group ≪
-        bucket size at extreme skew). Bucket selection reuses the rn=1
-        rows — no second scan. collapse (per_group=1 without grp_rank) is
-        the cheaper partial-agg special case: prefer search_collapse when
+        Scale shape (skew-proof): NO window over the match set. Phase 1
+        is a map-side bounded heap — every task keeps only its own top
+        `per_group` rows per bucket (pandas sort of one partition slice,
+        never the bucket), so the shuffle moves ≤ per_group rows per
+        bucket per task regardless of skew. Phase 2 re-selects the
+        global top `per_group` per bucket from those candidates (input
+        bounded by per_group × n_tasks — a hot bucket holding 50 % of
+        all matches still reduces in constant rows per task,
+        test_top_hits_skew). Bucket selection reuses the rank-1 rows —
+        no second scan. collapse (per_group=1 without grp_rank) is the
+        cheaper partial-agg special case: prefer search_collapse when
         you only need one hit per bucket."""
-        from pyspark.sql import Window
+        from pyspark.sql.types import IntegerType, StructField, StructType
         if isinstance(group_col, str):
             group_col = F.col(group_col)
         scored = self.scored_matches(query, mode, boosts=boosts,
@@ -1566,12 +1569,38 @@ class IndexReader:
             scored = scored.withColumn("score", F.round("score", score_round))
         docs = self._docs().select("shard", "doc_id",
                                    group_col.alias("group_value"))
-        joined = scored.join(docs, ["shard", "doc_id"], "inner")
-        w = Window.partitionBy("group_value").orderBy(
-            F.desc("score"), F.asc("doc_id"))
-        ranked = (joined.withColumn("grp_rank", F.row_number().over(w))
-                  .where(F.col("grp_rank") <= per_group)
-                  .select("group_value", "grp_rank", "doc_id", "score"))
+        joined = (scored.join(docs, ["shard", "doc_id"], "inner")
+                  .select("group_value", "doc_id", "score"))
+        ng = int(per_group)
+
+        def partial_top(it):
+            # bounded heap per task: top-ng per bucket of THIS partition
+            # only — a superset of every bucket's global top-ng, so the
+            # two-phase selection is exact
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["group_value", "score", "doc_id"],
+                                      ascending=[True, False, True],
+                                      kind="mergesort")
+                yield pdf.groupby("group_value", sort=False).head(ng)
+
+        cand = joined.mapInPandas(partial_top, schema=joined.schema)
+        out_schema = StructType(
+            [joined.schema["group_value"],
+             StructField("grp_rank", IntegerType(), False),
+             joined.schema["doc_id"], joined.schema["score"]])
+
+        def final_top(key, pdf):
+            pdf = pdf.sort_values(["score", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort").head(ng)
+            pdf = pdf.assign(grp_rank=np.arange(1, len(pdf) + 1,
+                                                dtype=np.int32))
+            return pdf[["group_value", "grp_rank", "doc_id", "score"]]
+
+        ranked = cand.groupBy("group_value").applyInPandas(
+            final_top, schema=out_schema)
         best = (ranked.where(F.col("grp_rank") == 1)
                 .select(F.col("group_value"),
                         F.col("score").alias("best_score"),

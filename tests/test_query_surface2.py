@@ -481,6 +481,39 @@ def test_top_hits_collapse_consistency(reader):
                                   cl["score"].to_numpy())
 
 
+def test_top_hits_skew(reader, docstore):
+    """Hot-bucket skew (one bucket ≈ 50 % of all matches): results stay
+    exact and the plan contains NO window over the match set — the
+    per-bucket selection is a map-side bounded heap (mapInPandas) plus a
+    grouped reduce over ≤ per_group rows per bucket per task, so the hot
+    bucket never sorts inside a single task."""
+    gcol = F.when(F.col("doc_id") % 2 == 0, F.lit("hot")) \
+        .otherwise(F.col("repo"))
+    rel = reader.search_top_hits(Q, gcol, per_group=3, k_groups=5)
+    plan = rel._jdf.queryExecution().toString()
+    assert "Window" not in plan, "top_hits must not window the match set"
+    got = rel.toPandas()
+    # pandas oracle under the same skewed bucket expression
+    full = _full(reader, Q, prune=False)
+    m = full.merge(docstore[["doc_id", "repo"]], on="doc_id")
+    m["g"] = np.where(m["doc_id"] % 2 == 0, "hot", m["repo"])
+    m = m.sort_values(["score", "doc_id"], ascending=[False, True],
+                      kind="mergesort")
+    m["grp_rank"] = m.groupby("g").cumcount() + 1
+    best = (m[m["grp_rank"] == 1]
+            .sort_values(["score", "doc_id"], ascending=[False, True],
+                         kind="mergesort").head(5))
+    assert (m[m["g"] == "hot"].shape[0] / len(m)) > 0.4  # genuinely hot
+    keep = m[(m["g"].isin(set(best["g"]))) & (m["grp_rank"] <= 3)]
+    order = {g: i for i, g in enumerate(best["g"])}
+    keep = keep.assign(_o=keep["g"].map(order)).sort_values(
+        ["_o", "grp_rank"], kind="mergesort")
+    assert got["doc_id"].tolist() == keep["doc_id"].tolist()
+    assert got["group_value"].tolist() == keep["g"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  keep["score"].to_numpy())
+
+
 def test_sorted_pagination_tiles(reader):
     """sort + search_after pages are disjoint, ordered, and concatenate
     to the deep sorted top-k (both directions)."""
