@@ -1145,17 +1145,30 @@ class IndexReader:
             total += int(ids.size)
         return total
 
-    def doc_value_ids(self, col: str, ge=None, le=None, eq=None
-                      ) -> np.ndarray:
+    # ids a single serving process will happily materialize for one
+    # filter (~40 MB of int64 at the cap); an unselective filter over a
+    # 100 TB corpus must NOT silently build a corpus-sized id set
+    # driver-side
+    LOCAL_IDS_BUDGET = 5_000_000
+
+    def doc_value_ids(self, col: str, ge=None, le=None, eq=None,
+                      budget: int | None = None) -> np.ndarray:
         """Serving-path doc-values filter (the ES range / term filter
         context evaluated WITHOUT postings): sorted doc_ids whose stored
         column satisfies ge/le/eq, read via a pyarrow columnar scan of
         (doc_id, col) with the predicate pushed to parquet row-group
-        stats. Cost ∝ that column's bytes across the corpus — the ES
-        doc-values/BKD model; feed the result to search_local(
-        within_ids=...). At true corpus scale a selective filter belongs
-        on the Spark path (search(doc_filter=...) cogroups the allowed
-        set into the scorer without materializing ids driver-side)."""
+        stats. Feed the result to search_local(within_ids=...).
+
+        BUDGET-ENFORCED (the df-budget discipline search() applies via
+        LOCAL_DF_BUDGET): before materializing anything, selectivity is
+        estimated from parquet row-group min/max statistics — the sum of
+        row counts of groups whose stat range intersects the predicate,
+        one footer read per file, zero data pages. Over budget (default
+        LOCAL_IDS_BUDGET) the call raises with routing guidance instead
+        of silently building a corpus-sized id set in the serving
+        process: the Spark path — search(doc_filter=...) — cogroups the
+        allowed set into the scorer on executors and is the corpus-scale
+        form of the same filter (parity-tested)."""
         if ge is None and le is None and eq is None:
             raise ValueError("doc_value_ids needs ge/le/eq")
         self._refresh_if_stale()
@@ -1168,9 +1181,39 @@ class IndexReader:
                 ([] if le is None else [pads.field(col) <= le]) + \
                 ([] if eq is None else [pads.field(col) == eq]):
             f = pred if f is None else f & pred
+        cap = self.LOCAL_IDS_BUDGET if budget is None else int(budget)
+        est = self._estimate_filter_rows(col, ge, le, eq)
+        if est > cap:
+            raise ValueError(
+                f"doc_value_ids({col!r}) matches ~{est} rows by row-group "
+                f"stats, over the serving budget of {cap}; route this "
+                "filter to the Spark path — search(doc_filter=...) — or "
+                "raise `budget` explicitly")
         tbl = self._docs_ds.to_table(columns=["doc_id"], filter=f)
         return np.sort(tbl.column("doc_id").to_numpy(zero_copy_only=False)
                        .astype(np.int64))
+
+    def _estimate_filter_rows(self, col: str, ge, le, eq) -> int:
+        """Upper-bound row estimate for a ge/le/eq predicate from parquet
+        row-group statistics: counts every row group whose [min, max]
+        range intersects the predicate (missing stats count fully —
+        conservative). Footer metadata only; no data pages touched."""
+        lo = eq if eq is not None else ge
+        hi = eq if eq is not None else le
+        est = 0
+        for frag in self._docs_ds.get_fragments():
+            for rg in frag.row_groups:
+                st = (rg.statistics or {}).get(col)
+                if (st is None or st.get("min") is None
+                        or st.get("max") is None):
+                    est += rg.num_rows
+                    continue
+                if lo is not None and st["max"] < lo:
+                    continue
+                if hi is not None and st["min"] > hi:
+                    continue
+                est += rg.num_rows
+        return est
 
     def count_many_local(self, queries: dict[str, str], mode: str = "or",
                          exclude: str | None = None,

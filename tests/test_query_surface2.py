@@ -558,3 +558,27 @@ def test_doc_values_eq_filter(reader, docstore):
     assert ids.tolist() == want
     with pytest.raises(ValueError):
         reader.doc_value_ids("lang")
+
+
+def test_doc_values_budget_routes_to_spark_path(reader):
+    """Budget discipline (VERDICT r2 #2): an unselective filter must not
+    materialize a corpus-sized id set in the serving process — the
+    row-group-stats estimate trips the budget BEFORE any data page is
+    read, and the raised error names the Spark doc_filter path, which
+    produces the identical ranking."""
+    # under budget: the whole corpus fits the default cap at test scale
+    ids = reader.doc_value_ids("doc_id", ge=0, le=N_DOCS)
+    assert len(ids) == N_DOCS
+    # over budget: same filter, tiny cap -> raise with routing guidance
+    with pytest.raises(ValueError, match="doc_filter"):
+        reader.doc_value_ids("doc_id", ge=0, le=N_DOCS, budget=100)
+    # a selective filter passes the same tiny cap (stats-pruned estimate)
+    sel = reader.doc_value_ids("doc_id", ge=10, le=40, budget=400)
+    assert sel.tolist() == list(range(10, 41))
+    # and the documented corpus-scale alternative returns the same hits
+    loc = reader.search_local(Q, k=10, within_ids=sel)
+    spk = reader.search(Q, k=10, doc_filter=(F.col("doc_id") >= 10)
+                        & (F.col("doc_id") <= 40)).toPandas()
+    assert spk["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  loc["score"].to_numpy())
