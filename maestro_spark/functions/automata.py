@@ -1,0 +1,225 @@
+"""Bounded multi-term expansion: automaton walks over the SORTED term
+dictionary (VERDICT r2 #3 / the Lucene FST ∩ automaton model, public —
+Schulz & Mihov 2002 for Levenshtein; Thompson-style position sets for
+globs). The reference's ES delegate resolves fuzzy/wildcard/regexp this
+way; a full-vocabulary scan per pattern is the behavior being replaced.
+
+The dictionary trie is IMPLICIT in the sorted term array: the terms
+sharing a prefix form one contiguous interval, each child edge is found
+by binary search (np.searchsorted), and a whole subtree dies the moment
+the automaton has no viable state — so the walk touches O(viable trie
+nodes · log n) instead of O(n) terms. The array itself loads once per
+reader per index version (the FST-load analogue) from the termdict
+sidecar; EXPAND_STATS counts nodes visited and terms accepted so tests
+can assert sub-linearity on a 10^6-term dictionary.
+
+Regex patterns don't get a full automaton here; instead
+regex_literal_prefixes() structurally extracts the set of literal
+prefixes every match must start with (walking the stdlib parse tree —
+handles alternation like `s(can|ort|mall)`), so the fullmatch
+verification runs only over those binary-searched prefix intervals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# audit counters (reset_expand_stats in tests/bench): nodes = implicit
+# trie nodes visited; candidates = terms whose full match was evaluated
+EXPAND_STATS = {"nodes": 0, "candidates": 0}
+
+
+def reset_expand_stats() -> dict:
+    out = dict(EXPAND_STATS)
+    EXPAND_STATS["nodes"] = 0
+    EXPAND_STATS["candidates"] = 0
+    return out
+
+
+class LevenshteinAutomaton:
+    """Position-set NFA for Levenshtein distance ≤ k from `pattern`
+    (Schulz & Mihov 2002, run NFA-style without the DFA tabulation —
+    state = frozenset of (i, e): i pattern chars consumed with e edits,
+    subsumption-reduced so |state| ≤ 2k+1)."""
+
+    def __init__(self, pattern: str, k: int):
+        self.w = pattern
+        self.k = int(k)
+
+    def start(self):
+        # ε-closure over deletions: skipping j pattern chars costs j
+        return self._reduce([(j, j) for j in range(self.k + 1)])
+
+    def _reduce(self, states):
+        # drop subsumed states: (i, e) is useless if some (i, e') e'<e
+        best: dict[int, int] = {}
+        for i, e in states:
+            if e <= self.k and (i not in best or e < best[i]):
+                best[i] = e
+        return tuple(sorted(best.items()))
+
+    def step(self, state, c: str):
+        """Consume one term character; returns the new state or None
+        when no viable continuation exists."""
+        w, k = self.w, self.k
+        nxt: list[tuple[int, int]] = []
+        for i, e in state:
+            if i < len(w) and w[i] == c:
+                nxt.append((i + 1, e))          # match
+            if e < k:
+                nxt.append((i, e + 1))          # insertion into term
+                if i < len(w):
+                    nxt.append((i + 1, e + 1))  # substitution
+        # ε-closure over deletions (skip pattern chars)
+        out = []
+        for i, e in nxt:
+            j = 0
+            while e + j <= k and i + j <= len(w):
+                out.append((i + j, e + j))
+                j += 1
+        red = self._reduce(out)
+        return red or None
+
+    def is_final(self, state) -> bool:
+        """Accept if the (ended) term is within k of the full pattern."""
+        return any(e + (len(self.w) - i) <= self.k for i, e in state)
+
+
+class GlobAutomaton:
+    """Position-set NFA for shell-style wildcards (`*` any run, `?` one
+    char) — the ES wildcard query's language."""
+
+    def __init__(self, pattern: str):
+        self.p = pattern
+
+    def _closure(self, states):
+        # ε-advance through '*' (zero-width match)
+        p = self.p
+        out = set()
+        stack = list(states)
+        while stack:
+            i = stack.pop()
+            if i in out:
+                continue
+            out.add(i)
+            if i < len(p) and p[i] == "*":
+                stack.append(i + 1)
+        return frozenset(out)
+
+    def start(self):
+        return self._closure({0})
+
+    def step(self, state, c: str):
+        p = self.p
+        nxt = set()
+        for i in state:
+            if i >= len(p):
+                continue
+            ch = p[i]
+            if ch == "*":
+                nxt.add(i)          # '*' consumes c, stays
+            elif ch == "?" or ch == c:
+                nxt.add(i + 1)
+        if not nxt:
+            return None
+        return self._closure(nxt)
+
+    def is_final(self, state) -> bool:
+        return len(self.p) in state
+
+
+def dfs_expand(terms: np.ndarray, automaton, max_nodes: int = 2_000_000
+               ) -> np.ndarray:
+    """Indices of `terms` (a SORTED np.ndarray of str) accepted by the
+    automaton. Walks the implicit trie: each viable (prefix, state) node
+    locates its child-character runs by binary search, so dead prefixes
+    prune whole intervals without reading them. Returns ascending
+    indices; cost O(viable nodes · log n)."""
+    out: list[int] = []
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, np.int64)
+    st0 = automaton.start()
+    if st0 is None:
+        return np.empty(0, np.int64)
+    # stack of (lo, hi, depth, prefix, state)
+    stack = [(0, n, 0, "", st0)]
+    nodes = 0
+    while stack:
+        lo, hi, d, prefix, st = stack.pop()
+        nodes += 1
+        if nodes > max_nodes:
+            raise RuntimeError("dfs_expand node budget exceeded")
+        # the term equal to the prefix itself ends here
+        if len(terms[lo]) == d:
+            EXPAND_STATS["candidates"] += 1
+            if automaton.is_final(st):
+                out.append(lo)
+            lo += 1
+        while lo < hi:
+            c = terms[lo][d]
+            run_hi = int(np.searchsorted(terms[lo:hi],
+                                         prefix + c + "\U0010ffff",
+                                         side="right")) + lo
+            st2 = automaton.step(st, c)
+            if st2 is not None:
+                stack.append((lo, run_hi, d + 1, prefix + c, st2))
+            lo = run_hi
+    EXPAND_STATS["nodes"] += nodes
+    out.sort()
+    return np.asarray(out, dtype=np.int64)
+
+
+def regex_literal_prefixes(pattern: str, budget: int = 64
+                           ) -> list[str] | None:
+    """The set of literal prefixes every match of `pattern` must start
+    with, extracted structurally from the stdlib regex parse tree —
+    `s(can|ort|mall)x` → ['scanx', 'sortx', 'smallx'] (fully literal),
+    `us(er|age)[a-z]*` → ['user', 'usage'] (stops at the class). Returns
+    None when no non-empty prefix set is derivable (leading class /
+    quantifier / too many alternatives), meaning: scan everything."""
+    try:
+        import re._parser as sre  # Python ≥3.11
+    except ImportError:  # pragma: no cover
+        import sre_parse as sre
+    try:
+        tree = sre.parse(pattern)
+    except Exception:
+        return None
+
+    def walk(seq) -> tuple[set[str], bool]:
+        """(prefixes, complete): complete=False means the walk stopped
+        at a non-literal element — the prefixes still hold."""
+        prefixes = {""}
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                prefixes = {p + chr(av) for p in prefixes}
+            elif name == "SUBPATTERN":
+                sub, complete = walk(av[3])
+                prefixes = {p + s for p in prefixes for s in sub}
+                if not complete:
+                    return prefixes, False
+            elif name == "BRANCH":
+                subs = [walk(b) for b in av[1]]
+                prefixes = {p + s for p in prefixes
+                            for sp, _ in subs for s in sp}
+                if not all(c for _, c in subs):
+                    return prefixes, False
+            elif name == "MAX_REPEAT" and av[0] >= 1:
+                # x+ / x{2,}: at least one mandatory copy of the body —
+                # take ONE copy as prefix material, then stop (the rest
+                # is variable)
+                sub, complete = walk(av[2])
+                prefixes = {p + s for p in prefixes for s in sub}
+                return prefixes, False
+            else:
+                return prefixes, False
+            if len(prefixes) > budget:
+                return {""}, False
+        return prefixes, True
+
+    prefixes, _ = walk(tree)
+    if not prefixes or "" in prefixes:
+        return None
+    return sorted(prefixes)

@@ -194,3 +194,107 @@ def test_regex_casefold_preserves_escape_classes(spark, built, content_df):
 
 def reader_terms(spark, built, pattern):
     return IndexReader(spark, built).regex_terms(pattern, 10 ** 6).collect()
+
+
+# ------------------------------------------- automaton walk sublinearity
+
+from maestro_spark.functions.automata import (GlobAutomaton,
+                                              LevenshteinAutomaton,
+                                              dfs_expand,
+                                              regex_literal_prefixes,
+                                              reset_expand_stats)
+
+
+def _synthetic_vocab(n: int) -> np.ndarray:
+    """Deterministic n-term sorted dictionary shaped like a code
+    vocabulary: word-pair identifiers with digit suffixes (independent
+    index arithmetic so every i yields a distinct term)."""
+    words = ["get", "set", "user", "name", "index", "query", "token",
+             "parse", "build", "merge", "shard", "batch", "record",
+             "stream", "handler", "client", "server", "request",
+             "response", "filter"]
+    terms = {f"{words[i % 20]}{words[(i // 20) % 20]}{i // 400}"
+             for i in range(n)}
+    return np.array(sorted(terms), dtype=object)
+
+
+def test_expansion_sublinear_fuzzy_million_terms():
+    """VERDICT r2 #3 done-gate: on a 10^6-term dictionary, a fuzzy walk
+    must visit orders of magnitude fewer trie nodes than terms (the r2
+    behavior scanned all 10^6 rows per pattern)."""
+    vocab = _synthetic_vocab(1_000_000)
+    reset_expand_stats()
+    idx = dfs_expand(vocab, LevenshteinAutomaton("getuser123", 1))
+    stats = reset_expand_stats()
+    lens = np.fromiter((len(t) for t in vocab), np.int64, len(vocab))
+    band = vocab[np.abs(lens - 10) <= 1]
+    want = [t for t in band if _edit_distance_le(t, "getuser123", 1)]
+    assert sorted(vocab[idx]) == sorted(want) and len(want) >= 1
+    assert stats["nodes"] < len(vocab) / 1000, stats
+
+
+def test_expansion_sublinear_wildcard_million_terms():
+    vocab = _synthetic_vocab(1_000_000)
+    reset_expand_stats()
+    idx = dfs_expand(vocab, GlobAutomaton("mergeindex1*"))
+    stats = reset_expand_stats()
+    rx = _re.compile("mergeindex1[0-9]*")
+    want = [t for t in vocab if rx.fullmatch(t)]
+    assert sorted(vocab[idx]) == sorted(want) and len(want) >= 1
+    assert stats["nodes"] < len(vocab) / 100, stats
+
+
+def test_levenshtein_automaton_randomized():
+    """DFS over a small dictionary == brute-force banded Levenshtein for
+    every (pattern, k)."""
+    vocab = _synthetic_vocab(3000)
+    for pat, k in [("getuser1", 1), ("setname2", 2), ("querytoken77", 1),
+                   ("zzz", 2), ("mergeshard12", 2)]:
+        idx = dfs_expand(vocab, LevenshteinAutomaton(pat, k))
+        want = [t for t in vocab if _edit_distance_le(t, pat, k)]
+        assert sorted(vocab[idx]) == sorted(want), (pat, k)
+
+
+def test_glob_automaton_randomized():
+    vocab = _synthetic_vocab(3000)
+    cases = [("get*", "get.*"), ("*user*", ".*user.*"),
+             ("s?t*9", "s.t.*9"), ("merge*7?", "merge.*7.")]
+    for glob, rxs in cases:
+        idx = dfs_expand(vocab, GlobAutomaton(glob))
+        rx = _re.compile(rxs)
+        want = [t for t in vocab if rx.fullmatch(t)]
+        assert sorted(vocab[idx]) == sorted(want), glob
+
+
+def test_regex_literal_prefixes():
+    assert regex_literal_prefixes("s(can|ort|mall)") == ["scan", "small",
+                                                         "sort"]
+    assert regex_literal_prefixes("us(er|age)[a-z0-9]*") == ["usage",
+                                                             "user"]
+    assert regex_literal_prefixes("(merge|stream)x") == ["mergex",
+                                                         "streamx"]
+    assert regex_literal_prefixes("get[a-z]*") == ["get"]
+    assert regex_literal_prefixes("cach?e") == ["cac"]
+    assert regex_literal_prefixes("(ab)+c") == ["ab"]
+    assert regex_literal_prefixes("[a-z]+x") is None   # no literal lead
+    assert regex_literal_prefixes("a?bc") is None      # empty-matchable
+    assert regex_literal_prefixes("\\S*x") is None
+
+
+def test_regex_expansion_prunes_candidates(spark, built, content_df):
+    """Alternation patterns verify only their prefix intervals: the
+    candidate count must be far below the dictionary size, results
+    unchanged."""
+    from maestro_spark.functions.automata import EXPAND_STATS
+    reader = IndexReader(spark, built)
+    reader.regex_terms("zzzqqq.*")  # force the termdict arrays load
+    reset_expand_stats()
+    got = {r["term"]: r["df"]
+           for r in reader.regex_terms("us(er|age)[a-z0-9]*",
+                                       10 ** 6).collect()}
+    stats = reset_expand_stats()
+    rx = _re.compile("us(er|age)[a-z0-9]*")
+    want = {t: df for t, df in content_df.items() if rx.fullmatch(t)}
+    assert got == want and got
+    n_vocab = len(reader._content_terms_arrays()[0])
+    assert 0 < stats["candidates"] < n_vocab / 2, (stats, n_vocab)
