@@ -464,7 +464,7 @@ def _build_shards(
         gone = ({int(s) for s in prev.get("shards", {})}
                 - set(fingerprints) - set(keep))
         for s in sorted(gone):
-            for sub in ("docs", "doclens", "postings"):
+            for sub in ("docs", "doclens", "postings", "keyblooms"):
                 drop_partition_dir(os.path.join(out_dir, sub), f"shard={s}")
 
     n_docs = (sum(n for n, _ in fingerprints.values())
@@ -523,6 +523,17 @@ def _build_shards(
             os.path.join(out_dir, "docs"), ["shard"], dynamic=dynamic,
         )
         _phase("write_docs", t)
+
+        # per-shard key bloom sidecar: the incremental key probe opens
+        # only shards whose bloom admits a batch key (keybloom.py — the
+        # native analogue of Iceberg bloom file skipping). One tiny row
+        # per rebuilt shard; untouched shards keep theirs.
+        t = time.time()
+        from maestro_spark.operators.keybloom import write_key_blooms
+        write_key_blooms(subset, os.path.join(out_dir, "keyblooms"),
+                         ["repo", "path", "commit"],
+                         n_parts=len(pending), dynamic=dynamic)
+        _phase("keyblooms", t)
 
         t = time.time()
         tokens = tokenize_docs(subset, cfg).persist(StorageLevel.MEMORY_AND_DISK)

@@ -19,14 +19,15 @@ it with:
     are never opened.
 
 Cost shape at scale (the part the fingerprint-everything design got
-wrong): per batch this runs ONE column-pruned scan of the docstore key
-columns (doc_id, shard, repo, path, commit — no content) with a
-broadcast semi-join against the batch keys (no shuffle of the big side;
-behind the TableIO seam an Iceberg deployment would replace even that
-scan with metadata/bloom-pruned file skipping), then content reads and
-rebuild work bounded by |touched shards| * shard_size regardless of
-corpus size. A delete-only batch whose keys miss the store does no
-rebuild at all.
+wrong): per batch the key probe first consults the per-shard key bloom
+sidecars (keybloom.py — the native analogue of the metadata/bloom file
+skipping an Iceberg deployment would do behind the TableIO seam), then
+runs ONE column-pruned scan of the docstore key columns (doc_id, shard,
+repo, path, commit — no content) over ONLY the candidate shards, with a
+broadcast semi-join against the batch keys (no shuffle of the big side).
+Content reads and rebuild work stay bounded by |touched shards| *
+shard_size regardless of corpus size. A delete-only batch whose keys
+miss every bloom does no scan and no rebuild at all.
 
 Reference parity: ES routes each document to one shard by _id and bulk
 upsert/delete touches only the owning shards
@@ -98,10 +99,24 @@ def incremental_update(
     if dels is not None:
         batch_keys = batch_keys.unionByName(dels).distinct()
 
-    # ONE column-pruned key scan of the docstore; batch side broadcast.
+    # Key probe, metadata-pruned: the per-shard bloom sidecar names the
+    # only shards that can contain a batch key, so the column-pruned key
+    # scan opens files ∝ candidate shards instead of every shard (the
+    # Iceberg bloom-skipping analogue — keybloom.py). A bloom false
+    # positive costs one extra shard scanned, never a wrong answer; a
+    # legacy index without the sidecar falls back to the full key scan.
+    from maestro_spark.operators.keybloom import candidate_shards
     stored_keys = spark.read.parquet(docs_path).select("doc_id", "shard", *DOC_KEY)
+    cand = candidate_shards(spark, index_dir, batch_keys, list(DOC_KEY),
+                            manifest)
+    if cand is None:
+        probe = stored_keys
+    elif cand:
+        probe = stored_keys.where(F.col("shard").isin(sorted(cand)))
+    else:  # every bloom rejected every key: all keys are brand-new
+        probe = stored_keys.where(F.lit(False))
     hits = (
-        stored_keys.join(F.broadcast(batch_keys), DOC_KEY, "left_semi")
+        probe.join(F.broadcast(batch_keys), DOC_KEY, "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hits.count()  # materialize: reused for ids, touched shards, anti-joins
@@ -127,8 +142,13 @@ def incremental_update(
                                  (int(max_id) + n_new) // shard_size + 1))
         if not touched:
             # every command was a no-op (deletes of absent keys): nothing
-            # to rebuild, manifest unchanged
-            return manifest
+            # to rebuild, manifest unchanged (audit key reports how many
+            # shards the bloom-pruned probe opened — 0 when every bloom
+            # rejected every key)
+            out = dict(manifest)
+            out["key_probe_shards"] = (sorted(cand) if cand is not None
+                                       else None)
+            return out
         touched_sorted = sorted(touched)
 
         # new content of the touched shards only (partition-pruned read)
@@ -160,10 +180,15 @@ def incremental_update(
                         for r in rows}
         keep = {int(s): e for s, e in manifest["shards"].items()
                 if int(s) not in touched}
-        return _build_shards(
+        out = _build_shards(
             spark, d, index_dir, cfg, fingerprints, prev=manifest, keep=keep,
             max_doc_id=int(max_id) + n_new, t0=t0,
         )
+        # audit (returned, not persisted): which shards the bloom probe
+        # actually opened — tests assert probe opens ∝ touched shards
+        out["key_probe_shards"] = (sorted(cand) if cand is not None
+                                   else None)
+        return out
     finally:
         hits.unpersist()
         if base is not None:

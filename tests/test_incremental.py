@@ -241,3 +241,73 @@ def test_write_partitioned_bounds_row_groups(spark, tmp_path):
     assert md.num_row_groups >= 4
     # and stats exist on the first column for pruning
     assert md.row_group(0).column(0).statistics is not None
+
+
+def test_incremental_bloom_prune(spark, tmp_path):
+    """VERDICT r3 #4: the key probe must open files ∝ touched shards.
+    On a many-shard index, an upsert of keys from ONE shard probes only
+    that shard (bloom candidates), a delete-only batch of absent keys
+    probes nothing, and correctness is unchanged in both cases."""
+    idx = str(tmp_path / "idxb")
+    docs = synth_docs(spark, 500, seed=11, partitions=5)
+    m1 = build_index(spark, docs, idx, CFG)      # 10 shards of 50
+    assert len(m1["shards"]) == 10
+    assert os.path.isdir(os.path.join(idx, "keyblooms"))
+    ids = _ids(spark, idx)
+    victims = sorted(k for k, v in ids.items() if 100 <= v < 103)
+
+    up = spark.createDataFrame(
+        [(r, p, c, "python", "zzqbloomedit gamma") for r, p, c in victims],
+        DOC_SCHEMA)
+    m2 = incremental_update(spark, idx, up, None, CFG)
+    # the probe consulted the blooms and opened (at most, modulo bloom
+    # false positives at ~5e-4) only the victims' shard
+    assert m2["key_probe_shards"] is not None
+    assert 2 in m2["key_probe_shards"]
+    assert len(m2["key_probe_shards"]) <= 2, m2["key_probe_shards"]
+    touched = set(map(int, m2["shards"])) - set(m2["skipped_shards"])
+    assert touched == {2}
+    reader = IndexReader(spark, idx)
+    got = sorted(reader.search_pandas("zzqbloomedit", k=10)["doc_id"])
+    assert got == [ids[k] for k in victims]
+
+    # delete-only batch of ABSENT keys: every bloom rejects -> zero
+    # shards probed, no rebuild, manifest returned unchanged
+    dels = spark.createDataFrame(
+        [("nosuch/repo", f"x{i}.py", "c9") for i in range(5)],
+        "repo string, path string, commit string")
+    m3 = incremental_update(spark, idx, up.limit(0), dels, CFG)
+    assert m3["key_probe_shards"] == []
+
+    # rebuilt shard's bloom was REWRITTEN: a second upsert of the same
+    # keys still routes to exactly that shard
+    m4 = incremental_update(spark, idx, up, None, CFG)
+    assert 2 in m4["key_probe_shards"] and len(m4["key_probe_shards"]) <= 2
+
+
+def test_bloom_probe_distributed_path(spark, tmp_path, monkeypatch):
+    """At 100 TB the bloom sidecar itself is GBs; over LOCAL_BLOOM_BUDGET
+    the probe runs executor-side and only candidate shard ids reach the
+    driver. Forcing budget 0 must give bit-identical candidates to the
+    driver-local path."""
+    from maestro_spark.operators import keybloom
+
+    idx = str(tmp_path / "idxd")
+    docs = synth_docs(spark, 300, seed=13, partitions=4)
+    build_index(spark, docs, idx, CFG)           # 6 shards of 50
+    ids = _ids(spark, idx)
+    some = sorted(k for k, v in ids.items() if v in (7, 120, 260))
+    keys = spark.createDataFrame(some, "repo string, path string, commit string")
+    manifest = {"shards": {str(s): {} for s in range(6)}}
+
+    local = keybloom.candidate_shards(spark, idx, keys, ["repo", "path", "commit"], manifest)
+    monkeypatch.setattr(keybloom, "LOCAL_BLOOM_BUDGET", 0)
+    dist = keybloom.candidate_shards(spark, idx, keys, ["repo", "path", "commit"], manifest)
+    assert local == dist
+    assert {0, 2, 5} <= dist            # true owners always admitted
+    assert len(dist) <= 4               # bloom fp ~5e-4: little else
+
+    # empty batch, distributed path: no candidates, no crash
+    none = keybloom.candidate_shards(
+        spark, idx, keys.limit(0), ["repo", "path", "commit"], manifest)
+    assert none == set()
