@@ -59,7 +59,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     flattened per-field exists() WRONG — only same-element X7 semantics
     reproduce the %4 set."""
     out = os.path.join(
-        tempfile.gettempdir(), "maestro_entry_idx_v4",
+        tempfile.gettempdir(), "maestro_entry_idx_v5",
         re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
     )
     e1 = F.struct(

@@ -68,6 +68,26 @@ POSTING_SCHEMA = (
 )
 MERGED_SCHEMA = POSTING_SCHEMA.replace(", salt int", "") + ", merge_fanin int"
 
+# On-disk manifest format. POSITIONS_SEMANTICS tracks the prox-stream
+# contract independently of layout: v1 placed whole-identifier tokens
+# after all subtokens (consuming a slot); v2 places the whole form at the
+# first subtoken's position without consuming one. A v1 positional index
+# read under v2 rules would phrase-match at stale tail positions, so the
+# reader refuses (ADVICE r2 #4) and resume/incremental rebuild instead of
+# trusting old shards.
+INDEX_FORMAT_VERSION = 2
+POSITIONS_SEMANTICS = 2
+
+
+def positions_compatible(manifest: dict | None, cfg: IndexConfig) -> bool:
+    """True when `manifest`'s prox stream (if any) was written under the
+    CURRENT positions semantics, or positions aren't stored at all."""
+    if manifest is None or not cfg.store_positions:
+        return True
+    if not manifest.get("config", {}).get("store_positions"):
+        return True  # old index had no prox stream: nothing to misread
+    return manifest.get("positions_semantics") == POSITIONS_SEMANTICS
+
 
 @dataclass
 class IndexConfig:
@@ -328,6 +348,8 @@ def build_index(
     max_doc_id = max((int(r["max_id"]) for r in shard_rows), default=-1)
 
     prev = read_manifest(os.path.join(out_dir, "manifest.json")) if resume else None
+    if not positions_compatible(prev, cfg):
+        prev = None  # old prox semantics: no shard is resumable, rebuild all
     try:
         return _build_shards(spark, d, out_dir, cfg, fingerprints, prev=prev,
                              keep={}, max_doc_id=max_doc_id, t0=t0)
@@ -471,11 +493,13 @@ def _build_shards(
               + sum(int(e.get("n_docs", 0)) for e in keep.values()))
 
     manifest: dict = {
-        "version": 1,
+        "version": INDEX_FORMAT_VERSION,
         "config": cfg.to_dict(),
         "n_docs": n_docs,
         "shards": {},
     }
+    if cfg.store_positions:
+        manifest["positions_semantics"] = POSITIONS_SEMANTICS
     if prev:
         manifest["shards"].update(
             {str(s): prev["shards"][str(s)] for s in done_shards})

@@ -44,7 +44,13 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from maestro_spark.operators.build import IndexConfig, _build_shards, build_index
+from maestro_spark.operators.build import (
+    POSITIONS_SEMANTICS,
+    IndexConfig,
+    _build_shards,
+    build_index,
+    positions_compatible,
+)
 from maestro_spark.operators.docids import DOC_KEY, assign_doc_ids
 from maestro_spark.sources.tableio import read_manifest
 
@@ -88,6 +94,15 @@ def incremental_update(
         raise ValueError(
             f"shard_size mismatch: index has {manifest['config']['shard_size']}, "
             f"cfg has {cfg.shard_size} — doc ids would route to wrong shards")
+    if not positions_compatible(manifest, cfg):
+        # untouched shards would keep an old-semantics prox stream that the
+        # new reader phrase-matches wrongly (ADVICE r2 #4): refuse instead
+        # of mixing semantics; a full build_index migrates the index.
+        raise ValueError(
+            "index positional stream was written under older positions "
+            "semantics (manifest positions_semantics != "
+            f"{POSITIONS_SEMANTICS}); run a full build_index (or "
+            "reindex_versioned) to migrate before incremental updates")
     shard_size = cfg.shard_size
     docs_path = os.path.join(index_dir, "docs")
 

@@ -211,6 +211,22 @@ class IndexReader:
             raise FileNotFoundError(f"no manifest.json under {self.index_dir}")
         self._manifest_mtime = os.path.getmtime(self._manifest_path)
         self.cfg = self.manifest["config"]
+        # Refuse a positional index written under older prox-stream
+        # semantics (ADVICE r2 #4): v1 placed whole-identifier tokens in
+        # their own slot after the subtokens; this reader assumes v2
+        # (whole form shares the first subtoken's position). Reading v1
+        # would phrase-match at stale tail positions — wrong answers, not
+        # errors — so fail loudly and name the migration.
+        from maestro_spark.operators.build import POSITIONS_SEMANTICS
+        if (self.cfg.get("store_positions")
+                and self.manifest.get("positions_semantics")
+                != POSITIONS_SEMANTICS):
+            raise ValueError(
+                f"{self.index_dir}: positional index written under "
+                f"positions_semantics="
+                f"{self.manifest.get('positions_semantics', 1)} but this "
+                f"reader requires {POSITIONS_SEMANTICS}; rebuild the index "
+                f"(build_index / reindex_versioned) to migrate")
         self.stats = self.manifest["stats"]
         self._df_cache: dict[str, int] = {}   # term -> global df
         # (kind, pattern, edits) -> [(term, df), ...] — fuzzy/wildcard

@@ -338,3 +338,69 @@ def test_rescore_stream_matches_posting_phrase_membership(spark, built, corpus):
         for doc_id, strm in zip(corpus["doc_id"], streams):
             tf = _phrase_tf_tokens(list(strm), seq, 0)
             assert (tf > 0) == (int(doc_id) in posting_docs), (phrase, doc_id)
+
+
+def test_reader_refuses_stale_positions_semantics(spark, built, tmp_path):
+    """ADVICE r2 #4: a positional index whose manifest predates the
+    current prox-stream semantics must be REFUSED by the reader (wrong
+    phrase answers otherwise), resumed builds must rebuild rather than
+    skip-match old shards, and incremental must raise."""
+    import json
+    import shutil
+
+    from maestro_spark.operators.build import POSITIONS_SEMANTICS
+    from maestro_spark.operators.incremental import incremental_update
+
+    assert POSITIONS_SEMANTICS >= 2
+    man_path = f"{built}/manifest.json"
+    fresh = json.load(open(man_path))
+    assert fresh["positions_semantics"] == POSITIONS_SEMANTICS
+    assert fresh["version"] >= 2
+
+    old = str(tmp_path / "oldidx")
+    shutil.copytree(built, old)
+    stale = dict(fresh)
+    del stale["positions_semantics"]   # pre-stamp manifest (v1 semantics)
+    stale["version"] = 1
+    json.dump(stale, open(f"{old}/manifest.json", "w"))
+
+    with pytest.raises(ValueError, match="positions_semantics"):
+        IndexReader(spark, old)
+
+    up = synth_docs(spark, 3, seed=9, partitions=1)
+    with pytest.raises(ValueError, match="positions semantics"):
+        incremental_update(spark, old, up, None, CFG)
+
+    # resume over the stale index: identical input fingerprints would
+    # normally skip-match every shard, but stale semantics force a real
+    # rebuild (postings rewritten); the result is stamped current and
+    # readable again
+    import glob
+    import os
+
+    from maestro_spark.operators.build import build_index as bi
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{old}/postings/**/*.parquet",
+                                 recursive=True)}
+    m = bi(spark, synth_docs(spark, N_DOCS, seed=42, partitions=5), old,
+           CFG, resume=True)
+    assert m["positions_semantics"] == POSITIONS_SEMANTICS
+    assert all(e["status"] == "ok" for e in m["shards"].values())
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(f"{old}/postings/**/*.parquet",
+                                recursive=True)}
+    assert after != before, "stale-semantics shards were skip-matched"
+    r = IndexReader(spark, old)
+    assert len(r.phrase_search("get user", k=5).collect()) > 0
+
+    # a NON-positional legacy index (no prox stream) is still readable:
+    # nothing to misread
+    flat = str(tmp_path / "flatidx")
+    cfg_flat = IndexConfig(shard_size=120, n_buckets=8, n_salts=4,
+                           hot_df_fraction=0.05, sample_fraction=1.0)
+    bi(spark, synth_docs(spark, 50, seed=1, partitions=2), flat, cfg_flat)
+    man2 = json.load(open(f"{flat}/manifest.json"))
+    man2.pop("positions_semantics", None)
+    man2["version"] = 1
+    json.dump(man2, open(f"{flat}/manifest.json", "w"))
+    assert IndexReader(spark, flat).search_pandas("def", k=3) is not None
