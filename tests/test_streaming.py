@@ -214,3 +214,84 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert got_rows == want
     # exactly-once: no duplicate sessions
     assert len(got_rows) == len(set(got_rows))
+
+
+def test_command_stream_crash_replay_exactly_once(spark, tmp_path):
+    """VERDICT r3 #8 (failure injection): foreachBatch is at-least-once —
+    a crash AFTER the batch's side effect but BEFORE the checkpoint
+    commit replays that batch on restart. Exactly-once INDEX STATE then
+    rests on apply_command_batch being idempotent (stable ids, same-
+    content rebuild). Inject exactly that crash, resume from the same
+    checkpoint, and require the final index bit-identical (docstore rows
+    AND doc ids AND search results) to an uninterrupted control run over
+    the same micro-batches."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    cmd_dir = str(tmp_path / "cmds")
+    os.makedirs(cmd_dir)
+    base = synth_docs(spark, 120, seed=7, partitions=3).collect()
+    # three files → three micro-batches under maxFilesPerTrigger=1
+    _write_commands(spark, cmd_dir, [
+        (i, "upsert", r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for i, r in enumerate(base[:80])], "f0")
+    _write_commands(spark, cmd_dir, [
+        (200, "delete", base[0]["repo"], base[0]["path"], base[0]["commit"],
+         None, None),
+        (201, "upsert", base[1]["repo"], base[1]["path"], base[1]["commit"],
+         base[1]["lang"], base[1]["content"] + " zzqcrashmarker"),
+    ], "f1")
+    _write_commands(spark, cmd_dir, [
+        (300 + i, "upsert", r["repo"], r["path"], r["commit"], r["lang"],
+         r["content"]) for i, r in enumerate(base[80:])], "f2")
+
+    def run(idx_dir, ckpt, crash_after=None, applied=None):
+        stream = sc.read_command_stream(spark, cmd_dir, max_files_per_trigger=1)
+
+        def process(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            sc.apply_command_batch(spark, batch_df, idx_dir, CFG)
+            if applied is not None:
+                applied.append(batch_id)
+            if crash_after is not None and batch_id == crash_after:
+                raise RuntimeError("injected crash before checkpoint commit")
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # control: uninterrupted
+    ctl_idx, ctl_ckpt = str(tmp_path / "ctl_idx"), str(tmp_path / "ctl_ckpt")
+    ctl_applied = []
+    run(ctl_idx, ctl_ckpt, applied=ctl_applied)
+    assert ctl_applied == [0, 1, 2]
+
+    # failure run: crash after batch 1's side effect landed
+    f_idx, f_ckpt = str(tmp_path / "f_idx"), str(tmp_path / "f_ckpt")
+    f_applied = []
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run(f_idx, f_ckpt, crash_after=1, applied=f_applied)
+    assert f_applied == [0, 1]
+
+    # resume from the SAME checkpoint: batch 1 must REPLAY (its commit
+    # never landed), then batch 2 runs — at-least-once delivery
+    run(f_idx, f_ckpt, applied=f_applied)
+    assert f_applied == [0, 1, 1, 2], f_applied
+
+    # exactly-once STATE: docstore (keys, content hash, doc ids) and
+    # search results bit-identical to the control
+    cols = ["repo", "path", "commit", "doc_id", "content_sha256"]
+    ctl = sorted(map(tuple, spark.read.parquet(f"{ctl_idx}/docs")
+                     .select(*cols).collect()))
+    got = sorted(map(tuple, spark.read.parquet(f"{f_idx}/docs")
+                     .select(*cols).collect()))
+    assert got == ctl
+    r_ctl = IndexReader(spark, ctl_idx)
+    r_f = IndexReader(spark, f_idx)
+    for q in ("zzqcrashmarker", "def return"):
+        a = r_ctl.search_pandas(q, k=10)
+        b = r_f.search_pandas(q, k=10)
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert list(a["score"]) == list(b["score"])
+    assert len(r_f.search_pandas("zzqcrashmarker", k=10)) == 1
