@@ -104,10 +104,10 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     DISTINCT n-grams that appear anywhere in the eval set.
 
     100 TB shape: the eval side is dim-sized by definition — its distinct
-    shingle set BROADCASTS; the corpus side explodes to (id, shingle)
-    distinct (one partial-agg dedup) and the overlap check is a
-    broadcast semi-join, so nothing corpus-scale shuffles on the n-gram
-    key. If the eval set ever outgrows broadcast, drop the broadcast()
+    shingle set BROADCASTS; the corpus side dedupes per doc MAP-SIDE
+    (array_distinct before the explode) and the overlap check is a
+    broadcast semi-join, so the corpus reaches the join with ZERO shuffle
+    and only the surviving hits shuffle for the per-doc count. If the eval set ever outgrows broadcast, drop the broadcast()
     hint and the same plan becomes a shuffle join on the shingle hash.
 
     hash_shingles=True (default) hashes each n-gram WINDOW directly
@@ -133,9 +133,16 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
             ).otherwise(F.array().cast("array<long>"))
         else:
             arr = shingle_col(F.col(col), n)
-        sh = F.explode(arr).alias("shingle")
-        sel = [F.col(id_col), sh] if with_id else [sh]
-        return frame.select(*sel).distinct()
+        if with_id:
+            # per-doc distinct is MAP-SIDE (array_distinct before the
+            # explode): the corpus side reaches the broadcast semi-join
+            # with zero shuffle; only the post-join per-doc counts (hits
+            # only) ever shuffle
+            return frame.select(
+                F.col(id_col),
+                F.explode(F.array_distinct(arr)).alias("shingle"))
+        # eval side: global distinct over a dim-sized set (broadcast prep)
+        return frame.select(F.explode(arr).alias("shingle")).distinct()
 
     ev = keyed(eval_docs, eval_text_col, with_id=False)
     corp = keyed(docs, text_col, with_id=True)

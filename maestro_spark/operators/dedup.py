@@ -76,10 +76,14 @@ def shingle_col(text: Column, n: int = 3) -> Column:
 
 def doc_shingles(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct — the set representation for Jaccard."""
-    return (
-        docs.select(F.col(id_col), F.explode(shingle_col(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    """(doc_id, shingle) distinct — the set representation for Jaccard.
+    Dedup is per-doc, so it runs MAP-SIDE (array_distinct before the
+    explode): zero shuffle, vs a corpus-wide distinct() that would shuffle
+    the entire shingle stream at 100 TB."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_col(F.col(text_col), n)))
+        .alias("shingle"),
     )
 
 
@@ -93,20 +97,30 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
     hash_fn="md5": h_i = min over shingles of md5(i || ':' || shingle) — a
     string-min MinHash, chosen because DuckDB computes the identical value
     (oracle parity). hash_fn="xxhash64": production variant, 8-byte ints.
-    Signatures are computed in ONE aggregation over exploded shingles
-    (map-side partial min per hash — no per-doc collect)."""
-    sh = doc_shingles(docs, text_col, id_col, shingle_n)
-    if hash_fn == "md5":
-        aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    else:
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    return sh.groupBy(id_col).agg(*aggs)
+    Signatures are computed entirely MAP-SIDE: the per-doc shingle set
+    stays an array and each h_i is array_min(transform(...)) — no explode,
+    no groupBy, ZERO shuffle (the previous explode+groupBy shape shuffled
+    a pre-aggregated row per doc; this shuffles nothing). Docs with no
+    shingle (< n tokens) yield no row, matching the exploded semantics."""
+    arr = F.array_distinct(shingle_col(F.col(text_col), shingle_n))
+
+    # NB: the hash index must be captured by CLOSURE, not a lambda default:
+    # a two-arg lambda makes F.transform pass the array POSITION as the
+    # second argument, silently replacing the hash index.
+    def _h(i: int):
+        if hash_fn == "md5":
+            return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sigs = [
+        F.array_min(F.transform(F.col("_sh"), _h(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        docs.select(F.col(id_col), arr.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(id_col, *sigs)
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
@@ -183,14 +197,17 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     the join to the candidate set (semi-join pruning).
     Returns (id1, id2, n_inter, n_union, jaccard) with jaccard rounded to 6.
     """
-    sh = doc_shingles(docs, text_col, id_col, shingle_n)
     if candidates is not None:
+        # prune DOCS before shingling: tokenize/shingle cost is then
+        # ∝ |candidate docs|, not corpus size (the previous shape shingled
+        # the whole corpus and semi-joined the exploded stream)
         pair_docs = (
             candidates.select(F.col("id1").alias(id_col))
             .union(candidates.select("id2"))
             .distinct()
         )
-        sh = sh.join(pair_docs, id_col, "left_semi")
+        docs = docs.join(pair_docs, id_col, "left_semi")
+    sh = doc_shingles(docs, text_col, id_col, shingle_n)
     # sh feeds three consumers (sizes + both sides of the intersection
     # join); persist so tokenize→shingle→distinct runs once. When pruned by
     # candidates this is tiny; unpruned it is the shingle inverted index.
@@ -231,9 +248,9 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
     point (probabilistic recall from banding, exact precision from verify)."""
     # persist signatures: the banding stage fans them into three plan
     # branches (bucket sizing join + both sides of the bucket self-join);
-    # unpersisted, each branch would recompute the shingle-explode +
-    # n_hashes min-aggregation — the single heaviest map+shuffle of the
-    # whole pipeline. The cached frame is tiny (n_docs × n_hashes ints).
+    # unpersisted, each branch would re-tokenize + re-hash the corpus
+    # (signatures are map-side but not free). The cached frame is tiny
+    # (n_docs × n_hashes ints).
     sigs = minhash_signatures(docs, n_hashes, text_col, id_col, shingle_n,
                               hash_fn).persist()
     # persist candidates: the verify stage consumes them twice (doc-set
