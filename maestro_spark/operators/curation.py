@@ -144,8 +144,10 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
         # eval side: global distinct over a dim-sized set (broadcast prep)
         return frame.select(F.explode(arr).alias("shingle")).distinct()
 
+    from maestro_spark.operators.dedup import spread
+
     ev = keyed(eval_docs, eval_text_col, with_id=False)
-    corp = keyed(docs, text_col, with_id=True)
+    corp = keyed(spread(docs), text_col, with_id=True)
     hits = (corp.join(F.broadcast(ev), "shingle", "left_semi")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bad")))

@@ -32,6 +32,42 @@ from pyspark.sql import functions as F
 from maestro_spark.operators.textstats import simple_token_col
 
 
+def pinned(cond: Column) -> Column:
+    """`cond`, pinned in place: OR-ed with a term that is always false yet
+    non-deterministic and non-foldable (`spark_partition_id() < 0`), so
+    Catalyst's PushDownPredicates — which only moves deterministic
+    conditions through exchanges — cannot sink the filter below a spread()
+    exchange. A disjunction is never split, and the pid term neither folds
+    (`isnull(rand())` would: rand is statically non-nullable; `rand() >
+    2.0` would too: Spark 4 range-folds rand comparisons) nor detaches
+    (an AND-ed term would: conjunctions are split and the deterministic
+    half pushed anyway). Without this, a filter like `h0 IS NOT NULL` is
+    rewritten in terms of the scan columns and re-runs the whole
+    tokenize→shingle→hash chain on the (few) pre-exchange input
+    partitions, serializing the heaviest work onto one task.
+
+    NOTE: the condition is still SUBSTITUTED through deterministic
+    projections above the exchange (re-evaluating their expressions in the
+    filter). When the projection is expensive, additionally materialize a
+    non-deterministic column in it (see minhash_signatures' `_pin`) so the
+    filter stops immediately above and reads attributes, not expressions."""
+    return cond | (F.spark_partition_id() < F.lit(0))
+
+
+def spread(df: DataFrame, min_rows_per_part: int = 0) -> DataFrame:
+    """Repartition ONLY when the input arrives in fewer partitions than
+    the cluster has slots (a small table read as one file, or a candidate
+    subset collapsed into few partitions) — the heavy per-row passes below
+    (tokenize → shingle → 16×hash) otherwise run on a fraction of the
+    cores. At production scale inputs span many files and this is a no-op,
+    so no extra shuffle is ever paid where it wouldn't help."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -43,7 +79,7 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     if normalize:
         text = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
-    d = docs.select(F.col(id_col), F.md5(text).alias("fingerprint"))
+    d = spread(docs).select(F.col(id_col), F.md5(text).alias("fingerprint"))
     g = d.groupBy("fingerprint").agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size")
     )
@@ -116,10 +152,24 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
         F.array_min(F.transform(F.col("_sh"), _h(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
+    # The no-shingle filter tests h0 (array_min of empty → null) AFTER the
+    # projection, pinned via the `_pin` column — a plain filter here is
+    # substituted through the Projects and sunk below the spread() exchange,
+    # where it re-runs the whole tokenize→shingle→hash chain on the scan
+    # side's (few) input partitions, serializing the heaviest work onto one
+    # task. Materializing spark_partition_id() in the SAME projection as
+    # `_sh` makes that projection non-deterministic, so the filter stops
+    # immediately above it and re-evaluates only h0's array_min over the
+    # already-computed `_sh` attribute (1 of n_hashes passes), not the
+    # shingle expression itself.
+    base = spread(docs).select(
+        F.col(id_col), arr.alias("_sh"),
+        F.spark_partition_id().alias("_pin"),
+    )
     return (
-        docs.select(F.col(id_col), arr.alias("_sh"))
-        .where(F.size("_sh") > 0)
-        .select(id_col, *sigs)
+        base.select(id_col, *sigs, "_pin")
+        .where(F.col("h0").isNotNull() | (F.col("_pin") < 0))
+        .drop("_pin")
     )
 
 
@@ -207,7 +257,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
             .distinct()
         )
         docs = docs.join(pair_docs, id_col, "left_semi")
-    sh = doc_shingles(docs, text_col, id_col, shingle_n)
+    sh = doc_shingles(spread(docs), text_col, id_col, shingle_n)
     # sh feeds three consumers (sizes + both sides of the intersection
     # join); persist so tokenize→shingle→distinct runs once. When pruned by
     # candidates this is tiny; unpruned it is the shingle inverted index.
@@ -277,7 +327,7 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
         raise ValueError("oracle-parity simhash supports ≤16 bits")
     toks = simple_token_col(F.col(text_col))
     tf = (
-        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        spread(docs).select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -445,7 +495,7 @@ def split_paragraphs(docs: DataFrame, text_col: str = "text",
     par_idx is the 0-based ORIGINAL position (survives the filter), so
     first-occurrence order is the document's real reading order."""
     parts = F.posexplode(F.split(F.col(text_col), delim))
-    return (docs.select(F.col(id_col), parts)
+    return (spread(docs).select(F.col(id_col), parts)
             .withColumnRenamed("pos", "par_idx")
             .withColumnRenamed("col", "paragraph")
             .where(F.trim("paragraph") != ""))
@@ -468,7 +518,7 @@ def chunk_paragraphs(docs: DataFrame, text_col: str = "text",
         ),
     ).otherwise(F.array().cast("array<string>"))
     parts = F.posexplode(chunks)
-    return (docs.select(F.col(id_col), parts)
+    return (spread(docs).select(F.col(id_col), parts)
             .withColumnRenamed("pos", "par_idx")
             .withColumnRenamed("col", "paragraph"))
 
