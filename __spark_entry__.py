@@ -725,6 +725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["significant_terms"] = _q_sig_terms
 
+    def _q_sig_terms_sampled(s: SparkSession, d: str) -> DataFrame:
+        # ES sampler + significant_terms composition: foreground = the
+        # per-shard top-40 scored matches (score_round=6 = the
+        # oracle-alignment rank convention), JLH over that sample —
+        # k-bounded re-analysis cost regardless of match-set size
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.significant_terms("customer", size=15,
+                                        sample_top=40, score_round=6)
+
+    q["significant_terms_sampled"] = _q_sig_terms_sampled
+
     def _q_fuzzy_terms(s: SparkSession, d: str) -> DataFrame:
         reader = IndexReader(s, _ensure_index(s, d))
         return reader.fuzzy_terms("sort", max_edits=2)
@@ -1402,6 +1413,37 @@ tot AS (SELECT (SELECT count(*) FROM q)::DOUBLE AS fg_n,
                (SELECT count(*) FROM documents)::DOUBLE AS bg_n),
 fg AS (SELECT t.term, count(DISTINCT t.doc_id)::DOUBLE AS fg_df
        FROM tok t JOIN q ON t.doc_id = q.doc_id GROUP BY t.term),
+bg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS bg_df
+       FROM tok GROUP BY term)
+SELECT f.term AS term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,
+       round((f.fg_df / tot.fg_n - b.bg_df / tot.bg_n)
+             * (f.fg_df / tot.fg_n) / (b.bg_df / tot.bg_n), 6) AS score
+FROM fg f JOIN bg b ON f.term = b.term CROSS JOIN tot
+WHERE f.fg_df / tot.fg_n > b.bg_df / tot.bg_n AND f.term <> 'customer'
+ORDER BY score DESC, term LIMIT 15"""
+    # sampler + significant_terms: the sample is the per-shard
+    # (doc_id // shard_size=1024, ids verbatim) top-40 BM25 matches under
+    # (round(score,6) desc, doc_id asc) — the engine's score_round rank
+    # convention; JLH recomputed over the sample with fg_n = sample size
+    o["significant_terms_sampled"] = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ('customer') GROUP BY term),
+cs AS (SELECT t.doc_id,
+       sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+       FROM tfq t JOIN dft d ON t.term = d.term
+       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st GROUP BY t.doc_id),
+samp AS (SELECT doc_id FROM cs
+         QUALIFY row_number() OVER (PARTITION BY doc_id // 1024
+             ORDER BY round(score, 6) DESC, doc_id) <= 40),
+tot AS (SELECT (SELECT count(*) FROM samp)::DOUBLE AS fg_n,
+               (SELECT count(*) FROM documents)::DOUBLE AS bg_n),
+fg AS (SELECT t.term, count(DISTINCT t.doc_id)::DOUBLE AS fg_df
+       FROM tok t JOIN samp ON t.doc_id = samp.doc_id GROUP BY t.term),
 bg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS bg_df
        FROM tok GROUP BY term)
 SELECT f.term AS term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,

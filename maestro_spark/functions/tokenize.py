@@ -491,6 +491,42 @@ def _coded_term_stats(rows: np.ndarray, cds: np.ndarray, dict_size: int,
             pos_values, pos_offsets)
 
 
+# Content-byte budget per tokenizer input slice. Arrow's
+# maxRecordsPerBatch bounds input ROW count, but token-row output scales
+# with content BYTES (~500× row expansion for long files): at a 2M-doc
+# local[32] build a single 31k-doc input batch produced ~350 MB token
+# allocations per task, and 32 concurrent tasks blew the executor's
+# 8.5 GB direct-memory cap. 8 MB of content ≈ 1-1.5M token rows ≈ tens
+# of MB of output buffers per slice — bounded regardless of doc length
+# or partition size.
+TOKEN_BATCH_CONTENT_BYTES = 8 << 20
+
+
+def bounded_batches(batch, content_col: str = "content",
+                    budget_bytes: int = TOKEN_BATCH_CONTENT_BYTES):
+    """Slice an input RecordBatch so each slice's `content` payload stays
+    under `budget_bytes` (a single over-budget doc gets its own slice —
+    a doc can't be split). Zero-copy: pyarrow slices share buffers."""
+    import pyarrow.compute as pc
+    n = batch.num_rows
+    if n <= 1:
+        yield batch
+        return
+    lens = (pc.binary_length(batch.column(content_col))
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    csum = np.cumsum(lens)
+    if int(csum[-1]) <= budget_bytes:
+        yield batch
+        return
+    start = 0
+    while start < n:
+        base = int(csum[start - 1]) if start else 0
+        end = int(np.searchsorted(csum, base + budget_bytes, side="right"))
+        end = max(end, start + 1)
+        yield batch.slice(start, end - start)
+        start = end
+
+
 def token_record_batches(batch, use_fields: tuple, tokenizer: str,
                          with_positions: bool):
     """Arrow-native tokenizer for the index build: one input RecordBatch of

@@ -130,10 +130,16 @@ def tokenize_docs(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     with_pos = cfg.store_positions
 
     def tok(batches):
+        # bounded_batches: output token rows scale with content BYTES,
+        # not input rows — without the slice a long-doc partition OOMs
+        # executor direct memory at high parallelism (see tokenize.py)
+        from maestro_spark.functions.tokenize import bounded_batches
         for b in batches:
             if b.num_rows == 0:
                 continue
-            yield from token_record_batches(b, use, tokenizer, with_pos)
+            for sub in bounded_batches(b):
+                yield from token_record_batches(sub, use, tokenizer,
+                                                with_pos)
 
     return docs.select("doc_id", "shard", "repo", "path", "lang", "content") \
         .mapInArrow(tok, schema=TOKEN_SCHEMA_POS if with_pos else TOKEN_SCHEMA)

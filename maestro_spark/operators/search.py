@@ -1787,10 +1787,57 @@ class IndexReader:
         return (joined.select("doc_id", comb.alias("score"))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
+    def _sampled_matches(self, query: str, sample_top: int,
+                         mode: str = "or", exclude: str | None = None,
+                         min_match: int = 1,
+                         score_round: int | None = None
+                         ) -> tuple[DataFrame, int]:
+        """ES `sampler` aggregation (shard_size=sample_top): the per-shard
+        top-N scored matches under (score desc, doc_id asc) — deterministic
+        where ES is not. Two-phase bounded heap (same skew-proof shape as
+        search_top_hits with bucket=shard): each task keeps its own top-N
+        per shard, so the shuffle moves ≤ sample_top rows per shard per
+        task; phase 2 re-selects the global per-shard top-N from those
+        candidates. Returns (DataFrame(shard, doc_id), n_sampled); the
+        sample is localCheckpointed — it is ≤ sample_top·n_shards rows and
+        feeds two consumers (the foreground count and the re-analysis
+        join). `score_round` ranks on round(score, n) for cross-engine
+        stable cuts (the oracle-alignment convention)."""
+        scored = self.scored_matches(query, mode, exclude=exclude,
+                                     min_match=min_match)
+        if score_round is not None:
+            scored = scored.withColumn("score",
+                                       F.round("score", score_round))
+        ng = int(sample_top)
+
+        def partial_top(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["shard", "score", "doc_id"],
+                                      ascending=[True, False, True],
+                                      kind="mergesort")
+                yield pdf.groupby("shard", sort=False).head(ng)
+
+        cand = scored.mapInPandas(partial_top, schema=scored.schema)
+
+        def final_top(key, pdf):
+            pdf = pdf.sort_values(["score", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort").head(ng)
+            return pdf[["shard", "doc_id"]]
+
+        sampled = (cand.groupBy("shard")
+                   .applyInPandas(final_top, schema="shard int, doc_id long")
+                   .localCheckpoint())
+        return sampled, sampled.count()
+
     def significant_terms(self, query: str, size: int = 10,
                           mode: str = "or", exclude: str | None = None,
                           min_match: int = 1,
-                          exclude_query_terms: bool = True) -> DataFrame:
+                          exclude_query_terms: bool = True,
+                          sample_top: int | None = None,
+                          score_round: int | None = None) -> DataFrame:
         """significant_terms aggregation over the content field (the ES
         agg, JLH heuristic): terms OVER-represented in the query's match
         set relative to the whole corpus —
@@ -1811,12 +1858,25 @@ class IndexReader:
         TakeOrderedAndProject. fg total comes from the SERVING-path
         count (count_local: driver-side posting set algebra over the
         same pruned rows — no extra Spark job; identical semantics to
-        match_docs by construction, covered by the total_hits oracle)."""
+        match_docs by construction, covered by the total_hits oracle).
+
+        `sample_top` composes the ES `sampler` aggregation in front (the
+        ES-documented remedy for significant_terms over huge match sets):
+        the foreground becomes the per-shard top-`sample_top` scored
+        matches (see _sampled_matches), so a stop-word query's re-analysis
+        cost is k-bounded instead of match-set-bounded while the JLH
+        contrast keeps its statistical power (the best-scoring docs are
+        the most on-topic sample). fg_n is then the sampled-doc count, as
+        in ES."""
         from maestro_spark.functions.tokenize import token_record_batches
         plan = self.plan(query)
-        matches = self.match_docs(query, mode, exclude, min_match)
-        fg_n = self.count_local(query, mode=mode, exclude=exclude,
-                                min_match=min_match)
+        if sample_top is not None:
+            matches, fg_n = self._sampled_matches(
+                query, sample_top, mode, exclude, min_match, score_round)
+        else:
+            matches = self.match_docs(query, mode, exclude, min_match)
+            fg_n = self.count_local(query, mode=mode, exclude=exclude,
+                                    min_match=min_match)
         if fg_n == 0:
             return self.spark.createDataFrame(
                 [], "term string, fg_df long, bg_df long, score double")
@@ -1825,10 +1885,13 @@ class IndexReader:
         tok_name = self.cfg.get("tokenizer", "code")
 
         def fg_iter(batches):
+            from maestro_spark.functions.tokenize import bounded_batches
             for b in batches:
-                if b.num_rows:
+                if not b.num_rows:
+                    continue
+                for sub in bounded_batches(b):
                     yield from token_record_batches(
-                        b, ("content",), tok_name, False)
+                        sub, ("content",), tok_name, False)
 
         fg = (matched.mapInArrow(
                   fg_iter,

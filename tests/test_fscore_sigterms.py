@@ -146,3 +146,72 @@ def test_significant_terms_matches_pandas_jlh(reader):
 def test_significant_terms_empty_match(reader):
     out = reader.significant_terms("zzzznotaterm", size=5).toPandas()
     assert len(out) == 0
+
+
+def test_significant_terms_sampler_identity(reader):
+    """sample_top covering every match per shard ≡ the unsampled agg —
+    the sampler changes nothing when it doesn't cut."""
+    q = "getUserName"
+    full = reader.significant_terms(q, size=12).toPandas()
+    sampled = reader.significant_terms(q, size=12,
+                                       sample_top=N_DOCS).toPandas()
+    assert full["term"].tolist() == sampled["term"].tolist()
+    np.testing.assert_array_equal(full["score"].to_numpy(),
+                                  sampled["score"].to_numpy())
+    assert full["fg_df"].tolist() == sampled["fg_df"].tolist()
+
+
+def test_significant_terms_sampler_brute_force(reader):
+    """ES sampler semantics: foreground = per-shard top-N matches under
+    (score desc, doc_id asc); JLH recomputed over that doc set with
+    fg_n = sample size. Brute force from scored_matches + pandas."""
+    q, top = "user merge", 5
+    got = reader.significant_terms(q, size=12, sample_top=top).toPandas()
+
+    sm = reader.scored_matches(q).toPandas()
+    sample = (sm.sort_values(["score", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+              .groupby("shard", sort=False).head(top))
+    sample_ids = set(sample["doc_id"])
+
+    docs = reader._docs().select("doc_id", "content").toPandas()
+    t = doc_terms(docs["content"], tokenizer=reader.cfg["tokenizer"])
+    per_doc = pd.DataFrame({
+        "doc_id": docs["doc_id"].to_numpy()[t["pos"].to_numpy()],
+        "term": t["term"].astype(str)})
+    fg = (per_doc[per_doc["doc_id"].isin(sample_ids)]
+          .groupby("term").size().rename("fg_df"))
+    bg = per_doc.groupby("term").size().rename("bg_df")
+    j = pd.concat([fg, bg], axis=1).dropna()
+    fg_n, bg_n = float(len(sample_ids)), float(len(docs))
+    fg_pct, bg_pct = j["fg_df"] / fg_n, j["bg_df"] / bg_n
+    j = j.assign(score=((fg_pct - bg_pct) * (fg_pct / bg_pct)).round(6))
+    qterms = set(reader.plan(q).terms)
+    j = j[(fg_pct > bg_pct) & (~j.index.isin(qterms))]
+    want = (j.reset_index().rename(columns={"index": "term"})
+            .sort_values(["score", "term"], ascending=[False, True])
+            .head(12).reset_index(drop=True))
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["fg_df"].tolist() == want["fg_df"].astype(int).tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  want["score"].to_numpy())
+
+
+def test_sampled_matches_bounded_per_shard(reader):
+    """The sample never exceeds sample_top rows per shard and ranks by
+    score: every sampled doc's score ≥ every unsampled match's score
+    within its shard."""
+    q, top = "user merge", 3
+    sampled, n = reader._sampled_matches(q, top)
+    sp = sampled.toPandas()
+    assert n == len(sp)
+    assert sp.groupby("shard").size().max() <= top
+    sm = reader.scored_matches(q).toPandas()
+    merged = sm.merge(sp.assign(picked=True), how="left",
+                      on=["shard", "doc_id"])
+    merged["picked"] = merged["picked"].fillna(False)
+    for shard, grp in merged.groupby("shard"):
+        picked = grp[grp["picked"]]
+        rest = grp[~grp["picked"]]
+        if len(picked) and len(rest):
+            assert picked["score"].min() >= rest["score"].max() - 1e-12

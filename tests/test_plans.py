@@ -151,3 +151,29 @@ def test_paragraph_dedup_partial_agg(spark):
     plan = _plan(dedup_paragraphs(chunk_paragraphs(docs, "text")))
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_minhash_filter_stays_above_spread_exchange(spark):
+    """minhash_signatures over a few-partition input must (a) repartition
+    to cluster parallelism BEFORE the tokenize→shingle→hash projection and
+    (b) keep the no-shingle filter ABOVE that exchange. Catalyst's
+    PushDownPredicates otherwise substitutes the filter through the
+    projections and sinks the whole hash chain below the exchange, where
+    it re-runs serially on the scan side's single task (the `_pin`
+    non-deterministic column in minhash_signatures blocks this — see
+    dedup.pinned). The scan's detail block must carry no derived-expression
+    filters: the shingle CASE WHEN / hash chain appears only above the
+    exchange."""
+    import re as _re
+    from maestro_spark.operators.dedup import minhash_signatures
+    docs = spark.read.parquet(f"{SF}/documents.parquet").coalesce(1)
+    plan = _plan(minhash_signatures(docs, n_hashes=8, hash_fn="xxhash64"))
+    assert "Exchange" in plan and "RoundRobinPartitioning" in plan
+    m = _re.search(r"\(\d+\) Scan parquet.*?(?=\n\(\d+\) )", plan, _re.S)
+    assert m, plan
+    scan_block = m.group(0)
+    assert "xxhash64" not in scan_block
+    assert "CASE WHEN" not in scan_block
+    # no pushed filters at all (the line is absent) or an empty list
+    assert ("PushedFilters" not in scan_block
+            or "PushedFilters: []" in scan_block)

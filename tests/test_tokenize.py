@@ -156,3 +156,41 @@ def test_lowercase_convention_unicode():
     # keyword-field indexing side agrees with the query side
     kw = doc_terms(pd.Series(["x"]), lang=pd.Series(["İ"]))
     assert kw[kw["field"] == "lang"]["term"].tolist() == ["lang:i"]
+
+
+def test_bounded_batches_parity_and_bounds():
+    """Byte-bounded input slicing: token multiset identical to the whole
+    batch, every slice's content payload within budget (single over-budget
+    docs excepted — a doc can't split), zero rows lost."""
+    import numpy as np
+    import pyarrow as pa
+
+    from maestro_spark.functions.tokenize import (bounded_batches,
+                                                  token_record_batches)
+
+    rng = np.random.default_rng(5)
+    docs = [" ".join(f"tok{rng.integers(50)}"
+                     for _ in range(int(rng.integers(1, 200))))
+            for _ in range(300)]
+    b = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(300)), pa.array(np.zeros(300, np.int32)),
+         pa.array(["r"] * 300), pa.array(["p"] * 300),
+         pa.array(["java"] * 300), pa.array(docs)],
+        names=["doc_id", "shard", "repo", "path", "lang", "content"])
+    subs = list(bounded_batches(b, budget_bytes=2048))
+    assert len(subs) > 1
+    assert sum(s.num_rows for s in subs) == 300
+    for s in subs:
+        lens = sum(len(x.as_py()) for x in s.column("content"))
+        assert lens <= 2048 or s.num_rows == 1
+
+    def collect(batches):
+        rows = []
+        for rb in batches:
+            for out in token_record_batches(rb, ("content",), "code", True):
+                t = out.to_pydict()
+                rows += list(zip(t["doc_id"], t["term"], t["tf"], t["dl"],
+                                 [tuple(p) for p in t["positions"]]))
+        return sorted(rows)
+
+    assert collect([b]) == collect(subs)
