@@ -32,40 +32,10 @@ from pyspark.sql import functions as F
 from maestro_spark.operators.textstats import simple_token_col
 
 
-def pinned(cond: Column) -> Column:
-    """`cond`, pinned in place: OR-ed with a term that is always false yet
-    non-deterministic and non-foldable (`spark_partition_id() < 0`), so
-    Catalyst's PushDownPredicates — which only moves deterministic
-    conditions through exchanges — cannot sink the filter below a spread()
-    exchange. A disjunction is never split, and the pid term neither folds
-    (`isnull(rand())` would: rand is statically non-nullable; `rand() >
-    2.0` would too: Spark 4 range-folds rand comparisons) nor detaches
-    (an AND-ed term would: conjunctions are split and the deterministic
-    half pushed anyway). Without this, a filter like `h0 IS NOT NULL` is
-    rewritten in terms of the scan columns and re-runs the whole
-    tokenize→shingle→hash chain on the (few) pre-exchange input
-    partitions, serializing the heaviest work onto one task.
-
-    NOTE: the condition is still SUBSTITUTED through deterministic
-    projections above the exchange (re-evaluating their expressions in the
-    filter). When the projection is expensive, additionally materialize a
-    non-deterministic column in it (see minhash_signatures' `_pin`) so the
-    filter stops immediately above and reads attributes, not expressions."""
-    return cond | (F.spark_partition_id() < F.lit(0))
-
-
-def spread(df: DataFrame, min_rows_per_part: int = 0) -> DataFrame:
-    """Repartition ONLY when the input arrives in fewer partitions than
-    the cluster has slots (a small table read as one file, or a candidate
-    subset collapsed into few partitions) — the heavy per-row passes below
-    (tokenize → shingle → 16×hash) otherwise run on a fraction of the
-    cores. At production scale inputs span many files and this is a no-op,
-    so no extra shuffle is ever paid where it wouldn't help."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# spread/pinned live in operators.partitioning (textstats also needs
+# spread and dedup imports FROM textstats — a dedup-side definition would
+# be circular); re-exported here because dedup is their historical home.
+from maestro_spark.operators.partitioning import pinned, spread  # noqa: F401
 
 
 # ------------------------------------------------------------------ exact

@@ -2735,12 +2735,17 @@ def reset_prune_stats() -> dict:
 from collections import OrderedDict as _OrderedDict
 
 _DOCLENS_CACHE: "_OrderedDict[tuple, np.ndarray]" = _OrderedDict()
-# sized for a serving process's working set: shards × fields. A 1M-doc
-# shard's array is 8 MB, so 128 entries bound resident doclens at ~1 GB
-# worst-case; entries evict LRU (a 16-entry FIFO measurably THRASHED at
-# 10 shards × 4 fields — every query re-read every sidecar, 6.5 of
-# 11.9 s in the serving profile).
-_DOCLENS_CACHE_MAX = 128
+# Bounded by RESIDENT BYTES, not entry count: the working set is
+# shards × fields and shard COUNT grows with the corpus under a fixed
+# shard_size, so any fixed entry cap eventually thrashes — a 128-entry
+# cap re-read every sidecar on every query at a 2M-doc/245-shard index
+# (serving p95 went 20× at 10× corpus; a 16-entry FIFO had shown the
+# same pathology at 10 shards × 4 fields: 6.5 of 11.9 s per query).
+# Arrays are shard_size×8 B each (64 KB at the default 8192), so 1 GiB
+# holds ~16k shard-fields; a genuinely over-budget working set evicts
+# LRU and degrades gracefully instead of binary-thrashing.
+_DOCLENS_CACHE_BYTES = 1 << 30
+_doclens_resident = [0]  # mutable cell: resident bytes across the cache
 
 
 def _load_doclens(index_dir: str, shard: int, field: str, base: int,
@@ -2770,9 +2775,11 @@ def _load_doclens(index_dir: str, shard: int, field: str, base: int,
     arr = np.ones(size, dtype=np.float64)  # missing field -> dl 1, never hit
     ids = tbl.column("doc_id").to_numpy() - base
     arr[ids] = tbl.column("dl").to_numpy()
-    if len(_DOCLENS_CACHE) >= _DOCLENS_CACHE_MAX:
-        _DOCLENS_CACHE.popitem(last=False)
+    while _DOCLENS_CACHE and _doclens_resident[0] + arr.nbytes > _DOCLENS_CACHE_BYTES:
+        _, old = _DOCLENS_CACHE.popitem(last=False)
+        _doclens_resident[0] -= old.nbytes
     _DOCLENS_CACHE[key] = arr
+    _doclens_resident[0] += arr.nbytes
     return arr
 
 
