@@ -242,11 +242,13 @@ class IndexReader:
         # serving-path posting-row cache: term -> {shard: row} (the ES
         # query/filesystem-cache analogue for hot query terms). Lives on
         # the reader and dies with any manifest change — _refresh_if_stale
-        # rebinds through here, so stale postings can never serve. Entry
-        # count is bounded; production sizing would bound resident BYTES
-        # (posting rows carry their compressed payload).
+        # rebinds through here, so stale postings can never serve.
+        # Bounded by estimated resident BYTES (_POSTING_CACHE_BYTES) —
+        # an entry-count cap would thrash once shard count grows, the
+        # same pathology the doclens cache hit at 245 shards.
         from collections import OrderedDict
         self._posting_rows_cache: OrderedDict[str, dict[int, dict]] = OrderedDict()
+        self._posting_cache_bytes = 0
 
     def _refresh_if_stale(self) -> None:
         """A reader held across an in-place incremental rebuild (the
@@ -954,7 +956,15 @@ class IndexReader:
                 format="parquet", partitioning="hive")
         return self._postings_ds
 
-    _POSTING_CACHE_TERMS = 512
+    # Posting-row cache bound, in estimated resident BYTES (same lesson
+    # as the doclens cache: any fixed ENTRY cap thrashes once shard count
+    # grows — a hot term's entry is per-shard raw blobs PLUS memoized
+    # int64 decodes, ~8× the raw bytes, so one 2M-doc hot term can hold
+    # tens of MB). Estimated at insert as raw payload × 8 (the decode
+    # expansion factor: ~1.5-2.5 B/posting varint → 16 B/posting arrays);
+    # eviction drops whole terms LRU, so an over-budget working set
+    # degrades to re-reads instead of growing without bound.
+    _POSTING_CACHE_BYTES = 1 << 30
 
     def _fetch_posting_rows(self, terms: list[str]
                             ) -> dict[int, dict[str, dict]]:
@@ -969,7 +979,16 @@ class IndexReader:
         Rows are LRU-cached per term (absent terms cache an empty map), so
         a hot query term pays its read once per reader per index version."""
         cache = self._posting_rows_cache
-        missing = [t for t in terms if t not in cache]
+        # capture this query's rows BEFORE any eviction bookkeeping: an
+        # over-budget insert may evict terms of THIS query, which must
+        # affect only future fetches, never the rows already promised
+        rows_by_term: dict[str, dict[int, dict]] = {}
+        for t in terms:
+            hit = cache.get(t)
+            if hit is not None:
+                cache.move_to_end(t)
+                rows_by_term[t] = hit
+        missing = [t for t in terms if t not in rows_by_term]
         if missing:
             n_buckets = self.cfg["n_buckets"]
             need_buckets = sorted({_term_bucket(t, n_buckets) for t in missing})
@@ -979,16 +998,29 @@ class IndexReader:
             fetched: dict[str, dict[int, dict]] = {t: {} for t in missing}
             for r in tbl.to_pylist():
                 fetched[r["term"]][int(r["shard"])] = r
+
+            def _entry_bytes(by_shard: dict[int, dict]) -> int:
+                raw = 0
+                for row in by_shard.values():
+                    for f in ("doc_bytes", "tf_bytes", "pos_bytes"):
+                        v = row.get(f)
+                        if v is not None:
+                            raw += len(v)
+                return 64 + raw * 8  # decode expansion; 64 B dict floor
+
             for t, by_shard in fetched.items():
                 cache[t] = by_shard
-            while len(cache) > self._POSTING_CACHE_TERMS:
-                cache.popitem(last=False)
+                self._posting_cache_bytes += _entry_bytes(by_shard)
+                rows_by_term[t] = by_shard
+            while (len(cache) > 1 and
+                   self._posting_cache_bytes > self._POSTING_CACHE_BYTES):
+                _, old = cache.popitem(last=False)
+                self._posting_cache_bytes -= _entry_bytes(old)
         out: dict[int, dict[str, dict]] = {}
         for t in terms:
-            hit = cache.get(t)
+            hit = rows_by_term.get(t)
             if hit is None:
                 continue
-            cache.move_to_end(t)
             for shard, row in hit.items():
                 out.setdefault(shard, {})[t] = row
         return out

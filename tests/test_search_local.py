@@ -181,3 +181,26 @@ def test_serving_reader_without_spark(spark, built):
     assert ph["doc_id"].tolist() == ref.phrase_search_local("get user", k=3)["doc_id"].tolist()
     with pytest.raises(ValueError, match="serving mode"):
         srv.search("return", k=3)
+
+
+def test_posting_cache_eviction_never_drops_query_terms(spark, built):
+    """The posting-row cache is byte-bounded (entry caps thrash once
+    shard count grows — the doclens lesson). An over-budget insert may
+    evict terms of the CURRENT query from the cache, but the query must
+    still score with every term: results under a 1-byte budget (every
+    fetch immediately evicted) are bit-identical to the unbounded
+    reader's, on repeat too (re-fetch path)."""
+    ref = IndexReader(spark, built)
+    want = ref.search_local("index query merge", k=10)
+
+    tiny = IndexReader(spark, built)
+    tiny._POSTING_CACHE_BYTES = 1
+    for _ in range(2):
+        got = tiny.search_local("index query merge", k=10)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        np.testing.assert_array_equal(got["score"].to_numpy(),
+                                      want["score"].to_numpy())
+    # the budget actually evicts: at most one resident term
+    assert len(tiny._posting_rows_cache) <= 1
+    # and the unbounded reader accounts bytes
+    assert ref._posting_cache_bytes > 0
