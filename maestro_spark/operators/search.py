@@ -2462,7 +2462,8 @@ class IndexReader:
 
     def phrase_search(self, phrase: str, k: int = 10,
                       slop: int = 0, prefix_last: bool = False,
-                      max_expansions: int = 50) -> DataFrame:
+                      max_expansions: int = 50,
+                      engine: str = "spark") -> DataFrame:
         """Exact-phrase top-k over the positional (prox) stream: documents
         containing the query's subtoken sequence consecutively, scored as
         BM25 of the phrase-as-pseudo-term (tf = occurrence count, df =
@@ -2486,6 +2487,15 @@ class IndexReader:
         expressions → global (score desc, doc_id asc) top-k. The position
         intersection runs on integer keys doc_idx·2^21 + aligned_position,
         so the k-way adjacency check is pure sorted-array intersection.
+
+        engine: "spark" (default — the distributed path above), "local"
+        (serve via phrase_search_local, no Spark job), or "auto": serve
+        locally when the phrase terms' Σdf fits LOCAL_DF_BUDGET, else
+        distribute — the same routing discipline search() applies. At a
+        2M-doc corpus a hot-bigram phrase decodes ~10⁶ positions; one
+        serving process pays ~10 s where the distributed path pays its
+        ~1 s scheduling floor, so stop-word-scale phrases belong on
+        Spark. Results are engine-identical (parity-tested).
         """
         spark = self.spark
         self._refresh_if_stale()
@@ -2498,6 +2508,18 @@ class IndexReader:
         terms = phrase_terms(phrase, tokenizer=self.cfg.get("tokenizer", "code"))
         if not terms:
             return empty
+        if engine != "spark":
+            n_buckets = self.cfg["n_buckets"]
+            uniq0 = sorted(set(terms))
+            dfs = self._lookup_df(
+                uniq0, sorted({_term_bucket(t, n_buckets) for t in uniq0}))
+            if engine == "local" or (engine == "auto" and
+                                     sum(dfs.values()) <= self.LOCAL_DF_BUDGET):
+                hits = self.phrase_search_local(
+                    phrase, k=k, slop=slop, prefix_last=prefix_last,
+                    max_expansions=max_expansions)
+                return spark.createDataFrame(hits,
+                                             "doc_id long, score double")
         alts: list[str] | None = None
         if prefix_last:
             seq = list(terms[:-1])

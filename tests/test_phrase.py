@@ -404,3 +404,27 @@ def test_reader_refuses_stale_positions_semantics(spark, built, tmp_path):
     man2["version"] = 1
     json.dump(man2, open(f"{flat}/manifest.json", "w"))
     assert IndexReader(spark, flat).search_pandas("def", k=3) is not None
+
+
+def test_phrase_engine_routing_identical(spark, built):
+    reader = IndexReader(spark, built)
+    """phrase_search(engine=...) mirrors search()'s routing: local and
+    auto return bit-identical results to the Spark path (same scorer),
+    and auto under a zero budget distributes (still identical)."""
+    want = reader.phrase_search("get user", k=10).toPandas()
+    loc = reader.phrase_search("get user", k=10, engine="local").toPandas()
+    assert want["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(want["score"].to_numpy(),
+                                  loc["score"].to_numpy())
+    auto = reader.phrase_search("get user", k=10, engine="auto").toPandas()
+    assert want["doc_id"].tolist() == auto["doc_id"].tolist()
+    old = reader.LOCAL_DF_BUDGET
+    try:
+        reader.LOCAL_DF_BUDGET = 0  # force the distributed branch
+        dist = reader.phrase_search("get user", k=10,
+                                    engine="auto").toPandas()
+    finally:
+        reader.LOCAL_DF_BUDGET = old
+    assert want["doc_id"].tolist() == dist["doc_id"].tolist()
+    np.testing.assert_array_equal(want["score"].to_numpy(),
+                                  dist["score"].to_numpy())
