@@ -3024,6 +3024,80 @@ def score_shard_rows(
         candidates = np.asarray(allowed, dtype=np.int64)
         allowed = None
 
+    if (prune and len(present) == 1 and allowed is None
+            and excluded is None and demoted is None and ceiling is None
+            and candidates is None and score_round is None
+            and rows[present[0]].get("_decoded") is None):
+        # Single-term block-max top-k (the BMW special case, exact).
+        # MaxScore's essential/non-essential split cannot skip anything
+        # for one term — there is no second term to form theta against —
+        # so the single-term hot query ("return") decodes its whole list.
+        # Per-BLOCK bounds can skip: decode blocks in DESCENDING
+        # upper-bound order and stop once the running kth-best TRUE score
+        # provably clears every undecoded block's bound. Boundary ties
+        # are preserved (a tied doc's block has ub ≥ kth, and decoding
+        # continues while the next bound is within _BOUND_SLACK of kth),
+        # and the id-ascending re-sort before _topk_ties keeps the
+        # smallest-id tie selection bit-identical to the full decode.
+        # Skipped when the row already carries a memoized full decode —
+        # scoring cached arrays is pure vector math, skipping saves
+        # nothing. Flat block maxima (uniform corpora) degrade to a full
+        # decode in ub order: never worse than the unpruned path.
+        t = present[0]
+        r = rows[t]
+        idf_t = idfs[t]
+        adl = avgdl[fields[t]]
+        bmax = np.asarray(r["block_max_tf"], dtype=np.float64)
+        bmin = np.asarray(r["block_min_dl"], dtype=np.float64)
+        n_blocks = bmax.size
+        if n_blocks:
+            ub = idf_t * (bmax / (bmax + bm25.K1
+                                  * (1.0 - bm25.B + bm25.B * bmin / adl)))
+            order = np.argsort(-ub, kind="stable")
+            dl = _load_doclens(index_dir, shard, fields[t], base,
+                               shard_size)
+            ids_acc = np.empty(0, np.int64)
+            tf_acc = np.empty(0, np.int64)
+            sc_acc = np.empty(0, np.float64)
+            # geometric chunks (4, 8, 16, 64-cap): one 128-posting block
+            # usually fills k, so the stop check must get a chance after
+            # only a few blocks; doubling amortizes the per-chunk decode
+            # call when maxima are flat and everything must decode anyway
+            decoded, pos, chunk = 0, 0, 4
+            while pos < n_blocks:
+                take = np.sort(order[pos:pos + chunk])
+                pl = decode_postings(r, block_idx=take)
+                local = pl.doc_ids - base
+                contrib = idf_t * bm25.tfnorm(pl.tfs, dl[local], adl)
+                ids_acc = np.concatenate((ids_acc, local))
+                tf_acc = np.concatenate((tf_acc, pl.tfs))
+                sc_acc = np.concatenate((sc_acc, contrib))
+                decoded += int(take.size)
+                pos += chunk
+                chunk = min(chunk * 2, 64)
+                if pos >= n_blocks:
+                    break
+                if ids_acc.size >= k:
+                    kth = float(np.partition(sc_acc, sc_acc.size - k)
+                                [sc_acc.size - k])
+                    if float(ub[order[pos]]) < kth - _BOUND_SLACK * (
+                            abs(kth) + 1.0):
+                        break
+            _prune_stats_add(decoded, int(n_blocks))
+            by_id = np.argsort(ids_acc, kind="stable")
+            if decoded == n_blocks:
+                # flat block maxima made us decode everything — memoize
+                # the full decode on the row (as _decode_full would) so a
+                # repeat of this hot query scores cached arrays instead
+                # of re-decoding; effective skips stay un-memoized (the
+                # decoded subset is theta-dependent)
+                from maestro_spark.functions.codec import PostingList
+                r["_decoded"] = PostingList(
+                    ids_acc[by_id] + base, tf_acc[by_id])
+            top, ts = _topk_ties(ids_acc[by_id], sc_acc[by_id], k)
+            return (top + base).astype(np.int64), ts
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
     # per-term upper bounds from block metadata (query-time avgdl)
     ubound = {}
     for t in present:

@@ -224,3 +224,57 @@ def test_doc_filter_spark_restrict_parity(reader, spark):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     np.testing.assert_array_equal(a["score"].to_numpy(),
                                   b["score"].to_numpy())
+
+
+@pytest.fixture(scope="module")
+def skewtf_reader(spark, tmp_path_factory):
+    """Corpus where the single term 'hot' has strongly banded impact:
+    docs 0-99 carry tf=20 in short docs (high per-block upper bound),
+    the other 3900 carry tf=1 in long docs. Single-term block-max
+    skipping should decode the high band and stop."""
+    rows = []
+    for i in range(4000):
+        if i < 100:
+            toks = ["hot"] * 20 + ["pad%d" % (i % 13)] * 2
+        else:
+            toks = ["hot"] + ["pad%d" % (i % 13)] * 60
+        rows.append(("repo0", f"f{i:05d}.py", "c0", "python",
+                     " ".join(toks)))
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang",
+                                      "content"])
+    out = str(tmp_path_factory.mktemp("idx_skewtf"))
+    build_index(spark, spark.createDataFrame(pdf), out, CFG)
+    return out
+
+
+def test_single_term_block_skip_exact(spark, skewtf_reader):
+    """Single-term queries get BMW-style per-block skipping (MaxScore's
+    term split can't skip with one term): blocks decode in upper-bound
+    order and stop at the kth true score. Results are bit-identical to
+    the full decode, on repeat too (partial decodes are never memoized
+    as full)."""
+    full = IndexReader(spark, skewtf_reader).search_local(
+        "hot", k=10, prune=False)
+    pruned = IndexReader(spark, skewtf_reader)
+    reset_prune_stats()
+    got = pruned.search_local("hot", k=10)
+    st = reset_prune_stats()
+    assert st["blocks_decoded"] < st["blocks_total"], st
+    assert got["doc_id"].tolist() == full["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  full["score"].to_numpy())
+    got2 = pruned.search_local("hot", k=10)
+    assert got2["doc_id"].tolist() == full["doc_id"].tolist()
+
+
+def test_single_term_prune_parity_flat_corpus(spark, built):
+    """On the flat synth corpus (block maxima barely discriminate) the
+    single-term fast path must still be bit-identical to the unpruned
+    scorer — including boundary ties — and a full-decode round memoizes
+    so repeats take the cached-array path."""
+    for q in ("return", "lang:java", "getUserName"):
+        a = IndexReader(spark, built).search_local(q, k=10, prune=False)
+        b = IndexReader(spark, built).search_local(q, k=10)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+        np.testing.assert_array_equal(a["score"].to_numpy(),
+                                      b["score"].to_numpy(), err_msg=q)
