@@ -882,6 +882,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_histogram"] = _q_histogram
 
+    def _q_composite(s: SparkSession, d: str) -> DataFrame:
+        # ES composite-agg analogue: after-key bucket pagination — the
+        # supported way to page through ALL buckets of a large terms agg
+        # (the after predicate applies BELOW the aggregation)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_composite(
+            "spark stream", ("lang", "repo"), size=8,
+            after=("de", "src15"))
+
+    q["bm25_composite"] = _q_composite
+
+    def _q_range_agg(s: SparkSession, d: str) -> DataFrame:
+        # ES range-agg analogue: explicit [lo, hi) buckets incl. an
+        # overlapping range and an empty one (both ES-legal)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_range(
+            "table join", F.length("content"),
+            (("short", None, 200), ("mid", 200, 400),
+             ("mid_wide", 150, 450), ("long", 400, None),
+             ("huge", 5000, None)))
+
+    q["bm25_range_agg"] = _q_range_agg
+
+    def _q_constant_score(s: SparkSession, d: str) -> DataFrame:
+        # ES constant_score analogue: filter-context match, score=boost
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_constant_score("slow query", boost=1.5)
+
+    q["bm25_constant_score"] = _q_constant_score
+
     def _q_stats_agg(s: SparkSession, d: str) -> DataFrame:
         # ES stats-agg analogue over the FULL match set
         reader = IndexReader(s, _ensure_index(s, d))
@@ -1477,6 +1507,32 @@ FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
                  WHERE term IN ('spark', 'stream'))
 GROUP BY 1 ORDER BY 1"""
+    o["bm25_composite"] = f"""
+WITH {_TOK}
+SELECT lang, source AS repo, count(*) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN ('spark', 'stream'))
+  AND ((lang > 'de') OR (lang = 'de' AND source > 'src15'))
+GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 8"""
+    o["bm25_range_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT length(text) AS v FROM documents
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term IN ('join', 'table'))),
+r(label, lo, hi) AS (VALUES ('short', NULL, 200.0), ('mid', 200.0, 400.0),
+                            ('mid_wide', 150.0, 450.0), ('long', 400.0, NULL),
+                            ('huge', 5000.0, NULL))
+SELECT r.label, count(m.v)::BIGINT AS n_docs
+FROM r LEFT JOIN m ON (r.lo IS NULL OR m.v >= r.lo)
+                  AND (r.hi IS NULL OR m.v < r.hi)
+GROUP BY r.label, r.lo, r.hi
+ORDER BY r.lo NULLS FIRST, r.hi NULLS FIRST, r.label"""
+    o["bm25_constant_score"] = f"""
+WITH {_TOK}
+SELECT doc_id, CAST(1.5 AS DOUBLE) AS score
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term IN ('query', 'slow'))
+ORDER BY doc_id LIMIT 10"""
     o["bm25_stats_agg"] = f"""
 WITH {_TOK}
 SELECT count(*) AS n, min(length(text))::DOUBLE AS min_v,

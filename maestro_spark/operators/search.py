@@ -1606,6 +1606,105 @@ class IndexReader:
                else F.approx_count_distinct(F.col("v"), rsd))
         return joined.agg(agg.cast("long").alias("n_values"))
 
+    def search_composite(self, query: str, group_cols: tuple,
+                         size: int = 10,
+                         after: tuple | None = None,
+                         mode: str = "or",
+                         exclude: str | None = None,
+                         min_match: int = 1) -> DataFrame:
+        """Composite aggregation (the ES composite-agg analogue,
+        the supported way to page through ALL buckets of a large
+        terms agg): bucket tuples of docstore columns in ascending
+        (col1, col2, ...) order with doc counts, paginated by an
+        `after` key — the last returned tuple; the next call resumes
+        strictly after it. Exact at any depth with no from+size blowup.
+
+        Plan shape at scale: the after-key predicate is applied BELOW
+        the aggregation (every row of a bucket shares the tuple, so
+        pre-group filtering is count-identical) — rows of already-paged
+        buckets never enter the hash aggregate; the count is one
+        partial agg (one row per bucket per task crosses the shuffle)
+        and the ordered page compiles to TakeOrderedAndProject, never a
+        full sort of the bucket set."""
+        if not group_cols:
+            raise ValueError("group_cols must be non-empty")
+        if after is not None and len(after) != len(group_cols):
+            raise ValueError("after key arity must match group_cols")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id", *group_cols)
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        if after is not None:
+            # lexicographic (c1,...,cn) > (a1,...,an)
+            pred, prev_eq = None, None
+            for c, a in zip(group_cols, after):
+                gt = F.col(c) > F.lit(a)
+                clause = gt if prev_eq is None else prev_eq & gt
+                pred = clause if pred is None else pred | clause
+                eq = F.col(c) == F.lit(a)
+                prev_eq = eq if prev_eq is None else prev_eq & eq
+            joined = joined.where(pred)
+        return (joined.groupBy(*group_cols)
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy(*[F.asc(c) for c in group_cols])
+                .limit(size))
+
+    def search_range(self, query: str, value_col,
+                     ranges: tuple,
+                     mode: str = "or",
+                     exclude: str | None = None,
+                     min_match: int = 1) -> DataFrame:
+        """Range aggregation (the ES range-agg analogue): one row per
+        REQUESTED range — ES semantics: half-open [lo, hi), an open
+        edge is None, overlapping ranges each count the doc, and empty
+        ranges still appear with n_docs = 0.
+
+        ranges: tuple of (label, lo, hi) with lo/hi numeric or None.
+
+        Plan shape at scale: the handful of range rows broadcast
+        against the match-set values (BroadcastNestedLoopJoin — the big
+        side streams once, each row emits at most #ranges copies, and
+        the partial-agg count collapses them map-side); empty ranges
+        ride the same broadcast side of a final left join over the
+        few-row aggregate, so nothing corpus-sized moves."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        spark = self.spark
+        rng = spark.createDataFrame(
+            [(str(lb), None if lo is None else float(lo),
+              None if hi is None else float(hi))
+             for (lb, lo, hi) in ranges],
+            "label string, lo double, hi double")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"))
+        vals = matches.join(docs, ["shard", "doc_id"], "inner") \
+            .select("v")
+        cond = ((F.col("lo").isNull() | (F.col("v") >= F.col("lo")))
+                & (F.col("hi").isNull() | (F.col("v") < F.col("hi"))))
+        counts = (vals.join(F.broadcast(rng), cond, "inner")
+                  .groupBy("label").agg(F.count("*").alias("n")))
+        return (rng.join(F.broadcast(counts), "label", "left")
+                .orderBy(F.asc_nulls_first("lo"), F.asc_nulls_first("hi"),
+                         "label")
+                .select("label",
+                        F.coalesce(F.col("n"), F.lit(0)).alias("n_docs")))
+
+    def search_constant_score(self, query: str, boost: float = 1.0,
+                              k: int = 10, mode: str = "or",
+                              exclude: str | None = None,
+                              min_match: int = 1) -> DataFrame:
+        """constant_score query (the ES analogue): filter-context match
+        — every matching doc scores exactly `boost`, no BM25, ranking
+        is the deterministic tie-break (doc_id asc) alone. Rides the
+        match path (no doclens reads, no scoring); the top-k compiles
+        to TakeOrderedAndProject."""
+        matches = self.match_docs(query, mode, exclude, min_match)
+        return (matches.select("doc_id",
+                               F.lit(float(boost)).alias("score"))
+                .orderBy(F.asc("doc_id")).limit(k))
+
     def search_collapse(self, query: str, collapse_col, k: int = 10,
                         mode: str = "or",
                         boosts: dict[str, float] | None = None,

@@ -163,3 +163,71 @@ def _lev2(a: str, b: str) -> int:
                    d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
 
     return d(len(a), len(b))
+
+
+def test_composite_pages_tile_buckets(spark, built, corpus, token_lists):
+    """ES composite-agg analogue: after-key pages tile the full
+    (lang, repo) bucket list in ascending tuple order with exact
+    counts; the ordered page compiles to TakeOrderedAndProject."""
+    reader = IndexReader(spark, built)
+    matched = _match_set(token_lists, reader.plan("user merge").terms)
+    want: dict[tuple, int] = {}
+    for i in matched:
+        key = (corpus["lang"][i], corpus["repo"][i])
+        want[key] = want.get(key, 0) + 1
+    full = sorted(want.items())
+    pages, after = [], None
+    for _ in range(100):
+        got = reader.search_composite("user merge", ("lang", "repo"),
+                                      size=3, after=after).toPandas()
+        if got.empty:
+            break
+        pages.extend(((r["lang"], r["repo"]), int(r["n_docs"]))
+                     for _, r in got.iterrows())
+        after = (got["lang"].iloc[-1], got["repo"].iloc[-1])
+    assert pages == full
+    plan = reader.search_composite("user merge", ("lang", "repo"),
+                                   size=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_composite_validation(spark, built):
+    reader = IndexReader(spark, built)
+    with pytest.raises(ValueError):
+        reader.search_composite("user", ())
+    with pytest.raises(ValueError):
+        reader.search_composite("user", ("lang", "repo"), after=("a",))
+
+
+def test_range_agg_matches_bruteforce(spark, built, corpus, token_lists):
+    """ES range-agg analogue: half-open [lo, hi), overlapping ranges
+    each count the doc, empty ranges appear with n_docs=0, rows come
+    back in (lo, hi) order."""
+    reader = IndexReader(spark, built)
+    ranges = (("a_short", None, 120), ("b_mid", 120, 300),
+              ("wide", 100, 400), ("c_long", 300, None),
+              ("empty", 99999, None))
+    got = reader.search_range("user merge", F.length("content"),
+                              ranges).toPandas()
+    matched = _match_set(token_lists, reader.plan("user merge").terms)
+    lens = [len(corpus["content"][i]) for i in matched]
+    want = {lb: sum(1 for v in lens
+                    if (lo is None or v >= lo) and (hi is None or v < hi))
+            for (lb, lo, hi) in ranges}
+    assert got.set_index("label")["n_docs"].to_dict() == want
+    assert int(got.set_index("label")["n_docs"]["empty"]) == 0
+    assert got["label"].tolist() == ["a_short", "wide", "b_mid",
+                                     "c_long", "empty"]
+
+
+def test_constant_score_matches_bruteforce(spark, built, token_lists):
+    """ES constant_score analogue: every matching doc scores exactly
+    boost; ranking is the doc_id tie-break alone."""
+    reader = IndexReader(spark, built)
+    got = reader.search_constant_score("user merge", boost=2.5,
+                                       k=7).toPandas()
+    matched = sorted(_match_set(token_lists,
+                                reader.plan("user merge").terms))
+    assert got["doc_id"].tolist() == matched[:7]
+    assert (got["score"] == 2.5).all()
