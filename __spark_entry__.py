@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from maestro_spark.operators import curation, dedup, nested, similarity, textstats
 from maestro_spark.operators import pipeline as pl
 from maestro_spark.operators.build import IndexConfig, build_index
-from maestro_spark.operators.search import IndexReader
+from maestro_spark.operators.search import (IndexReader,
+                                            search_federated_dfs_local)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -62,6 +63,12 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "maestro_entry_idx_v5",
         re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
     )
+    build_index(spark, _entry_docs(spark, sf_dir), out, _CFG,
+                resume=True, id_col="doc_id")
+    return out
+
+
+def _entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = F.struct(
         F.when(F.col("doc_id") % 5 == 0, F.lit("mirror"))
         .otherwise(F.concat(F.lit("repo"), (F.col("doc_id") % 3).cast("string")))
@@ -73,7 +80,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     e2 = F.struct(F.lit("mirror").alias("code"), F.lit("org9").alias("org"))
     repos = F.when(F.col("doc_id") % 4 == 0,
                    F.array(e1, e2)).otherwise(F.array(e1))
-    docs = _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("source").alias("repo"),
         F.col("doc_id").cast("string").alias("path"),
@@ -82,8 +89,6 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         F.col("text").alias("content"),
         repos.alias("repositories"),
     )
-    build_index(spark, docs, out, _CFG, resume=True, id_col="doc_id")
-    return out
 
 
 def _search_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10,
@@ -912,6 +917,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_constant_score"] = _q_constant_score
 
+    def _q_federated_dfs(s: SparkSession, d: str) -> DataFrame:
+        # ES search_type=dfs_query_then_fetch across two DISJOINT half
+        # indexes (doc_id parity split, ids preserved): the DFS phase
+        # sums INTEGER df / (n_docs, total_dl) stats, so the merged
+        # ranking is bit-identical to one combined index — which is why
+        # the plain full-corpus BM25 SQL is this query's oracle.
+        base = os.path.join(tempfile.gettempdir(), "maestro_entry_dfs_v1",
+                            re.sub(r"\W+", "_", os.path.abspath(d)))
+        docs = _entry_docs(s, d)
+        readers = {}
+        for name, keep in (("even", 0), ("odd", 1)):
+            out = os.path.join(base, name)
+            build_index(s, docs.where(F.col("doc_id") % 2 == keep),
+                        out, _CFG, resume=True, id_col="doc_id")
+            readers[name] = IndexReader(None, out)
+        pdf = search_federated_dfs_local(readers, "batch window order",
+                                         k=40)
+        pdf["score"] = pdf["score"].round(6)
+        return (s.createDataFrame(pdf[["doc_id", "score"]],
+                                  "doc_id long, score double")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_federated_dfs"] = _q_federated_dfs
+
     def _q_stats_agg(s: SparkSession, d: str) -> DataFrame:
         # ES stats-agg analogue over the FULL match set
         reader = IndexReader(s, _ensure_index(s, d))
@@ -1528,6 +1557,7 @@ FROM r LEFT JOIN m ON (r.lo IS NULL OR m.v >= r.lo)
                   AND (r.hi IS NULL OR m.v < r.hi)
 GROUP BY r.label, r.lo, r.hi
 ORDER BY r.lo NULLS FIRST, r.hi NULLS FIRST, r.label"""
+    o["bm25_federated_dfs"] = _bm25_sql(_sql_terms("batch window order"))
     o["bm25_constant_score"] = f"""
 WITH {_TOK}
 SELECT doc_id, CAST(1.5 AS DOUBLE) AS score

@@ -1050,7 +1050,8 @@ class IndexReader:
                      require_any: str | None = None,
                      min_match: int = 1,
                      synonyms: dict[str, tuple] | None = None,
-                     within_ids: np.ndarray | None = None) -> pd.DataFrame:
+                     within_ids: np.ndarray | None = None,
+                     plan_override: QueryPlan | None = None) -> pd.DataFrame:
         """Serving-path top-k: the ES query-node analogue — plan from the
         termdict sidecar, pyarrow row-group-pruned posting reads, the SAME
         score_shard_rows scorer per shard (float64 bit-identical to
@@ -1065,8 +1066,15 @@ class IndexReader:
         the shared index store. Queries whose posting budget is huge
         (stop-word ANDs over 10^12 docs) belong on the distributed path —
         search(engine="auto") routes on planned df. Returns a pandas
-        DataFrame(doc_id, score) ordered (score desc, doc_id asc)."""
-        plan = self.plan(query, boosts=boosts, synonyms=synonyms)
+        DataFrame(doc_id, score) ordered (score desc, doc_id asc).
+
+        plan_override: pre-built QueryPlan to score with instead of this
+        index's own statistics — the fetch phase of dfs_query_then_fetch
+        (see federated_global_plans), where idf/avgdl come from GLOBAL
+        cross-index sums. Terms must be a subset of this index's
+        dictionary terms for the posting fetch to find them."""
+        plan = (plan_override if plan_override is not None
+                else self.plan(query, boosts=boosts, synonyms=synonyms))
         if not plan.terms:
             return self._EMPTY_HITS()
         ex_terms = self._exclusion_terms(exclude)
@@ -3565,6 +3573,117 @@ def search_federated_local(readers: dict[str, IndexReader], query: str,
             query, k, mode, boosts=boosts, exclude=exclude,
             require=require, require_any=require_any,
             min_match=min_match)
+        if len(hits):
+            hits.insert(0, "index", name)
+            parts.append(hits)
+    if not parts:
+        return pd.DataFrame({"index": pd.array([], dtype="string"),
+                             "doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    merged = pd.concat(parts, ignore_index=True)
+    merged = merged.sort_values(["score", "index", "doc_id"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(k)
+    return merged.reset_index(drop=True)
+
+
+def _field_sums(reader: IndexReader) -> dict[str, tuple[int, int]]:
+    """Per-field INTEGER (n_docs, total_dl) for one index, summed from
+    the manifest's per-shard field sums — the same integers build_index
+    folds into stats.avgdl, so cross-index sums reproduce a combined
+    index's avgdl bit-exactly. Indexes written before per-shard sums
+    existed fall back to reconstructing from the float stats (exact
+    whenever avgdl*n is integral, which float division guarantees up to
+    2^53)."""
+    acc: dict[str, list[int]] = {}
+    entries = list(reader.manifest["shards"].values())
+    if entries and all("fields" in e for e in entries):
+        for e in entries:
+            for fname, (n, dl) in e["fields"].items():
+                a = acc.setdefault(fname, [0, 0])
+                a[0] += int(n)
+                a[1] += int(dl)
+    else:
+        for fname, st in reader.stats["fields"].items():
+            acc[fname] = [int(st["n_docs"]),
+                          int(round(st["avgdl"] * st["n_docs"]))]
+    return {f: (a[0], a[1]) for f, a in acc.items()}
+
+
+def federated_global_plans(readers: dict[str, IndexReader], query: str,
+                           boosts: dict[str, float] | None = None,
+                           synonyms: dict[str, tuple] | None = None
+                           ) -> dict[str, QueryPlan]:
+    """The DFS phase of ES search_type=dfs_query_then_fetch, cross-index:
+    gather each index's per-term df and per-field (n_docs, total_dl) as
+    INTEGERS, sum them, and hand every index a QueryPlan whose idf and
+    avgdl are computed from the GLOBAL sums — exactly the floats a
+    single index holding the union corpus would compute. Scores are then
+    comparable across indexes, and (for disjoint indexes) the merged
+    ranking is bit-identical to searching one combined index — the
+    property tests/test_federated.py asserts.
+
+    Each index's plan keeps only ITS dictionary's terms (a term with
+    df=0 there contributes nothing anyway); fuzzy/wildcard/regexp
+    expansion runs per index against its own dictionary, as ES does —
+    per-index expansion caps are the one documented divergence from a
+    literal combined index."""
+    base_plans = {name: readers[name].plan(query, synonyms=synonyms)
+                  for name in sorted(readers)}
+    g_df: dict[str, int] = {}
+    g_field: dict[str, list[int]] = {}
+    for name, p in base_plans.items():
+        for t, d in p.dfs.items():
+            g_df[t] = g_df.get(t, 0) + int(d)
+        for f, (n, dl) in _field_sums(readers[name]).items():
+            a = g_field.setdefault(f, [0, 0])
+            a[0] += n
+            a[1] += dl
+    g_n = {f: a[0] for f, a in g_field.items()}
+    g_avgdl = {f: float(a[1]) / max(a[0], 1) for f, a in g_field.items()}
+    out: dict[str, QueryPlan] = {}
+    for name, p in base_plans.items():
+        fields = p.fields
+        idfs = {t: float(bm25.idf(g_df[t], g_n[fields[t]]))
+                for t in p.terms}
+        if boosts:
+            idfs = {t: idfs[t] * float(boosts.get(fields[t], 1.0))
+                    for t in p.terms}
+        ordered = sorted(p.terms, key=lambda t: (-idfs[t], t))
+        out[name] = QueryPlan(
+            ordered, idfs, dict(p.dfs), dict(fields),
+            {fields[t]: g_avgdl[fields[t]] for t in p.terms},
+            {fields[t]: g_n[fields[t]] for t in p.terms})
+    return out
+
+
+def search_federated_dfs_local(readers: dict[str, IndexReader],
+                               query: str, k: int = 10, mode: str = "or",
+                               boosts: dict[str, float] | None = None,
+                               exclude: str | None = None,
+                               require: str | None = None,
+                               require_any: str | None = None,
+                               min_match: int = 1) -> pd.DataFrame:
+    """Cross-index search with GLOBAL statistics — the ES
+    search_type=dfs_query_then_fetch analogue: one cheap stats round
+    (termdict + manifest integers only, no posting bytes), then every
+    index scores with the summed df/N/avgdl via plan_override, and the
+    coordinator merges by (score desc, index asc, doc_id asc).
+
+    Unlike search_federated_local (per-index stats, the ES default),
+    scores here are comparable across indexes: for disjoint indexes the
+    result is bit-identical to one combined index's search_local.
+    Cost over the default path is only the stats round — the posting
+    fetch and scorer are unchanged, MaxScore pruning included (block
+    bounds are recomputed from the override's idf/avgdl, so they bound
+    the global-stats contributions exactly)."""
+    plans = federated_global_plans(readers, query, boosts=boosts)
+    parts = []
+    for name in sorted(readers):
+        hits = readers[name].search_local(
+            query, k, mode, exclude=exclude, require=require,
+            require_any=require_any, min_match=min_match,
+            plan_override=plans[name])
         if len(hits):
             hits.insert(0, "index", name)
             parts.append(hits)

@@ -75,3 +75,81 @@ def test_federated_count_and_bool(readers):
     assert n > 0
     pd.testing.assert_frame_equal(
         survivors.reset_index(drop=True), ex.head(n))
+
+
+# ---------------------------------------------------------------- dfs
+# search_type=dfs_query_then_fetch: global statistics gathered first,
+# so federated scores are comparable across indexes and — for disjoint
+# indexes — bit-identical to one combined index.
+
+from maestro_spark.operators.search import (  # noqa: E402
+    federated_global_plans, search_federated_dfs_local)
+from maestro_spark.sources.corpus import synth_docs_pandas  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def split_readers(spark, tmp_path_factory):
+    """One 300-doc corpus split into disjoint halves (ids preserved via
+    id_col) plus the combined index — the dfs oracle."""
+    corpus = synth_docs_pandas(300, seed=11).reset_index(names="doc_id")
+    out = {}
+    for name, part in {
+        "a_lo": corpus[corpus["doc_id"] < 150],
+        "b_hi": corpus[corpus["doc_id"] >= 150],
+        "combined": corpus,
+    }.items():
+        d = str(tmp_path_factory.mktemp(f"dfs_{name}"))
+        build_index(spark, spark.createDataFrame(part), d, CFG,
+                    id_col="doc_id")
+        out[name] = IndexReader(None, d)
+    return out
+
+
+def test_dfs_bit_identical_to_combined_index(split_readers):
+    halves = {n: r for n, r in split_readers.items() if n != "combined"}
+    combined = split_readers["combined"]
+    for q, kw in ((Q, {}), ("merge stream", {"min_match": 2}),
+                  ("index query merge", {"exclude": "return"}),
+                  ("lang:java stream", {})):
+        got = search_federated_dfs_local(halves, q, k=25, **kw)
+        want = combined.search_local(q, k=25, **kw)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert got["score"].tolist() == want["score"].tolist(), q
+
+
+def test_dfs_global_plan_stats(split_readers):
+    """The DFS phase reproduces the combined index's idf/avgdl floats
+    exactly (integer sums, then one division — same arithmetic as
+    build_index's stats fold)."""
+    halves = {n: r for n, r in split_readers.items() if n != "combined"}
+    plans = federated_global_plans(halves, Q)
+    want = split_readers["combined"].plan(Q)
+    for name, p in plans.items():
+        for t in p.terms:
+            assert p.idfs[t] == want.idfs[t], (name, t)
+        for f, a in p.avgdl.items():
+            assert a == want.avgdl[f], (name, f)
+            assert p.n_docs[f] == want.n_docs[f], (name, f)
+
+
+def test_dfs_boosts_ride_global_idf(split_readers):
+    halves = {n: r for n, r in split_readers.items() if n != "combined"}
+    combined = split_readers["combined"]
+    boosts = {"content": 1.0, "lang": 2.5}
+    got = search_federated_dfs_local(halves, "lang:java stream", k=20,
+                                     boosts=boosts)
+    want = combined.search_local("lang:java stream", k=20, boosts=boosts)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_dfs_differs_from_per_index_stats(split_readers):
+    """Sanity: the default per-index-stats path scores differently
+    (otherwise dfs would be a no-op) while dfs matches the combined
+    ranking even where the default diverges."""
+    halves = {n: r for n, r in split_readers.items() if n != "combined"}
+    dfs = search_federated_dfs_local(halves, Q, k=50)
+    default = search_federated_local(halves, Q, k=50)
+    merged = dfs.merge(default, on=["index", "doc_id"],
+                       suffixes=("_dfs", "_def"))
+    assert (merged["score_dfs"] != merged["score_def"]).any()
