@@ -941,6 +941,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_federated_dfs"] = _q_federated_dfs
 
+    def _q_term_vectors(s: SparkSession, d: str) -> DataFrame:
+        # ES _termvectors analogue: re-analysis of the TARGET docs'
+        # stored content only (+ corpus df via termdict, zero postings)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.term_vectors_local([3, 21, 58], with_stats=True)
+        return s.createDataFrame(
+            pdf, "doc_id long, term string, tf long, df long")
+
+    q["term_vectors"] = _q_term_vectors
+
+    def _q_index_stats(s: SparkSession, d: str) -> DataFrame:
+        # ES _stats/_cat-indices analogue from the lineage manifest; the
+        # oracle recomputes n_docs/content_dl from the corpus itself, so
+        # this is a manifest-vs-corpus lineage gate (cheap audit sibling)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.index_stats_local()[["shard", "n_docs", "content_dl"]]
+        return s.createDataFrame(
+            pdf, "shard long, n_docs long, content_dl long")
+
+    q["index_stats"] = _q_index_stats
+
     def _q_stats_agg(s: SparkSession, d: str) -> DataFrame:
         # ES stats-agg analogue over the FULL match set
         reader = IndexReader(s, _ensure_index(s, d))
@@ -1558,6 +1579,20 @@ FROM r LEFT JOIN m ON (r.lo IS NULL OR m.v >= r.lo)
 GROUP BY r.label, r.lo, r.hi
 ORDER BY r.lo NULLS FIRST, r.hi NULLS FIRST, r.label"""
     o["bm25_federated_dfs"] = _bm25_sql(_sql_terms("batch window order"))
+    o["term_vectors"] = f"""
+WITH {_TOK},
+dfm AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+        GROUP BY term)
+SELECT t.doc_id, t.term, count(*)::BIGINT AS tf, any_value(dfm.df) AS df
+FROM tok t JOIN dfm ON dfm.term = t.term
+WHERE t.doc_id IN (3, 21, 58)
+GROUP BY t.doc_id, t.term
+ORDER BY t.doc_id, t.term"""
+    o["index_stats"] = f"""
+WITH {_ARR}
+SELECT (doc_id // 1024)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+       sum(len(ts))::BIGINT AS content_dl
+FROM arr GROUP BY 1 ORDER BY 1"""
     o["bm25_constant_score"] = f"""
 WITH {_TOK}
 SELECT doc_id, CAST(1.5 AS DOUBLE) AS score

@@ -2140,6 +2140,73 @@ class IndexReader:
                                 kind="mergesort")
                 .reset_index(drop=True))
 
+    def term_vectors_local(self, doc_ids, with_stats: bool = False
+                           ) -> pd.DataFrame:
+        """Per-document term vectors — the ES `_termvectors` API
+        analogue. ES re-analyzes _source when term vectors weren't
+        stored at index time; this does the same from the stored content
+        of the TARGET docs only (fetch_docs_local's row-group-pruned
+        read), so work is bounded to the requested docs — corpus-size
+        independent like every serving-path op.
+
+        Returns (doc_id, term, tf) rows for the content field, sorted
+        (doc_id, term); with_stats=True adds each term's corpus df
+        (termdict sidecar lookups through the reader's df cache, zero
+        posting bytes — the ES term_statistics=true flag)."""
+        from maestro_spark.functions.tokenize import doc_terms
+        self._refresh_if_stale()
+        ids = sorted(int(i) for i in doc_ids)
+        docs = self.fetch_docs_local(ids, ("content",))
+        if not len(docs):
+            cols = {"doc_id": pd.array([], dtype="int64"),
+                    "term": pd.array([], dtype="string"),
+                    "tf": pd.array([], dtype="int64")}
+            if with_stats:
+                cols["df"] = pd.array([], dtype="int64")
+            return pd.DataFrame(cols)
+        rows = doc_terms(docs["content"].reset_index(drop=True),
+                         tokenizer=self.cfg.get("tokenizer", "code"))
+        rows = rows[rows["field"] == "content"]
+        out = pd.DataFrame({
+            "doc_id": docs["doc_id"].to_numpy()[rows["pos"].to_numpy()],
+            "term": rows["term"].to_numpy(),
+            "tf": rows["tf"].to_numpy().astype(np.int64),
+        })
+        if with_stats:
+            uniq = sorted(set(out["term"]))
+            missing = [t for t in uniq if t not in self._df_cache]
+            if missing:
+                buckets = sorted({_term_bucket(t, self.cfg["n_buckets"])
+                                  for t in missing})
+                found = self._lookup_df(missing, buckets)
+                for t in missing:
+                    self._df_cache[t] = found.get(t, 0)
+            out["df"] = out["term"].map(self._df_cache).astype(np.int64)
+        return (out.sort_values(["doc_id", "term"], kind="mergesort")
+                .reset_index(drop=True))
+
+    def index_stats_local(self) -> pd.DataFrame:
+        """Per-shard index statistics — the ES `_stats` / `_cat/indices`
+        analogue, read straight from the lineage manifest (no data
+        bytes): (shard, n_docs, n_terms, n_postings, posting_bytes,
+        content_dl). content_dl/n_docs are the same INTEGER sums the
+        stats fold and the federated DFS phase consume — the oracle
+        recomputes them from the corpus itself, so this doubles as a
+        manifest-vs-corpus lineage check (the audit operator's cheap
+        sibling)."""
+        self._refresh_if_stale()
+        rows = []
+        for sh, e in sorted(self.manifest["shards"].items(),
+                            key=lambda x: int(x[0])):
+            f = e.get("fields", {}).get("content", (0, 0))
+            rows.append((int(sh), int(e["n_docs"]),
+                         int(e.get("n_terms", 0)),
+                         int(e.get("n_postings", 0)),
+                         int(e.get("bytes", 0)), int(f[1])))
+        return pd.DataFrame(
+            rows, columns=["shard", "n_docs", "n_terms", "n_postings",
+                           "posting_bytes", "content_dl"])
+
     def explain_local(self, query: str, doc_ids,
                       boosts: dict[str, float] | None = None) -> pd.DataFrame:
         """Per-(doc, term) BM25 score breakdown — the ES `_explain` API

@@ -231,3 +231,45 @@ def test_constant_score_matches_bruteforce(spark, built, token_lists):
                                 reader.plan("user merge").terms))
     assert got["doc_id"].tolist() == matched[:7]
     assert (got["score"] == 2.5).all()
+
+
+def test_term_vectors_matches_bruteforce(spark, built, corpus, token_lists):
+    """ES _termvectors analogue: per-doc (term, tf) from re-analysis of
+    the stored content, corpus df attached when with_stats."""
+    reader = IndexReader(spark, built)
+    targets = [0, 21, 137]
+    got = reader.term_vectors_local(targets, with_stats=True)
+    df_map: dict[str, int] = {}
+    for toks in token_lists:
+        for t in set(toks):
+            df_map[t] = df_map.get(t, 0) + 1
+    want = []
+    for i in targets:
+        tf: dict[str, int] = {}
+        for t in token_lists[i]:
+            tf[t] = tf.get(t, 0) + 1
+        want.extend((i, t, c, df_map[t]) for t, c in sorted(tf.items()))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_term_vectors_empty_and_missing(spark, built):
+    reader = IndexReader(spark, built)
+    got = reader.term_vectors_local([10_000_000])
+    assert len(got) == 0 and list(got.columns) == ["doc_id", "term", "tf"]
+
+
+def test_index_stats_matches_corpus(spark, built, corpus, token_lists):
+    """ES _stats analogue: manifest per-shard integers equal the corpus
+    recomputation (shard_size=128 here) — the cheap lineage gate."""
+    reader = IndexReader(spark, built)
+    got = reader.index_stats_local()
+    want_n: dict[int, int] = {}
+    want_dl: dict[int, int] = {}
+    for i, toks in enumerate(token_lists):
+        sh = i // 128
+        want_n[sh] = want_n.get(sh, 0) + 1
+        want_dl[sh] = want_dl.get(sh, 0) + len(toks)
+    assert got["shard"].tolist() == sorted(want_n)
+    assert got.set_index("shard")["n_docs"].to_dict() == want_n
+    assert got.set_index("shard")["content_dl"].to_dict() == want_dl
+    assert (got["n_terms"] > 0).all() and (got["posting_bytes"] > 0).all()
