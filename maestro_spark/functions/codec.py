@@ -75,6 +75,208 @@ def varint_decode(buf: bytes | np.ndarray, offset: int = 0, length: int | None =
     return np.add.reduceat(contrib, starts)
 
 
+# ----------------------------------------------------- FOR bit-packing
+#
+# Codec v2 ("for"): per-block frame-of-reference bit packing — the
+# PForDelta/Lucene-FOR family (public), restricted to shift-kernel
+# widths {0,1,2,4,8,16,32,64} so pack/unpack stay pure numpy shift/mask
+# (no per-bit work): ~40x faster decode than the varint stream at equal
+# or smaller size for the dense lists that dominate query cost. Every
+# block stores (n, first_doc, width, base) in the posting row's METADATA
+# arrays — not in-stream headers — so segment merge remains pure
+# byte/array concatenation and selective block decode needs no parsing.
+# Streams hold only the packed bits: doc stream packs (gap - base) for
+# the n-1 gaps (first doc absolute in block_doc_first), tf stream packs
+# (tf - base) for all n values. Width 0 = all values equal base = ZERO
+# stream bytes (tf=1 runs and gap-1 stopword runs — the hottest lists —
+# cost metadata only). Positions stay varint (per-doc absolute resets
+# make them self-delimiting; the phrase path decodes tfs first anyway).
+
+_FOR_THRESHOLDS = np.array([1, 2, 4, 16, 256, 65536, 2 ** 32],
+                           dtype=np.uint64)
+_FOR_WIDTHS = np.array([0, 1, 2, 4, 8, 16, 32, 64], dtype=np.int64)
+
+
+def _snap_width(maxval: np.ndarray) -> np.ndarray:
+    """Smallest shift-kernel width that holds every value in [0, maxval]."""
+    mv = np.ascontiguousarray(maxval, dtype=np.uint64)
+    return _FOR_WIDTHS[np.searchsorted(_FOR_THRESHOLDS, mv, side="right")]
+
+
+def _within(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — the repeat+arange index trick."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _seg_reduce(ufunc, values: np.ndarray, starts: np.ndarray,
+                counts: np.ndarray) -> np.ndarray:
+    """Per-segment ufunc.reduceat that tolerates EMPTY segments (returns
+    0 for them). Segments must tile `values` (starts = exclusive cumsum
+    of counts)."""
+    out = np.zeros(starts.size, dtype=np.int64)
+    nz = counts > 0
+    if nz.any():
+        out[nz] = ufunc.reduceat(values, starts[nz])
+    return out
+
+
+def _pack_w(padded: np.ndarray, w: int) -> np.ndarray:
+    """Pack `padded` (uint64, length a multiple of the per-byte value
+    granularity) at width w into a little-endian uint8 stream."""
+    if w == 8:
+        return padded.astype(np.uint8)
+    if w == 16:
+        return padded.astype("<u2").view(np.uint8)
+    if w == 32:
+        return padded.astype("<u4").view(np.uint8)
+    if w == 64:
+        return padded.astype("<u8").view(np.uint8)
+    a = padded.astype(np.uint8)
+    if w == 4:
+        return a[0::2] | (a[1::2] << 4)
+    if w == 2:
+        return a[0::4] | (a[1::4] << 2) | (a[2::4] << 4) | (a[3::4] << 6)
+    if w == 1:
+        return np.packbits(a, bitorder="little")
+    raise ValueError(f"unsupported width {w}")
+
+
+def _unpack_w(buf: np.ndarray, w: int) -> np.ndarray:
+    """Inverse of _pack_w: uint8 stream -> padded uint64 values."""
+    if w == 8:
+        return buf.astype(np.uint64)
+    if w == 16:
+        return np.ascontiguousarray(buf).view("<u2").astype(np.uint64)
+    if w == 32:
+        return np.ascontiguousarray(buf).view("<u4").astype(np.uint64)
+    if w == 64:
+        return np.ascontiguousarray(buf).view("<u8").astype(np.uint64)
+    if w == 4:
+        out = np.empty(buf.size * 2, dtype=np.uint8)
+        out[0::2] = buf & 0x0F
+        out[1::2] = buf >> 4
+        return out.astype(np.uint64)
+    if w == 2:
+        out = np.empty(buf.size * 4, dtype=np.uint8)
+        out[0::4] = buf & 0x03
+        out[1::4] = (buf >> 2) & 0x03
+        out[2::4] = (buf >> 4) & 0x03
+        out[3::4] = buf >> 6
+        return out.astype(np.uint64)
+    if w == 1:
+        return np.unpackbits(buf, bitorder="little").astype(np.uint64)
+    raise ValueError(f"unsupported width {w}")
+
+
+def _for_pad_counts(counts: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Per-block value counts padded to the per-byte granularity of each
+    block's width (so every block's packed bytes are byte-aligned and
+    self-contained)."""
+    vpb = np.where(widths >= 8, 1, 8 // np.maximum(widths, 1))
+    return np.where(widths == 0, 0, ((counts + vpb - 1) // vpb) * vpb)
+
+
+def _for_byte_lens(counts: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Packed byte length of each block — derivable from (count, width)
+    alone, so selective decode never needs the next block's offset."""
+    return _for_pad_counts(counts, widths) * widths // 8
+
+
+def _pack_blocks(values: np.ndarray, starts: np.ndarray,
+                 counts: np.ndarray, widths: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Pack per-block runs of `values` (starts/counts tile it) at each
+    block's width. Returns (uint8 stream, per-block byte lengths); blocks
+    are byte-aligned and laid out in block order. Fully vectorized per
+    distinct width (a handful of kernel calls per stream)."""
+    blen = _for_byte_lens(counts, widths)
+    off = np.concatenate(([0], np.cumsum(blen)))
+    out = np.zeros(int(off[-1]), dtype=np.uint8)
+    pad_n = _for_pad_counts(counts, widths)
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        cj, pj, bj = counts[sel], pad_n[sel], blen[sel]
+        padded = np.zeros(int(pj.sum()), dtype=np.uint64)
+        pstart = np.concatenate(([0], np.cumsum(pj)))[:-1]
+        padded[np.repeat(pstart, cj) + _within(cj)] = \
+            values[np.repeat(starts[sel], cj) + _within(cj)].astype(np.uint64)
+        packed = _pack_w(padded, int(w))
+        out[np.repeat(off[sel], bj) + _within(bj)] = packed
+    return out, blen
+
+
+def _unpack_blocks(buf: np.ndarray, off: np.ndarray, counts: np.ndarray,
+                   widths: np.ndarray, base: np.ndarray) -> np.ndarray:
+    """Decode selected blocks: gather each block's packed bytes, unpack
+    per distinct width, strip padding, add the per-block base. Returns
+    values concatenated in the given block order.
+
+    Fast path (the overwhelmingly common full-list decode): one width,
+    byte-contiguous blocks, uniform interior block size — unpack the
+    whole span with ONE kernel call and strip padding by reshape, no
+    index arrays at all. Everything else (mixed widths after merges,
+    scattered block_idx selections) takes the general gather path."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    w0 = int(widths[0])
+    if (widths == w0).all():
+        add = (int(base[0])
+               if bool((base == base[0]).all()) else
+               np.repeat(base, counts))
+        if w0 == 0:
+            out = np.zeros(total, dtype=np.int64)
+            return out + add
+        blen = _for_byte_lens(counts, widths)
+        if bool(np.array_equal(off[1:], off[:-1] + blen[:-1])):
+            cat = buf[int(off[0]): int(off[-1] + blen[-1])]
+            vals = _unpack_w(cat, w0)
+            pad_n = _for_pad_counts(counts, widths)
+            if bool((pad_n == counts).all()):
+                return vals[:total].astype(np.int64) + add
+            nb = counts.size
+            c0, p0 = int(counts[0]), int(pad_n[0])
+            if nb == 1:
+                return vals[:c0].astype(np.int64) + add
+            if (bool((counts[:-1] == c0).all())
+                    and bool((pad_n[:-1] == p0).all())):
+                body = vals[:(nb - 1) * p0].reshape(nb - 1, p0)[:, :c0]
+                tail = vals[(nb - 1) * p0:(nb - 1) * p0 + int(counts[-1])]
+                return np.concatenate(
+                    (body.ravel(), tail)).astype(np.int64) + add
+    out = np.empty(total, dtype=np.int64)
+    vstart = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    blen = _for_byte_lens(counts, widths)
+    pad_n = _for_pad_counts(counts, widths)
+    for w in np.unique(widths):
+        sel = np.flatnonzero(widths == w)
+        cj = counts[sel]
+        dest = np.repeat(vstart[sel], cj) + _within(cj)
+        if w == 0:
+            out[dest] = np.repeat(base[sel], cj)
+            continue
+        bj, pj = blen[sel], pad_n[sel]
+        cat = buf[np.repeat(off[sel], bj) + _within(bj)]
+        vals = _unpack_w(cat, int(w))
+        ppos = np.concatenate(([0], np.cumsum(pj)))[:-1]
+        out[dest] = (vals[np.repeat(ppos, cj) + _within(cj)].astype(np.int64)
+                     + np.repeat(base[sel], cj))
+    return out
+
+
+def _is_for_row(row: dict) -> bool:
+    """Codec v2 rows carry block_n metadata; v1 rows don't (missing key
+    or per-row null when a mixed-schema dataset unifies columns)."""
+    bn = row.get("block_n")
+    return bn is not None and len(bn) == len(row["block_doc_off"])
+
+
 # ------------------------------------------------------------- postings
 
 @dataclass
@@ -91,6 +293,7 @@ def encode_postings(
     dls: np.ndarray,
     block: int = BLOCK,
     positions: np.ndarray | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Encode one posting list (already sorted by doc_id asc).
 
@@ -101,7 +304,9 @@ def encode_postings(
     document) — the Lucene prox-stream analogue enabling phrase queries.
     Encoded as per-document gaps (first absolute) with per-posting-block
     byte offsets, so block-skipped queries never touch skipped positions.
-    Returns a dict of plain-python/bytes values ready to become a Spark row.
+    codec: "varint" (v1 streams) or "for" (v2 bit-packed blocks — see the
+    FOR section above). Returns a dict of plain-python/bytes values ready
+    to become a Spark row.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -111,12 +316,32 @@ def encode_postings(
     if n and doc_ids[0] < 0:
         raise ValueError("doc_ids must be non-negative")
     if n == 0:
-        return {
+        out = {
             "df": 0, "doc_bytes": b"", "tf_bytes": b"",
             "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
             "block_doc_off": [], "block_tf_off": [],
             "pos_bytes": b"", "block_pos_off": [],
         }
+        if codec == "for":
+            out.update({"block_n": [], "block_doc_first": [],
+                        "block_doc_width": [], "block_doc_base": [],
+                        "block_tf_width": [], "block_tf_base": []})
+        return out
+    if codec == "for":
+        # single run through the batch encoder (byte-identical by
+        # construction — the batch path is the only FOR implementation)
+        b = encode_postings_batch(doc_ids, tfs, dls,
+                                  np.zeros(1, np.int64), block=block,
+                                  positions=positions, codec="for")
+        out = {"df": int(b["df"][0])}
+        for key in ("doc_bytes", "tf_bytes", "pos_bytes"):
+            out[key] = b[key][0]
+        for key in ("block_last_doc", "block_max_tf", "block_min_dl",
+                    "block_doc_off", "block_tf_off", "block_pos_off",
+                    "block_n", "block_doc_first", "block_doc_width",
+                    "block_doc_base", "block_tf_width", "block_tf_base"):
+            out[key] = np.asarray(b[key][0]).tolist()
+        return out
     n_blocks = (n + block - 1) // block
     block_starts = np.arange(n_blocks, dtype=np.int64) * block
     block_ends = np.minimum(block_starts + block, n)  # exclusive
@@ -182,6 +407,7 @@ def encode_postings_batch(
     run_starts: np.ndarray,
     block: int = BLOCK,
     positions: np.ndarray | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Encode MANY posting lists in one vectorized pass.
 
@@ -206,10 +432,15 @@ def encode_postings_batch(
     n = doc_ids.size
     n_runs = run_starts.size
     if n == 0 or n_runs == 0:
-        return {"df": np.empty(0, np.int64), "doc_bytes": [], "tf_bytes": [],
-                "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
-                "block_doc_off": [], "block_tf_off": [],
-                "pos_bytes": [], "block_pos_off": []}
+        out = {"df": np.empty(0, np.int64), "doc_bytes": [], "tf_bytes": [],
+               "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
+               "block_doc_off": [], "block_tf_off": [],
+               "pos_bytes": [], "block_pos_off": []}
+        if codec == "for":
+            out.update({"block_n": [], "block_doc_first": [],
+                        "block_doc_width": [], "block_doc_base": [],
+                        "block_tf_width": [], "block_tf_base": []})
+        return out
     run_ends = np.concatenate((run_starts[1:], [n]))
     sizes = run_ends - run_starts
     if (doc_ids < 0).any():
@@ -235,32 +466,76 @@ def encode_postings_batch(
     deltas[1:] = doc_ids[1:] - doc_ids[:-1]
     deltas[blk_first] = doc_ids[blk_first]
 
-    doc_all = varint_encode(deltas)
-    tf_all = varint_encode(tfs)
-    doc_cum = np.concatenate(([0], np.cumsum(_varint_lengths(deltas))))
-    tf_cum = np.concatenate(([0], np.cumsum(_varint_lengths(tfs))))
-
     block_last_doc = doc_ids[blk_end - 1]
     block_max_tf = np.maximum.reduceat(tfs, blk_first)
     block_min_dl = np.minimum.reduceat(dls, blk_first)
-    # per-block byte offsets RELATIVE to the block's run byte start
-    blk_doc_off = doc_cum[blk_first] - doc_cum[run_starts[blk_run]]
-    blk_tf_off = tf_cum[blk_first] - tf_cum[run_starts[blk_run]]
-
     splits = blk_cum[1:-1]
     out = {
         "df": sizes,
         "block_last_doc": np.split(block_last_doc, splits),
         "block_max_tf": np.split(block_max_tf, splits),
         "block_min_dl": np.split(block_min_dl, splits),
-        "block_doc_off": np.split(blk_doc_off, splits),
-        "block_tf_off": np.split(blk_tf_off, splits),
     }
-    dmv, tmv = memoryview(doc_all), memoryview(tf_all)
-    out["doc_bytes"] = [bytes(dmv[doc_cum[a]:doc_cum[b]])
-                        for a, b in zip(run_starts, run_ends)]
-    out["tf_bytes"] = [bytes(tmv[tf_cum[a]:tf_cum[b]])
-                       for a, b in zip(run_starts, run_ends)]
+
+    if codec == "for":
+        n_b = blk_end - blk_first
+        # doc stream: per-block FOR over the n-1 gaps (first is absolute
+        # in block_doc_first, never packed — a 40-bit doc id would force
+        # the whole block wide)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[blk_first] = True
+        gaps = deltas[~is_first]
+        g_counts = n_b - 1
+        g_starts = np.concatenate(([0], np.cumsum(g_counts)))[:-1]
+        base_d = _seg_reduce(np.minimum, gaps, g_starts, g_counts)
+        rel_d = gaps - np.repeat(base_d, g_counts)
+        w_d = _snap_width(_seg_reduce(np.maximum, rel_d, g_starts,
+                                      g_counts))
+        doc_all, dlen = _pack_blocks(rel_d, g_starts, g_counts, w_d)
+        # tf stream: per-block FOR over ALL n values (tf=1-everywhere
+        # blocks pack to zero bytes: width 0, base 1)
+        base_t = _seg_reduce(np.minimum, tfs, blk_first, n_b)
+        rel_t = tfs - np.repeat(base_t, n_b)
+        w_t = _snap_width(_seg_reduce(np.maximum, rel_t, blk_first, n_b))
+        tf_all, tlen = _pack_blocks(rel_t, blk_first, n_b, w_t)
+
+        doc_cum = np.concatenate(([0], np.cumsum(dlen)))
+        tf_cum = np.concatenate(([0], np.cumsum(tlen)))
+        run_first_blk = blk_cum[:-1]
+        blk_doc_off = doc_cum[:-1] - doc_cum[run_first_blk][blk_run]
+        blk_tf_off = tf_cum[:-1] - tf_cum[run_first_blk][blk_run]
+        out["block_doc_off"] = np.split(blk_doc_off, splits)
+        out["block_tf_off"] = np.split(blk_tf_off, splits)
+        out["block_n"] = np.split(n_b, splits)
+        out["block_doc_first"] = np.split(doc_ids[blk_first], splits)
+        out["block_doc_width"] = np.split(w_d, splits)
+        out["block_doc_base"] = np.split(base_d, splits)
+        out["block_tf_width"] = np.split(w_t, splits)
+        out["block_tf_base"] = np.split(base_t, splits)
+        dmv, tmv = memoryview(doc_all.tobytes()), memoryview(tf_all.tobytes())
+        run_doc_byte = doc_cum[run_first_blk]
+        run_tf_byte = tf_cum[run_first_blk]
+        run_doc_end = np.concatenate((run_doc_byte[1:], [doc_cum[-1]]))
+        run_tf_end = np.concatenate((run_tf_byte[1:], [tf_cum[-1]]))
+        out["doc_bytes"] = [bytes(dmv[a:b])
+                            for a, b in zip(run_doc_byte, run_doc_end)]
+        out["tf_bytes"] = [bytes(tmv[a:b])
+                           for a, b in zip(run_tf_byte, run_tf_end)]
+    else:
+        doc_all = varint_encode(deltas)
+        tf_all = varint_encode(tfs)
+        doc_cum = np.concatenate(([0], np.cumsum(_varint_lengths(deltas))))
+        tf_cum = np.concatenate(([0], np.cumsum(_varint_lengths(tfs))))
+        # per-block byte offsets RELATIVE to the block's run byte start
+        blk_doc_off = doc_cum[blk_first] - doc_cum[run_starts[blk_run]]
+        blk_tf_off = tf_cum[blk_first] - tf_cum[run_starts[blk_run]]
+        out["block_doc_off"] = np.split(blk_doc_off, splits)
+        out["block_tf_off"] = np.split(blk_tf_off, splits)
+        dmv, tmv = memoryview(doc_all), memoryview(tf_all)
+        out["doc_bytes"] = [bytes(dmv[doc_cum[a]:doc_cum[b]])
+                            for a, b in zip(run_starts, run_ends)]
+        out["tf_bytes"] = [bytes(tmv[tf_cum[a]:tf_cum[b]])
+                           for a, b in zip(run_starts, run_ends)]
 
     if positions is None:
         out["pos_bytes"] = [b""] * n_runs
@@ -313,6 +588,11 @@ def decode_postings(row: dict, block_idx: np.ndarray | None = None) -> PostingLi
     n_blocks = doc_off.size
     if n_blocks == 0:
         return PostingList(np.empty(0, np.int64), np.empty(0, np.int64))
+
+    if _is_for_row(row):
+        return _decode_for(row, doc_buf, tf_buf, doc_off, tf_off,
+                           block_idx)
+
     doc_bounds = np.concatenate((doc_off, [doc_buf.size]))
     tf_bounds = np.concatenate((tf_off, [tf_buf.size]))
 
@@ -332,6 +612,49 @@ def decode_postings(row: dict, block_idx: np.ndarray | None = None) -> PostingLi
         doc_parts.append(np.cumsum(d))
         tf_parts.append(varint_decode(tf_buf[tf_bounds[bi] : tf_bounds[bi + 1]]).astype(np.int64))
     return PostingList(np.concatenate(doc_parts), np.concatenate(tf_parts))
+
+
+def _decode_for(row: dict, doc_buf: np.ndarray, tf_buf: np.ndarray,
+                doc_off: np.ndarray, tf_off: np.ndarray,
+                block_idx: np.ndarray | None) -> PostingList:
+    """Codec-v2 decode: one vectorized unpack per distinct width per
+    stream (no per-posting and no per-block Python work beyond array
+    slicing) — whole-list and selected-blocks share the same path since
+    every block's byte length derives from its (count, width) metadata."""
+    n_b = np.asarray(row["block_n"], dtype=np.int64)
+    first = np.asarray(row["block_doc_first"], dtype=np.int64)
+    w_d = np.asarray(row["block_doc_width"], dtype=np.int64)
+    b_d = np.asarray(row["block_doc_base"], dtype=np.int64)
+    w_t = np.asarray(row["block_tf_width"], dtype=np.int64)
+    b_t = np.asarray(row["block_tf_base"], dtype=np.int64)
+    if block_idx is not None:
+        sel = np.asarray(block_idx, dtype=np.int64)
+        if sel.size == 0:
+            return PostingList(np.empty(0, np.int64),
+                               np.empty(0, np.int64))
+        n_b, first = n_b[sel], first[sel]
+        w_d, b_d = w_d[sel], b_d[sel]
+        w_t, b_t = w_t[sel], b_t[sel]
+        doc_off, tf_off = doc_off[sel], tf_off[sel]
+    gaps = _unpack_blocks(doc_buf, doc_off, n_b - 1, w_d, b_d)
+    tfs = _unpack_blocks(tf_buf, tf_off, n_b, w_t, b_t)
+    starts = np.concatenate(([0], np.cumsum(n_b)))[:-1]
+    deltas = np.empty(int(n_b.sum()), dtype=np.int64)
+    mask = np.zeros(deltas.size, dtype=bool)
+    mask[starts] = True
+    deltas[starts] = first
+    deltas[~mask] = gaps
+    return PostingList(_undelta(deltas, starts), tfs)
+
+
+def _block_tfs_for(row: dict, tf_buf: np.ndarray, tf_off: np.ndarray,
+                   block_idx: np.ndarray) -> np.ndarray:
+    """tf values of the selected blocks of a codec-v2 row (the phrase
+    path needs tfs to delimit the per-doc position runs)."""
+    n_b = np.asarray(row["block_n"], dtype=np.int64)[block_idx]
+    w_t = np.asarray(row["block_tf_width"], dtype=np.int64)[block_idx]
+    b_t = np.asarray(row["block_tf_base"], dtype=np.int64)[block_idx]
+    return _unpack_blocks(tf_buf, tf_off[block_idx], n_b, w_t, b_t)
 
 
 def _block_value_starts(doc_buf: np.ndarray, doc_off: np.ndarray) -> np.ndarray:
@@ -375,13 +698,21 @@ def decode_positions(row: dict, block_idx: np.ndarray | None = None
         block_idx = np.arange(n_blocks, dtype=np.int64)
     else:
         block_idx = np.asarray(block_idx, dtype=np.int64)
-    pos_parts, tf_parts = [], []
-    for bi in block_idx:  # loop over BLOCKS, not postings
-        tf_b = varint_decode(tf_buf[tf_bounds[bi]:tf_bounds[bi + 1]]).astype(np.int64)
+    if _is_for_row(row):
+        # v2: tfs unpack in one vectorized pass; positions stay varint
+        tfs = _block_tfs_for(row, tf_buf, tf_off, block_idx)
+        n_b = np.asarray(row["block_n"], dtype=np.int64)[block_idx]
+        tf_splits = np.cumsum(n_b)[:-1]
+        tf_parts = np.split(tfs, tf_splits)
+    else:
+        tf_parts = [varint_decode(
+            tf_buf[tf_bounds[bi]:tf_bounds[bi + 1]]).astype(np.int64)
+            for bi in block_idx]
+    pos_parts = []
+    for bi, tf_b in zip(block_idx, tf_parts):  # loop over BLOCKS
         deltas = varint_decode(pos_buf[pos_bounds[bi]:pos_bounds[bi + 1]]).astype(np.int64)
         doc_starts = np.concatenate(([0], np.cumsum(tf_b)[:-1]))
         pos_parts.append(_undelta(deltas, doc_starts))
-        tf_parts.append(tf_b)
     return np.concatenate(pos_parts), np.concatenate(tf_parts)
 
 
@@ -407,11 +738,19 @@ def merge_segments(segments: list[dict]) -> dict:
         return (b"" if pb is None else bytes(pb),
                 [] if po is None else list(po))
 
+    is_for = [_is_for_row(s) for s in segments]
+    if any(is_for) and not all(is_for):
+        raise ValueError("cannot merge mixed-codec segments")
     doc_bytes = b"".join(s["doc_bytes"] for s in segments)
     tf_bytes = b"".join(s["tf_bytes"] for s in segments)
     pos_bytes = b"".join(_pos_parts(s)[0] for s in segments)
     block_last, block_max_tf, block_min_dl = [], [], []
     block_doc_off, block_tf_off, block_pos_off = [], [], []
+    # codec-v2 per-block metadata: widths/bases/counts are absolute, so
+    # the merge concatenates them exactly like the bound arrays
+    FOR_KEYS = ("block_n", "block_doc_first", "block_doc_width",
+                "block_doc_base", "block_tf_width", "block_tf_base")
+    for_meta: dict[str, list] = {k: [] for k in FOR_KEYS}
     dpos = tpos = ppos = 0
     df = 0
     for s in segments:
@@ -422,11 +761,14 @@ def merge_segments(segments: list[dict]) -> dict:
         block_doc_off.extend([o + dpos for o in s["block_doc_off"]])
         block_tf_off.extend([o + tpos for o in s["block_tf_off"]])
         block_pos_off.extend([int(o) + ppos for o in po])
+        if is_for[0]:
+            for k in FOR_KEYS:
+                for_meta[k].extend(s[k])
         dpos += len(s["doc_bytes"])
         tpos += len(s["tf_bytes"])
         ppos += len(pb)
         df += s["df"]
-    return {
+    out = {
         "df": df,
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
@@ -439,3 +781,6 @@ def merge_segments(segments: list[dict]) -> dict:
         "block_pos_off": block_pos_off,
         "merge_fanin": len(segments),
     }
+    if is_for[0]:
+        out.update(for_meta)
+    return out

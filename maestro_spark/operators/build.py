@@ -66,7 +66,21 @@ POSTING_SCHEMA = (
     "block_doc_off array<long>, block_tf_off array<long>, "
     "pos_bytes binary, block_pos_off array<long>"
 )
+# codec v2 ("for"): per-block frame-of-reference metadata — counts,
+# absolute first doc, pack width and base per stream (codec.py's FOR
+# section). Streams hold only packed bits; a reader detects the codec
+# per row by the presence of block_n.
+FOR_COLUMNS = (
+    "block_n array<long>, block_doc_first array<long>, "
+    "block_doc_width array<long>, block_doc_base array<long>, "
+    "block_tf_width array<long>, block_tf_base array<long>"
+)
+POSTING_SCHEMA_FOR = POSTING_SCHEMA + ", " + FOR_COLUMNS
 MERGED_SCHEMA = POSTING_SCHEMA.replace(", salt int", "") + ", merge_fanin int"
+MERGED_SCHEMA_FOR = (POSTING_SCHEMA_FOR.replace(", salt int", "")
+                     + ", merge_fanin int")
+_FOR_KEYS = ("block_n", "block_doc_first", "block_doc_width",
+             "block_doc_base", "block_tf_width", "block_tf_base")
 
 # On-disk manifest format. POSITIONS_SEMANTICS tracks the prox-stream
 # contract independently of layout: v1 placed whole-identifier tokens
@@ -106,6 +120,13 @@ class IndexConfig:
                                        # semantics (file_centric.json:42);
                                        # may be nested array<struct> and
                                        # queried via search(doc_filter=...)
+    codec: str = "for"                 # posting codec: "for" (v2 bit-
+                                       # packed FOR blocks, ~3x faster
+                                       # decode, 2-4x smaller, tf=1/gap-1
+                                       # blocks cost ZERO stream bytes)
+                                       # or "varint" (v1). One codec per
+                                       # index; incremental updates adopt
+                                       # the index's existing codec.
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -175,6 +196,7 @@ def encode_tokens(tokens: DataFrame, hot_terms: list[str], cfg: IndexConfig) -> 
     spark = tokens.sparkSession
     nparts = cfg.encode_partitions or spark.sparkContext.defaultParallelism
     n_salts, shard_size, n_buckets = cfg.n_salts, cfg.shard_size, cfg.n_buckets
+    codec = cfg.codec
 
     hot_col = (
         F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
@@ -201,7 +223,8 @@ def encode_tokens(tokens: DataFrame, hot_terms: list[str], cfg: IndexConfig) -> 
             starts = np.flatnonzero(boundary)
             if len(starts) > 1:
                 complete, pending = pdf.iloc[: starts[-1]], pdf.iloc[starts[-1]:]
-                out = _encode_runs(complete, starts[:-1], n_buckets)
+                out = _encode_runs(complete, starts[:-1], n_buckets,
+                                   codec)
                 if out is not None:
                     yield out
             else:
@@ -209,14 +232,18 @@ def encode_tokens(tokens: DataFrame, hot_terms: list[str], cfg: IndexConfig) -> 
         if pending is not None and len(pending):
             keys = pending[["shard", "term", "salt"]]
             boundary = (keys != keys.shift()).any(axis=1).to_numpy()
-            out = _encode_runs(pending, np.flatnonzero(boundary), n_buckets)
+            out = _encode_runs(pending, np.flatnonzero(boundary),
+                               n_buckets, codec)
             if out is not None:
                 yield out
 
-    return t.mapInPandas(encoder, schema=POSTING_SCHEMA)
+    return t.mapInPandas(
+        encoder,
+        schema=POSTING_SCHEMA_FOR if codec == "for" else POSTING_SCHEMA)
 
 
-def _encode_runs(pdf: pd.DataFrame, starts: np.ndarray, n_buckets: int) -> pd.DataFrame | None:
+def _encode_runs(pdf: pd.DataFrame, starts: np.ndarray, n_buckets: int,
+                 codec: str = "for") -> pd.DataFrame | None:
     """Encode each (shard, term, salt) run in pdf with ONE vectorized pass
     over the whole batch (codec.encode_postings_batch): per-run Python work
     is just byte slicing, so throughput depends on posting count, not on
@@ -237,9 +264,10 @@ def _encode_runs(pdf: pd.DataFrame, starts: np.ndarray, n_buckets: int) -> pd.Da
         ) if len(pdf) else np.empty(0, np.int64)
     else:
         flat_pos = None
-    enc = encode_postings_batch(doc, tf, dl, starts, positions=flat_pos)
+    enc = encode_postings_batch(doc, tf, dl, starts, positions=flat_pos,
+                                codec=codec)
     run_terms = terms[starts]
-    return pd.DataFrame({
+    cols = {
         "shard": shards[starts].astype(np.int64),
         "term_bucket": np.fromiter(
             (_term_bucket(t, n_buckets) for t in run_terms),
@@ -256,7 +284,11 @@ def _encode_runs(pdf: pd.DataFrame, starts: np.ndarray, n_buckets: int) -> pd.Da
         "block_tf_off": enc["block_tf_off"],
         "pos_bytes": enc["pos_bytes"],
         "block_pos_off": enc["block_pos_off"],
-    })
+    }
+    if codec == "for":
+        for k in _FOR_KEYS:
+            cols[k] = enc[k]
+    return pd.DataFrame(cols)
 
 
 def _term_bucket(term: str, n_buckets: int) -> int:
@@ -267,10 +299,13 @@ def _term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def merge_hot_segments(segments: DataFrame, hot_terms: list[str]) -> DataFrame:
+def merge_hot_segments(segments: DataFrame, hot_terms: list[str],
+                       codec: str = "for") -> DataFrame:
     """Distributed segment merge (M4): only salted (hot) terms have >1
     segment, so the merge shuffle moves just their compressed segments —
-    everything else passes through map-side with fan-in 1."""
+    everything else passes through map-side with fan-in 1. Codec-v2
+    segments merge identically (widths/bases/counts are absolute per
+    block; byte offsets shift like v1's)."""
     if not hot_terms:
         return segments.drop("salt").withColumn("merge_fanin", F.lit(1))
     is_hot = F.col("term").isin(hot_terms)
@@ -282,7 +317,7 @@ def merge_hot_segments(segments: DataFrame, hot_terms: list[str]) -> DataFrame:
         pdf = pdf.sort_values("salt")
         segs = pdf.to_dict("records")
         m = merge_segments(segs)
-        return pd.DataFrame([{
+        row = {
             "shard": key[0], "term_bucket": int(pdf["term_bucket"].iloc[0]),
             "term": key[1], "df": m["df"], "doc_bytes": m["doc_bytes"],
             "tf_bytes": m["tf_bytes"], "block_last_doc": m["block_last_doc"],
@@ -290,12 +325,18 @@ def merge_hot_segments(segments: DataFrame, hot_terms: list[str]) -> DataFrame:
             "block_doc_off": m["block_doc_off"], "block_tf_off": m["block_tf_off"],
             "pos_bytes": m["pos_bytes"], "block_pos_off": m["block_pos_off"],
             "merge_fanin": m["merge_fanin"],
-        }])
+        }
+        if codec == "for":
+            for k in _FOR_KEYS:
+                row[k] = m[k]
+        return pd.DataFrame([row])
 
     merged = (
         segments.where(is_hot)
         .groupBy("shard", "term")
-        .applyInPandas(merge, schema=MERGED_SCHEMA)
+        .applyInPandas(
+            merge,
+            schema=MERGED_SCHEMA_FOR if codec == "for" else MERGED_SCHEMA)
     )
     return singles.unionByName(merged)
 
@@ -356,6 +397,10 @@ def build_index(
     prev = read_manifest(os.path.join(out_dir, "manifest.json")) if resume else None
     if not positions_compatible(prev, cfg):
         prev = None  # old prox semantics: no shard is resumable, rebuild all
+    if prev is not None and prev.get("config", {}).get(
+            "codec", "varint") != cfg.codec:
+        prev = None  # codec change: resumed shards would mix posting
+        #              formats in one store — rebuild every shard
     try:
         return _build_shards(spark, d, out_dir, cfg, fingerprints, prev=prev,
                              keep={}, max_doc_id=max_doc_id, t0=t0)
@@ -598,7 +643,7 @@ def _build_shards(
         # write must NOT each recompute the repartition+sort+encode pipeline
         segments = encode_tokens(tokens, hot_terms, cfg).persist(
             StorageLevel.MEMORY_AND_DISK)
-        postings = merge_hot_segments(segments, hot_terms)
+        postings = merge_hot_segments(segments, hot_terms, cfg.codec)
         # final layout shuffle: one task (→ one file) per (shard, bucket)
         # partition dir. Without this, every encoder partition spills a
         # sliver into every bucket dir — O(parts × buckets) small files.

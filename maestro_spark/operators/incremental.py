@@ -103,6 +103,15 @@ def incremental_update(
             "semantics (manifest positions_semantics != "
             f"{POSITIONS_SEMANTICS}); run a full build_index (or "
             "reindex_versioned) to migrate before incremental updates")
+    # one codec per index: rebuilt shards must match the untouched
+    # shards' posting format (a mixed-schema postings dir would make
+    # dataset schema unification order-dependent), so adopt the index's
+    # codec regardless of what the caller's cfg says. Old manifests
+    # predate the field -> varint.
+    index_codec = manifest["config"].get("codec", "varint")
+    if cfg.codec != index_codec:
+        from dataclasses import replace as _dc_replace
+        cfg = _dc_replace(cfg, codec=index_codec)
     shard_size = cfg.shard_size
     docs_path = os.path.join(index_dir, "docs")
 

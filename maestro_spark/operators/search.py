@@ -1000,13 +1000,17 @@ class IndexReader:
                 fetched[r["term"]][int(r["shard"])] = r
 
             def _entry_bytes(by_shard: dict[int, dict]) -> int:
-                raw = 0
+                # resident estimate must track DECODED size, not stream
+                # size: codec-v2 width-0 blocks hold zero stream bytes
+                # yet memoize df*16B of decoded arrays
+                raw = rows = 0
                 for row in by_shard.values():
+                    rows += int(row.get("df") or 0)
                     for f in ("doc_bytes", "tf_bytes", "pos_bytes"):
                         v = row.get(f)
                         if v is not None:
                             raw += len(v)
-                return 64 + raw * 8  # decode expansion; 64 B dict floor
+                return 64 + raw * 2 + rows * 16
 
             for t, by_shard in fetched.items():
                 cache[t] = by_shard

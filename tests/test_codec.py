@@ -174,3 +174,131 @@ def test_batch_encode_rejects_unsorted_within_run():
     out = encode_postings_batch(np.array([5, 9, 2, 4]), np.ones(4, np.int64),
                                 np.ones(4, np.int64), np.array([0, 2]))
     assert int(out["df"][0]) == 2 and int(out["df"][1]) == 2
+
+
+# ---------------------------------------------------------------- codec v2
+
+def _parity(doc_ids, tfs, dls, positions=None):
+    """v2 must decode identically to v1 — whole list, every single block,
+    a scattered subset, and (when present) positions."""
+    from maestro_spark.functions.codec import decode_positions
+    v1 = encode_postings(doc_ids, tfs, dls, positions=positions)
+    v2 = encode_postings(doc_ids, tfs, dls, positions=positions,
+                         codec="for")
+    a, b = decode_postings(v1), decode_postings(v2)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.tfs, b.tfs)
+    nb = len(v2["block_doc_off"])
+    subsets = [[i] for i in range(nb)] + [list(range(nb))]
+    if nb > 2:
+        subsets.append([0, nb - 1])
+    for blocks in subsets:
+        bi = np.array(blocks, dtype=np.int64)
+        a = decode_postings(v1, block_idx=bi)
+        b = decode_postings(v2, block_idx=bi)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.tfs, b.tfs)
+        if positions is not None:
+            pa, ta = decode_positions(v1, bi)
+            pb, tb = decode_positions(v2, bi)
+            np.testing.assert_array_equal(pa, pb)
+            np.testing.assert_array_equal(ta, tb)
+    return v1, v2
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 300, 1000])
+@pytest.mark.parametrize("stride,tfmax", [(2, 2), (9, 4), (1000, 50),
+                                          (10**7, 2000)])
+def test_for_decode_parity(n, stride, tfmax):
+    rng = np.random.default_rng(n * 1000 + stride)
+    doc_ids = np.cumsum(rng.integers(1, stride + 1, n)).astype(np.int64)
+    tfs = rng.integers(1, tfmax, n).astype(np.int64)
+    dls = rng.integers(5, 5000, n).astype(np.int64)
+    _parity(doc_ids, tfs, dls)
+
+
+def test_for_zero_width_blocks_cost_zero_bytes():
+    """gap-1 / tf-1 runs (the hottest stop-word lists) pack to width 0:
+    ZERO stream bytes, metadata only."""
+    n = 1000
+    doc_ids = np.arange(5, 5 + n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    dls = np.full(n, 60, dtype=np.int64)
+    _, v2 = _parity(doc_ids, tfs, dls)
+    assert len(v2["doc_bytes"]) == 0
+    assert len(v2["tf_bytes"]) == 0
+    assert all(w == 0 for w in v2["block_doc_width"])
+    assert all(w == 0 for w in v2["block_tf_width"])
+
+
+def test_for_positions_parity():
+    rng = np.random.default_rng(3)
+    n = 700
+    doc_ids = np.cumsum(rng.integers(1, 50, n)).astype(np.int64)
+    tfs = rng.integers(1, 6, n).astype(np.int64)
+    dls = rng.integers(5, 500, n).astype(np.int64)
+    pos = np.concatenate([np.sort(rng.choice(500, t, replace=False))
+                          for t in tfs]).astype(np.int64)
+    _parity(doc_ids, tfs, dls, positions=pos)
+
+
+def test_for_merge_equals_single_encode():
+    doc_ids, tfs, dls = _mk(1200, seed=9, id_stride_max=100)
+    whole = encode_postings(doc_ids, tfs, dls, codec="for")
+    cuts = [0, 250, 700, 1200]
+    segs = [encode_postings(doc_ids[a:b], tfs[a:b], dls[a:b], codec="for")
+            for a, b in zip(cuts, cuts[1:])]
+    merged = merge_segments(segs)
+    pm, pw = decode_postings(merged), decode_postings(whole)
+    np.testing.assert_array_equal(pm.doc_ids, pw.doc_ids)
+    np.testing.assert_array_equal(pm.tfs, pw.tfs)
+    sub = decode_postings(merged, block_idx=np.array([1, 3]))
+    assert sub.doc_ids.size and (np.isin(sub.doc_ids, pw.doc_ids)).all()
+
+
+def test_for_mixed_codec_merge_rejected():
+    doc_ids, tfs, dls = _mk(300, seed=2)
+    s1 = encode_postings(doc_ids[:150], tfs[:150], dls[:150])
+    s2 = encode_postings(doc_ids[150:], tfs[150:], dls[150:], codec="for")
+    with pytest.raises(ValueError, match="mixed-codec"):
+        merge_segments([s1, s2])
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.tuples(st.integers(1, 2**33), st.integers(1, 2**17)),
+                min_size=1, max_size=400))
+def test_for_roundtrip_property(pairs):
+    gaps = np.array([g for g, _ in pairs], dtype=np.int64)
+    tfs = np.array([t for _, t in pairs], dtype=np.int64)
+    doc_ids = np.cumsum(gaps).astype(np.int64)
+    dls = np.maximum(tfs, 1)
+    v2 = encode_postings(doc_ids, tfs, dls, codec="for")
+    pl = decode_postings(v2)
+    np.testing.assert_array_equal(pl.doc_ids, doc_ids)
+    np.testing.assert_array_equal(pl.tfs, tfs)
+
+
+def test_for_batch_matches_single():
+    from maestro_spark.functions.codec import encode_postings_batch
+    rng = np.random.default_rng(11)
+    runs = []
+    for i in range(25):
+        n = int(rng.integers(1, 400))
+        ids = np.cumsum(rng.integers(1, 30, n)).astype(np.int64)
+        tfs = rng.integers(1, 5, n).astype(np.int64)
+        dls = rng.integers(5, 500, n).astype(np.int64)
+        runs.append((ids, tfs, dls))
+    docs = np.concatenate([r[0] for r in runs])
+    tfs = np.concatenate([r[1] for r in runs])
+    dls = np.concatenate([r[2] for r in runs])
+    starts = np.concatenate(
+        ([0], np.cumsum([r[0].size for r in runs])[:-1]))
+    out = encode_postings_batch(docs, tfs, dls, starts, codec="for")
+    for i, (ids_i, tfs_i, dls_i) in enumerate(runs):
+        ref = encode_postings(ids_i, tfs_i, dls_i, codec="for")
+        assert out["doc_bytes"][i] == ref["doc_bytes"], i
+        assert out["tf_bytes"][i] == ref["tf_bytes"], i
+        for k in ("block_n", "block_doc_first", "block_doc_width",
+                  "block_doc_base", "block_tf_width", "block_tf_base",
+                  "block_doc_off", "block_tf_off", "block_last_doc"):
+            assert np.asarray(out[k][i]).tolist() == list(ref[k]), (i, k)
