@@ -60,7 +60,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     flattened per-field exists() WRONG — only same-element X7 semantics
     reproduce the %4 set."""
     out = os.path.join(
-        tempfile.gettempdir(), "maestro_entry_idx_v6",
+        tempfile.gettempdir(), "maestro_entry_idx_v7",
         re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
     )
     build_index(spark, _entry_docs(spark, sf_dir), out, _CFG,
@@ -923,7 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sums INTEGER df / (n_docs, total_dl) stats, so the merged
         # ranking is bit-identical to one combined index — which is why
         # the plain full-corpus BM25 SQL is this query's oracle.
-        base = os.path.join(tempfile.gettempdir(), "maestro_entry_dfs_v2",
+        base = os.path.join(tempfile.gettempdir(), "maestro_entry_dfs_v3",
                             re.sub(r"\W+", "_", os.path.abspath(d)))
         docs = _entry_docs(s, d)
         readers = {}

@@ -92,9 +92,13 @@ def varint_decode(buf: bytes | np.ndarray, offset: int = 0, length: int | None =
 # cost metadata only). Positions stay varint (per-doc absolute resets
 # make them self-delimiting; the phrase path decodes tfs first anyway).
 
-_FOR_THRESHOLDS = np.array([1, 2, 4, 16, 256, 65536, 2 ** 32],
-                           dtype=np.uint64)
-_FOR_WIDTHS = np.array([0, 1, 2, 4, 8, 16, 32, 64], dtype=np.int64)
+_FOR_THRESHOLDS = np.array([1, 2, 4, 16, 256, 4096, 65536, 2 ** 24,
+                            2 ** 32], dtype=np.uint64)
+_FOR_WIDTHS = np.array([0, 1, 2, 4, 8, 12, 16, 24, 32, 64],
+                       dtype=np.int64)
+# pad-granularity: values per byte-aligned unit at each width
+_FOR_PAD_UNIT = {1: 8, 2: 4, 4: 2, 8: 1, 12: 2, 16: 1, 24: 1, 32: 1,
+                 64: 1}
 
 
 def _snap_width(maxval: np.ndarray) -> np.ndarray:
@@ -135,6 +139,21 @@ def _pack_w(padded: np.ndarray, w: int) -> np.ndarray:
         return padded.astype("<u4").view(np.uint8)
     if w == 64:
         return padded.astype("<u8").view(np.uint8)
+    if w == 12:
+        v = padded.astype(np.uint32)
+        v0, v1 = v[0::2], v[1::2]
+        out = np.empty(v0.size * 3, dtype=np.uint8)
+        out[0::3] = v0 & 0xFF
+        out[1::3] = ((v0 >> 8) & 0x0F) | ((v1 & 0x0F) << 4)
+        out[2::3] = (v1 >> 4) & 0xFF
+        return out
+    if w == 24:
+        v = padded.astype(np.uint32)
+        out = np.empty(v.size * 3, dtype=np.uint8)
+        out[0::3] = v & 0xFF
+        out[1::3] = (v >> 8) & 0xFF
+        out[2::3] = (v >> 16) & 0xFF
+        return out
     a = padded.astype(np.uint8)
     if w == 4:
         return a[0::2] | (a[1::2] << 4)
@@ -155,6 +174,19 @@ def _unpack_w(buf: np.ndarray, w: int) -> np.ndarray:
         return np.ascontiguousarray(buf).view("<u4").astype(np.uint64)
     if w == 64:
         return np.ascontiguousarray(buf).view("<u8").astype(np.uint64)
+    if w == 12:
+        b0 = buf[0::3].astype(np.uint32)
+        b1 = buf[1::3].astype(np.uint32)
+        b2 = buf[2::3].astype(np.uint32)
+        out = np.empty(b0.size * 2, dtype=np.uint32)
+        out[0::2] = b0 | ((b1 & 0x0F) << 8)
+        out[1::2] = (b1 >> 4) | (b2 << 4)
+        return out.astype(np.uint64)
+    if w == 24:
+        b0 = buf[0::3].astype(np.uint32)
+        b1 = buf[1::3].astype(np.uint32)
+        b2 = buf[2::3].astype(np.uint32)
+        return (b0 | (b1 << 8) | (b2 << 16)).astype(np.uint64)
     if w == 4:
         out = np.empty(buf.size * 2, dtype=np.uint8)
         out[0::2] = buf & 0x0F
@@ -176,7 +208,10 @@ def _for_pad_counts(counts: np.ndarray, widths: np.ndarray) -> np.ndarray:
     """Per-block value counts padded to the per-byte granularity of each
     block's width (so every block's packed bytes are byte-aligned and
     self-contained)."""
-    vpb = np.where(widths >= 8, 1, 8 // np.maximum(widths, 1))
+    vpb = np.ones(widths.size, dtype=np.int64)
+    for w, u in _FOR_PAD_UNIT.items():
+        if u > 1:
+            vpb[widths == w] = u
     return np.where(widths == 0, 0, ((counts + vpb - 1) // vpb) * vpb)
 
 
@@ -325,7 +360,9 @@ def encode_postings(
         if codec == "for":
             out.update({"block_n": [], "block_doc_first": [],
                         "block_doc_width": [], "block_doc_base": [],
-                        "block_tf_width": [], "block_tf_base": []})
+                        "block_tf_width": [], "block_tf_base": [],
+                        "block_posf_width": [], "block_posf_base": [],
+                        "block_posg_width": [], "block_posg_base": []})
         return out
     if codec == "for":
         # single run through the batch encoder (byte-identical by
@@ -339,7 +376,9 @@ def encode_postings(
         for key in ("block_last_doc", "block_max_tf", "block_min_dl",
                     "block_doc_off", "block_tf_off", "block_pos_off",
                     "block_n", "block_doc_first", "block_doc_width",
-                    "block_doc_base", "block_tf_width", "block_tf_base"):
+                    "block_doc_base", "block_tf_width", "block_tf_base",
+                    "block_posf_width", "block_posf_base",
+                    "block_posg_width", "block_posg_base"):
             out[key] = np.asarray(b[key][0]).tolist()
         return out
     n_blocks = (n + block - 1) // block
@@ -439,7 +478,9 @@ def encode_postings_batch(
         if codec == "for":
             out.update({"block_n": [], "block_doc_first": [],
                         "block_doc_width": [], "block_doc_base": [],
-                        "block_tf_width": [], "block_tf_base": []})
+                        "block_tf_width": [], "block_tf_base": [],
+                        "block_posf_width": [], "block_posf_base": [],
+                        "block_posg_width": [], "block_posg_base": []})
         return out
     run_ends = np.concatenate((run_starts[1:], [n]))
     sizes = run_ends - run_starts
@@ -540,6 +581,10 @@ def encode_postings_batch(
     if positions is None:
         out["pos_bytes"] = [b""] * n_runs
         out["block_pos_off"] = [np.empty(0, np.int64)] * n_runs
+        if codec == "for":
+            for k in ("block_posf_width", "block_posf_base",
+                      "block_posg_width", "block_posg_base"):
+                out[k] = [np.empty(0, np.int64)] * n_runs
         return out
     positions = np.ascontiguousarray(positions, dtype=np.int64)
     if positions.size != int(tfs.sum()):
@@ -552,6 +597,57 @@ def encode_postings_batch(
         pdeltas[0] = positions[0]
         pdeltas[1:] = positions[1:] - positions[:-1]
         pdeltas[doc_pos_starts] = positions[doc_pos_starts]
+    if codec == "for":
+        # FOR-pack the prox stream per POSTING block, in TWO regions per
+        # block so widths adapt to each distribution separately: region
+        # A = every doc's ABSOLUTE first position (count = block_n,
+        # ~dl-sized values), region B = the in-doc gaps (count = tfsum -
+        # block_n, small values → 1-4 bit widths). One mixed block would
+        # inherit region A's width for everything. Region A's byte span
+        # derives from (block_n, width), so one offset per block still
+        # suffices; decode recovers counts from the tf stream.
+        n_b = blk_end - blk_first
+        is_doc_start = np.zeros(positions.size, dtype=bool)
+        is_doc_start[doc_pos_starts] = True
+        firsts = pdeltas[is_doc_start]      # one per doc, block order
+        gapsp = pdeltas[~is_doc_start]
+        tfsum_b = _seg_reduce(np.add, tfs, blk_first, n_b)
+        g_cnt = tfsum_b - n_b
+        f_starts = np.concatenate(([0], np.cumsum(n_b)))[:-1]
+        g_starts = np.concatenate(([0], np.cumsum(g_cnt)))[:-1]
+        base_f = _seg_reduce(np.minimum, firsts, f_starts, n_b)
+        w_f = _snap_width(_seg_reduce(
+            np.maximum, firsts - np.repeat(base_f, n_b), f_starts, n_b))
+        base_g = _seg_reduce(np.minimum, gapsp, g_starts, g_cnt)
+        w_g = _snap_width(_seg_reduce(
+            np.maximum, gapsp - np.repeat(base_g, g_cnt), g_starts,
+            g_cnt))
+        sa, la = _pack_blocks(firsts - np.repeat(base_f, n_b),
+                              f_starts, n_b, w_f)
+        sb, lb = _pack_blocks(gapsp - np.repeat(base_g, g_cnt),
+                              g_starts, g_cnt, w_g)
+        plen = la + lb
+        pos_cum = np.concatenate(([0], np.cumsum(plen)))
+        pos_all = np.empty(int(pos_cum[-1]), dtype=np.uint8)
+        a_cum = np.concatenate(([0], np.cumsum(la)))[:-1]
+        b_cum = np.concatenate(([0], np.cumsum(lb)))[:-1]
+        pos_all[np.repeat(pos_cum[:-1], la) + _within(la)] = \
+            sa[np.repeat(a_cum, la) + _within(la)]
+        pos_all[np.repeat(pos_cum[:-1] + la, lb) + _within(lb)] = \
+            sb[np.repeat(b_cum, lb) + _within(lb)]
+        run_first_blk = blk_cum[:-1]
+        run_pos_byte = pos_cum[run_first_blk]
+        run_pos_end = np.concatenate((run_pos_byte[1:], [pos_cum[-1]]))
+        pmv = memoryview(pos_all.tobytes())
+        out["pos_bytes"] = [bytes(pmv[a:b])
+                            for a, b in zip(run_pos_byte, run_pos_end)]
+        out["block_pos_off"] = np.split(
+            pos_cum[:-1] - run_pos_byte[blk_run], splits)
+        out["block_posf_width"] = np.split(w_f, splits)
+        out["block_posf_base"] = np.split(base_f, splits)
+        out["block_posg_width"] = np.split(w_g, splits)
+        out["block_posg_base"] = np.split(base_g, splits)
+        return out
     pos_all = varint_encode(pdeltas)
     pos_cum = np.concatenate(([0], np.cumsum(_varint_lengths(pdeltas))))
     run_pos_byte = pos_cum[doc_pos_starts[run_starts]]
@@ -690,7 +786,11 @@ def decode_positions(row: dict, block_idx: np.ndarray | None = None
     pos_off = np.asarray(row["block_pos_off"], dtype=np.int64)
     tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
     n_blocks = pos_off.size
-    if n_blocks == 0 or pos_buf.size == 0:
+    # positions-absent rows have an EMPTY block_pos_off; a zero-byte
+    # stream alone is not absence — FOR width-0 blocks (every pdelta in
+    # a block equal) pack real positions into zero bytes
+    if n_blocks == 0 or (pos_buf.size == 0
+                         and row.get("block_posf_width") is None):
         return np.empty(0, np.int64), np.empty(0, np.int64)
     pos_bounds = np.concatenate((pos_off, [pos_buf.size]))
     tf_bounds = np.concatenate((tf_off, [tf_buf.size]))
@@ -698,8 +798,9 @@ def decode_positions(row: dict, block_idx: np.ndarray | None = None
         block_idx = np.arange(n_blocks, dtype=np.int64)
     else:
         block_idx = np.asarray(block_idx, dtype=np.int64)
-    if _is_for_row(row):
-        # v2: tfs unpack in one vectorized pass; positions stay varint
+    is_for = _is_for_row(row)
+    if is_for:
+        # v2: tfs unpack in one vectorized pass
         tfs = _block_tfs_for(row, tf_buf, tf_off, block_idx)
         n_b = np.asarray(row["block_n"], dtype=np.int64)[block_idx]
         tf_splits = np.cumsum(n_b)[:-1]
@@ -708,6 +809,35 @@ def decode_positions(row: dict, block_idx: np.ndarray | None = None
         tf_parts = [varint_decode(
             tf_buf[tf_bounds[bi]:tf_bounds[bi + 1]]).astype(np.int64)
             for bi in block_idx]
+        tfs = np.concatenate(tf_parts)
+    pw = row.get("block_posf_width")
+    if is_for and pw is not None and len(pw) == n_blocks:
+        # FOR-packed prox stream, two regions per block (per-doc
+        # absolute firsts, then in-doc gaps — region A's byte span
+        # derives from (block_n, width)); every doc's first position is
+        # absolute, so ONE global _undelta over the selected blocks
+        # reconstructs all positions — zero per-block Python work
+        w_f = np.asarray(pw, dtype=np.int64)[block_idx]
+        b_f = np.asarray(row["block_posf_base"],
+                         dtype=np.int64)[block_idx]
+        w_g = np.asarray(row["block_posg_width"],
+                         dtype=np.int64)[block_idx]
+        b_g = np.asarray(row["block_posg_base"],
+                         dtype=np.int64)[block_idx]
+        tfsum_b = np.array([int(t.sum()) for t in tf_parts],
+                           dtype=np.int64)
+        g_cnt = tfsum_b - n_b
+        off = pos_off[block_idx]
+        firsts = _unpack_blocks(pos_buf, off, n_b, w_f, b_f)
+        gaps = _unpack_blocks(pos_buf, off + _for_byte_lens(n_b, w_f),
+                              g_cnt, w_g, b_g)
+        doc_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+        deltas = np.empty(int(tfs.sum()), dtype=np.int64)
+        m = np.zeros(deltas.size, dtype=bool)
+        m[doc_starts] = True
+        deltas[m] = firsts
+        deltas[~m] = gaps
+        return _undelta(deltas, doc_starts), tfs
     pos_parts = []
     for bi, tf_b in zip(block_idx, tf_parts):  # loop over BLOCKS
         deltas = varint_decode(pos_buf[pos_bounds[bi]:pos_bounds[bi + 1]]).astype(np.int64)
@@ -749,7 +879,9 @@ def merge_segments(segments: list[dict]) -> dict:
     # codec-v2 per-block metadata: widths/bases/counts are absolute, so
     # the merge concatenates them exactly like the bound arrays
     FOR_KEYS = ("block_n", "block_doc_first", "block_doc_width",
-                "block_doc_base", "block_tf_width", "block_tf_base")
+                "block_doc_base", "block_tf_width", "block_tf_base",
+                "block_posf_width", "block_posf_base",
+                    "block_posg_width", "block_posg_base")
     for_meta: dict[str, list] = {k: [] for k in FOR_KEYS}
     dpos = tpos = ppos = 0
     df = 0

@@ -73,14 +73,18 @@ POSTING_SCHEMA = (
 FOR_COLUMNS = (
     "block_n array<long>, block_doc_first array<long>, "
     "block_doc_width array<long>, block_doc_base array<long>, "
-    "block_tf_width array<long>, block_tf_base array<long>"
+    "block_tf_width array<long>, block_tf_base array<long>, "
+    "block_posf_width array<long>, block_posf_base array<long>, "
+    "block_posg_width array<long>, block_posg_base array<long>"
 )
 POSTING_SCHEMA_FOR = POSTING_SCHEMA + ", " + FOR_COLUMNS
 MERGED_SCHEMA = POSTING_SCHEMA.replace(", salt int", "") + ", merge_fanin int"
 MERGED_SCHEMA_FOR = (POSTING_SCHEMA_FOR.replace(", salt int", "")
                      + ", merge_fanin int")
 _FOR_KEYS = ("block_n", "block_doc_first", "block_doc_width",
-             "block_doc_base", "block_tf_width", "block_tf_base")
+             "block_doc_base", "block_tf_width", "block_tf_base",
+             "block_posf_width", "block_posf_base",
+             "block_posg_width", "block_posg_base")
 
 # On-disk manifest format. POSITIONS_SEMANTICS tracks the prox-stream
 # contract independently of layout: v1 placed whole-identifier tokens
@@ -91,6 +95,12 @@ _FOR_KEYS = ("block_n", "block_doc_first", "block_doc_width",
 # trusting old shards.
 INDEX_FORMAT_VERSION = 2
 POSITIONS_SEMANTICS = 2
+# Physical posting layout per codec: 1 = varint streams, 3 = FOR packed
+# doc/tf/pos streams (2 was FOR with varint positions, never released).
+# Resume refuses to mix layouts in one postings dir (parquet schema
+# unification would be fragment-order-dependent), so a stamp mismatch
+# rebuilds every shard; incremental raises with migration guidance.
+POSTING_FORMAT = {"varint": 1, "for": 3}
 
 
 def positions_compatible(manifest: dict | None, cfg: IndexConfig) -> bool:
@@ -397,10 +407,11 @@ def build_index(
     prev = read_manifest(os.path.join(out_dir, "manifest.json")) if resume else None
     if not positions_compatible(prev, cfg):
         prev = None  # old prox semantics: no shard is resumable, rebuild all
-    if prev is not None and prev.get("config", {}).get(
-            "codec", "varint") != cfg.codec:
-        prev = None  # codec change: resumed shards would mix posting
-        #              formats in one store — rebuild every shard
+    if prev is not None and (
+            prev.get("config", {}).get("codec", "varint") != cfg.codec
+            or prev.get("posting_format") != POSTING_FORMAT[cfg.codec]):
+        prev = None  # codec/layout change: resumed shards would mix
+        #              posting formats in one store — rebuild every shard
     try:
         return _build_shards(spark, d, out_dir, cfg, fingerprints, prev=prev,
                              keep={}, max_doc_id=max_doc_id, t0=t0)
@@ -546,6 +557,7 @@ def _build_shards(
     manifest: dict = {
         "version": INDEX_FORMAT_VERSION,
         "config": cfg.to_dict(),
+        "posting_format": POSTING_FORMAT[cfg.codec],
         "n_docs": n_docs,
         "shards": {},
     }

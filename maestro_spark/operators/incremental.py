@@ -112,6 +112,15 @@ def incremental_update(
     if cfg.codec != index_codec:
         from dataclasses import replace as _dc_replace
         cfg = _dc_replace(cfg, codec=index_codec)
+    from maestro_spark.operators.build import POSTING_FORMAT
+    fmt = manifest.get("posting_format",
+                       1 if index_codec == "varint" else 2)
+    if fmt != POSTING_FORMAT[index_codec]:
+        raise ValueError(
+            f"index posting layout (format {fmt}) predates this codec's "
+            f"current layout ({POSTING_FORMAT[index_codec]}); rebuilt "
+            "shards would mix parquet schemas with untouched ones — run "
+            "a full build_index (or reindex_versioned) to migrate")
     shard_size = cfg.shard_size
     docs_path = os.path.join(index_dir, "docs")
 

@@ -302,3 +302,57 @@ def test_for_batch_matches_single():
                   "block_doc_base", "block_tf_width", "block_tf_base",
                   "block_doc_off", "block_tf_off", "block_last_doc"):
             assert np.asarray(out[k][i]).tolist() == list(ref[k]), (i, k)
+
+
+def test_for_positions_split_regions():
+    """FOR prox stream: per-doc absolute firsts and in-doc gaps pack in
+    separate per-block regions with independent widths — a doc's large
+    first position can't widen the gap region. Uniform streams pack to
+    zero bytes."""
+    from maestro_spark.functions.codec import decode_positions
+    rng = np.random.default_rng(13)
+    n = 900
+    doc_ids = np.cumsum(rng.integers(1, 30, n)).astype(np.int64)
+    tfs = rng.integers(1, 5, n).astype(np.int64)
+    dls = rng.integers(5, 4000, n).astype(np.int64)
+    # firsts up to ~4000 (w12 territory), gaps 1-3 (w2)
+    pos = np.concatenate([
+        int(rng.integers(0, 4000)) + np.cumsum(rng.integers(1, 4, t))
+        for t in tfs]).astype(np.int64)
+    v1 = encode_postings(doc_ids, tfs, dls, positions=pos)
+    v2 = encode_postings(doc_ids, tfs, dls, positions=pos, codec="for")
+    for blocks in (None, np.array([0]),
+                   np.arange(len(v2["block_doc_off"]))):
+        a, b = decode_positions(v1, blocks), decode_positions(v2, blocks)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+    assert max(v2["block_posg_width"]) <= 2   # gaps never inherit w12
+    # uniform positions -> zero-byte prox stream
+    z = encode_postings(np.arange(500, dtype=np.int64),
+                        np.ones(500, np.int64), np.full(500, 9, np.int64),
+                        positions=np.zeros(500, np.int64), codec="for")
+    assert len(z["pos_bytes"]) == 0
+    p, t = decode_positions(z)
+    assert p.size == 500 and (p == 0).all()
+
+
+@pytest.mark.parametrize("maxval,width", [(3, 2), (200, 8), (4000, 12),
+                                          (60000, 16), (10**7, 24),
+                                          (2**40, 64)])
+def test_for_width_snap_kernels(maxval, width):
+    from maestro_spark.functions.codec import (_pack_blocks,
+                                               _unpack_blocks,
+                                               _snap_width)
+    rng = np.random.default_rng(maxval % 97)
+    vals = rng.integers(0, maxval + 1, 777).astype(np.int64)
+    vals[5] = maxval  # pin the max
+    w = _snap_width(np.array([maxval]))
+    assert int(w[0]) == width
+    starts = np.array([0, 300, 700])
+    counts = np.array([300, 400, 77])
+    widths = np.repeat(w, 3)
+    stream, blen = _pack_blocks(vals, starts, counts, widths)
+    off = np.concatenate(([0], np.cumsum(blen)))[:-1]
+    out = _unpack_blocks(stream, off, counts, widths,
+                         np.zeros(3, np.int64))
+    np.testing.assert_array_equal(out, vals)
