@@ -89,8 +89,11 @@ def varint_decode(buf: bytes | np.ndarray, offset: int = 0, length: int | None =
 # the n-1 gaps (first doc absolute in block_doc_first), tf stream packs
 # (tf - base) for all n values. Width 0 = all values equal base = ZERO
 # stream bytes (tf=1 runs and gap-1 stopword runs — the hottest lists —
-# cost metadata only). Positions stay varint (per-doc absolute resets
-# make them self-delimiting; the phrase path decodes tfs first anyway).
+# cost metadata only). The prox stream packs per posting block in TWO
+# regions — per-doc absolute first positions, then in-doc gaps — each
+# with its own width/base (block_posf_*/block_posg_*), so a large first
+# position can't widen the small-gap region; region A's byte span
+# derives from (block_n, width), keeping one offset per block.
 
 _FOR_THRESHOLDS = np.array([1, 2, 4, 16, 256, 4096, 65536, 2 ** 24,
                             2 ** 32], dtype=np.uint64)
