@@ -962,6 +962,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_stats"] = _q_index_stats
 
+    def _q_analyze(s: SparkSession, d: str) -> DataFrame:
+        # ES _analyze analogue: the index-side token stream (token +
+        # position slot) of a stored doc's content under the index's
+        # analyzer; pure library call, no data scan beyond the one doc
+        reader = IndexReader(s, _ensure_index(s, d))
+        text = reader.fetch_docs_local([21], ("content",))["content"].iloc[0]
+        return s.createDataFrame(reader.analyze_text_local(text),
+                                 "pos long, token string")
+
+    q["analyze_api"] = _q_analyze
+
     def _q_stats_agg(s: SparkSession, d: str) -> DataFrame:
         # ES stats-agg analogue over the FULL match set
         reader = IndexReader(s, _ensure_index(s, d))
@@ -1130,6 +1141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "source", "cum_tokens")
     q["length_quantiles"] = lambda s, d: curation.column_quantiles(
         _t(s, d, "documents"), "n_chars", "lang", _QS)
+    # greedy sequence packing (training-batch assembly): per-source,
+    # ascending doc_id, never split, oversize doc -> own pack
+    q["pack_sequences"] = lambda s, d: curation.pack_sequences(
+        _t(s, d, "documents"), 2_000, "n_chars", "source", "doc_id")
 
     # ---- events (batch analogue of the streaming path)
     def _q_events(s: SparkSession, d: str) -> DataFrame:
@@ -1588,6 +1603,12 @@ FROM tok t JOIN dfm ON dfm.term = t.term
 WHERE t.doc_id IN (3, 21, 58)
 GROUP BY t.doc_id, t.term
 ORDER BY t.doc_id, t.term"""
+    o["analyze_api"] = f"""
+WITH d AS (SELECT text FROM documents WHERE doc_id = 21),
+arr2 AS (SELECT {_TOKENIZE} AS ts FROM d)
+SELECT (i - 1)::BIGINT AS pos, ts[i] AS token
+FROM arr2, unnest(range(1, len(ts) + 1)) AS t(i)
+ORDER BY pos, token"""
     o["index_stats"] = f"""
 WITH {_ARR}
 SELECT (doc_id // 1024)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
@@ -2020,6 +2041,24 @@ WITH c AS (SELECT doc_id, source,
                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
            FROM documents)
 SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 40000"""
+
+    o["pack_sequences"] = """
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+p AS (
+  SELECT source, doc_id, n_chars, rn,
+         0 AS pk, n_chars AS fill FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_chars, d.rn,
+         CASE WHEN p.fill + d.n_chars > 2000 THEN p.pk + 1 ELSE p.pk END,
+         CASE WHEN p.fill + d.n_chars > 2000 THEN d.n_chars
+              ELSE p.fill + d.n_chars END
+  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+SELECT source, doc_id, n_chars::BIGINT AS n_chars, pk::BIGINT AS pack_id,
+       fill::BIGINT AS pack_fill
+FROM p ORDER BY source, doc_id"""
 
     qs_list = ", ".join(str(q) for q in _QS)
     o["length_quantiles"] = f"""

@@ -155,3 +155,62 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
             .select(id_col,
                     F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
                     (F.coalesce("n_bad", F.lit(0)) > 0).alias("contaminated")))
+
+
+def pack_sequences(docs: DataFrame, budget: int,
+                   token_col: str = "n_chars",
+                   strata_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Greedy sequence packing — the training-batch assembly step that
+    follows curation (GPT-3/T5-style example packing, public): within
+    each stratum, walk docs in ascending id order and append each to
+    the current pack unless it would push the pack past `budget`
+    tokens; then start a new pack. Docs are never split; a doc larger
+    than the budget gets a pack of its own. Deterministic (pure
+    function of the sorted group), so the assignment is reproducible on
+    any cluster layout and SQL-checkable (recursive-CTE oracle).
+
+    Returns (strata_col, id_col, token_col, pack_id, pack_fill):
+    pack_id is stratum-local 0-based, pack_fill the running token sum
+    within the doc's pack.
+
+    Scale shape: one applyInPandas per stratum — the same single hash
+    shuffle token_budget_cap pays. The scan-with-reset inside a group
+    is NOT a per-row Python loop: one cumsum, then one searchsorted per
+    PACK boundary — O(n + #packs·log n), and #packs ≪ n whenever the
+    budget holds multiple docs."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import numpy as np
+    import pandas as pd
+
+    schema = (f"{strata_col} string, {id_col} long, {token_col} long, "
+              "pack_id long, pack_fill long")
+
+    def pack_group(key, pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        t = pdf[token_col].to_numpy(np.int64)
+        c = np.cumsum(t)
+        n = t.size
+        pack = np.empty(n, dtype=np.int64)
+        fill = np.empty(n, dtype=np.int64)
+        s, offset, pid = 0, 0, 0
+        while s < n:
+            j = int(np.searchsorted(c, offset + budget, side="right")) - 1
+            if j < s:
+                j = s  # single doc over budget: its own pack
+            pack[s:j + 1] = pid
+            fill[s:j + 1] = c[s:j + 1] - offset
+            offset = int(c[j])
+            s, pid = j + 1, pid + 1
+        return pd.DataFrame({
+            strata_col: pdf[strata_col].to_numpy(),
+            id_col: pdf[id_col].to_numpy(np.int64),
+            token_col: t,
+            "pack_id": pack,
+            "pack_fill": fill,
+        })
+
+    return (docs.select(strata_col, id_col, token_col)
+            .groupBy(strata_col)
+            .applyInPandas(pack_group, schema=schema))

@@ -2189,6 +2189,25 @@ class IndexReader:
         return (out.sort_values(["doc_id", "term"], kind="mergesort")
                 .reset_index(drop=True))
 
+    def analyze_text_local(self, text: str) -> pd.DataFrame:
+        """The ES `_analyze` API analogue: the index-side token stream
+        of `text` under THIS index's analyzer — one row per emitted
+        token with its position slot, under the prox-stream convention
+        (whole-identifier tokens share their FIRST subtoken's position,
+        the ES synonym-token model). Pure library call: no data reads,
+        no Spark job; sorted (pos, token)."""
+        from maestro_spark.functions.tokenize import doc_terms
+        rows = doc_terms(pd.Series([text]),
+                         tokenizer=self.cfg.get("tokenizer", "code"),
+                         with_positions=True)
+        rows = rows[rows["field"] == "content"]
+        out = [(int(p), t) for t, plist in
+               zip(rows["term"], rows["positions"]) for p in plist]
+        out.sort()
+        return pd.DataFrame(out, columns=["pos", "token"]) if out else \
+            pd.DataFrame({"pos": pd.array([], dtype="int64"),
+                          "token": pd.array([], dtype="string")})
+
     def index_stats_local(self) -> pd.DataFrame:
         """Per-shard index statistics — the ES `_stats` / `_cat/indices`
         analogue, read straight from the lineage manifest (no data

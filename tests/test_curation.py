@@ -59,3 +59,49 @@ def test_column_quantiles_exact(spark, docs):
         assert got[0.0] == vals.min()
         assert got[1.0] == vals.max()
         assert got[0.5] == round(float(np.percentile(vals, 50)), 6)
+
+
+def test_pack_sequences_greedy(spark, docs):
+    """Greedy packing brute force: sequential by id within each
+    stratum, never split, reset when the budget would be exceeded."""
+    budget = 900
+    got = curation.pack_sequences(docs, budget, "n_chars", "source",
+                                  "doc_id").toPandas()
+    pdf = docs.select("source", "doc_id", "n_chars").toPandas()
+    want = {}
+    for src, grp in pdf.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        pid = fill = 0
+        first = True
+        for _, r in grp.iterrows():
+            t = int(r["n_chars"])
+            if not first and fill + t > budget:
+                pid += 1
+                fill = 0
+            fill += t
+            first = False
+            want[(src, int(r["doc_id"]))] = (pid, fill)
+    gotmap = {(r["source"], int(r["doc_id"])):
+              (int(r["pack_id"]), int(r["pack_fill"]))
+              for _, r in got.iterrows()}
+    assert gotmap == want
+    # every pack within budget unless it is a single oversize doc
+    per = got.groupby(["source", "pack_id"])
+    for (_, _), g in per:
+        assert int(g["pack_fill"].max()) <= budget or len(g) == 1
+
+
+def test_pack_sequences_oversize_doc_own_pack(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "source": ["s"] * 5,
+        "doc_id": [1, 2, 3, 4, 5],
+        "n_chars": [50, 500, 30, 40, 60],
+    })
+    got = (curation.pack_sequences(spark.createDataFrame(pdf), 100,
+                                   "n_chars", "source", "doc_id")
+           .toPandas().sort_values("doc_id"))
+    assert got["pack_id"].tolist() == [0, 1, 2, 2, 3]
+    assert got["pack_fill"].tolist() == [50, 500, 30, 70, 60]
+    with pytest.raises(ValueError):
+        curation.pack_sequences(spark.createDataFrame(pdf), 0)

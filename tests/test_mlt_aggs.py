@@ -273,3 +273,15 @@ def test_index_stats_matches_corpus(spark, built, corpus, token_lists):
     assert got.set_index("shard")["n_docs"].to_dict() == want_n
     assert got.set_index("shard")["content_dl"].to_dict() == want_dl
     assert (got["n_terms"] > 0).all() and (got["posting_bytes"] > 0).all()
+
+
+def test_analyze_api_position_convention(spark, built):
+    """ES _analyze analogue under the CODE analyzer: whole-identifier
+    tokens share their first subtoken's position slot (the prox-stream
+    convention phrase matching relies on)."""
+    reader = IndexReader(spark, built)
+    got = reader.analyze_text_local("def getUserName(): pass")
+    rows = [(int(r["pos"]), r["token"]) for _, r in got.iterrows()]
+    assert rows == [(0, "def"), (1, "get"), (1, "getusername"),
+                    (2, "user"), (3, "name"), (4, "pass")]
+    assert len(reader.analyze_text_local("")) == 0
