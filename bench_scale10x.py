@@ -28,6 +28,7 @@ Prints one JSON line; BENCH.md carries the narrative table.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -147,6 +148,10 @@ def main() -> None:
                              / s["incremental_upsert_100_s"], 2),
     }
     spark.stop()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_scale10x.json")
+    with open(out, "w") as f:
+        f.write(json.dumps(res) + "\n")
     print(json.dumps(res))
 
 
