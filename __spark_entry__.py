@@ -1285,6 +1285,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["upsert_merge"] = _q_upsert
 
+    def _q_ext_stats(s: SparkSession, d: str) -> DataFrame:
+        # ES extended_stats-agg analogue: stats + sum_of_squares +
+        # POPULATION variance/stddev over the full match set
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_extended_stats("merge window",
+                                            F.length("content"))
+
+    q["bm25_extended_stats"] = _q_ext_stats
+
+    def _q_missing_agg(s: SparkSession, d: str) -> DataFrame:
+        # ES missing-agg analogue: matched docs whose stored expression
+        # IS NULL — docs without a second repositories[] element
+        # (synthesized at doc_id%4==0, see _entry_docs)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_missing("merge spark",
+                                     F.get(F.col("repositories"), 1))
+
+    q["bm25_missing_agg"] = _q_missing_agg
+
+    def _q_histo_pipeline(s: SparkSession, d: str) -> DataFrame:
+        # ES pipeline aggs (cumulative_sum + derivative) over histogram
+        # buckets; the window runs on the reduced bucket rows only
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_histogram_pipeline(
+            "spark stream", F.length("content"), 100)
+
+    q["bm25_histo_pipeline"] = _q_histo_pipeline
+
+    def _q_scroll_export(s: SparkSession, d: str) -> DataFrame:
+        # ES scroll / point-in-time deep export: the FULL match set with
+        # stored display columns, distributed (no from+size blowup)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.export_matches("merge spark", cols=("repo", "lang"))
+
+    q["scroll_export"] = _q_scroll_export
+
+    def _q_phrase_suggest(s: SparkSession, d: str) -> DataFrame:
+        # ES phrase-suggester core (direct_generator +
+        # suggest_mode=missing, per-position deterministic ranking)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.suggest_phrase_local("strem merge windoq")
+        return s.createDataFrame(
+            pdf, "pos long, token string, suggestion string, "
+                 "dist long, df long")
+
+    q["phrase_suggest"] = _q_phrase_suggest
+
+    def _q_semantic_dedup(s: SparkSession, d: str) -> DataFrame:
+        # SemDeDup-style semantic dedup: within-cluster cosine pairs
+        # (deterministic sign-bucket cluster — SQL-exact; the synthetic
+        # corpus has no true near-dups, so the threshold is set low
+        # enough to exercise the operator)
+        emb = _t(s, d, "embeddings")
+        return similarity.semantic_dedup_pairs(emb, threshold=0.3,
+                                               n_bits=8)
+
+    q["semantic_dedup"] = _q_semantic_dedup
+
+    def _q_unigram_logprob(s: SparkSession, d: str) -> DataFrame:
+        # unigram-LM quality score (KenLM-perplexity-filter analogue):
+        # mean ln P(token) per doc under the corpus MLE unigram model
+        return textstats.unigram_logprob(_t(s, d, "documents"))
+
+    q["unigram_logprob"] = _q_unigram_logprob
+
     return q
 
 
@@ -2153,5 +2218,88 @@ SELECT doc_id, md5(text) AS content_hash,
        array_to_string(sources, ',') AS sources_str,
        len(sources) AS n_sources
 FROM m"""
+
+    o["bm25_extended_stats"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window'))
+SELECT count(*) AS n, min(length(text))::DOUBLE AS min_v,
+       max(length(text))::DOUBLE AS max_v,
+       round(sum(length(text))::DOUBLE, 4) AS sum_v,
+       round(avg(length(text)), 6) AS avg_v,
+       round(sum(length(text)::DOUBLE * length(text)::DOUBLE), 4) AS sum_sq,
+       round(var_pop(length(text)::DOUBLE), 4) AS var_pop,
+       round(stddev_pop(length(text)::DOUBLE), 6) AS std_pop
+FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"""
+
+    o["bm25_missing_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'spark'))
+SELECT count(*) FILTER (doc_id % 4 <> 0) AS n_missing,
+       count(*) AS n_docs
+FROM m"""
+
+    o["bm25_histo_pipeline"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+h AS (SELECT floor(length(text) / 100) * 100 AS bucket,
+             count(*)::BIGINT AS n_docs
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY 1)
+SELECT bucket, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+       n_docs - lag(n_docs, 1, CAST(0 AS BIGINT)) OVER (ORDER BY bucket)
+           AS deriv
+FROM h"""
+
+    o["scroll_export"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'spark'))
+SELECT doc_id, source AS repo, lang FROM documents
+WHERE doc_id IN (SELECT doc_id FROM m)"""
+
+    o["phrase_suggest"] = f"""
+WITH {_TOK},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+qq(pos, token) AS (VALUES (0, 'strem'), (1, 'merge'), (2, 'windoq')),
+pres AS (SELECT q.pos, q.token, q.token AS suggestion, 0 AS dist, d.df
+         FROM qq q JOIN d ON d.term = q.token),
+ab AS (SELECT q.pos, q.token FROM qq q
+       LEFT JOIN d ON d.term = q.token WHERE d.term IS NULL),
+cand AS (SELECT a.pos, a.token, d.term AS suggestion,
+                levenshtein(d.term, a.token) AS dist, d.df
+         FROM ab a, d WHERE levenshtein(d.term, a.token) <= 2),
+best AS (SELECT *, row_number() OVER (PARTITION BY pos
+                   ORDER BY dist, df DESC, suggestion) AS rn FROM cand)
+SELECT CAST(pos AS BIGINT) AS pos, token, suggestion,
+       CAST(dist AS BIGINT) AS dist, df FROM pres
+UNION ALL
+SELECT CAST(pos AS BIGINT), token, suggestion, CAST(dist AS BIGINT), df
+FROM best WHERE rn = 1"""
+
+    _sbex = " + ".join(
+        f"CASE WHEN e.embedding[{b + 1}] > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(8)
+    )
+    o["semantic_dedup"] = f"""
+WITH b AS (SELECT vec_id, embedding, {_sbex} AS bucket FROM embeddings e),
+p AS (SELECT b1.vec_id AS id1, b2.vec_id AS id2,
+             b1.embedding AS v1, b2.embedding AS v2
+      FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket
+                         AND b1.vec_id < b2.vec_id),
+sc AS (SELECT id1, id2,
+              round(sum(v1[i]::DOUBLE * v2[i]::DOUBLE)
+                    / (sqrt(sum(v1[i]::DOUBLE * v1[i]::DOUBLE))
+                       * sqrt(sum(v2[i]::DOUBLE * v2[i]::DOUBLE))), 6) AS cos
+       FROM p, unnest(range(1, len(v1) + 1)) AS t(i)
+       GROUP BY id1, id2)
+SELECT id1, id2, cos FROM sc WHERE cos >= 0.3"""
+
+    o["unigram_logprob"] = f"""
+WITH {_TOK},
+f AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok GROUP BY term),
+tot AS (SELECT sum(ctf) AS total FROM f)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(f.ctf)) - ln(max(tot.total)), 6) AS avg_logprob
+FROM tok t JOIN f USING (term) CROSS JOIN tot
+GROUP BY t.doc_id"""
 
     return o

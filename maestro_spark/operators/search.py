@@ -1556,6 +1556,92 @@ class IndexReader:
                 for p in percentiles]
         return joined.agg(*aggs)
 
+    def search_extended_stats(self, query: str, value_col,
+                              mode: str = "or", exclude: str | None = None,
+                              min_match: int = 1) -> DataFrame:
+        """Extended-stats aggregation over the FULL match set (the ES
+        extended_stats-agg analogue): stats plus sum_of_squares and
+        POPULATION variance / std deviation (ES's convention). Same
+        partial-agg shape as search_stats — var_pop/stddev_pop are
+        algebraic aggregates, so partial states merge map-side and
+        nothing corpus-sized leaves the executors."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return joined.agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+            F.round(F.avg("v"), 6).alias("avg_v"),
+            F.round(F.sum(F.col("v") * F.col("v")), 4).alias("sum_sq"),
+            F.round(F.var_pop("v"), 4).alias("var_pop"),
+            F.round(F.stddev_pop("v"), 6).alias("std_pop"),
+        )
+
+    def search_missing(self, query: str, value_col, mode: str = "or",
+                       exclude: str | None = None,
+                       min_match: int = 1) -> DataFrame:
+        """Missing aggregation (the ES missing-agg analogue): one row
+        (n_missing, n_docs) counting matched docs whose docstore
+        expression IS NULL — e.g. `element_at(repositories, 2)` for
+        docs without a second repository element. Conditional count is
+        one partial agg over the match-set join."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.isNull().alias("m"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return joined.agg(
+            F.sum(F.col("m").cast("long")).alias("n_missing"),
+            F.count("*").alias("n_docs"),
+        )
+
+    def search_histogram_pipeline(self, query: str, value_col,
+                                  interval: float, mode: str = "or",
+                                  exclude: str | None = None,
+                                  min_match: int = 1) -> DataFrame:
+        """Histogram buckets plus ES PIPELINE aggregations: cumulative_sum
+        and derivative of the doc count across buckets, in bucket order.
+        The window runs over the ALREADY-AGGREGATED bucket rows (one row
+        per bucket — at most value-range/interval rows, never
+        corpus-sized), so the single-partition ordered window is a
+        bounded coordinator-style pass, same cost class as ES computing
+        pipeline aggs on the reduced bucket list. `deriv` uses lag
+        default 0 for the first bucket (ES emits no derivative there;
+        pinned to 0 here for a deterministic, null-free frame)."""
+        from pyspark.sql.window import Window
+        hist = self.search_histogram(query, value_col, interval, mode,
+                                     exclude, min_match)
+        w = Window.orderBy("bucket")
+        return hist.select(
+            "bucket", "n_docs",
+            F.sum("n_docs").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum_docs"),
+            (F.col("n_docs") - F.lag("n_docs", 1, 0).over(w))
+            .alias("deriv"),
+        )
+
+    def export_matches(self, query: str, cols: tuple = ("repo", "lang"),
+                       mode: str = "or", exclude: str | None = None,
+                       min_match: int = 1) -> DataFrame:
+        """Deep export of the FULL match set — the ES scroll / point-in-
+        time analogue: every matching doc with the selected stored
+        columns, as a DISTRIBUTED frame (the caller writes it out or
+        bounds it; nothing is ranked, no from+size blowup, no score).
+        match_docs stays on executors and joins the column-pruned
+        docstore on (shard, doc_id), so the probe side stays
+        partition-prunable and only the requested columns decompress."""
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id", *cols)
+        return (matches.join(docs, ["shard", "doc_id"], "inner")
+                .select("doc_id", *cols))
+
     def search_sorted(self, query: str, sort_col, ascending: bool = True,
                       k: int = 10, mode: str = "or",
                       exclude: str | None = None,
@@ -2104,6 +2190,57 @@ class IndexReader:
             return empty
         return pd.DataFrame(out, columns=["token", "suggestion", "dist",
                                           "df"])
+
+    def suggest_phrase_local(self, query: str,
+                             max_edits: int = 2) -> pd.DataFrame:
+        """Phrase suggester — whole-query "did you mean" (the ES
+        phrase-suggest analogue; ES reranks whole-phrase candidates with
+        a shard n-gram LM — this is its direct_generator +
+        suggest_mode=missing core without the LM rerank: each position
+        resolves independently, deterministic and oracle-checkable).
+        Per analyzed content token IN ORDER: a dictionary-present token
+        keeps itself (dist 0, its own df); an absent token takes the
+        single best correction (edit distance asc, df desc, term asc);
+        absent with no correction within max_edits keeps itself with
+        df 0. One row per position (pos, token, suggestion, dist, df).
+        Termdict-only — presence probe + automaton fuzzy expansion,
+        zero posting bytes."""
+        self._refresh_if_stale()
+        toks = [t for t in analyze_query(
+            query, tokenizer=self.cfg.get("tokenizer", "code"))
+            if ":" not in t]
+        empty = pd.DataFrame({
+            "pos": pd.array([], dtype="int64"),
+            "token": pd.array([], dtype="string"),
+            "suggestion": pd.array([], dtype="string"),
+            "dist": pd.array([], dtype="int64"),
+            "df": pd.array([], dtype="int64"),
+        })
+        if not toks:
+            return empty
+        uniq = sorted(set(toks))
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in uniq})
+        dfs = self._lookup_df(uniq, buckets)
+        best: dict[str, tuple] = {}
+        for tok in uniq:
+            if dfs.get(tok, 0) > 0:
+                best[tok] = (tok, 0, int(dfs[tok]))
+                continue
+            cands = []
+            for term, df in self._expand_pattern("fuzzy", tok, max_edits,
+                                                 10_000):
+                dist = next(e for e in range(1, max_edits + 1)
+                            if _edit_distance_le(term, tok, e))
+                cands.append((dist, -df, term))
+            if cands:
+                dist, negdf, term = min(cands)
+                best[tok] = (term, dist, -negdf)
+            else:
+                best[tok] = (tok, 0, 0)
+        rows = [(p, t, *best[t]) for p, t in enumerate(toks)]
+        return pd.DataFrame(rows, columns=["pos", "token", "suggestion",
+                                           "dist", "df"])
 
     def fetch_docs_local(self, doc_ids, cols: tuple = ("repo", "path", "lang")
                          ) -> pd.DataFrame:

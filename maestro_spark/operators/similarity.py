@@ -352,6 +352,38 @@ def ann_ivf_pq_topk(encoded: DataFrame, query_vec: list[float],
 
 # ------------------------------------------------------- embedding near-dup
 
+def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.8,
+                         n_bits: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then emit within-cluster pairs whose
+    exact cosine ≥ threshold — by construction only same-cluster docs
+    are compared, which is the SemDeDup semantics (not an approximation
+    of all-pairs). The cluster here is the deterministic coordinate-sign
+    bucket (SQL-reproducible, so the operator is oracle-exact); swap in
+    `hyperplane_bucket` or the IVF cells (`ivf_assign`) for production
+    clustering — the plan shape is identical.
+
+    Scale shape: one shuffle keyed on the cluster id (never an
+    all-pairs cross join), exact cosine verification inside each
+    cluster's partition; a pathologically hot cluster is the same skew
+    story as LSH near-dup and takes the same salting remedy."""
+    b = emb.select(F.col(id_col), F.col(vec_col),
+                   sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    a1 = b.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                  "bucket")
+    a2 = b.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                  "bucket")
+    return (
+        a1.join(a2, "bucket")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(_dot(F.col("v1"), F.col("v2"))
+                                   / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         n_bits: int = 8, id_col: str = "vec_id",
                         vec_col: str = "embedding",

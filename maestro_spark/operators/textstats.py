@@ -52,6 +52,33 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model quality score — the KenLM-perplexity-filter
+    analogue (CCNet-style, public) with corpus-MLE probabilities: per doc,
+    the mean natural-log probability of its tokens under the corpus's own
+    unigram distribution (avg ln(ctf) − ln(total_tokens)). Low scores mark
+    rare-token-heavy docs (garbled text, boilerplate symbol soup).
+
+    Scale shape: one partial-agg groupBy for the corpus term frequencies
+    (vocabulary-sized output), one term-keyed sort-merge join of the token
+    stream against it, one partial-agg groupBy per doc; the 1-row totals
+    frame broadcasts. Nothing corpus-sized reaches the driver."""
+    tok = docs.select(F.col(id_col),
+                      F.explode(simple_token_col(F.col(text_col)))
+                      .alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("ctf"))
+    totals = freq.agg(F.sum("ctf").alias("total"))
+    per_doc = (tok.join(freq, "term")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum(F.log("ctf")).alias("sum_log_ctf")))
+    return (per_doc.crossJoin(F.broadcast(totals))
+            .select(F.col(id_col), "n_tokens",
+                    F.round(F.col("sum_log_ctf") / F.col("n_tokens")
+                            - F.log("total"), 6).alias("avg_logprob")))
+
+
 def quality_features(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      stopwords: tuple = STOPWORDS) -> DataFrame:

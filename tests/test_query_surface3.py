@@ -1,0 +1,183 @@
+"""Round-3 query-surface extensions, each checked against an independent
+brute-force oracle on the same corpus:
+
+  - search_extended_stats (ES extended_stats agg): population
+    variance/stddev + sum_of_squares over the full match set
+  - search_missing (ES missing agg): matched docs whose stored
+    expression IS NULL
+  - search_histogram_pipeline (ES pipeline aggs): cumulative_sum +
+    derivative over histogram buckets
+  - export_matches (ES scroll / PIT deep export): the full match set
+    with stored columns, no ranking
+  - suggest_phrase_local (ES phrase-suggester core): per-position
+    did-you-mean with dictionary presence + best-correction ranking
+  - unigram_logprob (textstats): corpus-MLE unigram LM score per doc
+"""
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.functions.tokenize import code_tokens
+from maestro_spark.operators import textstats
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader
+
+N_DOCS = 300
+CFG = IndexConfig(
+    shard_size=128,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.02,
+    sample_fraction=1.0,
+    stored_columns=("maybe",),
+)
+Q = "index merge query"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from maestro_spark.sources.corpus import synth_docs_pandas
+    pdf = synth_docs_pandas(N_DOCS, seed=11).reset_index(names="doc_id")
+    pdf["maybe"] = np.where(pdf["doc_id"] % 3 == 0, None, pdf["lang"])
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory, corpus):
+    out = str(tmp_path_factory.mktemp("idx_qs3"))
+    build_index(spark, spark.createDataFrame(corpus), out, CFG,
+                id_col="doc_id")
+    return out
+
+
+@pytest.fixture(scope="module")
+def reader(spark, built):
+    return IndexReader(spark, built)
+
+
+@pytest.fixture(scope="module")
+def token_lists(corpus):
+    return list(code_tokens(corpus["content"]))
+
+
+@pytest.fixture(scope="module")
+def match_ids(token_lists):
+    qt = set(Q.split())
+    return {i for i, toks in enumerate(token_lists) if qt & set(toks)}
+
+
+def test_extended_stats(reader, corpus, match_ids):
+    got = reader.search_extended_stats(Q, F.length("content")).collect()[0]
+    v = corpus[corpus["doc_id"].isin(match_ids)]["content"].str.len() \
+        .to_numpy(dtype=np.float64)
+    assert got["n"] == len(v)
+    assert got["min_v"] == v.min() and got["max_v"] == v.max()
+    assert got["sum_v"] == round(float(v.sum()), 4)
+    assert abs(got["avg_v"] - v.mean()) < 1e-5
+    assert abs(got["sum_sq"] - float((v * v).sum())) < 1e-3
+    assert abs(got["var_pop"] - float(v.var())) < 1e-3
+    assert abs(got["std_pop"] - float(v.std())) < 1e-5
+
+
+def test_missing_agg(reader, corpus, match_ids):
+    got = reader.search_missing(Q, F.col("maybe")).collect()[0]
+    sub = corpus[corpus["doc_id"].isin(match_ids)]
+    assert got["n_docs"] == len(sub)
+    assert got["n_missing"] == int(sub["maybe"].isna().sum())
+    assert 0 < got["n_missing"] < got["n_docs"]
+
+
+def test_histogram_pipeline(reader, corpus, match_ids):
+    interval = 100
+    got = reader.search_histogram_pipeline(
+        Q, F.length("content"), interval).toPandas()
+    lens = corpus[corpus["doc_id"].isin(match_ids)]["content"].str.len()
+    want = (lens // interval * interval).astype(float).value_counts() \
+        .sort_index()
+    assert got["bucket"].tolist() == want.index.tolist()
+    assert got["n_docs"].tolist() == want.tolist()
+    assert got["cum_docs"].tolist() == want.cumsum().tolist()
+    deriv = want.diff().fillna(want.iloc[0] - 0).astype(int)
+    # first bucket: lag default 0 -> deriv = n_docs
+    deriv.iloc[0] = want.iloc[0]
+    assert got["deriv"].tolist() == deriv.tolist()
+
+
+def test_export_matches(reader, corpus, match_ids):
+    got = reader.export_matches(Q, cols=("repo", "lang")).toPandas()
+    assert set(got["doc_id"]) == match_ids
+    assert len(got) == len(match_ids)
+    sub = corpus.set_index("doc_id")
+    for r in got.itertuples():
+        assert r.repo == sub.at[r.doc_id, "repo"]
+        assert r.lang == sub.at[r.doc_id, "lang"]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_phrase_suggest(reader, token_lists):
+    """Per-position resolution vs a brute-force dictionary oracle."""
+    df_map: dict[str, int] = {}
+    for toks in token_lists:
+        for t in set(toks):
+            df_map[t] = df_map.get(t, 0) + 1
+    query = "usre merge zzzzzzzz indx"
+    got = reader.suggest_phrase_local(query, max_edits=2)
+    toks = []
+    for part in query.split():
+        toks.extend(code_tokens(pd.Series([part])).iat[0])
+    assert got["pos"].tolist() == list(range(len(toks)))
+    assert got["token"].tolist() == toks
+    for r in got.itertuples():
+        tok = r.token
+        if tok in df_map:
+            assert (r.suggestion, r.dist, r.df) == (tok, 0, df_map[tok])
+            continue
+        cands = [(d, -df_map[t], t) for t in df_map
+                 if (d := _lev(t, tok)) <= 2]
+        if not cands:
+            assert (r.suggestion, r.dist, r.df) == (tok, 0, 0)
+        else:
+            d, negdf, t = min(cands)
+            assert (r.suggestion, r.dist, r.df) == (t, d, -negdf)
+    # 'zzzzzzzz' has no neighbors within 2 edits -> kept with df 0
+    zz = got[got["token"] == "zzzzzzzz"].iloc[0]
+    assert zz["suggestion"] == "zzzzzzzz" and zz["df"] == 0
+
+
+def test_unigram_logprob(spark, corpus):
+    docs = spark.createDataFrame(
+        corpus[["doc_id", "content"]].rename(columns={"content": "text"}))
+    got = textstats.unigram_logprob(docs).toPandas() \
+        .set_index("doc_id").sort_index()
+    tok_lists = [re.findall(r"[a-z0-9]+", t.lower())
+                 for t in corpus["content"]]
+    ctf: dict[str, int] = {}
+    for toks in tok_lists:
+        for t in toks:
+            ctf[t] = ctf.get(t, 0) + 1
+    total = sum(ctf.values())
+    for i, toks in enumerate(tok_lists):
+        if not toks:
+            continue
+        want = sum(math.log(ctf[t]) for t in toks) / len(toks) \
+            - math.log(total)
+        assert got.at[i, "n_tokens"] == len(toks)
+        assert abs(got.at[i, "avg_logprob"] - want) < 1e-5
+    # every doc's score is <= 0 (probabilities < 1) and rare-token docs
+    # score lower than the corpus mean only if they exist; sanity bound:
+    assert (got["avg_logprob"] < 0).all()

@@ -99,6 +99,44 @@ def test_embedding_near_dups(spark):
     assert (0, 2) not in pairs
 
 
+def test_semantic_dedup_pairs(emb, emb_np):
+    """SemDeDup within-cluster pairs vs a numpy brute force: same sign
+    buckets, same exact cosines, same (id1 < id2) pair set."""
+    ids, m = emb_np
+    buckets = (np.where(m[:, :8] > 0, 1, 0)
+               * (1 << np.arange(8))).sum(axis=1)
+    t = 0.25
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] >= ids[j] or buckets[i] != buckets[j]:
+                continue
+            cos = round(float(m[i] @ m[j]
+                              / (np.linalg.norm(m[i]) * np.linalg.norm(m[j]))), 6)
+            if cos >= t:
+                want.add((int(ids[i]), int(ids[j])))
+    got = {(r["id1"], r["id2"])
+           for r in similarity.semantic_dedup_pairs(emb, t, n_bits=8).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_semantic_dedup_only_same_cluster(spark):
+    """A near-identical pair in the same sign bucket pairs; an equally
+    similar pair split across buckets (first component sign flipped)
+    does NOT — the SemDeDup semantics, not an all-pairs approximation."""
+    base = np.random.default_rng(3).standard_normal(16).astype(np.float32)
+    base[0] = 0.5
+    near = base + 1e-4
+    flipped = base.copy()
+    flipped[0] = -1e-3  # other-bucket twin: cosine still ~1
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near]),
+            (2, [float(x) for x in flipped])]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id1"], r["id2"])
+             for r in similarity.semantic_dedup_pairs(d, 0.9, n_bits=8).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+
+
 def test_knn_join_shape(emb, emb_np):
     ids, m = emb_np
     out = similarity.knn_join(emb.where(F.col("vec_id") < 4), emb, k=3).collect()
