@@ -640,6 +640,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_percentiles"] = _q_percentiles
 
+    def _q_pct_ranks(s: SparkSession, d: str) -> DataFrame:
+        # ES percentile_ranks agg (inverse of percentiles): % of matched
+        # values <= each threshold; exact conditional-avg path
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_percentile_ranks("stream merge",
+                                              F.length("content"),
+                                              (300, 600, 900))
+
+    q["match_percentile_ranks"] = _q_pct_ranks
+
+    def _q_weighted_avg(s: SparkSession, d: str) -> DataFrame:
+        # ES weighted_avg agg: sum(v*w)/sum(w) over the match set (weight
+        # synthesized from doc_id so the oracle can reproduce it)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_weighted_avg(
+            "stream merge", F.length("content"),
+            (F.col("doc_id") % 10 + 1).cast("double"))
+
+    q["bm25_weighted_avg"] = _q_weighted_avg
+
     def _q_paragraph_dedup(s: SparkSession, d: str) -> DataFrame:
         # CCNet/RefinedWeb-style paragraph dedup: global first-occurrence
         # over 10-token chunks (the separator-less corpus stand-in);
@@ -794,6 +814,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame(sorted(counts.items()), "name string, n long")
 
     q["filters_counts"] = _q_filters
+
+    def _q_adjacency(s: SparkSession, d: str) -> DataFrame:
+        # ES adjacency_matrix agg: named filters + pairwise intersections
+        # from ONE posting fetch; empty buckets dropped (ES behavior)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.adjacency_matrix_local({"merge": "merge",
+                                             "spark": "spark",
+                                             "dup": "dup vector"})
+        return s.createDataFrame(pdf, "key string, doc_count long")
+
+    q["adjacency_matrix"] = _q_adjacency
 
     def _q_range_filter(s: SparkSession, d: str) -> DataFrame:
         # ES range filter context on the SERVING path: doc-values scan
@@ -1489,6 +1520,38 @@ SELECT round(quantile_cont(length(d.text), 0.25), 6) AS p25,
        round(quantile_cont(length(d.text), 0.50), 6) AS p50,
        round(quantile_cont(length(d.text), 0.75), 6) AS p75
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["match_percentile_ranks"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'stream'))
+SELECT round(avg(CASE WHEN length(d.text) <= 300 THEN 1.0 ELSE 0.0 END)
+             * 100.0, 6) AS rank_300,
+       round(avg(CASE WHEN length(d.text) <= 600 THEN 1.0 ELSE 0.0 END)
+             * 100.0, 6) AS rank_600,
+       round(avg(CASE WHEN length(d.text) <= 900 THEN 1.0 ELSE 0.0 END)
+             * 100.0, 6) AS rank_900
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["bm25_weighted_avg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'stream'))
+SELECT round(sum(length(d.text)::DOUBLE * (d.doc_id % 10 + 1))
+             / sum((d.doc_id % 10 + 1)::DOUBLE), 6) AS w_avg,
+       round(sum((d.doc_id % 10 + 1)::DOUBLE), 4) AS sum_w
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["adjacency_matrix"] = f"""
+WITH {_TOK},
+fa AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('dup', 'vector')),
+fb AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+fc AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+b AS (SELECT 'dup' AS key, count(*)::BIGINT AS doc_count FROM fa
+      UNION ALL SELECT 'merge', count(*)::BIGINT FROM fb
+      UNION ALL SELECT 'spark', count(*)::BIGINT FROM fc
+      UNION ALL SELECT 'dup&merge', count(*)::BIGINT
+                FROM fa JOIN fb USING (doc_id)
+      UNION ALL SELECT 'dup&spark', count(*)::BIGINT
+                FROM fa JOIN fc USING (doc_id)
+      UNION ALL SELECT 'merge&spark', count(*)::BIGINT
+                FROM fb JOIN fc USING (doc_id))
+SELECT key, doc_count FROM b WHERE doc_count > 0 ORDER BY key"""
     _RS_PHR = ("ln(1.0 + (wn.n - dfw.df + 0.5) / (dfw.df + 0.5)) "
                "* ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))")
     o["bm25_rescore"] = f"""

@@ -1354,6 +1354,72 @@ class IndexReader:
                 out[qid] += int(ids.size)
         return out
 
+    def adjacency_matrix_local(self, filters: dict[str, str],
+                               mode: str = "or", min_match: int = 1,
+                               separator: str = "&") -> pd.DataFrame:
+        """Adjacency-matrix aggregation (the ES adjacency_matrix-agg
+        analogue): given N named filters, one bucket per filter plus one
+        per pairwise intersection (key = `a&b`, names in sorted order),
+        doc_count = matching docs; empty buckets dropped, ES-style.
+        ONE pruned posting fetch over the union of all filters' terms;
+        per-shard id sets intersect locally and counts sum across shards
+        — doc ids never leave the shard loop, so the coordinator cost is
+        O(N² buckets), not O(matches)."""
+        plans = {name: self.plan(q) for name, q in filters.items()}
+        names = sorted(plans)
+        all_terms = sorted({t for p in plans.values() for t in p.terms})
+        counts: dict[str, int] = {}
+        if all_terms:
+            by_shard = self._fetch_posting_rows(all_terms)
+            for shard, rows in sorted(by_shard.items()):
+                sets: dict[str, np.ndarray] = {}
+                for name in names:
+                    plan = plans[name]
+                    present = [t for t in plan.terms if t in rows]
+                    if not present:
+                        continue
+                    if mode == "and" and len(present) < len(plan.terms):
+                        continue
+                    if mode == "and":
+                        ids: np.ndarray | None = None
+                        for t in sorted(present,
+                                        key=lambda t: rows[t]["df"]):
+                            d = _decode_full(rows[t]).doc_ids
+                            ids = d if ids is None else ids[np.isin(
+                                ids, d, assume_unique=True)]
+                            if ids.size == 0:
+                                break
+                    else:
+                        parts = [_decode_full(rows[t]).doc_ids
+                                 for t in present]
+                        if min_match > 1:
+                            cat = np.concatenate(parts)
+                            uniq, cnt = np.unique(cat, return_counts=True)
+                            ids = uniq[cnt >= min_match]
+                        else:
+                            ids = np.unique(np.concatenate(parts))
+                    if ids is not None and ids.size:
+                        sets[name] = ids
+                for i, a in enumerate(names):
+                    if a not in sets:
+                        continue
+                    counts[a] = counts.get(a, 0) + int(sets[a].size)
+                    for b in names[i + 1:]:
+                        if b not in sets:
+                            continue
+                        both = np.intersect1d(sets[a], sets[b],
+                                              assume_unique=True)
+                        if both.size:
+                            key = f"{a}{separator}{b}"
+                            counts[key] = counts.get(key, 0) + int(both.size)
+        out = pd.DataFrame(
+            {"key": sorted(counts),
+             "doc_count": [counts[k] for k in sorted(counts)]})
+        if out.empty:
+            out = pd.DataFrame({"key": pd.Series([], dtype=object),
+                                "doc_count": pd.Series([], dtype="int64")})
+        return out
+
     def search_after_local(self, query: str, k: int = 10,
                            after: tuple[float, int] | None = None,
                            mode: str = "or",
@@ -1555,6 +1621,51 @@ class IndexReader:
                 .alias(f"p{int(round(p * 100)):02d}")
                 for p in percentiles]
         return joined.agg(*aggs)
+
+    def search_percentile_ranks(self, query: str, value_col,
+                                values: tuple, mode: str = "or",
+                                exclude: str | None = None,
+                                min_match: int = 1) -> DataFrame:
+        """Percentile-ranks aggregation (the ES percentile_ranks-agg
+        analogue, inverse of percentiles): one row with a rank_{v}
+        column per requested threshold = the percentage (0–100) of
+        matched values ≤ v. ES computes this from the same t-digest as
+        percentiles (approximate); here it is the EXACT count fraction —
+        a conditional avg, one algebraic partial agg per threshold, so
+        the exactness costs nothing at scale."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        aggs = [F.round(F.avg((F.col("v") <= float(x)).cast("double"))
+                        * 100.0, 6)
+                .alias(f"rank_{int(x) if float(x).is_integer() else x}")
+                for x in values]
+        return joined.agg(*aggs)
+
+    def search_weighted_avg(self, query: str, value_col, weight_col,
+                            mode: str = "or", exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """Weighted-average aggregation (the ES weighted_avg-agg
+        analogue): one row (w_avg, sum_w) = Σ(v·w)/Σ(w) over the match
+        set, both columns docstore expressions. Two algebraic sums —
+        partial states merge map-side."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        if isinstance(weight_col, str):
+            weight_col = F.col(weight_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"),
+                                   weight_col.cast("double").alias("w"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return joined.agg(
+            F.round(F.sum(F.col("v") * F.col("w")) / F.sum("w"), 6)
+            .alias("w_avg"),
+            F.round(F.sum("w"), 4).alias("sum_w"),
+        )
 
     def search_extended_stats(self, query: str, value_col,
                               mode: str = "or", exclude: str | None = None,

@@ -181,3 +181,49 @@ def test_unigram_logprob(spark, corpus):
     # every doc's score is <= 0 (probabilities < 1) and rare-token docs
     # score lower than the corpus mean only if they exist; sanity bound:
     assert (got["avg_logprob"] < 0).all()
+
+
+def test_percentile_ranks(reader, corpus, match_ids):
+    got = reader.search_percentile_ranks(
+        Q, F.length("content"), (300, 600, 900)).collect()[0]
+    v = corpus[corpus["doc_id"].isin(match_ids)]["content"].str.len() \
+        .to_numpy(dtype=np.float64)
+    for x in (300, 600, 900):
+        want = round(float((v <= x).mean()) * 100.0, 6)
+        assert abs(got[f"rank_{x}"] - want) < 1e-6
+    # monotone non-decreasing in the threshold, bounded in [0, 100]
+    assert 0.0 <= got["rank_300"] <= got["rank_600"] \
+        <= got["rank_900"] <= 100.0
+
+
+def test_weighted_avg(reader, corpus, match_ids):
+    got = reader.search_weighted_avg(
+        Q, F.length("content"),
+        (F.col("doc_id") % 7 + 1).cast("double")).collect()[0]
+    sub = corpus[corpus["doc_id"].isin(match_ids)]
+    v = sub["content"].str.len().to_numpy(dtype=np.float64)
+    w = (sub["doc_id"].to_numpy() % 7 + 1).astype(np.float64)
+    assert abs(got["w_avg"] - float((v * w).sum() / w.sum())) < 1e-5
+    assert got["sum_w"] == round(float(w.sum()), 4)
+
+
+def test_adjacency_matrix(reader, token_lists):
+    filters = {"idx": "index", "mq": "merge query", "st": "stream"}
+    got = reader.adjacency_matrix_local(filters)
+    sets = {name: {i for i, toks in enumerate(token_lists)
+                   if set(q.split()) & set(toks)}
+            for name, q in filters.items()}
+    names = sorted(sets)
+    want: dict[str, int] = {}
+    for i, a in enumerate(names):
+        if sets[a]:
+            want[a] = len(sets[a])
+        for b in names[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                want[f"{a}&{b}"] = n
+    assert dict(zip(got["key"], got["doc_count"])) == want
+    assert got["key"].tolist() == sorted(want)  # deterministic key order
+    # the agg must drop empty buckets like ES: a no-hit filter is absent
+    got2 = reader.adjacency_matrix_local({"z": "qqqzzzqqq", **filters})
+    assert "z" not in set(got2["key"])
