@@ -11,6 +11,7 @@ re-implementation — the oracle is an independent brute-force BM25 in SQL.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import tempfile
@@ -741,6 +742,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
     q["bm25_function_score"] = _q_function_score
+
+    def _q_decay(s: SparkSession, d: str) -> DataFrame:
+        # ES function_score gauss decay: bm25 * gauss(len; origin=500,
+        # scale=300, decay=0.5) — exact over the full match set
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_decay_score(
+            "spark query merge", F.length("content"), origin=500.0,
+            scale=300.0, decay=0.5, fn="gauss", k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_decay_gauss"] = _q_decay
+
+    def _q_rank_feature(s: SparkSession, d: str) -> DataFrame:
+        # ES rank_feature (saturation): bm25 + 2·len/(len+400), additive
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_rank_feature(
+            "spark query merge", F.length("content"), pivot=400.0,
+            boost=2.0, k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_rank_feature"] = _q_rank_feature
+
+    def _q_terms_set(s: SparkSession, d: str) -> DataFrame:
+        # ES terms_set: per-doc minimum_should_match from a stored
+        # expression (doc_id % 3 + 1 distinct matching terms required)
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_terms_set(
+            "merge stream window table",
+            (F.col("doc_id") % 3 + 1), k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_terms_set"] = _q_terms_set
+
+    def _q_pinned(s: SparkSession, d: str) -> DataFrame:
+        # ES pinned query: ids 7,3,11 occupy pos 1-3 in the order given,
+        # organic hits (pinned excluded) fill the rest
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_pinned("spark query merge", [7, 3, 11],
+                                    k=10)
+
+    q["pinned_query"] = _q_pinned
+
+    def _q_rare_terms(s: SparkSession, d: str) -> DataFrame:
+        # ES rare_terms agg: long-tail buckets the terms agg's size
+        # cutoff hides (synthetic lang+mod50 key, <= 2 matched docs)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_rare_terms(
+            "spark stream",
+            F.concat(F.col("lang"), (F.col("doc_id") % 50).cast("string")),
+            max_doc_count=2)
+
+    q["rare_terms_agg"] = _q_rare_terms
+
+    def _q_movfn(s: SparkSession, d: str) -> DataFrame:
+        # ES moving_fn + serial_diff + bucket_selector pipeline aggs
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_histogram_movfn(
+            "spark stream", F.length("content"), 100,
+            window=3, lag=2, min_docs=2)
+
+    q["bm25_histo_movfn"] = _q_movfn
+
+    def _q_bucket_stats(s: SparkSession, d: str) -> DataFrame:
+        # ES stats_bucket / max_bucket pipeline aggs over the histogram
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_bucket_stats(
+            "spark stream", F.length("content"), 100)
+
+    q["bm25_bucket_stats"] = _q_bucket_stats
+
+    def _q_nested_terms(s: SparkSession, d: str) -> DataFrame:
+        # ES nested agg + terms + reverse_nested: facet INSIDE the
+        # repositories[] array (n_elems = nested doc_count, n_docs =
+        # reverse_nested parent count)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_nested_terms("spark stream",
+                                          "repositories", "code")
+
+    q["nested_terms_agg"] = _q_nested_terms
+
+    def _q_string_stats(s: SparkSession, d: str) -> DataFrame:
+        # ES string_stats agg: length summary + char-distribution
+        # Shannon entropy (bits) of a keyword field over the match set
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_string_stats("spark stream", "repo")
+
+    q["string_stats_agg"] = _q_string_stats
+
+    def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
+        # ES multi_terms agg: composite (repo, lang) buckets
+        reader = IndexReader(s, _ensure_index(s, d))
+        return (reader.search_facets("spark stream",
+                                     facet_cols=("repo", "lang"))
+                .orderBy(F.desc("n_docs"), "repo", "lang"))
+
+    q["multi_terms_agg"] = _q_multi_terms
 
     def _q_sig_terms(s: SparkSession, d: str) -> DataFrame:
         # ES significant_terms agg (JLH): content terms over-represented
@@ -1629,6 +1729,103 @@ FROM kn CROSS JOIN kd WHERE kd.df > 0"""
     o["bm25_function_score"] = _bm25_sql(
         ["merge", "query", "spark"],
         fscore="allsc.score * ln(1 + 0.001 * length(d.text))")
+    # gauss decay: 2sigma^2 = -scale^2/ln(decay) with scale=300, decay=0.5
+    _TWO_SIG2 = -(300.0 ** 2) / math.log(0.5)
+    o["bm25_decay_gauss"] = _bm25_sql(
+        ["merge", "query", "spark"],
+        fscore=("allsc.score * exp(-pow(abs(length(d.text) - 500.0), 2) "
+                f"/ {_TWO_SIG2!r})"))
+    o["bm25_rank_feature"] = _bm25_sql(
+        ["merge", "query", "spark"],
+        fscore=("allsc.score + 2.0 * (length(d.text) "
+                "/ (length(d.text) + 400.0))"))
+    o["bm25_terms_set"] = _bm25_sql(
+        ["merge", "stream", "table", "window"],
+        where=("(SELECT count(DISTINCT t2.term) FROM tok t2 "
+               "WHERE t2.doc_id = allsc.doc_id AND t2.term IN "
+               "('merge', 'stream', 'table', 'window')) "
+               ">= (allsc.doc_id % 3 + 1)"))
+    _ORG = _bm25_sql(["merge", "query", "spark"], k=7,
+                     where="doc_id NOT IN (7, 3, 11)")
+    o["pinned_query"] = f"""
+WITH org AS ({_ORG})
+SELECT pos::INT AS pos, doc_id, pinned FROM (
+  SELECT 1 AS pos, 7::BIGINT AS doc_id, TRUE AS pinned
+  UNION ALL SELECT 2, 3::BIGINT, TRUE
+  UNION ALL SELECT 3, 11::BIGINT, TRUE
+  UNION ALL
+  SELECT 3 + row_number() OVER (ORDER BY score DESC, doc_id),
+         doc_id, FALSE FROM org)
+ORDER BY pos"""
+    o["rare_terms_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
+SELECT d.lang || (d.doc_id % 50)::VARCHAR AS value,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY 1 HAVING count(*) <= 2 ORDER BY n_docs, value"""
+    o["bm25_histo_movfn"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+h AS (SELECT floor(length(text) / 100) * 100 AS bucket,
+             count(*)::BIGINT AS n_docs
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY 1),
+w AS (SELECT bucket, n_docs,
+             round(avg(n_docs) OVER (ORDER BY bucket
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                 AS mov_avg,
+             n_docs - lag(n_docs, 2, CAST(0 AS BIGINT))
+                 OVER (ORDER BY bucket) AS sdiff
+      FROM h)
+SELECT bucket, n_docs, mov_avg, sdiff FROM w
+WHERE n_docs >= 2 ORDER BY bucket"""
+    o["bm25_bucket_stats"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+h AS (SELECT floor(length(text) / 100) * 100 AS bucket,
+             count(*)::BIGINT AS n_docs
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY 1)
+SELECT (SELECT count(*)::BIGINT FROM h) AS n_buckets,
+       (SELECT min(n_docs) FROM h) AS min_docs,
+       (SELECT max(n_docs) FROM h) AS max_docs,
+       (SELECT round(avg(n_docs), 6) FROM h) AS avg_docs,
+       (SELECT sum(n_docs)::BIGINT FROM h) AS sum_docs,
+       (SELECT bucket FROM h ORDER BY n_docs DESC, bucket LIMIT 1)
+           AS max_bucket"""
+    o["nested_terms_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+rep AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'mirror'
+                    ELSE 'repo' || (doc_id % 3)::VARCHAR END AS c1,
+               doc_id % 4 = 0 AS has2
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM m)),
+el AS (SELECT doc_id, c1 AS code FROM rep
+       UNION ALL SELECT doc_id, 'mirror' FROM rep WHERE has2)
+SELECT code AS value, count(*)::BIGINT AS n_elems,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM el GROUP BY 1 ORDER BY n_elems DESC, value"""
+    o["string_stats_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+s AS (SELECT d.source AS s FROM documents d
+      JOIN m ON m.doc_id = d.doc_id),
+ch AS (SELECT unnest(string_split(s, '')) AS c FROM s),
+dist AS (SELECT c, count(*)::DOUBLE AS n FROM ch
+         WHERE length(c) > 0 GROUP BY c),
+ent AS (SELECT round(-sum(p * log2(p)), 6) AS entropy
+        FROM (SELECT n / (SELECT sum(n) FROM dist) AS p FROM dist))
+SELECT (SELECT count(*)::BIGINT FROM s) AS n,
+       (SELECT min(length(s))::BIGINT FROM s) AS min_len,
+       (SELECT max(length(s))::BIGINT FROM s) AS max_len,
+       (SELECT round(avg(length(s)), 6) FROM s) AS avg_len,
+       (SELECT entropy FROM ent) AS entropy"""
+    o["multi_terms_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
+SELECT d.source AS repo, d.lang AS lang, count(*)::BIGINT AS n_docs
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY n_docs DESC, repo, lang"""
     o["significant_terms"] = f"""
 WITH {_TOK},
 q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),

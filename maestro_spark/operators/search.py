@@ -2127,6 +2127,329 @@ class IndexReader:
         return (joined.select("doc_id", comb.alias("score"))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
+    _DECAY_FNS = ("gauss", "exp", "linear")
+
+    def search_decay_score(self, query: str, value_col, origin: float,
+                           scale: float, k: int = 10, offset: float = 0.0,
+                           decay: float = 0.5, fn: str = "gauss",
+                           boost_mode: str = "multiply",
+                           mode: str = "or", exclude: str | None = None,
+                           min_match: int = 1) -> DataFrame:
+        """function_score decay functions (the ES gauss / exp / linear
+        analogue): distance-from-origin re-weighting over a stored
+        numeric field (recency, size, geo-projected distance):
+
+            d      = max(0, |v - origin| - offset)
+            gauss  = exp(-d² / 2σ²),  σ² = -scale² / (2·ln decay)
+            exp    = exp(ln(decay)/scale · d)
+            linear = max(0, (s - d) / s),  s = scale / (1 - decay)
+
+        so a doc at distance `scale` from `origin` scores exactly
+        `decay`, matching ES's parameterization. Exact like
+        function_score: the full scored match set stays on executors,
+        one column-pruned docstore join, global top-k via
+        TakeOrderedAndProject."""
+        if fn not in self._DECAY_FNS:
+            raise ValueError(f"fn must be one of {self._DECAY_FNS}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError("boost_mode must be 'multiply' or 'sum'")
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        import math as _m
+        d = F.greatest(
+            F.abs(value_col.cast("double") - F.lit(float(origin)))
+            - F.lit(float(offset)), F.lit(0.0))
+        if fn == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * _m.log(decay))
+            dv = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+        elif fn == "exp":
+            dv = F.exp(F.lit(_m.log(decay) / scale) * d)
+        else:
+            s = scale / (1.0 - decay)
+            dv = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+        scored = self.scored_matches(query, mode, exclude=exclude,
+                                     min_match=min_match)
+        docs = self._docs().select("shard", "doc_id", dv.alias("dv"))
+        joined = scored.join(docs, ["shard", "doc_id"], "inner")
+        comb = (F.col("score") * F.col("dv") if boost_mode == "multiply"
+                else F.col("score") + F.col("dv"))
+        return (joined.select("doc_id", comb.alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def search_rank_feature(self, query: str, value_col, k: int = 10,
+                            pivot: float = 1.0, boost: float = 1.0,
+                            fn: str = "saturation", mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """rank_feature query in a bool should (the ES analogue of
+        folding a static document signal — pagerank, stars, freshness —
+        into relevance as an ADDITIVE clause):
+
+            final = bm25 + boost · sat(v)
+            saturation: v / (v + pivot)     (ES default; bounded (0,1))
+            log:        ln(1 + v)
+
+        Additive like ES (a should clause sums), never reorders by the
+        feature alone — a zero-feature doc keeps its BM25 score. Same
+        exact full-match-set shape as function_score."""
+        if fn not in ("saturation", "log"):
+            raise ValueError("fn must be 'saturation' or 'log'")
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        v = value_col.cast("double")
+        feat = (v / (v + F.lit(float(pivot))) if fn == "saturation"
+                else F.log1p(v))
+        scored = self.scored_matches(query, mode, exclude=exclude,
+                                     min_match=min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            (F.lit(float(boost)) * feat).alias("feat"))
+        joined = scored.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.select(
+            "doc_id", (F.col("score") + F.col("feat")).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def search_pinned(self, query: str, pinned_ids: list[int],
+                      k: int = 10, mode: str = "or",
+                      score_round: int | None = 6) -> DataFrame:
+        """Pinned query (the ES pinned-query analogue): the given ids
+        occupy positions 1..p IN THE ORDER GIVEN, organic BM25 hits fill
+        the remaining k-p slots with pinned ids excluded. Cost = one
+        posting-bounded search of k+p hits; the merge is a bounded
+        driver pass over ≤ k+p rows (coordinator-sized, like ES's).
+        Organic order is (rounded score desc, doc_id asc) when
+        score_round is set — the cross-engine-stable convention."""
+        pinned = [int(i) for i in pinned_ids]
+        organic = self.search(query, k=k + len(pinned),
+                              mode=mode).toPandas()
+        if score_round is not None:
+            organic["score"] = organic["score"].round(score_round)
+        organic = organic.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        organic = organic[~organic["doc_id"].isin(pinned)]
+        rows = [(p + 1, did, True) for p, did in enumerate(pinned)]
+        for did in organic["doc_id"].head(max(k - len(pinned), 0)):
+            rows.append((len(rows) + 1, int(did), False))
+        return self.spark.createDataFrame(
+            rows, "pos int, doc_id long, pinned boolean")
+
+    def matched_term_counts(self, query: str,
+                            exclude: str | None = None) -> DataFrame:
+        """Distributed per-doc matched-term counts: DataFrame(shard,
+        doc_id, n_matched) = how many DISTINCT analyzed query terms each
+        doc contains (≥1). match_docs' counting sibling — the input to
+        terms_set and coverage diagnostics. Same single grouped-map over
+        the pruned posting scan; counts come from one np.unique pass."""
+        self._refresh_if_stale()
+        plan = self.plan(query)
+        spark = self.spark
+        if spark is None:
+            raise ValueError("matched_term_counts needs a SparkSession")
+        schema = "shard int, doc_id long, n_matched int"
+        if not plan.terms:
+            return spark.createDataFrame([], schema)
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted(set(plan.terms) | set(ex_terms))
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
+        terms = plan.terms
+
+        def count_shard(key, pdf):
+            shard = int(key[0])
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            present = [t for t in terms if t in rows]
+            if not present:
+                return pd.DataFrame(
+                    {"shard": pd.array([], dtype="int32"),
+                     "doc_id": pd.array([], dtype="int64"),
+                     "n_matched": pd.array([], dtype="int32")})
+            cat = np.concatenate(
+                [_decode_full(rows[t]).doc_ids for t in present])
+            ids, cnt = np.unique(cat, return_counts=True)
+            ex = _excluded_local(rows, ex_terms, 0)
+            if ex is not None and ex.size:
+                keep = np.isin(ids, ex, assume_unique=True, invert=True)
+                ids, cnt = ids[keep], cnt[keep]
+            return pd.DataFrame(
+                {"shard": np.full(ids.size, shard, np.int32),
+                 "doc_id": ids.astype(np.int64),
+                 "n_matched": cnt.astype(np.int32)})
+
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(all_terms))
+        return rel.groupBy("shard").applyInPandas(count_shard,
+                                                  schema=schema)
+
+    def search_terms_set(self, query: str, msm_col, k: int = 10,
+                         exclude: str | None = None) -> DataFrame:
+        """terms_set query (the ES analogue): bool-OR BM25 over the
+        analyzed terms, but the minimum_should_match threshold is
+        PER-DOC, read from a stored numeric expression
+        (minimum_should_match_field). A doc matches iff its count of
+        distinct matching terms ≥ its own threshold. Exact: the scored
+        match set joins the per-doc counts and the column-pruned
+        threshold on (shard, doc_id) — both sides executor-resident,
+        shard equality keeps the joins partition-prunable — then the
+        global top-k is TakeOrderedAndProject."""
+        if isinstance(msm_col, str):
+            msm_col = F.col(msm_col)
+        scored = self.scored_matches(query, exclude=exclude)
+        counts = self.matched_term_counts(query, exclude=exclude)
+        docs = self._docs().select("shard", "doc_id",
+                                   msm_col.cast("int").alias("msm"))
+        joined = (scored.join(counts, ["shard", "doc_id"], "inner")
+                  .join(docs, ["shard", "doc_id"], "inner")
+                  .where(F.col("n_matched") >= F.col("msm")))
+        return (joined.select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def search_rare_terms(self, query: str, col, max_doc_count: int = 1,
+                          mode: str = "or", exclude: str | None = None,
+                          min_match: int = 1) -> DataFrame:
+        """rare_terms aggregation (the ES analogue — the long tail the
+        terms agg's size cutoff hides): bucket values of a stored column
+        appearing in ≤ max_doc_count matched docs, ordered (n_docs asc,
+        value asc). Same one-partial-agg shape as search_facets; the
+        HAVING filter runs on the already-reduced bucket rows. ES uses a
+        CuckooFilter to approximate this in one pass; one exact groupBy
+        is strictly cheaper here because Spark's partial agg already
+        reduces map-side."""
+        if isinstance(col, str):
+            col = F.col(col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id", col.alias("value"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.groupBy("value")
+                .agg(F.count("*").alias("n_docs"))
+                .where(F.col("n_docs") <= int(max_doc_count))
+                .orderBy(F.asc("n_docs"), F.asc("value")))
+
+    def search_histogram_movfn(self, query: str, value_col,
+                               interval: float, window: int = 3,
+                               lag: int = 1, min_docs: int | None = None,
+                               sort_by_count: bool = False,
+                               top: int | None = None,
+                               mode: str = "or",
+                               exclude: str | None = None,
+                               min_match: int = 1) -> DataFrame:
+        """Sliding-window pipeline aggs over histogram buckets — the ES
+        moving_fn + serial_diff + bucket_selector + bucket_sort family:
+
+          mov_avg — unweighted avg of n_docs over the trailing `window`
+              buckets INCLUDING the current one (rows -(window-1)..0;
+              ES's shift=0 excludes the current bucket — this is its
+              shift=1 alignment, pinned here for a null-free frame)
+          sdiff   — n_docs - lag(n_docs, lag), first `lag` buckets
+              against 0 (ES emits null; pinned like `deriv`)
+          bucket_selector — drop buckets with n_docs < min_docs AFTER
+              the window fns (ES pipeline ordering)
+          bucket_sort — order by (n_docs desc, bucket asc) and keep
+              `top` buckets
+
+        All passes run over the already-aggregated bucket rows (at most
+        value-range/interval of them) — the same bounded coordinator
+        cost class as ES pipeline aggs, never corpus-sized."""
+        from pyspark.sql.window import Window
+        hist = self.search_histogram(query, value_col, interval, mode,
+                                     exclude, min_match)
+        w = Window.orderBy("bucket")
+        out = hist.select(
+            "bucket", "n_docs",
+            F.round(F.avg("n_docs").over(
+                w.rowsBetween(-(window - 1), 0)), 6).alias("mov_avg"),
+            (F.col("n_docs") - F.lag("n_docs", lag, 0).over(w))
+            .alias("sdiff"),
+        )
+        if min_docs is not None:
+            out = out.where(F.col("n_docs") >= int(min_docs))
+        if sort_by_count:
+            out = out.orderBy(F.desc("n_docs"), F.asc("bucket"))
+        else:
+            out = out.orderBy("bucket")
+        if top is not None:
+            out = out.limit(int(top))
+        return out
+
+    def search_bucket_stats(self, query: str, value_col,
+                            interval: float, mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """Sibling pipeline aggs over histogram buckets — the ES
+        stats_bucket / avg_bucket / sum_bucket / max_bucket family in
+        one row: bucket count, min/max/avg/sum of per-bucket doc counts,
+        plus the KEY of the max bucket (lowest bucket on ties — ES
+        reports all tied keys; one deterministic representative here).
+        Two tiny aggregations over the reduced bucket rows."""
+        hist = self.search_histogram(query, value_col, interval, mode,
+                                     exclude, min_match)
+        stats = hist.agg(
+            F.count("*").alias("n_buckets"),
+            F.min("n_docs").alias("min_docs"),
+            F.max("n_docs").alias("max_docs"),
+            F.round(F.avg("n_docs"), 6).alias("avg_docs"),
+            F.sum("n_docs").alias("sum_docs"))
+        argmax = (hist.orderBy(F.desc("n_docs"), F.asc("bucket")).limit(1)
+                  .select(F.col("bucket").alias("max_bucket")))
+        return stats.crossJoin(argmax)
+
+    def search_nested_terms(self, query: str, array_col: str,
+                            field: str, mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """nested aggregation + terms + reverse_nested (the ES analogue
+        for faceting INSIDE an array-of-struct field): explode the
+        nested array of every matched doc, bucket by a struct field, and
+        report both the nested doc_count (n_elems — what ES's nested
+        terms agg counts) and the parent doc_count (n_docs — what a
+        reverse_nested sub-agg restores). One explode over the match
+        set's column-pruned array column, one partial agg; the explode
+        multiplies rows only by array length, never by corpus."""
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id", array_col)
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        elems = joined.select(
+            "doc_id",
+            F.explode(array_col).alias("_e")
+        ).select("doc_id", F.col(f"_e.{field}").alias("value"))
+        return (elems.groupBy("value")
+                .agg(F.count("*").alias("n_elems"),
+                     F.countDistinct("doc_id").alias("n_docs"))
+                .orderBy(F.desc("n_elems"), F.asc("value")))
+
+    def search_string_stats(self, query: str, str_col,
+                            mode: str = "or", exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """string_stats aggregation (the ES analogue, show_distribution
+        flavor folded to its summary): over a keyword field of the match
+        set — count, min/max/avg length, and the Shannon entropy (bits,
+        log2 — ES's convention) of the CHARACTER distribution across all
+        matched values. Two partial aggs: lengths reduce directly; the
+        char distribution explodes each value into characters (rows ∝
+        total field bytes of MATCHED docs — a keyword field, not
+        content) and reduces to one row per distinct char before the
+        entropy fold."""
+        if isinstance(str_col, str):
+            str_col = F.col(str_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   str_col.alias("s"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        lens = joined.agg(
+            F.count("s").alias("n"),
+            F.min(F.length("s")).alias("min_len"),
+            F.max(F.length("s")).alias("max_len"),
+            F.round(F.avg(F.length("s")), 6).alias("avg_len"))
+        chars = (joined.select(F.explode(F.split("s", "")).alias("c"))
+                 .where(F.length("c") > 0)
+                 .groupBy("c").agg(F.count("*").alias("n")))
+        tot = chars.agg(F.sum("n").alias("tot"))
+        ent = (chars.crossJoin(tot)
+               .select((F.col("n") / F.col("tot")).alias("p"))
+               .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6)
+                    .alias("entropy")))
+        return lens.crossJoin(ent)
+
     def _sampled_matches(self, query: str, sample_top: int,
                          mode: str = "or", exclude: str | None = None,
                          min_match: int = 1,

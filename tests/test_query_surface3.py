@@ -227,3 +227,120 @@ def test_adjacency_matrix(reader, token_lists):
     # the agg must drop empty buckets like ES: a no-hit filter is absent
     got2 = reader.adjacency_matrix_local({"z": "qqqzzzqqq", **filters})
     assert "z" not in set(got2["key"])
+
+
+def _scored(reader):
+    return reader.scored_matches(Q).toPandas().set_index("doc_id")["score"]
+
+
+def test_decay_score(reader, corpus):
+    got = reader.search_decay_score(
+        Q, F.length("content"), origin=400.0, scale=200.0, decay=0.5,
+        fn="gauss", k=15).toPandas()
+    base = _scored(reader)
+    lens = corpus.set_index("doc_id")["content"].str.len()
+    sig2 = -(200.0 ** 2) / (2.0 * math.log(0.5))
+    want = {d: s * math.exp(-((lens[d] - 400.0) ** 2) / (2 * sig2))
+            for d, s in base.items()}
+    rank = sorted(want, key=lambda d: (-want[d], d))[:15]
+    assert got["doc_id"].tolist() == rank
+    for r in got.itertuples():
+        assert abs(r.score - want[r.doc_id]) < 1e-9
+
+
+def test_decay_linear_clamps_to_zero(reader, corpus):
+    # a doc farther than scale/(1-decay) from origin scores exactly 0
+    got = reader.search_decay_score(
+        Q, F.length("content"), origin=0.0, scale=10.0, decay=0.5,
+        fn="linear", k=10_000).toPandas()
+    lens = corpus.set_index("doc_id")["content"].str.len()
+    far = got[got["doc_id"].map(lens) >= 20.0]
+    assert (far["score"] == 0.0).all()
+
+
+def test_rank_feature(reader, corpus):
+    got = reader.search_rank_feature(
+        Q, F.length("content"), pivot=300.0, boost=1.5, k=15).toPandas()
+    base = _scored(reader)
+    lens = corpus.set_index("doc_id")["content"].str.len()
+    want = {d: s + 1.5 * lens[d] / (lens[d] + 300.0)
+            for d, s in base.items()}
+    rank = sorted(want, key=lambda d: (-want[d], d))[:15]
+    assert got["doc_id"].tolist() == rank
+
+
+def test_terms_set(reader, token_lists):
+    qterms = set(Q.split())
+    got = reader.search_terms_set(
+        Q, (F.col("doc_id") % 2 + 1), k=10_000).toPandas()
+    want = {i for i, toks in enumerate(token_lists)
+            if len(qterms & set(toks)) >= (i % 2 + 1)}
+    assert set(got["doc_id"]) == want
+    # per-doc threshold actually bites: some matched doc is excluded
+    matched = {i for i, toks in enumerate(token_lists) if qterms & set(toks)}
+    assert want < matched
+
+
+def test_pinned(reader):
+    pinned = [42, 7, 101]
+    got = reader.search_pinned(Q, pinned, k=8).toPandas()
+    assert got["pos"].tolist() == list(range(1, 9))
+    assert got["doc_id"].head(3).tolist() == pinned  # order given, not sorted
+    assert got["pinned"].head(3).all() and not got["pinned"].tail(5).any()
+    organic = reader.search_pandas(Q, k=20)
+    organic = organic[~organic["doc_id"].isin(pinned)]
+    assert got["doc_id"].tail(5).tolist() == \
+        organic["doc_id"].head(5).tolist()
+
+
+def test_rare_terms(reader, corpus, match_ids):
+    got = reader.search_rare_terms(Q, "repo", max_doc_count=3).toPandas()
+    counts = corpus[corpus["doc_id"].isin(match_ids)]["repo"] \
+        .value_counts()
+    want = counts[counts <= 3].sort_index()
+    assert dict(zip(got["value"], got["n_docs"])) == want.to_dict()
+    assert (got["n_docs"].diff().fillna(0) >= 0).all()  # asc order
+
+
+def test_histogram_movfn(reader, corpus, match_ids):
+    got = reader.search_histogram_movfn(
+        Q, F.length("content"), 50, window=2, lag=1, min_docs=2) \
+        .toPandas()
+    lens = corpus[corpus["doc_id"].isin(match_ids)]["content"].str.len()
+    h = (lens // 50 * 50).astype(float).value_counts().sort_index()
+    mov = h.rolling(2, min_periods=1).mean().round(6)
+    sd = h.diff().fillna(h.iloc[0]).astype(int)
+    sd.iloc[0] = h.iloc[0]  # lag default 0
+    keep = h[h >= 2].index
+    assert got["bucket"].tolist() == keep.tolist()
+    assert got["n_docs"].tolist() == h[keep].tolist()
+    assert got["mov_avg"].tolist() == mov[keep].tolist()
+    assert got["sdiff"].tolist() == sd[keep].tolist()
+
+
+def test_bucket_stats(reader, corpus, match_ids):
+    got = reader.search_bucket_stats(
+        Q, F.length("content"), 50).collect()[0]
+    lens = corpus[corpus["doc_id"].isin(match_ids)]["content"].str.len()
+    h = (lens // 50 * 50).astype(float).value_counts().sort_index()
+    assert got["n_buckets"] == len(h)
+    assert got["min_docs"] == h.min() and got["max_docs"] == h.max()
+    assert abs(got["avg_docs"] - round(h.mean(), 6)) < 1e-9
+    assert got["sum_docs"] == h.sum()
+    # argmax key, lowest bucket on ties
+    best = h[h == h.max()].index.min()
+    assert got["max_bucket"] == best
+
+
+def test_string_stats(reader, corpus, match_ids):
+    got = reader.search_string_stats(Q, "repo").collect()[0]
+    vals = corpus[corpus["doc_id"].isin(match_ids)]["repo"]
+    assert got["n"] == len(vals)
+    assert got["min_len"] == vals.str.len().min()
+    assert got["max_len"] == vals.str.len().max()
+    assert abs(got["avg_len"] - round(vals.str.len().mean(), 6)) < 1e-9
+    from collections import Counter
+    c = Counter("".join(vals))
+    tot = sum(c.values())
+    ent = -sum(n / tot * math.log2(n / tot) for n in c.values())
+    assert abs(got["entropy"] - ent) < 1e-5
