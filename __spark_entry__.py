@@ -842,6 +842,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multi_terms_agg"] = _q_multi_terms
 
+    # ES runtime fields (runtime mappings): date/geo fields computed per
+    # doc at query time from stored values — deterministic doc_id
+    # expressions here so the DuckDB oracle reproduces them exactly.
+    _MTIME = F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
+                    "0, 0, 0, 0, CAST(doc_id % 720 AS INT), 0, 0)")
+    _LAT = (F.lit(-60.0) + (F.col("doc_id") * 7 % 120).cast("double")
+            + (F.col("doc_id") * 37 % 100).cast("double") / 100.0)
+    _LON = (F.lit(-170.0) + (F.col("doc_id") * 13 % 340).cast("double")
+            + (F.col("doc_id") * 53 % 100).cast("double") / 100.0)
+
+    def _q_date_histo(s: SparkSession, d: str) -> DataFrame:
+        # ES date_histogram (calendar_interval=day) over a runtime
+        # timestamp field; bucket keys as UTC strings
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_date_histogram("spark stream", _MTIME,
+                                            interval="day")
+
+    q["date_histogram"] = _q_date_histo
+
+    def _q_date_range(s: SparkSession, d: str) -> DataFrame:
+        # ES date_range agg: [from, to) named ranges, one conditional agg
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_date_range(
+            "spark stream", _MTIME,
+            [("early", None, "2025-01-10"),
+             ("mid", "2025-01-10", "2025-01-20"),
+             ("late", "2025-01-20", None)])
+
+    q["date_range_agg"] = _q_date_range
+
+    def _q_geo_dist(s: SparkSession, d: str) -> DataFrame:
+        # ES geo_distance query + _geo_distance sort: matches within
+        # 6000 km of (10, 20), nearest first
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geo_distance("spark stream", _LAT, _LON,
+                                          10.0, 20.0, 6000.0, k=10)
+
+    q["geo_distance_query"] = _q_geo_dist
+
+    def _q_geo_rings(s: SparkSession, d: str) -> DataFrame:
+        # ES geo_distance agg: concentric ring buckets around (10, 20)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geo_rings("spark stream", _LAT, _LON,
+                                       10.0, 20.0, [3000.0, 8000.0,
+                                                    15000.0])
+
+    q["geo_rings_agg"] = _q_geo_rings
+
+    def _q_dist_feature(s: SparkSession, d: str) -> DataFrame:
+        # ES distance_feature: additive recency boost
+        # 2·48/(48+|hours-720|) on a runtime numeric field
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_distance_feature(
+            "spark query merge", (F.col("doc_id") % 720),
+            origin=720.0, pivot=48.0, boost=2.0, k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_distance_feature"] = _q_dist_feature
+
     def _q_sig_terms(s: SparkSession, d: str) -> DataFrame:
         # ES significant_terms agg (JLH): content terms over-represented
         # in the match set of "customer" vs the whole corpus
@@ -1826,6 +1886,57 @@ m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
 SELECT d.source AS repo, d.lang AS lang, count(*)::BIGINT AS n_docs
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 GROUP BY 1, 2 ORDER BY n_docs DESC, repo, lang"""
+    _MT_SQL = ("TIMESTAMP '2025-01-01 00:00:00' "
+               "+ (d.doc_id % 720) * INTERVAL 1 HOUR")
+    _LAT_SQL = "(-60.0 + (d.doc_id * 7 % 120) + (d.doc_id * 37 % 100) / 100.0)"
+    _LON_SQL = ("(-170.0 + (d.doc_id * 13 % 340) "
+                "+ (d.doc_id * 53 % 100) / 100.0)")
+    _HAV_SQL = (
+        "12742.0 * asin(sqrt("
+        f"pow(sin((radians(10.0) - radians({_LAT_SQL})) / 2), 2) "
+        f"+ cos(radians({_LAT_SQL})) * cos(radians(10.0)) "
+        f"* pow(sin((radians(20.0) - radians({_LON_SQL})) / 2), 2)))")
+    o["date_histogram"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
+SELECT strftime(date_trunc('day', {_MT_SQL}), '%Y-%m-%d %H:%M:%S')
+           AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY 1 ORDER BY bucket"""
+    o["date_range_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
+SELECT sum(({_MT_SQL} < TIMESTAMP '2025-01-10 00:00:00')::BIGINT)
+           AS early,
+       sum(({_MT_SQL} >= TIMESTAMP '2025-01-10 00:00:00'
+            AND {_MT_SQL} < TIMESTAMP '2025-01-20 00:00:00')::BIGINT)
+           AS mid,
+       sum(({_MT_SQL} >= TIMESTAMP '2025-01-20 00:00:00')::BIGINT)
+           AS late
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["geo_distance_query"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT d.doc_id, round({_HAV_SQL}, 4) AS dist_km
+      FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT doc_id, dist_km FROM g WHERE dist_km <= 6000.0
+ORDER BY dist_km, doc_id LIMIT 10"""
+    o["geo_rings_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT {_HAV_SQL} AS dist FROM documents d
+      JOIN m ON m.doc_id = d.doc_id)
+SELECT sum((dist < 3000.0)::BIGINT) AS ring_0_3000,
+       sum((dist >= 3000.0 AND dist < 8000.0)::BIGINT) AS ring_3000_8000,
+       sum((dist >= 8000.0 AND dist < 15000.0)::BIGINT)
+           AS ring_8000_15000,
+       sum((dist >= 15000.0)::BIGINT) AS ring_15000_inf
+FROM g"""
+    o["bm25_distance_feature"] = _bm25_sql(
+        ["merge", "query", "spark"],
+        fscore=("allsc.score + 2.0 * 48.0 "
+                "/ (48.0 + abs((allsc.doc_id % 720) - 720.0))"))
     o["significant_terms"] = f"""
 WITH {_TOK},
 q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),

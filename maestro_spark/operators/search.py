@@ -2450,6 +2450,170 @@ class IndexReader:
                     .alias("entropy")))
         return lens.crossJoin(ent)
 
+    # Date / geo aggregations take a Column EXPRESSION over docstore
+    # columns — the ES runtime-field analogue (runtime mappings compute
+    # a field per doc at query time from stored values; here the
+    # expression stays JVM-side inside whole-stage codegen, so a runtime
+    # field costs one projection, never a Python round-trip).
+
+    _DATE_INTERVALS = ("hour", "day", "week", "month")
+
+    def search_date_histogram(self, query: str, ts_col,
+                              interval: str = "day", mode: str = "or",
+                              exclude: str | None = None,
+                              min_match: int = 1) -> DataFrame:
+        """date_histogram aggregation (the ES calendar_interval
+        analogue): matched docs bucketed by date_trunc(interval) of a
+        timestamp expression; bucket emitted as a formatted UTC string
+        (the cross-engine-stable key form). Same one-partial-agg shape
+        as search_histogram — bucket count ∝ time range / interval,
+        never corpus."""
+        if interval not in self._DATE_INTERVALS:
+            raise ValueError(
+                f"interval must be one of {self._DATE_INTERVALS}")
+        if isinstance(ts_col, str):
+            ts_col = F.col(ts_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            F.date_format(F.date_trunc(interval, ts_col),
+                          "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.groupBy("bucket")
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy("bucket"))
+
+    def search_date_range(self, query: str, ts_col,
+                          ranges: list[tuple], mode: str = "or",
+                          exclude: str | None = None,
+                          min_match: int = 1) -> DataFrame:
+        """date_range aggregation (the ES analogue): named ranges with
+        ES's [from, to) convention — `from` inclusive, `to` exclusive,
+        either side open with None. ONE conditional partial agg (a sum
+        per range over the match set), so overlapping ranges are fine
+        and the scan happens once. ranges: [(name, from_ts|None,
+        to_ts|None)] with ISO 'yyyy-MM-dd[ HH:mm:ss]' strings."""
+        if isinstance(ts_col, str):
+            ts_col = F.col(ts_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   ts_col.alias("_ts"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        aggs = []
+        for name, lo, hi in ranges:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("_ts") >= F.to_timestamp(F.lit(lo)))
+            if hi is not None:
+                cond = cond & (F.col("_ts") < F.to_timestamp(F.lit(hi)))
+            aggs.append(F.sum(cond.cast("long")).alias(name))
+        return joined.agg(*aggs)
+
+    @staticmethod
+    def _haversine_km(lat_col, lon_col, lat: float, lon: float):
+        """Great-circle distance (km) from (lat, lon) — built-in trig
+        only, whole-stage-codegen friendly. R = 6371 km (ES's mean
+        earth radius)."""
+        p1 = F.radians(lat_col.cast("double"))
+        p2 = F.radians(F.lit(float(lat)))
+        dp = p2 - p1
+        dl = F.radians(F.lit(float(lon))) - F.radians(
+            lon_col.cast("double"))
+        a = (F.sin(dp / 2) * F.sin(dp / 2)
+             + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2))
+        return F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
+
+    def search_geo_distance(self, query: str, lat_col, lon_col,
+                            lat: float, lon: float, radius_km: float,
+                            k: int = 10, mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1,
+                            dist_round: int = 4) -> DataFrame:
+        """geo_distance query + _geo_distance sort (the ES analogue):
+        matched docs within `radius_km` of (lat, lon), nearest first
+        (rounded distance asc, doc_id asc — the cross-engine-stable
+        order). Haversine over runtime lat/lon expressions; the filter
+        and sort ride the match set join, global top-k is
+        TakeOrderedAndProject. ES accelerates the radius filter with a
+        bounding-box prefilter over the geo index; the Catalyst analogue
+        is a (lat BETWEEN .. AND lon BETWEEN ..) pre-predicate, which
+        parquet min/max stats can prune — worth adding where the geo
+        columns are STORED; for runtime fields the scan is
+        match-set-bounded anyway."""
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        dist = self._haversine_km(lat_col, lon_col, lat, lon)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            F.round(dist, dist_round).alias("dist_km"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.where(F.col("dist_km") <= float(radius_km))
+                .select("doc_id", "dist_km")
+                .orderBy(F.asc("dist_km"), F.asc("doc_id")).limit(k))
+
+    def search_geo_rings(self, query: str, lat_col, lon_col,
+                         lat: float, lon: float, edges_km: list[float],
+                         mode: str = "or", exclude: str | None = None,
+                         min_match: int = 1) -> DataFrame:
+        """geo_distance aggregation (the ES ring-bucket analogue):
+        matched docs counted into concentric rings [0,e1), [e1,e2), …,
+        [eN,∞) around (lat, lon). One conditional partial agg — each doc
+        contributes to exactly one ring, one output row per ring."""
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        dist = self._haversine_km(lat_col, lon_col, lat, lon)
+        docs = self._docs().select("shard", "doc_id",
+                                   dist.alias("_d"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        edges = [float(e) for e in edges_km]
+        aggs = []
+        for i in range(len(edges) + 1):
+            lo = edges[i - 1] if i else None
+            hi = edges[i] if i < len(edges) else None
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("_d") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("_d") < hi)
+            name = (f"ring_{int(lo) if lo else 0}_"
+                    + (f"{int(hi)}" if hi is not None else "inf"))
+            aggs.append(F.sum(cond.cast("long")).alias(name))
+        return joined.agg(*aggs)
+
+    def search_distance_feature(self, query: str, value_col,
+                                origin: float, pivot: float,
+                                k: int = 10, boost: float = 1.0,
+                                mode: str = "or",
+                                exclude: str | None = None,
+                                min_match: int = 1) -> DataFrame:
+        """distance_feature query (the ES analogue — boost-by-proximity
+        on a date or numeric field, additive like rank_feature):
+
+            final = bm25 + boost · pivot / (pivot + |v - origin|)
+
+        so a doc AT the origin gains `boost` and one `pivot` away gains
+        boost/2. Exact over the full scored match set, same shape as
+        rank_feature."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        d = F.abs(value_col.cast("double") - F.lit(float(origin)))
+        feat = (F.lit(float(boost)) * F.lit(float(pivot))
+                / (F.lit(float(pivot)) + d))
+        scored = self.scored_matches(query, mode, exclude=exclude,
+                                     min_match=min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   feat.alias("feat"))
+        joined = scored.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.select(
+            "doc_id", (F.col("score") + F.col("feat")).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
     def _sampled_matches(self, query: str, sample_top: int,
                          mode: str = "or", exclude: str | None = None,
                          min_match: int = 1,

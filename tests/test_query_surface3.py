@@ -344,3 +344,68 @@ def test_string_stats(reader, corpus, match_ids):
     tot = sum(c.values())
     ent = -sum(n / tot * math.log2(n / tot) for n in c.values())
     assert abs(got["entropy"] - ent) < 1e-5
+
+
+def _mt():
+    return F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
+                  "0, 0, 0, 0, CAST(doc_id % 48 AS INT), 0, 0)")
+
+
+def test_date_histogram(reader, match_ids):
+    got = reader.search_date_histogram(Q, _mt(),
+                                       interval="day").toPandas()
+    from collections import Counter
+    want = Counter(f"2025-01-0{(i % 48) // 24 + 1} 00:00:00"
+                   for i in match_ids)
+    assert dict(zip(got["bucket"], got["n_docs"])) == dict(want)
+    assert got["bucket"].is_monotonic_increasing
+
+
+def test_date_range(reader, match_ids):
+    got = reader.search_date_range(
+        Q, _mt(), [("d1", None, "2025-01-02"),
+                 ("d2", "2025-01-02", None),
+                 ("all", None, None)]).collect()[0]
+    d1 = sum(1 for i in match_ids if (i % 48) < 24)
+    assert got["d1"] == d1
+    assert got["d2"] == len(match_ids) - d1
+    assert got["all"] == len(match_ids)  # ranges may overlap (ES allows)
+
+
+def test_geo_distance(reader, match_ids):
+    lat = (F.col("doc_id") % 120).cast("double") - 60.0
+    lon = (F.col("doc_id") % 340).cast("double") - 170.0
+    got = reader.search_geo_distance(
+        Q, lat, lon, 0.0, 0.0, 5000.0, k=10_000).toPandas()
+
+    def hav(la, lo):
+        p1 = math.radians(la)
+        a = (math.sin((0.0 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(0.0)
+             * math.sin((0.0 - math.radians(lo)) / 2) ** 2)
+        return 12742.0 * math.asin(math.sqrt(a))
+
+    want = {i: round(hav(i % 120 - 60.0, i % 340 - 170.0), 4)
+            for i in match_ids}
+    want = {i: d for i, d in want.items() if d <= 5000.0}
+    assert dict(zip(got["doc_id"], got["dist_km"])) == want
+    assert got["dist_km"].is_monotonic_increasing
+    # ring agg partitions the match set exactly once
+    rings = reader.search_geo_rings(Q, lat, lon, 0.0, 0.0,
+                                    [5000.0, 12000.0]).collect()[0]
+    assert rings["ring_0_5000"] == len(want)
+    assert (rings["ring_0_5000"] + rings["ring_5000_12000"]
+            + rings["ring_12000_inf"]) == len(match_ids)
+
+
+def test_distance_feature(reader):
+    base = _scored(reader)
+    got = reader.search_distance_feature(
+        Q, (F.col("doc_id") % 100), origin=50.0, pivot=10.0,
+        boost=3.0, k=15).toPandas()
+    want = {d: s + 3.0 * 10.0 / (10.0 + abs(d % 100 - 50.0))
+            for d, s in base.items()}
+    rank = sorted(want, key=lambda d: (-want[d], d))[:15]
+    assert got["doc_id"].tolist() == rank
+    for r in got.itertuples():
+        assert abs(r.score - want[r.doc_id]) < 1e-9
