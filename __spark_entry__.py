@@ -69,6 +69,34 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_RCFG = IndexConfig(
+    shard_size=100_000,
+    n_buckets=8,
+    n_salts=2,
+    hot_df_fraction=0.05,
+    sample_fraction=1.0,
+    tokenizer="simple",
+    index_fields=("content",),
+    routing_col="lang",            # ES custom _routing: all docs of a
+    n_routing_shards=4,            # lang share one shard; ?routing=lang
+)                                  # searches touch 1/4 of the index
+
+
+def _ensure_routed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Routed twin of _ensure_index: shard = md5(lang) % 4 instead of an
+    id range (docids.assign_doc_ids_routed). Ids are reassigned per
+    shard, so the ORIGINAL doc identity rides in `path` (already the
+    stringified source doc_id) for oracle joins."""
+    out = os.path.join(
+        tempfile.gettempdir(), "maestro_entry_routed_v1",
+        re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
+    )
+    build_index(spark,
+                _entry_docs(spark, sf_dir).drop("doc_id", "repositories"),
+                out, _RCFG, resume=True)
+    return out
+
+
 def _entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = F.struct(
         F.when(F.col("doc_id") % 5 == 0, F.lit("mirror"))
@@ -833,6 +861,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["string_stats_agg"] = _q_string_stats
 
+    def _q_routed(s: SparkSession, d: str) -> DataFrame:
+        # ES custom _routing: ?routing=es searches ONE shard (md5(lang)%4
+        # hive partition — the scan prunes 3/4 of the posting tree).
+        # Scores use the index's global stats, so they equal the
+        # unrouted engine's; results = top-k of the routed shard's docs.
+        from maestro_spark.operators.docids import routing_shard  # noqa
+        reader = IndexReader(s, _ensure_routed_index(s, d))
+        raw = reader.search("merge stream", k=40, routing="es")
+        docs = reader._docs().select(
+            "doc_id", F.col("path").cast("long").alias("src_id"))
+        return (raw.join(docs, "doc_id")
+                .select(F.col("src_id").alias("doc_id"),
+                        F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["routed_search"] = _q_routed
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))
@@ -845,18 +890,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES runtime fields (runtime mappings): date/geo fields computed per
     # doc at query time from stored values — deterministic doc_id
     # expressions here so the DuckDB oracle reproduces them exactly.
-    _MTIME = F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
-                    "0, 0, 0, 0, CAST(doc_id % 720 AS INT), 0, 0)")
-    _LAT = (F.lit(-60.0) + (F.col("doc_id") * 7 % 120).cast("double")
-            + (F.col("doc_id") * 37 % 100).cast("double") / 100.0)
-    _LON = (F.lit(-170.0) + (F.col("doc_id") * 13 % 340).cast("double")
-            + (F.col("doc_id") * 53 % 100).cast("double") / 100.0)
+    # Lazy (functions, not module constants): F.expr/F.lit need an
+    # active SparkContext, and queries() is also called Spark-less by
+    # the driver to enumerate names.
+    def _MTIME():
+        return F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
+                      "0, 0, 0, 0, CAST(doc_id % 720 AS INT), 0, 0)")
+
+    def _LAT():
+        return (F.lit(-60.0)
+                + (F.col("doc_id") * 7 % 120).cast("double")
+                + (F.col("doc_id") * 37 % 100).cast("double") / 100.0)
+
+    def _LON():
+        return (F.lit(-170.0)
+                + (F.col("doc_id") * 13 % 340).cast("double")
+                + (F.col("doc_id") * 53 % 100).cast("double") / 100.0)
 
     def _q_date_histo(s: SparkSession, d: str) -> DataFrame:
         # ES date_histogram (calendar_interval=day) over a runtime
         # timestamp field; bucket keys as UTC strings
         reader = IndexReader(s, _ensure_index(s, d))
-        return reader.search_date_histogram("spark stream", _MTIME,
+        return reader.search_date_histogram("spark stream", _MTIME(),
                                             interval="day")
 
     q["date_histogram"] = _q_date_histo
@@ -865,7 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES date_range agg: [from, to) named ranges, one conditional agg
         reader = IndexReader(s, _ensure_index(s, d))
         return reader.search_date_range(
-            "spark stream", _MTIME,
+            "spark stream", _MTIME(),
             [("early", None, "2025-01-10"),
              ("mid", "2025-01-10", "2025-01-20"),
              ("late", "2025-01-20", None)])
@@ -876,15 +931,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES geo_distance query + _geo_distance sort: matches within
         # 6000 km of (10, 20), nearest first
         reader = IndexReader(s, _ensure_index(s, d))
-        return reader.search_geo_distance("spark stream", _LAT, _LON,
-                                          10.0, 20.0, 6000.0, k=10)
+        return reader.search_geo_distance("spark stream", _LAT(),
+                                          _LON(), 10.0, 20.0, 6000.0,
+                                          k=10)
 
     q["geo_distance_query"] = _q_geo_dist
 
     def _q_geo_rings(s: SparkSession, d: str) -> DataFrame:
         # ES geo_distance agg: concentric ring buckets around (10, 20)
         reader = IndexReader(s, _ensure_index(s, d))
-        return reader.search_geo_rings("spark stream", _LAT, _LON,
+        return reader.search_geo_rings("spark stream", _LAT(), _LON(),
                                        10.0, 20.0, [3000.0, 8000.0,
                                                     15000.0])
 
@@ -1937,6 +1993,12 @@ FROM g"""
         ["merge", "query", "spark"],
         fscore=("allsc.score + 2.0 * 48.0 "
                 "/ (48.0 + abs((allsc.doc_id % 720) - 720.0))"))
+    from maestro_spark.operators.docids import routing_shard as _rs
+    o["routed_search"] = _bm25_sql(
+        ["merge", "stream"],
+        fscore="allsc.score",
+        where=("(CAST(('0x' || substring(md5(d.lang), 1, 8)) AS UBIGINT) "
+               f"% 4) = {_rs('es', 4)}"))
     o["significant_terms"] = f"""
 WITH {_TOK},
 q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),

@@ -47,7 +47,8 @@ from pyspark.sql import functions as F
 
 from maestro_spark.functions.codec import encode_postings_batch, merge_segments
 from maestro_spark.functions.tokenize import token_record_batches
-from maestro_spark.operators.docids import assign_doc_ids
+from maestro_spark.operators.docids import (assign_doc_ids,
+                                            assign_doc_ids_routed)
 from maestro_spark.sources.tableio import (
     drop_partition_dir,
     read_manifest,
@@ -137,6 +138,16 @@ class IndexConfig:
                                        # or "varint" (v1). One codec per
                                        # index; incremental updates adopt
                                        # the index's existing codec.
+    routing_col: str | None = None     # ES custom `_routing`: shard =
+                                       # md5-hash of this column instead
+                                       # of an id range; a routed query
+                                       # touches ONE shard. Incompatible
+                                       # with id_col (ids are reassigned
+                                       # per shard).
+    n_routing_shards: int = 8          # shard count under routing (the
+                                       # ES number_of_shards analogue);
+                                       # shard_size must absorb the
+                                       # hottest routing key's doc count
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -371,7 +382,15 @@ def build_index(
     cfg = cfg or IndexConfig()
     t0 = time.time()
 
-    if id_col is not None:
+    if cfg.routing_col is not None:
+        if id_col is not None:
+            raise ValueError(
+                "routing_col reassigns doc ids per shard; it cannot be "
+                "combined with id_col (verbatim ids imply range sharding)")
+        with_ids = assign_doc_ids_routed(
+            docs, cfg.routing_col, cfg.n_routing_shards, cfg.shard_size)
+        base = getattr(with_ids, "_maestro_persisted_base", None)
+    elif id_col is not None:
         with_ids = docs if id_col == "doc_id" else docs.withColumnRenamed(id_col, "doc_id")
         base = None
     else:

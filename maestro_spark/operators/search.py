@@ -42,6 +42,7 @@ from maestro_spark.functions.tokenize import (analyze_query, code_tokens,
                                               phrase_terms, simple_tokens,
                                               subtoken_streams)
 from maestro_spark.operators.build import _term_bucket
+from maestro_spark.operators.docids import routing_shard
 from maestro_spark.sources.tableio import read_manifest, resolve_alias
 
 FIELD_OF_PREFIX = {"path:": "path", "lang:": "lang", "repo:": "repo"}
@@ -587,6 +588,21 @@ class IndexReader:
     # (~tens of MB at ~4 bytes/posting); beyond it, route to executors
     LOCAL_DF_BUDGET = 5_000_000
 
+    def _route(self, routing: str | None) -> int | None:
+        """Routed-query shard (the ES `?routing=` analogue): maps the
+        routing value through the same md5 hash the build used. None when
+        unrouted; raises on an index built without routing_col (a routed
+        query against range sharding would silently search one arbitrary
+        id range)."""
+        if routing is None:
+            return None
+        if not self.cfg.get("routing_col"):
+            raise ValueError(
+                "routing= requires an index built with "
+                "IndexConfig(routing_col=...); this index is range-sharded")
+        return routing_shard(routing,
+                             int(self.cfg.get("n_routing_shards", 8)))
+
     def search(self, query: str, k: int = 10, mode: str = "or",
                prune: bool = True,
                boosts: dict[str, float] | None = None,
@@ -595,6 +611,7 @@ class IndexReader:
                require: str | None = None,
                require_any: str | None = None,
                min_match: int = 1,
+               routing: str | None = None,
                synonyms: dict[str, tuple] | None = None) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id long, score double) globally
         ordered by (score desc, doc_id asc) — deterministic ranks (T1).
@@ -653,13 +670,14 @@ class IndexReader:
                 "open the reader with a session for distributed queries")
         if not plan.terms:
             return spark.createDataFrame([], "doc_id long, score double")
+        rshard = self._route(routing)
         if doc_filter is None and (engine == "local" or (
                 engine == "auto"
                 and sum(plan.dfs.values()) <= self.LOCAL_DF_BUDGET)):
             hits = self.search_local(query, k, mode, prune, boosts=boosts,
                                      exclude=exclude, require=require,
                                      require_any=require_any,
-                                     min_match=min_match,
+                                     min_match=min_match, routing=routing,
                                      synonyms=synonyms)
             return spark.createDataFrame(hits, "doc_id long, score double")
         n_buckets = self.cfg["n_buckets"]
@@ -676,6 +694,10 @@ class IndexReader:
 
         rel = self._postings().where(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        if rshard is not None:
+            # routed query: one hive partition survives pruning — the
+            # scan (and the whole job) touches 1/n_shards of the index
+            rel = rel.where(F.col("shard") == rshard)
         if doc_filter is None:
             def score_shard(key, pdf):
                 shard = int(key[0])
@@ -696,6 +718,8 @@ class IndexReader:
             )
         else:
             allowed_df = self._docs().where(doc_filter).select("shard", "doc_id")
+            if rshard is not None:
+                allowed_df = allowed_df.where(F.col("shard") == rshard)
 
             def score_shard_filtered(key, pdf, adf):
                 shard = int(key[0])
@@ -1029,6 +1053,23 @@ class IndexReader:
                 out.setdefault(shard, {})[t] = row
         return out
 
+    def _fetch_posting_rows_routed(self, terms: list[str], rshard: int
+                                   ) -> dict[int, dict[str, dict]]:
+        """Single-shard posting fetch for routed queries: same two-level
+        pruning as _fetch_posting_rows PLUS hive partition pruning on
+        `shard` — bytes read are bounded by the routed shard's share of
+        the query terms' postings. Uncached (the LRU holds full cross-
+        shard entries; a routed workload hitting the same tenant
+        repeatedly is served by the OS page cache on the pruned files)."""
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+        tbl = self._postings_dataset().to_table(
+            filter=(pads.field("shard") == rshard)
+            & pads.field("term_bucket").isin(buckets)
+            & pads.field("term").isin(terms))
+        rows: dict[str, dict] = {r["term"]: r for r in tbl.to_pylist()}
+        return {rshard: rows} if rows else {}
+
     def _merge_topk(self, ids: np.ndarray, scores: np.ndarray, k: int
                     ) -> pd.DataFrame:
         order = np.lexsort((ids, -scores))[:k]
@@ -1053,6 +1094,7 @@ class IndexReader:
                      require: str | None = None,
                      require_any: str | None = None,
                      min_match: int = 1,
+                     routing: str | None = None,
                      synonyms: dict[str, tuple] | None = None,
                      within_ids: np.ndarray | None = None,
                      plan_override: QueryPlan | None = None) -> pd.DataFrame:
@@ -1084,9 +1126,17 @@ class IndexReader:
         ex_terms = self._exclusion_terms(exclude)
         req_terms = self._exclusion_terms(require)
         any_terms = self._exclusion_terms(require_any)
-        by_shard = self._fetch_posting_rows(
-            sorted(set(plan.terms) | set(ex_terms)
-                   | set(req_terms) | set(any_terms)))
+        all_q_terms = sorted(set(plan.terms) | set(ex_terms)
+                             | set(req_terms) | set(any_terms))
+        rshard = self._route(routing)
+        if rshard is not None:
+            # routed read: shard is a hive partition key, so the fetch
+            # opens 1/n_shards of the posting tree — bypasses the
+            # per-term LRU (whose entries span shards) rather than
+            # poisoning it with partial rows
+            by_shard = self._fetch_posting_rows_routed(all_q_terms, rshard)
+        else:
+            by_shard = self._fetch_posting_rows(all_q_terms)
         if not by_shard:
             return self._EMPTY_HITS()
         shard_size = self.cfg["shard_size"]
@@ -1180,7 +1230,8 @@ class IndexReader:
                     exclude: str | None = None,
                     require: str | None = None,
                     require_any: str | None = None,
-                    min_match: int = 1) -> int:
+                    min_match: int = 1,
+                    routing: str | None = None) -> int:
         """Total-hits count (the ES _count analogue): number of docs
         matching the analyzed query under `mode`/`exclude`/`require`/
         `min_match`, without scoring. Pure posting set algebra per shard —
@@ -1192,9 +1243,12 @@ class IndexReader:
         ex_terms = self._exclusion_terms(exclude)
         req_terms = self._exclusion_terms(require)
         any_terms = self._exclusion_terms(require_any)
-        by_shard = self._fetch_posting_rows(
-            sorted(set(plan.terms) | set(ex_terms)
-                   | set(req_terms) | set(any_terms)))
+        _count_terms = sorted(set(plan.terms) | set(ex_terms)
+                              | set(req_terms) | set(any_terms))
+        rshard = self._route(routing)
+        by_shard = (self._fetch_posting_rows_routed(_count_terms, rshard)
+                    if rshard is not None
+                    else self._fetch_posting_rows(_count_terms))
         total = 0
         for shard, rows in sorted(by_shard.items()):
             present = [t for t in plan.terms if t in rows]
