@@ -878,6 +878,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["routed_search"] = _q_routed
 
+    def _q_dsir(s: SparkSession, d: str) -> DataFrame:
+        # DSIR importance sampling (Xie et al. 2023): hashed-unigram
+        # log-likelihood ratio vs a target slice (doc_id%17==0); top 15
+        # most target-like docs
+        docs = _t(s, d, "documents")
+        target = docs.where(F.col("doc_id") % 17 == 0)
+        w = curation.dsir_weights(docs, target, n_buckets=1024)
+        return (w.orderBy(F.desc("logratio"), F.asc("doc_id")).limit(15))
+
+    q["dsir_select"] = _q_dsir
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))
@@ -1999,6 +2010,23 @@ FROM g"""
         fscore="allsc.score",
         where=("(CAST(('0x' || substring(md5(d.lang), 1, 8)) AS UBIGINT) "
                f"% 4) = {_rs('es', 4)}"))
+    o["dsir_select"] = f"""
+WITH {_TOK},
+b AS (SELECT doc_id, {_hex16_sql('term')} % 1024 AS bucket FROM tok),
+tb AS (SELECT bucket FROM b WHERE doc_id % 17 = 0),
+bgc AS (SELECT bucket, count(*)::DOUBLE AS bg_n FROM b GROUP BY 1),
+tgc AS (SELECT bucket, count(*)::DOUBLE AS tg_n FROM tb GROUP BY 1),
+tot AS (SELECT (SELECT sum(bg_n) FROM bgc) AS bg_tot,
+               (SELECT sum(tg_n) FROM tgc) AS tg_tot),
+w AS (SELECT bgc.bucket,
+             ln((coalesce(tgc.tg_n, 0) + 1.0) / (tot.tg_tot + 1024.0))
+             - ln((bgc.bg_n + 1.0) / (tot.bg_tot + 1024.0)) AS w
+      FROM bgc LEFT JOIN tgc USING (bucket) CROSS JOIN tot),
+d AS (SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+             round(sum(w.w), 6) AS logratio
+      FROM b JOIN w USING (bucket) GROUP BY 1)
+SELECT doc_id, n_tokens, logratio FROM d
+ORDER BY logratio DESC, doc_id LIMIT 15"""
     o["significant_terms"] = f"""
 WITH {_TOK},
 q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),

@@ -214,3 +214,60 @@ def pack_sequences(docs: DataFrame, budget: int,
     return (docs.select(strata_col, id_col, token_col)
             .groupBy(strata_col)
             .applyInPandas(pack_group, schema=schema))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 n_buckets: int = 1024, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 target_text_col: str = "text") -> DataFrame:
+    """DSIR importance weights — Data Selection via Importance Resampling
+    (Xie et al. 2023, public): score every corpus doc by how much more
+    likely its tokens are under a small TARGET domain sample than under
+    the background corpus, using hashed-unigram bag-of-words LMs:
+
+        w(doc) = Σ_t  ln p_tgt(h(t)) − ln p_bg(h(t))
+
+    with h = 16-bit md5 bucket (mod n_buckets, SQL-reproducible) and
+    add-one smoothing over the bucket vocabulary. High w = target-like;
+    a mix pipeline keeps the top fraction (or samples ∝ exp w).
+
+    Scale shape: the two LMs reduce to ≤ n_buckets rows each (one
+    partial-agg groupBy per side; the target is sample-sized anyway);
+    the per-bucket log-ratio table joins the corpus token stream as a
+    BROADCAST (n_buckets rows — never a corpus-keyed shuffle), then one
+    partial-agg groupBy(doc) sums. Nothing corpus-scale shuffles on a
+    term key. Returns (doc_id, n_tokens, logratio rounded 6)."""
+    from pyspark.sql.functions import broadcast
+
+    from maestro_spark.operators.textstats import (hex16_col,
+                                                   simple_token_col)
+
+    def tok(df: DataFrame, tcol: str, icol) -> DataFrame:
+        return df.select(
+            *( [F.col(icol).alias("_id")] if icol else [] ),
+            F.explode(simple_token_col(F.col(tcol))).alias("term"),
+        ).withColumn("bucket", hex16_col(F.col("term")) % n_buckets) \
+         .drop("term")
+
+    bg = tok(docs, text_col, id_col)
+    tg = tok(target, target_text_col, None)
+    bg_counts = bg.groupBy("bucket").agg(F.count("*").alias("bg_n"))
+    tg_counts = tg.groupBy("bucket").agg(F.count("*").alias("tg_n"))
+    bg_tot = bg_counts.agg(F.sum("bg_n").alias("bg_tot"))
+    tg_tot = tg_counts.agg(F.sum("tg_n").alias("tg_tot"))
+    weights = (
+        bg_counts.join(tg_counts, "bucket", "full_outer")
+        .crossJoin(bg_tot).crossJoin(tg_tot)
+        .select(
+            "bucket",
+            (F.log((F.coalesce("tg_n", F.lit(0)) + 1.0)
+                   / (F.col("tg_tot") + float(n_buckets)))
+             - F.log((F.coalesce("bg_n", F.lit(0)) + 1.0)
+                     / (F.col("bg_tot") + float(n_buckets))))
+            .alias("w"),
+        )
+    )
+    return (bg.join(broadcast(weights), "bucket", "inner")
+            .groupBy(F.col("_id").alias(id_col))
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.sum("w"), 6).alias("logratio")))

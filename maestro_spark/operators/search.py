@@ -250,6 +250,11 @@ class IndexReader:
         from collections import OrderedDict
         self._posting_rows_cache: OrderedDict[str, dict[int, dict]] = OrderedDict()
         self._posting_cache_bytes = 0
+        # routed-fetch LRU: (term, shard) → row ({} = absent). Entries
+        # are one shard's slice, so a simple row-count bound suffices
+        # (each ≤ one shard's share of one term's postings).
+        self._routed_rows_cache: OrderedDict[tuple[str, int], dict] = \
+            OrderedDict()
 
     def _refresh_if_stale(self) -> None:
         """A reader held across an in-place incremental rebuild (the
@@ -587,6 +592,10 @@ class IndexReader:
     # postings a single serving process will happily decode for one query
     # (~tens of MB at ~4 bytes/posting); beyond it, route to executors
     LOCAL_DF_BUDGET = 5_000_000
+
+    # routed-fetch LRU entries ((term, shard) slices — each bounded by
+    # one shard's share of one term's postings)
+    _ROUTED_CACHE_ROWS = 4096
 
     def _route(self, routing: str | None) -> int | None:
         """Routed-query shard (the ES `?routing=` analogue): maps the
@@ -1058,16 +1067,42 @@ class IndexReader:
         """Single-shard posting fetch for routed queries: same two-level
         pruning as _fetch_posting_rows PLUS hive partition pruning on
         `shard` — bytes read are bounded by the routed shard's share of
-        the query terms' postings. Uncached (the LRU holds full cross-
-        shard entries; a routed workload hitting the same tenant
-        repeatedly is served by the OS page cache on the pruned files)."""
-        n_buckets = self.cfg["n_buckets"]
-        buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
-        tbl = self._postings_dataset().to_table(
-            filter=(pads.field("shard") == rshard)
-            & pads.field("term_bucket").isin(buckets)
-            & pads.field("term").isin(terms))
-        rows: dict[str, dict] = {r["term"]: r for r in tbl.to_pylist()}
+        the query terms' postings. Cache discipline: a term already in
+        the full cross-shard LRU is filtered from it (no read at all);
+        misses read ONLY the routed shard and land in a small dedicated
+        (term, shard)-keyed LRU — they must not enter the main LRU,
+        whose entries are trusted to span every shard."""
+        rows: dict[str, dict] = {}
+        missing: list[str] = []
+        for t in terms:
+            full = self._posting_rows_cache.get(t)
+            if full is not None:
+                self._posting_rows_cache.move_to_end(t)
+                if rshard in full:
+                    rows[t] = full[rshard]
+                continue
+            hit = self._routed_rows_cache.get((t, rshard))
+            if hit is not None:
+                self._routed_rows_cache.move_to_end((t, rshard))
+                if hit:  # {} caches an absent (term, shard)
+                    rows[t] = hit
+                continue
+            missing.append(t)
+        if missing:
+            n_buckets = self.cfg["n_buckets"]
+            buckets = sorted({_term_bucket(t, n_buckets) for t in missing})
+            tbl = self._postings_dataset().to_table(
+                filter=(pads.field("shard") == rshard)
+                & pads.field("term_bucket").isin(buckets)
+                & pads.field("term").isin(missing))
+            got = {r["term"]: r for r in tbl.to_pylist()}
+            for t in missing:
+                row = got.get(t, {})
+                self._routed_rows_cache[(t, rshard)] = row
+                if row:
+                    rows[t] = row
+            while len(self._routed_rows_cache) > self._ROUTED_CACHE_ROWS:
+                self._routed_rows_cache.popitem(last=False)
         return {rshard: rows} if rows else {}
 
     def _merge_topk(self, ids: np.ndarray, scores: np.ndarray, k: int

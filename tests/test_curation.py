@@ -105,3 +105,55 @@ def test_pack_sequences_oversize_doc_own_pack(spark):
     assert got["pack_fill"].tolist() == [50, 500, 30, 70, 60]
     with pytest.raises(ValueError):
         curation.pack_sequences(spark.createDataFrame(pdf), 0)
+
+
+def test_dsir_weights_vs_bruteforce(spark, docs):
+    import hashlib
+    import math
+    import re
+
+    from collections import Counter
+
+    B = 64
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    got = curation.dsir_weights(docs, target, n_buckets=B) \
+        .toPandas().set_index("doc_id").sort_index()
+
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def buckets(text):
+        return [int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % B
+                for t in re.findall(r"[a-z0-9]+", text.lower())]
+
+    bg = Counter()
+    tg = Counter()
+    per_doc = {}
+    for r in pdf.itertuples():
+        bs = buckets(r.text)
+        per_doc[r.doc_id] = bs
+        bg.update(bs)
+        if r.doc_id % 7 == 0:
+            tg.update(bs)
+    bg_tot, tg_tot = sum(bg.values()), sum(tg.values())
+    w = {b: math.log((tg.get(b, 0) + 1.0) / (tg_tot + B))
+         - math.log((bg[b] + 1.0) / (bg_tot + B)) for b in bg}
+    for doc_id, bs in per_doc.items():
+        if not bs:
+            assert doc_id not in got.index
+            continue
+        assert got.at[doc_id, "n_tokens"] == len(bs)
+        assert abs(got.at[doc_id, "logratio"]
+                   - round(sum(w[b] for b in bs), 6)) < 1e-5
+    # target-slice docs score higher on average than the background
+    t_mean = got.loc[[i for i in got.index if i % 7 == 0], "logratio"].mean()
+    b_mean = got.loc[[i for i in got.index if i % 7 != 0], "logratio"].mean()
+    assert t_mean > b_mean
+
+
+def test_dsir_weight_join_is_broadcast(spark, docs):
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    plan = curation.dsir_weights(docs, target, n_buckets=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the bucket-keyed weight join must broadcast (n_buckets rows), never
+    # shuffle the corpus token stream on the bucket key
+    assert "BroadcastHashJoin" in plan
