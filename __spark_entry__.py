@@ -889,6 +889,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_select"] = _q_dsir
 
+    def _q_percolate(s: SparkSession, d: str) -> DataFrame:
+        # ES percolator: registered queries matched against every doc
+        # (the alerting primitive); and/or + min_match per query
+        from maestro_spark.operators.percolate import percolate
+        qdf = s.createDataFrame(
+            [(1, "spark merge", "and", 1),
+             (2, "stream window", "or", 2),
+             (3, "dup vector table", "or", 2),
+             (4, "zzzqqqzzz", "or", 1)],
+            "query_id long, query string, mode string, min_match int")
+        docs = _t(s, d, "documents")
+        return (percolate(docs, qdf)
+                .orderBy("doc_id", "query_id"))
+
+    q["percolate_queries"] = _q_percolate
+
+    def _q_boxplot(s: SparkSession, d: str) -> DataFrame:
+        # ES boxplot agg (exact quartiles; TDigest is the approx path)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_boxplot("merge window", F.length("content"))
+
+    q["bm25_boxplot"] = _q_boxplot
+
+    def _q_t_test(s: SparkSession, d: str) -> DataFrame:
+        # ES t_test agg (Welch): doc-length difference between two
+        # filter populations; returns t + Welch df (p-value is a
+        # client-side CDF of these)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_t_test("spark merge", "dup vector",
+                                    F.length("content"))
+
+    q["t_test_agg"] = _q_t_test
+
+    def _q_geo_bbox(s: SparkSession, d: str) -> DataFrame:
+        # ES geo_bounding_box: pure conjunctive filter on runtime lat/lon
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geo_bounding_box(
+            "spark stream", _LAT(), _LON(),
+            top=30.0, left=-50.0, bottom=-30.0, right=60.0, k=20)
+
+    q["geo_bbox_query"] = _q_geo_bbox
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))
@@ -2027,6 +2069,55 @@ d AS (SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
       FROM b JOIN w USING (bucket) GROUP BY 1)
 SELECT doc_id, n_tokens, logratio FROM d
 ORDER BY logratio DESC, doc_id LIMIT 15"""
+    o["percolate_queries"] = f"""
+WITH {_TOK},
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+p1 AS (SELECT doc_id, 1 AS query_id, count(*)::BIGINT AS n_matched
+       FROM dt WHERE term IN ('merge', 'spark')
+       GROUP BY doc_id HAVING count(*) >= 2),
+p2 AS (SELECT doc_id, 2 AS query_id, count(*)::BIGINT AS n_matched
+       FROM dt WHERE term IN ('stream', 'window')
+       GROUP BY doc_id HAVING count(*) >= 2),
+p3 AS (SELECT doc_id, 3 AS query_id, count(*)::BIGINT AS n_matched
+       FROM dt WHERE term IN ('dup', 'table', 'vector')
+       GROUP BY doc_id HAVING count(*) >= 2),
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      UNION ALL SELECT * FROM p3)
+SELECT doc_id, query_id::BIGINT AS query_id, n_matched FROM u
+ORDER BY doc_id, query_id"""
+    o["bm25_boxplot"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window'))
+SELECT min(length(d.text))::DOUBLE AS min_v,
+       round(quantile_cont(length(d.text), 0.25), 6) AS q1,
+       round(quantile_cont(length(d.text), 0.50), 6) AS q2,
+       round(quantile_cont(length(d.text), 0.75), 6) AS q3,
+       max(length(d.text))::DOUBLE AS max_v
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["t_test_agg"] = f"""
+WITH {_TOK},
+ma AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'spark')),
+mb AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('dup', 'vector')),
+a AS (SELECT count(*)::BIGINT AS n_a, avg(length(d.text)) AS mean_a,
+             var_samp(length(d.text)::DOUBLE) AS var_a
+      FROM documents d JOIN ma ON ma.doc_id = d.doc_id),
+b AS (SELECT count(*)::BIGINT AS n_b, avg(length(d.text)) AS mean_b,
+             var_samp(length(d.text)::DOUBLE) AS var_b
+      FROM documents d JOIN mb ON mb.doc_id = d.doc_id),
+c AS (SELECT *, var_a / n_a AS sa, var_b / n_b AS sb FROM a CROSS JOIN b)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(sa + sb), 6) AS t_stat,
+       round((sa + sb) * (sa + sb)
+             / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)), 4) AS t_df
+FROM c"""
+    o["geo_bbox_query"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT d.doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+      FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT doc_id FROM g
+WHERE lat <= 30.0 AND lat >= -30.0 AND lon >= -50.0 AND lon <= 60.0
+ORDER BY doc_id LIMIT 20"""
     o["significant_terms"] = f"""
 WITH {_TOK},
 q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),

@@ -2675,6 +2675,105 @@ class IndexReader:
             aggs.append(F.sum(cond.cast("long")).alias(name))
         return joined.agg(*aggs)
 
+    def search_geo_bounding_box(self, query: str, lat_col, lon_col,
+                                top: float, left: float, bottom: float,
+                                right: float, k: int = 10,
+                                mode: str = "or",
+                                exclude: str | None = None,
+                                min_match: int = 1) -> DataFrame:
+        """geo_bounding_box query (the ES analogue): matched docs whose
+        point falls inside [bottom, top] × [left, right] (edges
+        inclusive, ES convention; no dateline wrapping — reject
+        left > right rather than mis-filter). Pure conjunctive filter
+        over the match-set join; where lat/lon are STORED columns the
+        box predicate is exactly what parquet min/max stats prune —
+        ES's geo-index acceleration becomes free scan pruning."""
+        if left > right:
+            raise ValueError(
+                "dateline-crossing boxes (left > right) unsupported; "
+                "split into two boxes")
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id", lat_col.cast("double").alias("_lat"),
+            lon_col.cast("double").alias("_lon"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.where(
+            (F.col("_lat") <= float(top)) & (F.col("_lat") >= float(bottom))
+            & (F.col("_lon") >= float(left))
+            & (F.col("_lon") <= float(right)))
+            .select("doc_id").orderBy("doc_id").limit(k))
+
+    def search_boxplot(self, query: str, value_col, mode: str = "or",
+                       exclude: str | None = None,
+                       min_match: int = 1) -> DataFrame:
+        """boxplot aggregation (the ES analogue): min, q1, q2 (median),
+        q3, max of a stored expression over the match set, one row. ES
+        computes the quartiles from a TDigest (approximate); this is the
+        exact `percentile` aggregate, same trade as search_percentiles
+        (swap in approx_percentile at 100 TB for sketch cost — kept
+        exact so the oracle can check values)."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        qs = F.percentile(F.col("v"), F.array(F.lit(0.25), F.lit(0.5),
+                                              F.lit(0.75)))
+        return joined.agg(
+            F.min("v").alias("min_v"),
+            qs.alias("_q")).select(
+            "min_v",
+            F.round(F.element_at("_q", 1), 6).alias("q1"),
+            F.round(F.element_at("_q", 2), 6).alias("q2"),
+            F.round(F.element_at("_q", 3), 6).alias("q3"),
+        ).crossJoin(joined.agg(F.max("v").alias("max_v"))) \
+         .select("min_v", "q1", "q2", "q3", "max_v")
+
+    def search_t_test(self, query_a: str, query_b: str, value_col,
+                      mode: str = "or") -> DataFrame:
+        """t_test aggregation (the ES analogue, heteroscedastic/Welch
+        unpaired flavor): compares a stored metric between two filter
+        populations. Returns the t statistic and Welch–Satterthwaite
+        degrees of freedom:
+
+            t  = (μa − μb) / sqrt(sa²/na + sb²/nb)      (sample vars)
+            df = (sa²/na + sb²/nb)² / ((sa²/na)²/(na−1) + (sb²/nb)²/(nb−1))
+
+        ES reports the p-value (the t CDF of these two numbers — a
+        client-side scalar transform with no data access); t/df are
+        returned instead so the result stays exactly SQL-checkable.
+        Two 1-row partial aggs crossJoined — no per-doc data moves."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        v = value_col.cast("double").alias("v")
+
+        def side(q: str, tag: str) -> DataFrame:
+            m = self.match_docs(q, mode)
+            docs = self._docs().select("shard", "doc_id", v)
+            return m.join(docs, ["shard", "doc_id"], "inner").agg(
+                F.count("v").alias(f"n_{tag}"),
+                F.avg("v").alias(f"mean_{tag}"),
+                F.var_samp("v").alias(f"var_{tag}"))
+
+        ab = side(query_a, "a").crossJoin(side(query_b, "b"))
+        sa = F.col("var_a") / F.col("n_a")
+        sb = F.col("var_b") / F.col("n_b")
+        t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)
+        df = ((sa + sb) * (sa + sb)
+              / (sa * sa / (F.col("n_a") - 1)
+                 + sb * sb / (F.col("n_b") - 1)))
+        return ab.select(
+            "n_a", "n_b",
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(df, 4).alias("t_df"))
+
     def search_distance_feature(self, query: str, value_col,
                                 origin: float, pivot: float,
                                 k: int = 10, boost: float = 1.0,

@@ -409,3 +409,50 @@ def test_distance_feature(reader):
     assert got["doc_id"].tolist() == rank
     for r in got.itertuples():
         assert abs(r.score - want[r.doc_id]) < 1e-9
+
+
+def test_boxplot(reader, corpus, match_ids):
+    got = reader.search_boxplot(Q, F.length("content")).collect()[0]
+    v = corpus[corpus["doc_id"].isin(match_ids)]["content"].str.len() \
+        .to_numpy(dtype=np.float64)
+    assert got["min_v"] == v.min() and got["max_v"] == v.max()
+    for name, q in (("q1", 25), ("q2", 50), ("q3", 75)):
+        want = round(float(np.percentile(v, q)), 6)  # linear interp
+        assert abs(got[name] - want) < 1e-6
+    assert got["min_v"] <= got["q1"] <= got["q2"] <= got["q3"] \
+        <= got["max_v"]
+
+
+def test_t_test(reader, corpus, token_lists):
+    got = reader.search_t_test("index", "merge query",
+                               F.length("content")).collect()[0]
+
+    def pop(qs):
+        qt = set(qs.split())
+        ids = {i for i, t in enumerate(token_lists) if qt & set(t)}
+        return corpus[corpus["doc_id"].isin(ids)]["content"].str.len() \
+            .to_numpy(dtype=np.float64)
+
+    a, b = pop("index"), pop("merge query")
+    assert len(a) > 1 and len(b) > 1
+    sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(sa + sb)
+    df = (sa + sb) ** 2 / (sa ** 2 / (len(a) - 1) + sb ** 2 / (len(b) - 1))
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["t_stat"] - round(t, 6)) < 1e-6
+    assert abs(got["t_df"] - round(df, 4)) < 1e-4
+
+
+def test_geo_bounding_box(reader, match_ids):
+    lat = (F.col("doc_id") % 120).cast("double") - 60.0
+    lon = (F.col("doc_id") % 340).cast("double") - 170.0
+    got = reader.search_geo_bounding_box(
+        Q, lat, lon, top=20.0, left=-40.0, bottom=-20.0, right=90.0,
+        k=100_000).toPandas()
+    want = sorted(i for i in match_ids
+                  if -20.0 <= (i % 120 - 60.0) <= 20.0
+                  and -40.0 <= (i % 340 - 170.0) <= 90.0)
+    assert got["doc_id"].tolist() == want
+    with pytest.raises(ValueError, match="dateline"):
+        reader.search_geo_bounding_box(Q, lat, lon, 10.0, 50.0, -10.0,
+                                       -50.0)
