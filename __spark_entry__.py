@@ -931,6 +931,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_bbox_query"] = _q_geo_bbox
 
+    def _q_completion(s: SparkSession, d: str) -> DataFrame:
+        # ES completion suggester: prefix -> weighted keyword values
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.suggest_completion("src1", col="repo", k=10)
+
+    q["suggest_completion"] = _q_completion
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))
@@ -2118,6 +2125,10 @@ g AS (SELECT d.doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
 SELECT doc_id FROM g
 WHERE lat <= 30.0 AND lat >= -30.0 AND lon >= -50.0 AND lon <= 60.0
 ORDER BY doc_id LIMIT 20"""
+    o["suggest_completion"] = """
+SELECT source AS value, count(*)::BIGINT AS weight
+FROM documents WHERE source LIKE 'src1%'
+GROUP BY 1 ORDER BY weight DESC, value LIMIT 10"""
     o["significant_terms"] = f"""
 WITH {_TOK},
 q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),

@@ -2774,6 +2774,24 @@ class IndexReader:
             F.round(t, 6).alias("t_stat"),
             F.round(df, 4).alias("t_df"))
 
+    def suggest_completion(self, prefix: str, col="repo",
+                           k: int = 10) -> DataFrame:
+        """Completion suggester (the ES completion-field analogue):
+        top-k values of a keyword column starting with `prefix`, ranked
+        by weight = doc frequency (desc, value asc — deterministic).
+        ES serves this from an in-memory FST built at index time; the
+        equivalent serving artifact here would be a termdict-style
+        sorted sidecar of (value, weight) — the Spark path below is the
+        build/batch form: one column-pruned docstore scan (the prefix
+        predicate pushes down to parquet min/max on a sorted store) and
+        one partial agg over ≤ |distinct values| rows."""
+        if isinstance(col, str):
+            col = F.col(col)
+        vals = self._docs().select(col.cast("string").alias("value"))
+        return (vals.where(F.col("value").startswith(prefix))
+                .groupBy("value").agg(F.count("*").alias("weight"))
+                .orderBy(F.desc("weight"), F.asc("value")).limit(k))
+
     def search_distance_feature(self, query: str, value_col,
                                 origin: float, pivot: float,
                                 k: int = 10, boost: float = 1.0,

@@ -295,3 +295,56 @@ def test_command_stream_crash_replay_exactly_once(spark, tmp_path):
         assert list(a["doc_id"]) == list(b["doc_id"])
         assert list(a["score"]) == list(b["score"])
     assert len(r_f.search_pandas("zzqcrashmarker", k=10)) == 1
+
+
+def test_percolate_stream_alerts(spark, tmp_path):
+    """Streaming percolation: upserts matched against registered queries
+    per micro-batch; the batch_id-partitioned sink is replay-idempotent."""
+    import re
+
+    from maestro_spark.streaming import alerts as sa
+
+    cmd_dir = str(tmp_path / "cmds")
+    alerts_dir = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt_alerts")
+    os.makedirs(cmd_dir)
+
+    queries = spark.createDataFrame(
+        [(1, "def return", "and", 1), (2, "index merge", "or", 2)],
+        "query_id long, query string, mode string, min_match int")
+
+    base = synth_docs(spark, 80, seed=9, partitions=2).collect()
+    ups = [(i, "upsert", r["repo"], r["path"], r["commit"], r["lang"],
+            r["content"]) for i, r in enumerate(base)]
+    # a delete and a malformed upsert must never alert
+    ups.append((900, "delete", base[0]["repo"], base[0]["path"],
+                base[0]["commit"], None, None))
+    ups.append((901, "upsert", "org/bad", "p", "c", "java", None))
+    _write_commands(spark, cmd_dir, ups, "b0")
+    sa.run_percolate_stream(spark, cmd_dir, queries, alerts_dir, ckpt)
+
+    got = spark.read.parquet(alerts_dir).toPandas()
+    want = set()
+    for r in base:
+        toks = set(re.findall(r"[a-z0-9]+", r["content"].lower()))
+        if {"def", "return"} <= toks:
+            want.add((r["repo"], r["path"], r["commit"], 1))
+        if len({"index", "merge"} & toks) >= 2:
+            want.add((r["repo"], r["path"], r["commit"], 2))
+    assert set(map(tuple, got[["repo", "path", "commit",
+                               "query_id"]].itertuples(index=False))) == want
+    assert len(got) == len(want)
+
+    # second batch: one new matching doc -> exactly one new alert row,
+    # in a NEW batch partition; old partitions untouched
+    _write_commands(spark, cmd_dir,
+                    [(1000, "upsert", "org/x", "pp", "cc", "py",
+                      "def f(): return index merge")], "b1")
+    sa.run_percolate_stream(spark, cmd_dir, queries, alerts_dir, ckpt)
+    got2 = spark.read.parquet(alerts_dir).toPandas()
+    assert len(got2) == len(want) + 2  # matches both queries
+    assert set(got2["batch_id"].unique()) >= {0, 1}
+
+    # drained stream: re-run is a no-op (checkpoint)
+    sa.run_percolate_stream(spark, cmd_dir, queries, alerts_dir, ckpt)
+    assert len(spark.read.parquet(alerts_dir).toPandas()) == len(got2)
