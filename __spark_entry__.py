@@ -938,6 +938,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suggest_completion"] = _q_completion
 
+    def _q_span_first(s: SparkSession, d: str) -> DataFrame:
+        # Lucene span_first: the phrase must END within the first 30
+        # token slots; tf/df (and the score) reflect the restriction
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.phrase_search("slow query", k=40, first_n=30)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["span_first"] = _q_span_first
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))
@@ -2129,6 +2139,26 @@ ORDER BY doc_id LIMIT 20"""
 SELECT source AS value, count(*)::BIGINT AS weight
 FROM documents WHERE source LIKE 'src1%'
 GROUP BY 1 ORDER BY weight DESC, value LIMIT 10"""
+    # span_first: bigram at 1-indexed slot i has 0-indexed end i+1;
+    # end <= 30 -> i <= 29
+    o["span_first"] = f"""
+WITH {_ARR},
+big AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS s
+        FROM arr, unnest(range(1, greatest(len(ts), 1))) AS t(i)
+        WHERE i <= 29),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM big
+       WHERE s = 'slow query' GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
     o["significant_terms"] = f"""
 WITH {_TOK},
 q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),

@@ -3353,6 +3353,7 @@ class IndexReader:
     def phrase_search_local(self, phrase: str, k: int = 10,
                             slop: int = 0, prefix_last: bool = False,
                             max_expansions: int = 50,
+                            first_n: int | None = None,
                             max_workers: int | None = None) -> pd.DataFrame:
         """Serving-path exact-phrase top-k — same match + scoring semantics
         as phrase_search (the phrase-as-pseudo-term BM25, including the
@@ -3378,7 +3379,7 @@ class IndexReader:
                 return self._EMPTY_HITS()
             uniq = sorted(set(seq) | set(alts))
         else:
-            if len(terms) == 1:
+            if len(terms) == 1 and first_n is None:
                 return self.search_local(terms[0], k=k)
             seq = list(terms)
             uniq = sorted(set(terms))
@@ -3391,7 +3392,8 @@ class IndexReader:
             if any(t not in rows for t in seq):
                 return (np.empty(0, np.int64), np.empty(0, np.int64),
                         np.empty(0, np.float64))
-            docs, tf_phrase = _phrase_match(rows, seq, slop, alts)
+            docs, tf_phrase = _phrase_match(rows, seq, slop, alts,
+                                            first_n=first_n)
             if docs.size == 0:
                 return (docs, tf_phrase, np.empty(0, np.float64))
             dls = _load_doclens(index_dir, shard, "content",
@@ -3601,6 +3603,7 @@ class IndexReader:
     def phrase_search(self, phrase: str, k: int = 10,
                       slop: int = 0, prefix_last: bool = False,
                       max_expansions: int = 50,
+                      first_n: int | None = None,
                       engine: str = "spark") -> DataFrame:
         """Exact-phrase top-k over the positional (prox) stream: documents
         containing the query's subtoken sequence consecutively, scored as
@@ -3655,7 +3658,7 @@ class IndexReader:
                                      sum(dfs.values()) <= self.LOCAL_DF_BUDGET):
                 hits = self.phrase_search_local(
                     phrase, k=k, slop=slop, prefix_last=prefix_last,
-                    max_expansions=max_expansions)
+                    max_expansions=max_expansions, first_n=first_n)
                 return spark.createDataFrame(hits,
                                              "doc_id long, score double")
         alts: list[str] | None = None
@@ -3666,7 +3669,7 @@ class IndexReader:
                 return empty
             uniq = sorted(set(seq) | set(alts))
         else:
-            if len(terms) == 1:
+            if len(terms) == 1 and first_n is None:
                 return self.search(terms[0], k=k)
             seq = list(terms)
             uniq = sorted(set(terms))
@@ -3686,7 +3689,8 @@ class IndexReader:
             if any(t not in rows for t in seq):
                 return out_empty
             shard = int(key[0])
-            docs, tf_phrase = _phrase_match(rows, seq, slop, alts)
+            docs, tf_phrase = _phrase_match(rows, seq, slop, alts,
+                                            first_n=first_n)
             if docs.size == 0:
                 return out_empty
             dls = _load_doclens(index_dir, shard, "content",
@@ -3734,9 +3738,17 @@ _PHRASE_KEY_BITS = 21  # doc-local positions < 2^21 (doc lengths ≪ 2M)
 
 
 def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0,
-                  last_alts: list[str] | None = None
+                  last_alts: list[str] | None = None,
+                  first_n: int | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized positional phrase match for one shard.
+
+    first_n (span_first, the Lucene SpanFirstQuery contract): keep only
+    occurrences whose span END ≤ first_n, with end = one past the last
+    matched position (0-indexed) — "the phrase within the first N token
+    slots". tf counts surviving occurrences; a doc drops out entirely
+    when none survive, so df (and therefore scoring) reflects the
+    restricted match.
 
     slop=0 (exact phrase): for phrase term i, every occurrence at position
     p proposes phrase-start key doc_idx·2^21 + (p − i + len(seq)); the
@@ -3833,7 +3845,10 @@ def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0,
         return inter[keep], tf[keep].astype(np.int64)
 
     if alts and not seq:
-        return finish(last_keys(0, 0))
+        sk = last_keys(0, 0)
+        if first_n is not None:
+            sk = sk[(sk % m) + 1 <= first_n]  # end = p0 + 1
+        return finish(sk)
 
     if slop > 0:
         keys = {t: term_keys(t, 0, 0) for t in uniq_terms}
@@ -3849,6 +3864,8 @@ def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0,
             cur = np.where(hit, arr[np.minimum(j, arr.size - 1)], sentinel)
             cur = np.minimum(cur, sentinel)  # keep cur+1 overflow-safe
         ok = (cur - start) <= np.int64(n - 1 + slop)
+        if first_n is not None:
+            ok &= (cur % m) + 1 <= first_n  # end = last chain pos + 1
         return finish(start[ok])
 
     shift = n
@@ -3865,6 +3882,9 @@ def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0,
                                         assume_unique=True)]
         if start_keys.size == 0:
             return empty
+    if first_n is not None:
+        # key % m = p0 + n = the span end (end-exclusive, 0-indexed)
+        start_keys = start_keys[start_keys % m <= first_n]
     return finish(start_keys)
 
 

@@ -428,3 +428,84 @@ def test_phrase_engine_routing_identical(spark, built):
     assert want["doc_id"].tolist() == dist["doc_id"].tolist()
     np.testing.assert_array_equal(want["score"].to_numpy(),
                                   dist["score"].to_numpy())
+
+
+def brute_span_first(corpus: pd.DataFrame, phrase: str, first_n: int,
+                     k: int = 10) -> pd.DataFrame:
+    """brute_phrase restricted to spans ENDING within the first first_n
+    slots (0-indexed end = start + len(seq), Lucene SpanFirst contract)."""
+    seq = phrase_terms(phrase, "code")
+    rows = []
+    for _, r in corpus.iterrows():
+        stream = _subtoken_stream(r["content"])
+        tf = sum(
+            1 for i in range(len(stream) - len(seq) + 1)
+            if stream[i: i + len(seq)] == seq and i + len(seq) <= first_n
+        )
+        if tf:
+            dl = len(code_tokens(pd.Series([r["content"]])).iat[0])
+            rows.append((r["doc_id"], tf, dl))
+    if not rows:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    m = pd.DataFrame(rows, columns=["doc_id", "tf", "dl"])
+    n_docs = len(corpus)
+    total_dl = sum(len(code_tokens(pd.Series([c])).iat[0])
+                   for c in corpus["content"])
+    avgdl = float(total_dl) / n_docs
+    idf = float(bm25.idf(len(m), n_docs))
+    m["score"] = idf * (
+        m["tf"].to_numpy(np.float64)
+        / (m["tf"].to_numpy(np.float64)
+           + bm25.K1 * (1.0 - bm25.B + bm25.B
+                        * m["dl"].to_numpy(np.float64) / avgdl)))
+    return (m.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k)[["doc_id", "score"]].reset_index(drop=True))
+
+
+@pytest.mark.parametrize("phrase,first_n", [
+    ("get user", 6), ("get user", 20), ("token worker merge", 12),
+    ("userRequestCount", 10), ("return return", 8)])
+def test_span_first_rank_identical(spark, built, corpus, phrase, first_n):
+    reader = IndexReader(spark, built)
+    want = brute_span_first(corpus, phrase, first_n, k=10)
+    got_local = reader.phrase_search_local(phrase, k=10, first_n=first_n)
+    pd.testing.assert_frame_equal(
+        got_local.reset_index(drop=True), want, check_exact=True)
+    got_spark = reader.phrase_search(phrase, k=10, first_n=first_n) \
+        .toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_spark, want, check_exact=True)
+
+
+def test_span_first_actually_restricts(spark, built, corpus):
+    """The first_n bound must bite: for a common bigram some doc matches
+    the phrase only past the window, so the restricted doc set is a
+    PROPER subset of the unrestricted one."""
+    reader = IndexReader(spark, built)
+    # derive a window that is non-degenerate by construction: the median
+    # first-occurrence END of the phrase across matching docs
+    ends = []
+    for _, r in corpus.iterrows():
+        st = _subtoken_stream(r["content"])
+        for i in range(len(st) - 1):
+            if st[i: i + 2] == ["get", "user"]:
+                ends.append(i + 2)
+                break
+    assert len(ends) >= 3
+    n = sorted(ends)[len(ends) // 2]
+    full = set(reader.phrase_search_local("get user", k=10_000)["doc_id"])
+    first = set(reader.phrase_search_local("get user", k=10_000,
+                                           first_n=n)["doc_id"])
+    assert first < full
+    assert first  # and non-empty — the window is not degenerate
+
+
+def test_span_first_single_term(spark, built, corpus):
+    """A 1-term phrase with first_n goes through the positional path
+    (no delegation to plain search): doc must contain the term in the
+    first N slots."""
+    reader = IndexReader(spark, built)
+    got = reader.phrase_search_local("return", k=10_000, first_n=3)
+    want = {int(r["doc_id"]) for _, r in corpus.iterrows()
+            if "return" in _subtoken_stream(r["content"])[:3]}
+    assert set(got["doc_id"]) == want
