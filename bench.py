@@ -268,6 +268,31 @@ def main() -> None:
         reader.significant_terms("error retry", size=10).collect()
         timings["significant_terms"] = round(time.time() - t0, 3)
 
+        # round-3 late families: decay scoring, date/geo runtime-field
+        # aggs, adjacency matrix, span_first
+        t0 = time.time()
+        reader.search_decay_score("index query merge", F.length("content"),
+                                  origin=500.0, scale=300.0, k=10).collect()
+        timings["decay_score"] = round(time.time() - t0, 3)
+        mt = F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
+                    "0, 0, 0, 0, CAST(doc_id % 720 AS INT), 0, 0)")
+        t0 = time.time()
+        reader.search_date_histogram("index merge", mt, "day").collect()
+        timings["date_histogram"] = round(time.time() - t0, 3)
+        blat = (F.col("doc_id") % 120).cast("double") - 60.0
+        blon = (F.col("doc_id") % 340).cast("double") - 170.0
+        t0 = time.time()
+        reader.search_geo_distance("index merge", blat, blon, 0.0, 0.0,
+                                   5000.0, k=10).collect()
+        timings["geo_distance"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.adjacency_matrix_local({"a": "index", "b": "merge",
+                                       "c": "error retry"})
+        timings["adjacency_matrix_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.phrase_search_local("get user", k=10, first_n=30)
+        timings["span_first_local"] = round(time.time() - t0, 4)
+
         # snapshot-clone overhead (the versioned-incremental fixed cost:
         # hardlinks only, O(#files) — must stay ~ms at any corpus size)
         from maestro_spark.sources.tableio import hardlink_clone
@@ -328,6 +353,17 @@ def main() -> None:
         documents.where(F.col("doc_id") % 97 != 0),
         documents.where(F.col("doc_id") % 97 == 0), n=8)
         .agg(F.sum(F.col("contaminated").cast("long"))).collect())
+    timed("dsir_weights", lambda: curation.dsir_weights(
+        documents, documents.where(F.col("doc_id") % 17 == 0),
+        n_buckets=1024).agg(F.avg("logratio")).collect())
+
+    from maestro_spark.operators.percolate import percolate
+    pq = spark.createDataFrame(
+        [(i, q, "or", 2) for i, q in enumerate(
+            ["index merge", "error retry handler", "slow query",
+             "batch writer", "user request count"])],
+        "query_id long, query string, mode string, min_match int")
+    timed("percolate_5q", lambda: percolate(documents, pq).count())
 
     total = time.time() - t_all
     out = {
