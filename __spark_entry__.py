@@ -948,6 +948,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_first"] = _q_span_first
 
+    def _q_hybrid_rrf(s: SparkSession, d: str) -> DataFrame:
+        # ES 8.x retriever.rrf: hybrid BM25 + kNN via Reciprocal Rank
+        # Fusion over each retriever's top-20 (ranks on ROUNDED scores
+        # for cross-engine determinism; vec_id doubles as doc_id — the
+        # embeddings table embeds the first docs)
+        bm25_df = _search_df(s, d, "spark query merge", k=20)
+        e = _t(s, d, "embeddings")
+        qv = [float(x) for x in e.where(F.col("vec_id") == 0)
+              .select("embedding").head()[0]]
+        knn = (similarity.brute_force_topk(e, qv, k=20, exclude_id=0)
+               .select(F.col("vec_id").alias("doc_id"),
+                       F.round("cos", 6).alias("score")))
+        return similarity.rrf_fuse([bm25_df, knn], k=10,
+                                   rank_constant=60)
+
+    q["hybrid_rrf"] = _q_hybrid_rrf
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))
@@ -2139,6 +2156,27 @@ ORDER BY doc_id LIMIT 20"""
 SELECT source AS value, count(*)::BIGINT AS weight
 FROM documents WHERE source LIKE 'src1%'
 GROUP BY 1 ORDER BY weight DESC, value LIMIT 10"""
+    _BM20 = _bm25_sql(["merge", "query", "spark"], k=20)
+    _COS20 = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT e.vec_id AS doc_id,
+              round(sum(e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)
+                    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                       * sqrt(sum(q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))), 6) AS score
+       FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+       WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"""
+    o["hybrid_rrf"] = f"""
+WITH b AS ({_BM20}),
+v AS ({_COS20}),
+br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+           AS rnk FROM b),
+vr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+           AS rnk FROM v),
+u AS (SELECT * FROM br UNION ALL SELECT * FROM vr)
+SELECT doc_id, round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_score,
+       count(*)::BIGINT AS n_retrievers
+FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10"""
     # span_first: bigram at 1-indexed slot i has 0-indexed end i+1;
     # end <= 30 -> i <= 29
     o["span_first"] = f"""

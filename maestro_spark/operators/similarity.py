@@ -407,3 +407,40 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
         .select("id1", "id2", "cos")
         .distinct()
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10,
+             rank_constant: int = 60, id_col: str = "doc_id",
+             score_col: str = "score") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009 — the ES 8.x
+    `retriever.rrf` analogue for hybrid BM25 + kNN search):
+
+        rrf(d) = Σ_retrievers 1 / (rank_constant + rank_r(d))
+
+    over the retrievers' top-N lists; a doc absent from a retriever
+    contributes nothing from it. Each input frame is an (id, score)
+    top-N; rank_r = dense position under (score desc, id asc) — rank on
+    the ROUNDED score upstream for cross-engine determinism.
+
+    Scale shape: inputs are top-N result lists (coordinator-sized, ≤ N
+    rows each — never corpus-scale), so the per-retriever rank window
+    and the fusion groupBy run on k·|retrievers| rows; this is the same
+    cost class as ES's coordinating-node RRF merge. Returns (id,
+    rrf_score, n_retrievers) ordered (rrf_score desc, id asc) top-k."""
+    from pyspark.sql.window import Window
+
+    ranked = []
+    for i, df in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(df.select(
+            F.col(id_col).alias("_id"),
+            F.row_number().over(w).alias("_rank")))
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (u.groupBy(F.col("_id").alias(id_col))
+            .agg(F.round(F.sum(1.0 / (F.lit(float(rank_constant))
+                                      + F.col("_rank"))), 6)
+                 .alias("rrf_score"),
+                 F.count("*").cast("long").alias("n_retrievers"))
+            .orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k))

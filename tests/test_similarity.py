@@ -178,3 +178,25 @@ def test_ivf_pq_deterministic(spark, planted):
     assert np.array_equal(b1, b2)
     with pytest.raises(ValueError):
         similarity.fit_pq_codebooks(d, cents, n_subvectors=5)
+
+
+def test_rrf_fuse(spark):
+    """RRF vs hand-computed fusion; absence contributes nothing; ties on
+    the fused score break by id."""
+    from maestro_spark.operators.similarity import rrf_fuse
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double")
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, score double")
+    got = rrf_fuse([a, b], k=10, rank_constant=60).toPandas()
+    want = {
+        1: round(1 / 61 + 1 / 63, 6),   # rank 1 in a, rank 3 in b
+        2: round(1 / 62, 6),
+        3: round(1 / 63 + 1 / 61, 6),
+        4: round(1 / 62, 6),
+    }
+    assert dict(zip(got["doc_id"], got["rrf_score"])) == want
+    # doc 1 and 3 tie exactly -> id order; 2 and 4 tie -> id order
+    assert got["doc_id"].tolist() == [1, 3, 2, 4]
+    nr = dict(zip(got["doc_id"], got["n_retrievers"]))
+    assert nr == {1: 2, 3: 2, 2: 1, 4: 1}
