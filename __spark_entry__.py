@@ -965,6 +965,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf"] = _q_hybrid_rrf
 
+    def _q_bpe(s: SparkSession, d: str) -> DataFrame:
+        # distributed BPE tokenizer induction (Sennrich 2016): the merge
+        # list is the training artifact. Iterative (merge i+1 depends on
+        # i) -> no SQL oracle; rows-only check. Deterministic ties
+        # (count desc, pair lexicographic), so the result is stable.
+        from maestro_spark.operators.bpe import bpe_train
+        docs = _t(s, d, "documents")
+        merges = bpe_train(docs, n_merges=15, checkpoint_every=5)
+        return s.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "merge_rank long, left string, right string")
+
+    q["bpe_train"] = _q_bpe
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))

@@ -18,7 +18,7 @@ TABLES = [
 
 # Queries deliberately without a DuckDB oracle (driver records a weaker
 # rows-only check): non-SQL-expressible ops. Keep this list tight.
-ROWS_ONLY = {"ann_ivf_pq", "index_audit"}
+ROWS_ONLY = {"ann_ivf_pq", "index_audit", "bpe_train"}
 
 QUERY_NAMES = sorted(set(entry_mod.queries()) - ROWS_ONLY)
 
