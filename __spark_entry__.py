@@ -979,6 +979,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_train"] = _q_bpe
 
+    def _q_field_caps(s: SparkSession, d: str) -> DataFrame:
+        # ES _field_caps: per-field type/searchable/aggregatable from
+        # manifest + docstore schema (pure metadata, no scan)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.field_caps()
+
+    q["field_caps"] = _q_field_caps
+
+    def _q_knn_filtered(s: SparkSession, d: str) -> DataFrame:
+        # ES knn query with filter: PRE-filtered exact cosine top-k
+        # (the filter restricts candidates before ranking, so the top-k
+        # is of the filtered set — not a post-filter that under-fills)
+        e = _t(s, d, "embeddings")
+        qv = [float(x) for x in e.where(F.col("vec_id") == 0)
+              .select("embedding").head()[0]]
+        return (similarity.brute_force_topk(
+            e.where(F.col("label") == 1), qv, k=10, exclude_id=0)
+            .withColumnRenamed("cos", "cosine"))
+
+    q["knn_filtered"] = _q_knn_filtered
+
     def _q_multi_terms(s: SparkSession, d: str) -> DataFrame:
         # ES multi_terms agg: composite (repo, lang) buckets
         reader = IndexReader(s, _ensure_index(s, d))
@@ -2623,6 +2644,22 @@ sc AS (SELECT e.vec_id, {cos_expr} AS cosine
        FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
        WHERE e.vec_id <> 0 GROUP BY e.vec_id)
 SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
+    o["knn_filtered"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT e.vec_id, {cos_expr} AS cosine
+       FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+       WHERE e.vec_id <> 0 AND e.label = 1 GROUP BY e.vec_id)
+SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
+    o["field_caps"] = """
+SELECT * FROM (VALUES
+  ('commit', 'string', false, true),
+  ('content', 'string', true, true),
+  ('doc_id', 'bigint', false, true),
+  ('lang', 'string', true, true),
+  ('path', 'string', false, true),
+  ('repo', 'string', true, true),
+  ('repositories', 'array<struct<code:string,org:string>>', false, true)
+) AS t(field, type, searchable, aggregatable) ORDER BY field"""
 
     o["knn_join"] = """
 WITH pairs AS (

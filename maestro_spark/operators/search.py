@@ -2774,6 +2774,22 @@ class IndexReader:
             F.round(t, 6).alias("t_stat"),
             F.round(df, 4).alias("t_df"))
 
+    def field_caps(self) -> DataFrame:
+        """_field_caps API (the ES analogue): one row per docstore field
+        with its type, whether it is searchable (a BM25-indexed field
+        per the manifest's index_fields) and aggregatable (any stored
+        column — every docstore column is a doc-value here). Pure
+        metadata: manifest + parquet schema, no data scan."""
+        indexed = set(self.cfg.get("index_fields", ()))
+        rows = [(f.name, f.dataType.simpleString(), f.name in indexed,
+                 True)
+                for f in self._docs().schema.fields
+                if f.name not in ("shard", "content_sha256")]
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "field string, type string, searchable boolean, "
+            "aggregatable boolean")
+
     def suggest_completion(self, prefix: str, col="repo",
                            k: int = 10) -> DataFrame:
         """Completion suggester (the ES completion-field analogue):
