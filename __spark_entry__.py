@@ -1719,6 +1719,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_logprob"] = _q_unigram_logprob
 
+    def _q_mad(s: SparkSession, d: str) -> DataFrame:
+        # ES median_absolute_deviation agg (exact two-phase; ES's
+        # t-digest is the approx path)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_mad("merge window", F.length("content"))
+
+    q["mad_agg"] = _q_mad
+
+    def _q_matrix_stats(s: SparkSession, d: str) -> DataFrame:
+        # ES matrix_stats agg: pairwise covariance/correlation between
+        # runtime numeric fields, one mergeable-moments partial agg
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_matrix_stats(
+            "spark stream",
+            {"dlen": F.length("content"), "lat": _LAT(),
+             "idm": (F.col("doc_id") % 97).cast("double")})
+
+    q["matrix_stats_agg"] = _q_matrix_stats
+
+    def _q_top_metrics(s: SparkSession, d: str) -> DataFrame:
+        # ES top_metrics agg: metric values at the top-3 docs by sort
+        # field (doc_id pins ES's undefined tie order)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_top_metrics(
+            "merge window", F.length("content"),
+            {"lat": F.round(_LAT(), 6)}, size=3, ascending=False)
+
+    q["top_metrics_agg"] = _q_top_metrics
+
+    def _q_auto_date_histo(s: SparkSession, d: str) -> DataFrame:
+        # ES auto_date_histogram: finest calendar rung with <= target
+        # buckets (chosen rung returned as a column, proven vs oracle)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_auto_date_histogram(
+            "spark stream", _MTIME(), target_buckets=40)
+
+    q["auto_date_histogram"] = _q_auto_date_histo
+
+    def _q_cum_cardinality(s: SparkSession, d: str) -> DataFrame:
+        # ES cumulative_cardinality pipeline agg — exact via the
+        # first-occurrence identity (ES's HLL form is approximate)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_cumulative_cardinality(
+            "spark stream", _MTIME(), F.col("repo"), interval="day")
+
+    q["cum_cardinality"] = _q_cum_cardinality
+
+    def _q_bucket_script(s: SparkSession, d: str) -> DataFrame:
+        # ES bucket_script (avg_v = sum/count) + normalize
+        # (percent_of_sum) pipelines over histogram buckets
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_bucket_script(
+            "spark stream", F.length("content"), 100)
+
+    q["bucket_script_agg"] = _q_bucket_script
+
+    def _q_diversified_sampler(s: SparkSession, d: str) -> DataFrame:
+        # ES diversified_sampler agg: per-shard top-10 BM25 matches with
+        # at most 2 docs per lang (deterministic, score_round=6 rank)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_diversified_sampler(
+            "merge window", sample_top=10, dedup_col=F.col("lang"),
+            max_per_value=2, score_round=6)
+
+    q["diversified_sampler"] = _q_diversified_sampler
+
     return q
 
 
@@ -2983,5 +3049,109 @@ SELECT t.doc_id, count(*) AS n_tokens,
        round(avg(ln(f.ctf)) - ln(max(tot.total)), 6) AS avg_logprob
 FROM tok t JOIN f USING (term) CROSS JOIN tot
 GROUP BY t.doc_id"""
+    o["mad_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window')),
+v AS (SELECT length(d.text)::DOUBLE AS v
+      FROM documents d JOIN m ON m.doc_id = d.doc_id),
+md AS (SELECT quantile_cont(v, 0.5) AS med FROM v)
+SELECT round(max(md.med), 6) AS median_v,
+       round(quantile_cont(abs(v.v - md.med), 0.5), 6) AS mad
+FROM v CROSS JOIN md"""
+    o["matrix_stats_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT length(d.text)::DOUBLE AS dlen,
+             (d.doc_id % 97)::DOUBLE AS idm, {_LAT_SQL} AS lat
+      FROM documents d JOIN m ON m.doc_id = d.doc_id),
+a AS (SELECT count(*)::BIGINT AS n,
+             avg(dlen) AS m_dlen, avg(idm) AS m_idm, avg(lat) AS m_lat,
+             covar_samp(dlen, idm) AS c_di, corr(dlen, idm) AS r_di,
+             covar_samp(dlen, lat) AS c_dl, corr(dlen, lat) AS r_dl,
+             covar_samp(idm, lat) AS c_il, corr(idm, lat) AS r_il
+      FROM g)
+SELECT 'dlen' AS field_a, 'idm' AS field_b, n,
+       round(m_dlen, 6) AS mean_a, round(m_idm, 6) AS mean_b,
+       round(c_di, 6) AS covariance, round(r_di, 6) AS correlation
+FROM a
+UNION ALL
+SELECT 'dlen', 'lat', n, round(m_dlen, 6), round(m_lat, 6),
+       round(c_dl, 6), round(r_dl, 6) FROM a
+UNION ALL
+SELECT 'idm', 'lat', n, round(m_idm, 6), round(m_lat, 6),
+       round(c_il, 6), round(r_il, 6) FROM a
+ORDER BY field_a, field_b"""
+    o["top_metrics_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window'))
+SELECT d.doc_id, length(d.text)::DOUBLE AS sort_v,
+       round({_LAT_SQL}, 6) AS lat
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY sort_v DESC, d.doc_id LIMIT 3"""
+    o["auto_date_histogram"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT {_MT_SQL} AS ts
+      FROM documents d JOIN m ON m.doc_id = d.doc_id),
+c AS (SELECT count(DISTINCT date_trunc('minute', ts)) AS cmi,
+             count(DISTINCT date_trunc('hour', ts)) AS ch,
+             count(DISTINCT date_trunc('day', ts)) AS cd,
+             count(DISTINCT date_trunc('month', ts)) AS cmo
+      FROM g),
+p AS (SELECT CASE WHEN cmi <= 40 THEN 'minute'
+                  WHEN ch <= 40 THEN 'hour'
+                  WHEN cd <= 40 THEN 'day'
+                  WHEN cmo <= 40 THEN 'month'
+                  ELSE 'year' END AS iv FROM c)
+SELECT p.iv AS interval,
+       strftime(date_trunc(p.iv, g.ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM g CROSS JOIN p GROUP BY 1, 2 ORDER BY bucket"""
+    o["cum_cardinality"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT strftime(date_trunc('day', {_MT_SQL}),
+                      '%Y-%m-%d %H:%M:%S') AS bucket, d.source AS val
+      FROM documents d JOIN m ON m.doc_id = d.doc_id),
+h AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM g GROUP BY 1),
+fo AS (SELECT val, min(bucket) AS bucket FROM g GROUP BY 1),
+nw AS (SELECT bucket, count(*)::BIGINT AS newv FROM fo GROUP BY 1)
+SELECT h.bucket, h.n_docs,
+       (sum(coalesce(nw.newv, 0))
+        OVER (ORDER BY h.bucket ROWS UNBOUNDED PRECEDING))::BIGINT
+           AS cum_distinct
+FROM h LEFT JOIN nw ON nw.bucket = h.bucket ORDER BY h.bucket"""
+    o["bucket_script_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+h AS (SELECT floor(length(d.text)::DOUBLE / 100) * 100 AS bucket,
+             count(*)::BIGINT AS n_docs,
+             sum(length(d.text)::DOUBLE) AS sv
+      FROM documents d JOIN m ON m.doc_id = d.doc_id GROUP BY 1),
+t AS (SELECT sum(n_docs)::DOUBLE AS tot FROM h)
+SELECT bucket, n_docs, round(sv / n_docs, 6) AS avg_v,
+       round(n_docs / t.tot * 100.0, 6) AS pct_docs
+FROM h CROSS JOIN t ORDER BY bucket"""
+    o["diversified_sampler"] = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ('merge', 'window') GROUP BY term),
+cs AS (SELECT t.doc_id,
+       sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+       FROM tfq t JOIN dft d ON t.term = d.term
+       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st GROUP BY t.doc_id),
+lv AS (SELECT cs.doc_id, round(cs.score, 6) AS score, d.lang AS value
+       FROM cs JOIN documents d ON d.doc_id = cs.doc_id),
+c1 AS (SELECT * FROM lv QUALIFY row_number()
+           OVER (PARTITION BY doc_id // 1024, value
+                 ORDER BY score DESC, doc_id) <= 2),
+c2 AS (SELECT * FROM c1 QUALIFY row_number()
+           OVER (PARTITION BY doc_id // 1024
+                 ORDER BY score DESC, doc_id) <= 10)
+SELECT doc_id, value, score FROM c2 ORDER BY score DESC, doc_id"""
 
     return o

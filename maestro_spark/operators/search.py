@@ -35,6 +35,7 @@ import pandas as pd
 import pyarrow.dataset as pads
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from maestro_spark.functions import bm25
 from maestro_spark.functions.codec import decode_positions, decode_postings
@@ -2773,6 +2774,296 @@ class IndexReader:
             F.round("mean_b", 6).alias("mean_b"),
             F.round(t, 6).alias("t_stat"),
             F.round(df, 4).alias("t_df"))
+
+    def search_mad(self, query: str, value_col, mode: str = "or",
+                   exclude: str | None = None,
+                   min_match: int = 1) -> DataFrame:
+        """median_absolute_deviation aggregation (the ES analogue):
+        one row (median_v, mad) where mad = median(|v − median(v)|)
+        over the match set. ES computes both medians from one t-digest
+        (approximate); this is the EXACT two-phase form — phase 1 is
+        one sort-based percentile agg producing a single row, which
+        broadcasts (crossJoin of a 1-row frame) into phase 2's
+        deviation percentile. Two value-column passes, nothing
+        corpus-sized leaves the executors; swap F.percentile for
+        percentile_approx at 100 TB for the ES sketch trade."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner") \
+                        .select("v")
+        med = joined.agg(
+            F.percentile(F.col("v"), F.lit(0.5)).alias("_med"))
+        dev = joined.crossJoin(med).select(
+            "_med", F.abs(F.col("v") - F.col("_med")).alias("_adev"))
+        return dev.agg(
+            F.round(F.min("_med"), 6).alias("median_v"),
+            F.round(F.percentile(F.col("_adev"), F.lit(0.5)), 6)
+            .alias("mad"))
+
+    def search_matrix_stats(self, query: str, fields: dict,
+                            mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """matrix_stats aggregation (the ES analogue): pairwise sample
+        covariance and Pearson correlation between numeric runtime
+        fields over the match set, one row per unordered field pair
+        (name_a < name_b) with the per-field means. ES streams
+        Welford-style running moments per shard and merges them; Spark's
+        covar_samp/corr aggregates ARE that same mergeable-moments
+        machine, so the whole matrix is ONE partial aggregation —
+        a single 1-row wide agg, exploded driver-free into per-pair
+        rows via an inline stack (bucket count = |pairs|, never corpus).
+
+        fields: {name: docstore Column expression} (the runtime-field
+        convention of the date/geo aggs above)."""
+        names = sorted(fields)
+        if len(names) < 2:
+            raise ValueError("matrix_stats needs >= 2 fields")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        cols = [
+            (fields[n] if not isinstance(fields[n], str)
+             else F.col(fields[n])).cast("double").alias(f"_f_{n}")
+            for n in names]
+        docs = self._docs().select("shard", "doc_id", *cols)
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        aggs = [F.count("*").alias("n")]
+        for n in names:
+            aggs.append(F.avg(f"_f_{n}").alias(f"mean_{n}"))
+        pairs = [(a, b) for i, a in enumerate(names)
+                 for b in names[i + 1:]]
+        for a, b in pairs:
+            aggs.append(F.covar_samp(f"_f_{a}", f"_f_{b}")
+                        .alias(f"cov_{a}_{b}"))
+            aggs.append(F.corr(f"_f_{a}", f"_f_{b}")
+                        .alias(f"corr_{a}_{b}"))
+        wide = joined.agg(*aggs)
+        rows = [F.struct(
+            F.lit(a).alias("field_a"), F.lit(b).alias("field_b"),
+            F.col("n").alias("n"),
+            F.round(F.col(f"mean_{a}"), 6).alias("mean_a"),
+            F.round(F.col(f"mean_{b}"), 6).alias("mean_b"),
+            F.round(F.col(f"cov_{a}_{b}"), 6).alias("covariance"),
+            F.round(F.col(f"corr_{a}_{b}"), 6).alias("correlation"))
+            for a, b in pairs]
+        return (wide.select(F.explode(F.array(*rows)).alias("_r"))
+                .select("_r.*").orderBy("field_a", "field_b"))
+
+    def search_top_metrics(self, query: str, sort_col, metric_cols: dict,
+                           size: int = 1, ascending: bool = False,
+                           mode: str = "or", exclude: str | None = None,
+                           min_match: int = 1) -> DataFrame:
+        """top_metrics aggregation (the ES analogue): the metric
+        column values at the `size` matched docs with the largest
+        (ascending=False) or smallest sort value; doc_id breaks sort
+        ties (ES leaves ties undefined — pinned here so both engines
+        cut identically). Physically a TakeOrderedAndProject over the
+        match-set join: per-task bounded heaps of `size` rows merge at
+        the coordinator, nothing else moves."""
+        if isinstance(sort_col, str):
+            sort_col = F.col(sort_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        mcols = [
+            (c if not isinstance(c, str) else F.col(c))
+            .cast("double").alias(n) for n, c in sorted(
+                metric_cols.items())]
+        docs = self._docs().select(
+            "shard", "doc_id", sort_col.cast("double").alias("sort_v"),
+            *mcols)
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        order = ([F.asc("sort_v")] if ascending else [F.desc("sort_v")]
+                 ) + [F.asc("doc_id")]
+        return (joined.select("doc_id", "sort_v",
+                              *[n for n in sorted(metric_cols)])
+                .orderBy(*order).limit(int(size)))
+
+    _AUTO_DATE_LADDER = ("year", "month", "day", "hour", "minute")
+
+    def search_auto_date_histogram(self, query: str, ts_col,
+                                   target_buckets: int = 10,
+                                   mode: str = "or",
+                                   exclude: str | None = None,
+                                   min_match: int = 1) -> DataFrame:
+        """auto_date_histogram aggregation (the ES analogue): picks the
+        FINEST calendar interval from the ladder (year→minute) whose
+        bucket count over the match set is ≤ target_buckets, then
+        returns that histogram with the chosen interval as a column.
+        (Ladder = the calendar subset of ES's rounding table; ES also
+        inserts fixed multiples like 5m/30m between rungs.)
+
+        Two bounded jobs: pass 1 computes count(DISTINCT trunc) for
+        every rung in ONE aggregate (a 1-row, 5-long collect — the
+        multi-distinct expand is match-set-sized; swap
+        approx_count_distinct at 100 TB, which is exactly ES's
+        HLL-backed choice), the driver picks the rung, pass 2 is the
+        ordinary one-partial-agg date_histogram at that rung."""
+        if isinstance(ts_col, str):
+            ts_col = F.col(ts_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   ts_col.alias("_ts"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        counts = joined.agg(*[
+            F.countDistinct(F.date_trunc(iv, F.col("_ts")))
+            .alias(iv) for iv in self._AUTO_DATE_LADDER]).collect()[0]
+        chosen = self._AUTO_DATE_LADDER[0]
+        for iv in self._AUTO_DATE_LADDER:
+            if counts[iv] <= int(target_buckets):
+                chosen = iv              # finest rung still under target
+        histo = (joined.groupBy(
+            F.date_format(F.date_trunc(chosen, F.col("_ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+            .agg(F.count("*").alias("n_docs")))
+        return (histo.select(F.lit(chosen).alias("interval"),
+                             "bucket", "n_docs")
+                .orderBy("bucket"))
+
+    def search_cumulative_cardinality(self, query: str, ts_col,
+                                      card_col, interval: str = "day",
+                                      mode: str = "or",
+                                      exclude: str | None = None,
+                                      min_match: int = 1) -> DataFrame:
+        """cumulative_cardinality pipeline aggregation (the ES
+        analogue): per date_histogram bucket, the number of DISTINCT
+        card_col values seen in that bucket or any earlier one (ES:
+        "total new items"). Exact via the first-occurrence identity —
+        cumulative distinct ≡ running sum of values whose FIRST bucket
+        is ≤ this bucket:
+
+          value → min(bucket)   (one partial agg, |distinct values| rows)
+          first-bucket → count  (one partial agg, |buckets| rows)
+          running sum           (window over the bucket rows only)
+
+        The window is unpartitioned but runs over bucket-count rows
+        (time-range/interval, never corpus). ES computes this from
+        per-bucket HLL sketches and is approximate; this is exact."""
+        if interval not in self._DATE_INTERVALS:
+            raise ValueError(
+                f"interval must be one of {self._DATE_INTERVALS}")
+        if isinstance(ts_col, str):
+            ts_col = F.col(ts_col)
+        if isinstance(card_col, str):
+            card_col = F.col(card_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            F.date_format(F.date_trunc(interval, ts_col),
+                          "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            card_col.alias("_val"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        histo = (joined.groupBy("bucket")
+                 .agg(F.count("*").alias("n_docs")))
+        first = (joined.groupBy("_val")
+                 .agg(F.min("bucket").alias("bucket"))
+                 .groupBy("bucket")
+                 .agg(F.count("*").alias("_new")))
+        w = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        return (histo.join(first, "bucket", "left")
+                .withColumn("_new", F.coalesce("_new", F.lit(0)))
+                .select("bucket", "n_docs",
+                        F.sum("_new").over(w).alias("cum_distinct"))
+                .orderBy("bucket"))
+
+    def search_bucket_script(self, query: str, value_col,
+                             interval: float, mode: str = "or",
+                             exclude: str | None = None,
+                             min_match: int = 1) -> DataFrame:
+        """bucket_script + normalize pipeline aggregations (the ES
+        analogues) over a histogram: per bucket, a derived metric
+        computed from the bucket's own aggregates (bucket_script —
+        here avg_v = sum_v / n_docs) and a metric rescaled against the
+        whole bucket set (normalize, method=percent_of_sum — here
+        pct_docs). Both pipelines run over ALREADY-REDUCED bucket rows:
+        the only corpus-sized work is the one partial-agg histogram;
+        the total for percent_of_sum is a second 1-row agg crossJoined
+        back (no single-partition window)."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            (F.floor(value_col.cast("double") / F.lit(float(interval)))
+             * F.lit(float(interval))).alias("bucket"),
+            value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        buckets = joined.groupBy("bucket").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("v").alias("_sum_v"))
+        total = buckets.agg(F.sum("n_docs").alias("_total"))
+        return (buckets.crossJoin(total).select(
+            "bucket", "n_docs",
+            F.round(F.col("_sum_v") / F.col("n_docs"), 6)
+            .alias("avg_v"),
+            F.round(F.col("n_docs") / F.col("_total") * 100.0, 6)
+            .alias("pct_docs"))
+            .orderBy("bucket"))
+
+    def search_diversified_sampler(self, query: str, sample_top: int,
+                                   dedup_col, max_per_value: int = 1,
+                                   mode: str = "or",
+                                   exclude: str | None = None,
+                                   min_match: int = 1,
+                                   score_round: int | None = None
+                                   ) -> DataFrame:
+        """diversified_sampler aggregation (the ES analogue): the
+        per-shard top-`sample_top` scored matches with AT MOST
+        max_per_value docs sharing a dedup_col value. ES walks docs in
+        score order skipping values at their cap — equivalently (and
+        how it distributes): keep each (shard, value)'s top
+        max_per_value by (score desc, doc_id asc), then take the
+        per-shard top sample_top of the survivors. Three bounded
+        stages: a map-side per-(shard,value) head inside each task, an
+        exact per-(shard,value) cap (shuffle moves ≤ max_per_value rows
+        per value per task), then the per-shard head (candidate set is
+        ≤ cap·|values| rows, already reduced). Deterministic where ES
+        is not; `score_round` pins the rank key cross-engine."""
+        if isinstance(dedup_col, str):
+            dedup_col = F.col(dedup_col)
+        scored = self.scored_matches(query, mode, exclude=exclude,
+                                     min_match=min_match)
+        if score_round is not None:
+            scored = scored.withColumn("score",
+                                       F.round("score", score_round))
+        docs = self._docs().select("shard", "doc_id",
+                                   dedup_col.alias("_val"))
+        cand = scored.join(docs, ["shard", "doc_id"], "inner")
+        cap, ng = int(max_per_value), int(sample_top)
+
+        def partial_cap(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["shard", "_val", "score",
+                                       "doc_id"],
+                                      ascending=[True, True, False,
+                                                 True],
+                                      kind="mergesort")
+                yield pdf.groupby(["shard", "_val"],
+                                  sort=False).head(cap)
+
+        capped = cand.mapInPandas(partial_cap, schema=cand.schema)
+
+        def exact_cap(key, pdf):
+            return pdf.sort_values(["score", "doc_id"],
+                                   ascending=[False, True],
+                                   kind="mergesort").head(cap)
+
+        survivors = capped.groupBy("shard", "_val").applyInPandas(
+            exact_cap, schema=capped.schema)
+
+        def shard_top(key, pdf):
+            return pdf.sort_values(["score", "doc_id"],
+                                   ascending=[False, True],
+                                   kind="mergesort").head(ng)
+
+        return (survivors.groupBy("shard")
+                .applyInPandas(shard_top, schema=capped.schema)
+                .select("doc_id", F.col("_val").alias("value"),
+                        F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")))
 
     def field_caps(self) -> DataFrame:
         """_field_caps API (the ES analogue): one row per docstore field

@@ -1,0 +1,198 @@
+"""Round-3 aggregation-surface extensions (batch: matrix/metric/pipeline
+aggs), each checked against an independent brute-force oracle on the
+same corpus:
+
+  - search_mad (ES median_absolute_deviation agg): exact two-phase
+    median + median absolute deviation
+  - search_matrix_stats (ES matrix_stats agg): pairwise sample
+    covariance + Pearson correlation, one mergeable-moments agg
+  - search_top_metrics (ES top_metrics agg): metric values at the
+    top-N docs by a sort field, doc_id-pinned ties
+  - search_auto_date_histogram (ES auto_date_histogram): finest
+    calendar rung with bucket count <= target
+  - search_cumulative_cardinality (ES cumulative_cardinality pipeline
+    agg): exact via the first-occurrence identity
+  - search_bucket_script (ES bucket_script + normalize pipelines):
+    derived per-bucket metric + percent_of_sum
+  - search_diversified_sampler (ES diversified_sampler agg): per-shard
+    top-N with a per-value cap == ES's score-order walk that skips
+    values at their cap
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.functions.tokenize import code_tokens
+from maestro_spark.operators.build import IndexConfig, build_index
+from maestro_spark.operators.search import IndexReader
+
+N_DOCS = 300
+CFG = IndexConfig(
+    shard_size=128,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.02,
+    sample_fraction=1.0,
+)
+Q = "index merge query"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from maestro_spark.sources.corpus import synth_docs_pandas
+    return synth_docs_pandas(N_DOCS, seed=23).reset_index(names="doc_id")
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory, corpus):
+    out = str(tmp_path_factory.mktemp("idx_qs4"))
+    build_index(spark, spark.createDataFrame(corpus), out, CFG,
+                id_col="doc_id")
+    return out
+
+
+@pytest.fixture(scope="module")
+def reader(spark, built):
+    return IndexReader(spark, built)
+
+
+@pytest.fixture(scope="module")
+def match_ids(corpus):
+    qt = set(Q.split())
+    toks = list(code_tokens(corpus["content"]))
+    return {i for i, ts in enumerate(toks) if qt & set(ts)}
+
+
+@pytest.fixture(scope="module")
+def mdf(corpus, match_ids):
+    sub = corpus[corpus["doc_id"].isin(match_ids)].copy()
+    sub["dlen"] = sub["content"].str.len().astype(np.float64)
+    sub["idm"] = (sub["doc_id"] % 7).astype(np.float64)
+    sub["ts"] = pd.Timestamp("2025-01-01") + pd.to_timedelta(
+        sub["doc_id"] % 30, unit="h")
+    return sub
+
+
+def _MT():
+    return F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
+                  "0, 0, 0, 0, CAST(doc_id % 30 AS INT), 0, 0)")
+
+
+def test_mad(reader, mdf):
+    got = reader.search_mad(Q, F.length("content")).collect()[0]
+    v = mdf["dlen"].to_numpy()
+    med = float(np.median(v))
+    assert got["median_v"] == round(med, 6)
+    assert got["mad"] == round(float(np.median(np.abs(v - med))), 6)
+
+
+def test_matrix_stats(reader, mdf):
+    rows = reader.search_matrix_stats(
+        Q, {"dlen": F.length("content"),
+            "idm": (F.col("doc_id") % 7).cast("double")}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["field_a"], r["field_b"]) == ("dlen", "idm")
+    assert r["n"] == len(mdf)
+    assert r["mean_a"] == round(float(mdf["dlen"].mean()), 6)
+    assert r["mean_b"] == round(float(mdf["idm"].mean()), 6)
+    assert r["covariance"] == pytest.approx(
+        float(mdf["dlen"].cov(mdf["idm"])), abs=2e-6)
+    assert r["correlation"] == pytest.approx(
+        float(mdf["dlen"].corr(mdf["idm"])), abs=2e-6)
+
+
+def test_matrix_stats_needs_two_fields(reader):
+    with pytest.raises(ValueError):
+        reader.search_matrix_stats(Q, {"only": F.length("content")})
+
+
+def test_top_metrics(reader, mdf):
+    got = reader.search_top_metrics(
+        Q, F.length("content"), {"idm": (F.col("doc_id") % 7)},
+        size=4, ascending=False).toPandas()
+    want = mdf.sort_values(["dlen", "doc_id"],
+                           ascending=[False, True]).head(4)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["sort_v"]) == list(want["dlen"])
+    assert list(got["idm"]) == list(want["idm"])
+
+
+@pytest.mark.parametrize("target,rung", [(10, "day"), (48, "minute")])
+def test_auto_date_histogram(reader, mdf, target, rung):
+    # ts = origin + (doc_id % 30) hours: minute==hour count (whole
+    # hours) <= 30, day count == 2 -> target 10 picks day, 48 minute
+    got = reader.search_auto_date_histogram(
+        Q, _MT(), target_buckets=target).toPandas()
+    assert set(got["interval"]) == {rung}
+    trunc = mdf["ts"].dt.floor("min" if rung == "minute" else "D")
+    want = trunc.dt.strftime("%Y-%m-%d %H:%M:%S") \
+        .value_counts().sort_index()
+    assert list(got["bucket"]) == list(want.index)
+    assert list(got["n_docs"]) == list(want.values)
+
+
+def test_cum_cardinality(reader, mdf):
+    got = reader.search_cumulative_cardinality(
+        Q, _MT(), F.col("lang"), interval="hour").toPandas()
+    b = mdf.assign(bucket=mdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"))
+    histo = b.groupby("bucket").size().sort_index()
+    assert list(got["bucket"]) == list(histo.index)
+    assert list(got["n_docs"]) == list(histo.values)
+    seen, cum = set(), []
+    for bk in histo.index:
+        seen |= set(b.loc[b["bucket"] == bk, "lang"])
+        cum.append(len(seen))
+    assert list(got["cum_distinct"]) == cum
+
+
+def test_bucket_script(reader, mdf):
+    got = reader.search_bucket_script(
+        Q, F.length("content"), 500).toPandas()
+    b = mdf.assign(bucket=np.floor(mdf["dlen"] / 500) * 500)
+    g = b.groupby("bucket")["dlen"].agg(["count", "sum", "mean"])
+    assert list(got["bucket"]) == list(g.index)
+    assert list(got["n_docs"]) == list(g["count"])
+    assert list(got["avg_v"]) == [round(x, 6) for x in g["mean"]]
+    assert list(got["pct_docs"]) == [
+        round(c / g["count"].sum() * 100.0, 6) for c in g["count"]]
+
+
+def _walk_diversified(scored: pd.DataFrame, cap: int, n: int
+                      ) -> pd.DataFrame:
+    """ES's documented semantics: walk docs in (score desc, doc_id asc)
+    order, skip docs whose dedup value already has `cap` picks, stop at
+    `n` — per shard."""
+    out = []
+    for _, sub in scored.groupby("shard"):
+        sub = sub.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        counts, picks = {}, []
+        for _, r in sub.iterrows():
+            if counts.get(r["value"], 0) >= cap:
+                continue
+            counts[r["value"]] = counts.get(r["value"], 0) + 1
+            picks.append(r)
+            if len(picks) >= n:
+                break
+        out.extend(picks)
+    return pd.DataFrame(out)
+
+
+@pytest.mark.parametrize("cap,n", [(1, 5), (2, 8)])
+def test_diversified_sampler_walk_equivalence(reader, corpus, cap, n):
+    got = reader.search_diversified_sampler(
+        Q, sample_top=n, dedup_col=F.col("lang"), max_per_value=cap,
+        score_round=6).toPandas()
+    scored = reader.scored_matches(Q).toPandas()
+    scored["score"] = scored["score"].round(6)
+    scored = scored.merge(
+        corpus[["doc_id", "lang"]].rename(columns={"lang": "value"}),
+        on="doc_id")
+    want = _walk_diversified(scored, cap, n)
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # cap is respected per (shard, value)
+    assert got.merge(scored[["doc_id", "shard"]], on="doc_id") \
+              .groupby(["shard", "value"]).size().max() <= cap
