@@ -1785,6 +1785,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["diversified_sampler"] = _q_diversified_sampler
 
+    def _q_bool_prefix(s: SparkSession, d: str) -> DataFrame:
+        # ES match_bool_prefix (search_as_you_type): scoring term
+        # clauses + constant-score prefix on the last token
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_bool_prefix("merge str", k=10)
+
+    q["match_bool_prefix"] = _q_bool_prefix
+
+    def _q_combined_fields(s: SparkSession, d: str) -> DataFrame:
+        # ES combined_fields: BM25 over query-time-merged term/length
+        # stats of content + the repo keyword field (union df*, summed
+        # tf*/dl*) — vs dis_max (combine after scoring) and copy_to
+        # (merge at index time)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.combined_fields_local(
+            "src3 merge", fields=("content", "repo"), k=40)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["combined_fields"] = _q_combined_fields
+
+    def _q_rank_eval(s: SparkSession, d: str) -> DataFrame:
+        # ES _rank_eval API: precision@k / recall@k / MRR / DCG / NDCG
+        # against deterministic synthetic judgements (rating 2 at
+        # doc_id%7==0, 1 at %3==0 — the oracle mirrors the formula)
+        reader = IndexReader(s, _ensure_index(s, d))
+        n = _t(s, d, "documents").count()
+        rated = {i: (2 if i % 7 == 0 else 1)
+                 for i in range(n) if i % 7 == 0 or i % 3 == 0}
+        pdf = reader.rank_eval(
+            {"q1": "merge window", "q2": "spark stream"},
+            {"q1": rated, "q2": rated}, k=10)
+        return s.createDataFrame(
+            pdf, "query_id string, n_hits long, precision_k double, "
+                 "recall_k double, mrr double, dcg double, ndcg double")
+
+    q["rank_eval"] = _q_rank_eval
+
+    def _q_hybrid_linear(s: SparkSession, d: str) -> DataFrame:
+        # ES 8.18 retriever.linear: weighted min-max-normalized score
+        # fusion of the same BM25 + kNN top-20s fused by hybrid_rrf
+        bm25_df = _search_df(s, d, "spark query merge", k=20)
+        e = _t(s, d, "embeddings")
+        qv = [float(x) for x in e.where(F.col("vec_id") == 0)
+              .select("embedding").head()[0]]
+        knn = (similarity.brute_force_topk(e, qv, k=20, exclude_id=0)
+               .select(F.col("vec_id").alias("doc_id"),
+                       F.round("cos", 6).alias("score")))
+        return similarity.linear_fuse([bm25_df, knn],
+                                      weights=[0.7, 0.3], k=10)
+
+    q["hybrid_linear"] = _q_hybrid_linear
+
     return q
 
 
@@ -3153,5 +3209,101 @@ c2 AS (SELECT * FROM c1 QUALIFY row_number()
            OVER (PARTITION BY doc_id // 1024
                  ORDER BY score DESC, doc_id) <= 10)
 SELECT doc_id, value, score FROM c2 ORDER BY score DESC, doc_id"""
+    o["match_bool_prefix"] = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ('merge') GROUP BY term),
+cs AS (SELECT t.doc_id,
+       sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+       FROM tfq t JOIN dft d ON t.term = d.term
+       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st GROUP BY t.doc_id),
+px AS (SELECT term FROM (SELECT DISTINCT term FROM tok
+       WHERE term LIKE 'str%' ORDER BY term LIMIT 50)),
+pm AS (SELECT DISTINCT doc_id FROM tok
+       WHERE term IN (SELECT term FROM px)),
+u AS (SELECT coalesce(cs.doc_id, pm.doc_id) AS doc_id,
+             coalesce(cs.score, 0)
+             + (pm.doc_id IS NOT NULL)::INT AS score
+      FROM cs FULL OUTER JOIN pm ON cs.doc_id = pm.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM u
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
+    o["combined_fields"] = f"""
+WITH {_TOK},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+cf AS (SELECT doc_id, term, sum(tf) AS tf FROM (
+         SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         WHERE term IN ('merge', 'src3') GROUP BY doc_id, term
+         UNION ALL
+         SELECT doc_id, lower(trim(source)) AS term, 1.0 FROM documents
+         WHERE lower(trim(source)) IN ('merge', 'src3'))
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM cf GROUP BY term),
+sc AS (SELECT c.doc_id,
+       sum(ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+           * c.tf / (c.tf + 1.2 * (0.25 + 0.75 * (dl.dl + 1.0)
+                                   / (st.avgdl + 1.0)))) AS score
+       FROM cf c JOIN dfs f ON f.term = c.term
+       JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN st
+       GROUP BY c.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
+    _CS_FMT = """dft{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ({terms}) GROUP BY term),
+cs{i} AS (SELECT t.doc_id,
+       sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+       FROM tfq t JOIN dft{i} d ON t.term = d.term
+       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st GROUP BY t.doc_id),
+top{i} AS (SELECT doc_id, rnk FROM (SELECT doc_id, row_number()
+           OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk FROM cs{i})
+           WHERE rnk <= 10),
+r{i} AS (SELECT rnk, CASE WHEN doc_id % 7 = 0 THEN 2
+                          WHEN doc_id % 3 = 0 THEN 1
+                          ELSE 0 END AS rating FROM top{i}),
+m{i} AS (SELECT '{qid}' AS query_id, count(*)::BIGINT AS n_hits,
+       round(sum((rating >= 1)::INT)::DOUBLE / count(*), 6) AS precision_k,
+       round(sum((rating >= 1)::INT)::DOUBLE / max(tr.total), 6) AS recall_k,
+       round(coalesce(1.0 / min(CASE WHEN rating >= 1 THEN rnk END),
+                      0.0), 6) AS mrr,
+       round(sum((pow(2.0, rating) - 1.0) / log2(rnk + 1.0)), 6) AS dcg,
+       round(sum((pow(2.0, rating) - 1.0) / log2(rnk + 1.0))
+             / max(idg.idcg), 6) AS ndcg
+       FROM r{i} CROSS JOIN tr CROSS JOIN idg)"""
+    o["rank_eval"] = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tr AS (SELECT count(*)::DOUBLE AS total FROM documents
+       WHERE doc_id % 7 = 0 OR doc_id % 3 = 0),
+idg AS (SELECT sum((pow(2.0, rating) - 1.0) / log2(rn + 1.0)) AS idcg
+        FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rn
+              FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS rating
+                    FROM documents
+                    WHERE doc_id % 7 = 0 OR doc_id % 3 = 0))
+        WHERE rn <= 10),
+{_CS_FMT.format(i=1, qid="q1", terms="'merge', 'window'")},
+{_CS_FMT.format(i=2, qid="q2", terms="'spark', 'stream'")}
+SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY query_id"""
+    o["hybrid_linear"] = f"""
+WITH b AS ({_BM20}),
+v AS ({_COS20}),
+bx AS (SELECT min(score) AS lo, max(score) AS hi FROM b),
+vx AS (SELECT min(score) AS lo, max(score) AS hi FROM v),
+bn AS (SELECT doc_id, 0.7 * (CASE WHEN bx.hi = bx.lo THEN 1.0
+           ELSE (score - bx.lo) / (bx.hi - bx.lo) END) AS ws
+       FROM b CROSS JOIN bx),
+vn AS (SELECT doc_id, 0.3 * (CASE WHEN vx.hi = vx.lo THEN 1.0
+           ELSE (score - vx.lo) / (vx.hi - vx.lo) END) AS ws
+       FROM v CROSS JOIN vx),
+u AS (SELECT * FROM bn UNION ALL SELECT * FROM vn)
+SELECT doc_id, round(sum(ws), 6) AS lin_score,
+       count(*)::BIGINT AS n_retrievers
+FROM u GROUP BY doc_id ORDER BY lin_score DESC, doc_id LIMIT 10"""
 
     return o

@@ -1566,17 +1566,32 @@ class IndexReader:
 
     def match_docs(self, query: str, mode: str = "or",
                    exclude: str | None = None,
-                   min_match: int = 1) -> DataFrame:
+                   min_match: int = 1,
+                   raw_terms: list[str] | None = None) -> DataFrame:
         """Distributed match set: DataFrame(shard int, doc_id long) of
         every doc matching the analyzed query — the input to facet aggs
         and bulk exports, where the result is corpus-scale and must stay
         on executors. One grouped-map over the pruned posting scan; no
-        scoring, no doclens reads."""
+        scoring, no doclens reads.
+
+        raw_terms: match these DICTIONARY terms verbatim instead of
+        analyzing `query` — the path for callers holding terms already
+        expanded from the termdict (prefix/fuzzy rewrites), where
+        re-analysis would wrongly re-split compound identifier terms
+        (e.g. `struct_builder` → `builder`, widening the match set)."""
         self._refresh_if_stale()
-        plan = self.plan(query)
         spark = self.spark
         if spark is None:
             raise ValueError("match_docs needs a SparkSession")
+
+        class _RawPlan:
+            pass
+
+        if raw_terms is not None:
+            plan = _RawPlan()
+            plan.terms = sorted(set(raw_terms))
+        else:
+            plan = self.plan(query)
         if not plan.terms:
             return spark.createDataFrame([], "shard int, doc_id long")
         ex_terms = self._exclusion_terms(exclude)
@@ -3064,6 +3079,221 @@ class IndexReader:
                 .select("doc_id", F.col("_val").alias("value"),
                         F.round("score", 6).alias("score"))
                 .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    def search_bool_prefix(self, text: str, k: int = 10,
+                           max_expansions: int = 50) -> DataFrame:
+        """match_bool_prefix query (the ES analogue — the bool form
+        behind search_as_you_type): every analyzed term of `text`
+        except the LAST becomes a regular scoring term clause; the last
+        matches as a PREFIX. Lucene rewrites the prefix clause
+        constant-score (boost 1.0), so
+
+            score(d) = BM25(leading terms, d)
+                       + 1.0 · [d contains any term starting with last]
+
+        and a doc matching ONLY the prefix still matches (bool should,
+        minimum_should_match = 1). Physically: the leading terms reuse
+        the exact scored_matches scorer; the prefix expands against the
+        sorted termdict sidecar (zero posting bytes, first
+        max_expansions alternates in term order — the ES cap) into a
+        match_docs posting probe; a full-outer join of the two
+        executor-side sets adds the constant. Both sides are
+        posting-bounded; the final rank is on round(score, 6) with
+        doc_id tie-break (the cross-engine rank convention), exact
+        because both inputs are full match sets."""
+        tok = self.cfg.get("tokenizer", "code")
+        toks = analyze_query(text, tokenizer=tok)
+        if not toks:
+            raise ValueError("match_bool_prefix needs at least one term")
+        *lead, last = toks
+        spark = self.spark
+        if spark is None:
+            raise ValueError("search_bool_prefix needs a SparkSession")
+        if lead:
+            scored = self.scored_matches(" ".join(lead))
+        else:
+            scored = spark.createDataFrame(
+                [], "shard int, doc_id long, score double")
+        alts = self._prefix_alts(last, max_expansions)
+        if alts:
+            pref = self.match_docs("", raw_terms=alts) \
+                .withColumn("_p", F.lit(1.0))
+        else:
+            pref = spark.createDataFrame(
+                [], "shard int, doc_id long, _p double")
+        out = scored.join(pref, ["shard", "doc_id"], "full_outer")
+        return (out.select(
+            "doc_id",
+            F.round(F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.coalesce(F.col("_p"), F.lit(0.0)), 6)
+            .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def combined_fields_local(self, text: str,
+                              fields: tuple = ("content", "repo"),
+                              weights: dict | None = None, k: int = 10,
+                              max_workers: int | None = None
+                              ) -> pd.DataFrame:
+        """combined_fields query (the ES 7.13+ analogue — Lucene's
+        CombinedFieldQuery, the BM25F "pseudo-field" of Robertson 2004):
+        term and length statistics of the listed fields are merged into
+        ONE synthetic field BEFORE scoring —
+
+            tf*(t,d) = Σ_f w_f · tf_f(t,d)
+            dl*(d)   = Σ_f w_f · dl_f(d)
+            avgdl*   = Σ_f w_f · avgdl_f     (manifest field stats)
+            df*(t)   = |{d : t in ANY listed field}|
+            score    = Σ_t idf(df*) · tfnorm(tf*, dl*, avgdl*)
+
+        — unlike multi_match/dis_max (per-field scores combined AFTER
+        scoring) and unlike copy_to (stats merged at INDEX time into an
+        extra stored field). Keyword fields contribute their
+        'field:term' posting form (X1 term namespace, tf = dl = 1).
+
+        Serving-path shape (the ES query-node analogue): ONE pruned
+        posting fetch for {t} ∪ {f:t}, a dfs phase computing the exact
+        per-term union df* from the decoded postings (decodes are
+        memoized on the cached row dicts, so the scoring phase reuses
+        them), then a per-shard numpy scorer and coordinator top-k.
+        Work is posting-bounded, corpus-size independent. dl_f of a doc
+        missing field f reads as 1 from the doclens sidecar (its
+        documented missing-field convention) — exact whenever every doc
+        stores every listed field, as in the reference mapping."""
+        w = {f: float((weights or {}).get(f, 1.0)) for f in fields}
+        tok = self.cfg.get("tokenizer", "code")
+        q_terms = sorted(set(analyze_query(text, tokenizer=tok)))
+        if not q_terms:
+            return self._EMPTY_HITS()
+
+        def pform(f: str, t: str) -> str:
+            return t if f == "content" else f"{f}:{t}"
+
+        fetch = sorted({pform(f, t) for f in fields for t in q_terms})
+        by_shard = self._fetch_posting_rows(fetch)
+        if not by_shard:
+            return self._EMPTY_HITS()
+        shard_size = self.cfg["shard_size"]
+        f_stats = self.stats["fields"]
+        n_corpus = max(int(f_stats.get(f, {}).get("n_docs", 0))
+                       for f in fields)
+        avgdl_star = sum(
+            w[f] * float(f_stats.get(f, {}).get("avgdl", 1.0))
+            for f in fields)
+
+        merged: dict[int, dict[str, tuple]] = {}
+        df_star = {t: 0 for t in q_terms}
+        for shard, rows in sorted(by_shard.items()):
+            base = shard * shard_size
+            md = {}
+            for t in q_terms:
+                ids_parts, tf_parts = [], []
+                for f in fields:
+                    r = rows.get(pform(f, t))
+                    if r is None:
+                        continue
+                    pl_ = _decode_full(r)
+                    ids_parts.append(pl_.doc_ids - base)
+                    tf_parts.append(w[f]
+                                    * pl_.tfs.astype(np.float64))
+                if not ids_parts:
+                    continue
+                ids = np.concatenate(ids_parts)
+                tfs = np.concatenate(tf_parts)
+                order = np.argsort(ids, kind="stable")
+                ids, tfs = ids[order], tfs[order]
+                uids, idx = np.unique(ids, return_index=True)
+                md[t] = (uids, np.add.reduceat(tfs, idx))
+                df_star[t] += uids.size
+            if md:
+                merged[shard] = md
+        idfs = {t: float(bm25.idf(df_star[t], n_corpus))
+                for t in q_terms if df_star[t] > 0}
+        if not idfs or not merged:
+            return self._EMPTY_HITS()
+
+        def run(item):
+            shard, md = item
+            base = shard * shard_size
+            dl_star = np.zeros(shard_size, dtype=np.float64)
+            for f in fields:
+                dl_star += w[f] * _load_doclens(
+                    self.index_dir, shard, f, base, shard_size)
+            score = np.zeros(shard_size, dtype=np.float64)
+            touched = np.zeros(shard_size, dtype=bool)
+            for t, (uids, tfsum) in md.items():
+                if t not in idfs:
+                    continue
+                score[uids] += idfs[t] * bm25.tfnorm(
+                    tfsum, dl_star[uids], avgdl_star)
+                touched[uids] = True
+            loc = np.nonzero(touched)[0]
+            return loc + base, score[loc]
+
+        results = _map_shards(run, sorted(merged.items()), max_workers)
+        ids = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        if ids.size == 0:
+            return self._EMPTY_HITS()
+        return self._merge_topk(ids, scores, k)
+
+    def rank_eval(self, queries: dict[str, str],
+                  ratings: dict[str, dict[int, int]], k: int = 10,
+                  relevant_threshold: int = 1) -> pd.DataFrame:
+        """_rank_eval API (the ES analogue): run each query, compare its
+        top-k against the graded relevance judgements, and emit the
+        standard IR metrics per query —
+
+          precision_k  relevant retrieved / retrieved      (ES precision)
+          recall_k     relevant retrieved / total relevant (ES recall)
+          mrr          1 / rank of the first relevant doc  (ES MRR)
+          dcg          Σ (2^rating − 1) / log2(rank + 1)   (ES DCG gain)
+          ndcg         dcg / ideal dcg over the top-k of the judged
+                       ratings sorted descending
+
+        Unjudged retrieved docs count rating 0 (ES
+        ignore_unlabeled=false default); `relevant_threshold` is ES's
+        relevant_rating_threshold. Ranking uses the serving path cut at
+        (round(score, 6) desc, doc_id asc) — the cross-engine rank
+        convention — fetching 4k then re-ranking so boundary ties are
+        deterministic. Work = |queries| posting-bounded searches plus
+        O(k) driver arithmetic per query; the judgement dicts are
+        API-sized (ES's are request bodies), never corpus-scale."""
+        out = []
+        for qid in sorted(queries):
+            hits = self.search_local(queries[qid], k=max(4 * k, 40))
+            hits = hits.assign(score=hits["score"].round(6)) \
+                .sort_values(["score", "doc_id"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k)
+            rated = ratings.get(qid, {})
+            rel = [int(rated.get(int(d), 0))
+                   for d in hits["doc_id"]]
+            n_ret = len(rel)
+            n_rel_ret = sum(1 for r in rel if r >= relevant_threshold)
+            total_rel = sum(1 for r in rated.values()
+                            if r >= relevant_threshold)
+            mrr = 0.0
+            for i, r in enumerate(rel, start=1):
+                if r >= relevant_threshold:
+                    mrr = 1.0 / i
+                    break
+            dcg = sum((2.0 ** r - 1.0) / np.log2(i + 1.0)
+                      for i, r in enumerate(rel, start=1))
+            ideal = sorted(rated.values(), reverse=True)[:k]
+            idcg = sum((2.0 ** r - 1.0) / np.log2(i + 1.0)
+                       for i, r in enumerate(ideal, start=1))
+            out.append({
+                "query_id": qid,
+                "n_hits": n_ret,
+                "precision_k": round(n_rel_ret / n_ret, 6)
+                if n_ret else 0.0,
+                "recall_k": round(n_rel_ret / total_rel, 6)
+                if total_rel else 0.0,
+                "mrr": round(mrr, 6),
+                "dcg": round(float(dcg), 6),
+                "ndcg": round(float(dcg / idcg), 6) if idcg else 0.0,
+            })
+        return pd.DataFrame(out)
 
     def field_caps(self) -> DataFrame:
         """_field_caps API (the ES analogue): one row per docstore field

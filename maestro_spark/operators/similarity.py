@@ -444,3 +444,43 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10,
                  .alias("rrf_score"),
                  F.count("*").cast("long").alias("n_retrievers"))
             .orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k))
+
+
+def linear_fuse(rankings: list[DataFrame], weights: list[float],
+                k: int = 10, id_col: str = "doc_id",
+                score_col: str = "score") -> DataFrame:
+    """Linear score fusion (the ES 8.18 `retriever.linear` analogue
+    with normalizer=minmax for hybrid BM25 + kNN search):
+
+        lin(d) = Σ_retrievers w_r · (s_r(d) − min_r) / (max_r − min_r)
+
+    where min/max are over retriever r's OWN top-N list and a doc
+    absent from a retriever contributes 0 from it. A degenerate range
+    (max == min, e.g. a single-row list) normalizes to 1.0 — the doc is
+    that retriever's best. Fuse on ROUNDED upstream scores for
+    cross-engine determinism; the fused score is rounded to 6.
+
+    Scale shape: same as rrf_fuse — inputs are coordinator-sized top-N
+    lists, so each min/max is a 1-row agg crossJoined back and the
+    fusion groupBy runs on k·|retrievers| rows (ES's coordinating-node
+    merge cost class). Returns (id, lin_score, n_retrievers) ordered
+    (lin_score desc, id asc) top-k."""
+    if len(weights) != len(rankings):
+        raise ValueError("one weight per retriever")
+    parts = []
+    for df, w in zip(rankings, weights):
+        ext = df.agg(F.min(score_col).alias("_lo"),
+                     F.max(score_col).alias("_hi"))
+        norm = F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0)) \
+            .otherwise((F.col(score_col) - F.col("_lo"))
+                       / (F.col("_hi") - F.col("_lo")))
+        parts.append(df.crossJoin(ext).select(
+            F.col(id_col).alias("_id"),
+            (F.lit(float(w)) * norm).alias("_ws")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy(F.col("_id").alias(id_col))
+            .agg(F.round(F.sum("_ws"), 6).alias("lin_score"),
+                 F.count("*").cast("long").alias("n_retrievers"))
+            .orderBy(F.desc("lin_score"), F.asc(id_col)).limit(k))
