@@ -1841,6 +1841,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_linear"] = _q_hybrid_linear
 
+    def _q_gopher(s: SparkSession, d: str) -> DataFrame:
+        # Gopher quality-filter rules (Rae et al. 2021 A1.1.1): word
+        # count / mean word length / symbol ratio / alpha ratio /
+        # stop-word rule -> keep. Map-only, zero shuffle.
+        return textstats.gopher_quality(_t(s, d, "documents"))
+
+    q["gopher_quality"] = _q_gopher
+
+    def _q_bigram_lm(s: SparkSession, d: str) -> DataFrame:
+        # interpolated bigram LM score (CCNet/KenLM-filter analogue,
+        # one order above unigram_logprob)
+        return textstats.bigram_logprob(_t(s, d, "documents"))
+
+    q["bigram_logprob"] = _q_bigram_lm
+
     return q
 
 
@@ -3305,5 +3320,46 @@ u AS (SELECT * FROM bn UNION ALL SELECT * FROM vn)
 SELECT doc_id, round(sum(ws), 6) AS lin_score,
        count(*)::BIGINT AS n_retrievers
 FROM u GROUP BY doc_id ORDER BY lin_score DESC, doc_id LIMIT 10"""
+    _GSTOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+    _GHITS = " + ".join(f"list_contains(ws, '{s}')::INT" for s in _GSTOPS)
+    o["gopher_quality"] = f"""
+WITH w AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS ws,
+           lower(text) AS t FROM documents),
+g AS (SELECT doc_id, len(ws) AS n_words,
+      list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE
+          / len(ws) AS mean_len,
+      ((length(t) - length(replace(t, '#', '')))
+       + (length(t) - length(replace(t, '...', ''))) / 3.0)
+          / len(ws) AS sym,
+      len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+          / len(ws) AS alpha,
+      ({_GHITS}) AS stop_hits
+      FROM w)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(alpha, 6) AS alpha_ratio,
+       stop_hits::BIGINT AS stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2) AS keep
+FROM g"""
+    o["bigram_logprob"] = f"""
+WITH {_ARR},
+{_TOK},
+bg AS (SELECT doc_id, ts[i] AS v, ts[i+1] AS w
+       FROM arr, unnest(range(1, greatest(len(ts), 1))) AS t(i)),
+bgc AS (SELECT v, w, count(*)::DOUBLE AS cvw FROM bg GROUP BY v, w),
+mg AS (SELECT v, sum(cvw) AS cv FROM bgc GROUP BY v),
+un AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok GROUP BY term),
+tt AS (SELECT sum(ctf) AS total FROM un)
+SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(0.9 * c.cvw / m.cv
+                    + (1.0 - 0.9) * u.ctf / tt.total)), 6) AS avg_logprob
+FROM bg b JOIN bgc c ON c.v = b.v AND c.w = b.w
+JOIN mg m ON m.v = b.v JOIN un u ON u.term = b.w CROSS JOIN tt
+GROUP BY b.doc_id"""
 
     return o

@@ -277,3 +277,104 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
             .alias("distinct_ratio"),
             F.round(F.col("top_tf") / F.col("n_tokens"), 6)
             .alias("top_token_ratio")))
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_ratio: float = 0.8,
+                   min_stop_hits: int = 2,
+                   stopwords: tuple = GOPHER_STOPS) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 §A1.1.1, public) —
+    the heuristic document filter of the MassiveText pipeline, per doc:
+
+      n_words        whitespace word count, kept in [min_words, max_words]
+      mean_word_len  mean word length, kept in [min_mean_len, max_mean_len]
+      symbol_ratio   ('#' + '...' occurrences) / n_words, kept <= max
+      alpha_ratio    fraction of words containing an alphabetic char,
+                     kept >= min_alpha_ratio
+      stop_hits      how many of the 8 Gopher stop words appear, kept >=
+                     min_stop_hits
+      keep           AND of the five rules
+
+    Scale shape: pure per-row column expressions over array HOFs —
+    map-only, zero shuffle, whole-stage codegen (the same class as
+    quality_features); a 100-TB corpus filters at scan speed. Thresholds
+    are the paper's defaults."""
+    text = F.lower(F.col(text_col))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0.0),
+                          lambda acc, w: acc + F.length(w))
+    mean_len = sum_len / n_words
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (F.length(text)
+             - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+    symbol_ratio = (n_hash + n_ell) / n_words
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = n_alpha.cast("double") / n_words
+    stop_hits = sum(
+        (F.array_contains(words, F.lit(s)).cast("int") for s in stopwords),
+        start=F.lit(0))
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (alpha_ratio >= min_alpha_ratio)
+            & (stop_hits >= min_stop_hits))
+    return docs.select(
+        F.col(id_col), n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        keep.alias("keep"))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.9) -> DataFrame:
+    """Interpolated bigram language-model score — the CCNet/KenLM
+    perplexity-filter analogue one order up from unigram_logprob: per
+    doc, the mean natural-log probability of its bigram positions under
+
+        P(w | v) = lam · c(v,w)/c(v,·) + (1 − lam) · ctf(w)/total
+
+    with corpus-MLE counts (c(v,·) = the bigram-prefix marginal, so the
+    conditional rows sum to 1). Low scores mark token sequences the
+    corpus's own short-range statistics find improbable (shuffled text,
+    symbol soup) that unigram frequency alone cannot see.
+
+    Scale shape: the bigram count table is one partial-agg groupBy
+    (|bigram vocab| rows, Zipf-bounded far below the token stream), its
+    prefix marginal a second vocabulary-sized agg; the doc bigram stream
+    joins both on their count keys (sort-merge/hash joins — broadcast
+    them instead when the vocabulary fits, as a real LM's would after
+    pruning) and reduces per doc with one partial agg. The 1-row total
+    broadcasts. Nothing corpus-sized reaches the driver."""
+    ts = simple_token_col(F.col(text_col))
+    toks = docs.select(F.col(id_col), ts.alias("ts"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+            F.slice("ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("v"), b.alias("w"))))
+        .alias("p")).select(F.col(id_col), "p.v", "p.w")
+    bgc = bg.groupBy("v", "w").agg(
+        F.count("*").cast("double").alias("cvw"))
+    marg = bgc.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    uni = (docs.select(F.explode(ts).alias("term"))
+           .groupBy("term").agg(F.count("*").cast("double").alias("ctf")))
+    total = uni.agg(F.sum("ctf").alias("total"))
+    lp = F.log(F.lit(float(lam)) * F.col("cvw") / F.col("cv")
+               + F.lit(1.0 - float(lam)) * F.col("ctf") / F.col("total"))
+    return (bg.join(bgc, ["v", "w"]).join(marg, "v")
+            .join(uni, F.col("w") == F.col("term"))
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(lp), 6).alias("avg_logprob")))

@@ -149,3 +149,72 @@ def test_repetition_features(spark):
     assert out[1]["n_tokens"] == 5 and out[1]["distinct_ratio"] == 0.4
     assert out[1]["top_token_ratio"] == 0.8
     assert out[2]["distinct_ratio"] == 1.0 and out[2]["top_token_ratio"] == 0.2
+
+
+def test_gopher_quality_rules(spark):
+    rows = [
+        # passes every rule: 60 words, mean len in [3,10], stops present
+        (0, "the quick code must be built to run with care and speed "
+            + "token " * 48),
+        # too short
+        (1, "the tiny be of and that have with doc"),
+        # symbol-heavy: '#' ratio over 0.1 (many hashes, few words)
+        (2, "### ## # " * 20 + "the be to of and that have with "
+            + "word " * 50),
+        # no stop words at all
+        (3, "alpha beta gamma delta " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in textstats.gopher_quality(df).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["n_words"] < 50
+    assert got[2]["keep"] is False \
+        and got[2]["symbol_ratio"] > 0.1
+    assert got[3]["keep"] is False and got[3]["stop_hits"] == 0
+    # hand-check one row's features
+    words = rows[0][1].lower().split()
+    assert got[0]["n_words"] == len(words)
+    assert got[0]["mean_word_len"] == round(
+        sum(map(len, words)) / len(words), 6)
+    assert got[0]["alpha_ratio"] == 1.0
+    assert got[0]["stop_hits"] == 5  # the, be, to, with, and
+
+
+def test_bigram_logprob_vs_brute(spark):
+    import math
+    texts = {0: "a b a b c", 1: "a a a a", 2: "c b a", 3: "x"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in textstats.bigram_logprob(df, lam=0.9).collect()}
+    toks = {d: t.split() for d, t in texts.items()}
+    from collections import Counter
+    uni = Counter(w for ts in toks.values() for w in ts)
+    total = sum(uni.values())
+    bg = Counter((ts[i], ts[i + 1]) for ts in toks.values()
+                 for i in range(len(ts) - 1))
+    marg = Counter()
+    for (v, _), c in bg.items():
+        marg[v] += c
+    for d, ts in toks.items():
+        pairs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not pairs:
+            assert d not in got  # single-token doc yields no row
+            continue
+        lps = [math.log(0.9 * bg[p] / marg[p[0]]
+                        + 0.1 * uni[p[1]] / total) for p in pairs]
+        assert got[d]["n_bigrams"] == len(pairs)
+        assert got[d]["avg_logprob"] == pytest.approx(
+            round(sum(lps) / len(lps), 6), abs=1e-6)
+
+
+def test_bigram_logprob_prefers_frequent_sequences(spark):
+    # docs built from the corpus's own frequent bigram score higher
+    # than a shuffled-order doc over the same tokens
+    base = [(i, "stream merge stream merge stream merge") for i in range(8)]
+    base.append((8, "merge merge stream stream merge stream"))
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in textstats.bigram_logprob(df).collect()}
+    assert got[8] < got[0]
