@@ -1856,6 +1856,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bigram_logprob"] = _q_bigram_lm
 
+    def _q_span_near_unordered(s: SparkSession, d: str) -> DataFrame:
+        # span_near(in_order=false) / ES intervals ordered:false:
+        # 'slow' and 'query' in any order within a 5-slot window;
+        # tf = minimal matching windows (NearSpansUnordered)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.span_near_local("slow query", k=40, slop=3,
+                                     in_order=False)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["span_near_unordered"] = _q_span_near_unordered
+
     return q
 
 
@@ -3361,5 +3376,32 @@ SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
 FROM bg b JOIN bgc c ON c.v = b.v AND c.w = b.w
 JOIN mg m ON m.v = b.v JOIN un u ON u.term = b.w CROSS JOIN tt
 GROUP BY b.doc_id"""
+    # span_near unordered: a minimal window for two terms is a pair of
+    # their positions with NO occurrence of either term strictly between
+    # (the two-pointer enumeration collapses to exactly these pairs)
+    o["span_near_unordered"] = f"""
+WITH {_ARR},
+pa AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'query'),
+pb AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'slow'),
+pr AS (SELECT a.doc_id FROM pa a JOIN pb b ON b.doc_id = a.doc_id
+       WHERE greatest(a.p, b.p) - least(a.p, b.p) <= 4
+         AND NOT EXISTS (SELECT 1 FROM pa x WHERE x.doc_id = a.doc_id
+             AND x.p > least(a.p, b.p) AND x.p < greatest(a.p, b.p))
+         AND NOT EXISTS (SELECT 1 FROM pb y WHERE y.doc_id = a.doc_id
+             AND y.p > least(a.p, b.p) AND y.p < greatest(a.p, b.p))),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM pr GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
 
     return o

@@ -3949,6 +3949,100 @@ class IndexReader:
         scores = idf * (tfs / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl)))
         return self._merge_topk(docs, scores, k)
 
+    def span_near_local(self, phrase: str, k: int = 10, slop: int = 0,
+                        in_order: bool = True,
+                        max_workers: int | None = None) -> pd.DataFrame:
+        """span_near query, both orderings (the Lucene SpanNearQuery /
+        ES intervals `match` analogue), serving path. in_order=True
+        delegates to phrase_search_local — its slop>0 path IS the
+        ordered contract (strictly increasing chain, gaps ≤ slop).
+        in_order=False is the unordered form (ES intervals
+        ordered:false / span_near in_order:false): a doc matches when
+        every DISTINCT query term occurs inside a window with
+
+            max(pos) − min(pos) ≤ n − 1 + slop
+
+        and tf = the number of MINIMAL matching windows (windows that
+        stop matching if shrunk from the left — Lucene's
+        NearSpansUnordered enumeration), scored as a pseudo-term with
+        the restricted df exactly like phrase_search.
+
+        Physical shape: the same posting-bounded serving path as
+        phrase_search — doc intersection first (rarest term first),
+        positions decoded only for intersected docs, then one linear
+        two-pointer pass over each doc's merged position stream
+        (O(Σ positions), the same work class as Lucene's per-doc span
+        enumeration), coordinator top-k merge."""
+        if in_order:
+            return self.phrase_search_local(phrase, k=k, slop=slop,
+                                            max_workers=max_workers)
+        self._refresh_if_stale()
+        tok = self.cfg.get("tokenizer", "code")
+        terms = sorted(set(phrase_terms(phrase, tok)))
+        if not terms:
+            return self._EMPTY_HITS()
+        if len(terms) == 1:
+            return self.phrase_search_local(terms[0], k=k,
+                                            max_workers=max_workers)
+        by_shard = self._fetch_posting_rows(terms)
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        n = len(terms)
+        cap = np.int64(n - 1 + slop)
+
+        def run(item):
+            shard, rows = item
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                     np.empty(0, np.float64))
+            if any(t not in rows for t in terms):
+                return empty
+            order = sorted(terms, key=lambda t: (rows[t]["df"], t))
+            inter = None
+            doc_lists = {}
+            for t in order:
+                pl_ = _decode_full(rows[t])
+                doc_lists[t] = pl_.doc_ids
+                inter = pl_.doc_ids if inter is None else inter[
+                    np.isin(inter, pl_.doc_ids, assume_unique=True)]
+                if inter.size == 0:
+                    return empty
+            decoded = {}
+            for t in terms:
+                pos, tfs_t = decode_positions(rows[t])
+                off = np.concatenate(([0], np.cumsum(tfs_t)))
+                decoded[t] = (doc_lists[t], pos, off)
+            out_docs, out_tf = [], []
+            for d in inter:
+                plists = []
+                for t in terms:
+                    dl_t, pos, off = decoded[t]
+                    j = int(np.searchsorted(dl_t, d))
+                    plists.append(pos[off[j]:off[j + 1]])
+                tf = _count_min_windows(plists, cap)
+                if tf:
+                    out_docs.append(d)
+                    out_tf.append(tf)
+            if not out_docs:
+                return empty
+            docs = np.asarray(out_docs, np.int64)
+            dls = _load_doclens(index_dir, shard, "content",
+                                shard * shard_size, shard_size)
+            return (docs, np.asarray(out_tf, np.float64),
+                    dls[docs - shard * shard_size])
+
+        matched = _map_shards(run, sorted(by_shard.items()), max_workers)
+        docs = np.concatenate([m[0] for m in matched]) \
+            if matched else np.empty(0, np.int64)
+        if docs.size == 0:
+            return self._EMPTY_HITS()
+        tfs = np.concatenate([m[1] for m in matched])
+        dls = np.concatenate([m[2] for m in matched])
+        st = self.stats["fields"]["content"]
+        idf = float(bm25.idf(docs.size, st["n_docs"]))
+        scores = idf * (tfs / (tfs + bm25.K1 * (
+            1.0 - bm25.B + bm25.B * dls / float(st["avgdl"]))))
+        return self._merge_topk(docs, scores, k)
+
     def rescore_phrase_local(self, query: str, phrase: str | None = None,
                              window: int = 50, k: int = 10,
                              query_weight: float = 1.0,
@@ -4272,6 +4366,41 @@ class IndexReader:
 # ---------------------------------------------------------------- phrase
 
 _PHRASE_KEY_BITS = 21  # doc-local positions < 2^21 (doc lengths ≪ 2M)
+
+
+def _count_min_windows(pos_lists: list[np.ndarray], cap: int) -> int:
+    """Count MINIMAL windows covering one position from every list with
+    width max−min ≤ cap — the Lucene NearSpansUnordered enumeration
+    (a window is minimal when dropping its leftmost position breaks
+    coverage; each is counted once). One linear pass over the merged
+    position stream with per-label counts: O(Σ|lists|) after the sort."""
+    n = len(pos_lists)
+    allp = np.concatenate(pos_lists)
+    lab = np.concatenate([np.full(p.size, i, dtype=np.int32)
+                          for i, p in enumerate(pos_lists)])
+    order = np.argsort(allp, kind="mergesort")
+    allp, lab = allp[order], lab[order]
+    cnt = np.zeros(n, dtype=np.int64)
+    covered = 0
+    left = 0
+    out = 0
+    for right in range(allp.size):
+        c = lab[right]
+        cnt[c] += 1
+        if cnt[c] == 1:
+            covered += 1
+        while covered == n:
+            lc = lab[left]
+            if cnt[lc] > 1:          # leftmost is redundant: shrink
+                cnt[lc] -= 1
+                left += 1
+                continue
+            if allp[right] - allp[left] <= cap:
+                out += 1             # minimal window [left..right]
+            cnt[lc] -= 1             # drop it, breaking coverage
+            covered -= 1
+            left += 1
+    return out
 
 
 def _phrase_match(rows: dict[str, dict], seq: list[str], slop: int = 0,

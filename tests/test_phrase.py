@@ -509,3 +509,81 @@ def test_span_first_single_term(spark, built, corpus):
     want = {int(r["doc_id"]) for _, r in corpus.iterrows()
             if "return" in _subtoken_stream(r["content"])[:3]}
     assert set(got["doc_id"]) == want
+
+
+# ---------------------------------------------------------------- span_near
+# unordered (in_order=false): minimal-window tf vs a naive enumerator
+
+def _naive_min_windows(plists, cap):
+    """Independent minimal-window enumeration: for every merged start,
+    take the FIRST right end that covers all lists; the window counts
+    when its leftmost element is required and the width fits."""
+    merged = sorted((int(p), i) for i, ps in enumerate(plists)
+                    for p in ps)
+    n = len(plists)
+    wins = 0
+    for a in range(len(merged)):
+        seen = {}
+        for b in range(a, len(merged)):
+            seen[merged[b][1]] = seen.get(merged[b][1], 0) + 1
+            if len(seen) == n:
+                if seen[merged[a][1]] == 1 \
+                        and merged[b][0] - merged[a][0] <= cap:
+                    wins += 1
+                break
+    return wins
+
+
+def test_count_min_windows_unit():
+    from maestro_spark.operators.search import _count_min_windows
+    A = np.array([1, 2]); B = np.array([5])
+    assert _count_min_windows([A, B], 4) == 1      # only [2,5]
+    assert _count_min_windows([A, B], 2) == 0
+    assert _count_min_windows([np.array([5]), np.array([1, 9])], 4) == 2
+    three = [np.array([0, 10]), np.array([2]), np.array([4, 11])]
+    # minimal windows covering all three: [0..4] (w=4), [2..10]? not
+    # minimal at right-first enumeration -> [2,4,10]? naive agrees:
+    assert _count_min_windows(three, 20) == _naive_min_windows(three, 20)
+    assert _count_min_windows(three, 4) == _naive_min_windows(three, 4)
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("merge worker", 2),
+    ("user token", 0),
+    ("get user request", 3),
+])
+def test_span_near_unordered_vs_brute(spark, built, corpus, phrase, slop):
+    reader = IndexReader(spark, built)
+    got = reader.span_near_local(phrase, k=N_DOCS, slop=slop,
+                                 in_order=False)
+    terms = sorted(set(phrase_terms(phrase, "code")))
+    cap = len(terms) - 1 + slop
+    st = reader.stats["fields"]["content"]
+    want = {}
+    for _, row in corpus.iterrows():
+        stream = _subtoken_stream(row["content"])
+        plists = [np.array([i for i, t in enumerate(stream) if t == q],
+                           dtype=np.int64) for q in terms]
+        if any(p.size == 0 for p in plists):
+            continue
+        tf = _naive_min_windows(plists, cap)
+        if tf:
+            want[int(row["doc_id"])] = (
+                tf, float(len(code_tokens(
+                    pd.Series([row["content"]])).iat[0])))
+    gm = dict(zip(got["doc_id"], got["score"]))
+    assert set(gm) == set(want)
+    dfm = len(want)
+    for d, (tf, dl) in want.items():
+        exp = float(bm25.idf(dfm, st["n_docs"])) * (
+            tf / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / st["avgdl"])))
+        assert gm[d] == pytest.approx(exp, rel=1e-12)
+
+
+def test_span_near_unordered_superset_of_ordered(spark, built):
+    reader = IndexReader(spark, built)
+    ordered = reader.span_near_local("get user", k=N_DOCS, slop=2,
+                                     in_order=True)
+    unordered = reader.span_near_local("get user", k=N_DOCS, slop=2,
+                                       in_order=False)
+    assert set(ordered["doc_id"]) <= set(unordered["doc_id"])
