@@ -1871,6 +1871,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_near_unordered"] = _q_span_near_unordered
 
+    def _q_geotile(s: SparkSession, d: str) -> DataFrame:
+        # ES geotile_grid agg: web-mercator z/x/y tiles over runtime
+        # lat/lon (mercator value rounded to 9dp before floor — the
+        # cross-engine libm-ulp pin)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geotile_grid("spark stream", _LAT(),
+                                          _LON(), zoom=3)
+
+    q["geotile_grid"] = _q_geotile
+
+    def _q_geo_centroid(s: SparkSession, d: str) -> DataFrame:
+        # ES geo_centroid agg: mean lat/lon of the match set
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geo_centroid("spark stream", _LAT(), _LON())
+
+    q["geo_centroid"] = _q_geo_centroid
+
+    def _q_mix_sources(s: SparkSession, d: str) -> DataFrame:
+        # dataset mixing at fixed target weights (Pile/DoReMi static
+        # recipe): rate_s = min(1, total*w_s/n_s), md5-deterministic
+        return curation.mix_sources(
+            _t(s, d, "documents").select("doc_id", "source"),
+            {"src1": 2.0, "src3": 1.0}, total_docs=300)
+
+    q["source_mixing"] = _q_mix_sources
+
     return q
 
 
@@ -3403,5 +3429,37 @@ ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
                * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
          ph.doc_id
 LIMIT 10"""
+    o["geotile_grid"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT floor(({_LON_SQL} + 180.0) / 360.0 * 8.0) AS x,
+             floor(round((1.0 - ln(tan(radians({_LAT_SQL}))
+                                   + 1.0 / cos(radians({_LAT_SQL}))) / pi())
+                         / 2.0 * 8.0, 9)) AS y
+      FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT '3/' || x::INT || '/' || y::INT AS tile,
+       count(*)::BIGINT AS n_docs
+FROM g GROUP BY 1 ORDER BY n_docs DESC, tile"""
+    o["geo_centroid"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
+SELECT round(avg({_LAT_SQL}), 6) AS centroid_lat,
+       round(avg({_LON_SQL}), 6) AS centroid_lon,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["source_mixing"] = f"""
+WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+           WHERE source IN ('src1', 'src3') GROUP BY source),
+u AS (SELECT d.doc_id, d.source, c.n,
+             {_hex16_sql("concat('mix', CAST(doc_id AS VARCHAR))")}
+                 / 65536.0 AS u
+      FROM documents d JOIN c ON c.source = d.source),
+r AS (SELECT doc_id, source, u,
+             least(1.0, 300.0 * (CASE source
+                 WHEN 'src1' THEN {2.0 / 3.0!r}::DOUBLE
+                 WHEN 'src3' THEN {1.0 / 3.0!r}::DOUBLE END) / n) AS rate
+      FROM u)
+SELECT doc_id, source, round(rate, 6) AS mix_rate
+FROM r WHERE u < rate"""
 
     return o

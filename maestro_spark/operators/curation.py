@@ -271,3 +271,42 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
             .groupBy(F.col("_id").alias(id_col))
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.sum("w"), 6).alias("logratio")))
+
+
+def mix_sources(docs: DataFrame, weights: dict[str, float],
+                total_docs: int, strata_col: str = "source",
+                id_col: str = "doc_id", salt: str = "mix") -> DataFrame:
+    """Dataset mixing to target proportions — the static-weight mix
+    step of LLM-corpus assembly (the Pile/DoReMi recipe applied with
+    fixed weights, public): sample source s at
+
+        rate_s = min(1, total_docs · w_s / n_s)
+
+    (w normalized over the listed sources; unlisted sources drop), so
+    the output approximates total_docs docs at the target mix.
+    Undersupplied sources cap at rate 1.0 and keep everything — the
+    cap is visible in the emitted mix_rate column rather than silently
+    redistributed (no silent caps).
+
+    Scale shape: ONE partial-agg count per listed source (|sources|
+    rows, broadcast back onto the scan), then uniform01's md5 pure
+    filter — deterministic under retries/repartitioning, no RNG state,
+    no extra shuffle. Output: the sampled rows + their source's
+    mix_rate (rounded 6) for downstream reweighting audits."""
+    wsum = float(sum(weights.values()))
+    tgt = {s: float(w) / wsum for s, w in weights.items()}
+    counts = (docs.where(F.col(strata_col).isin(list(weights)))
+              .groupBy(strata_col)
+              .agg(F.count("*").cast("double").alias("_n")))
+    tgt_col = reduce(
+        lambda acc, kv: acc.when(F.col(strata_col) == kv[0],
+                                 F.lit(kv[1])),
+        tgt.items(), F.when(F.lit(False), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    rate = F.least(F.lit(1.0),
+                   F.lit(float(total_docs)) * tgt_col / F.col("_n"))
+    u = uniform01(id_col, salt)
+    return (docs.join(F.broadcast(counts), strata_col)
+            .where(u < rate)
+            .withColumn("mix_rate", F.round(rate, 6))
+            .drop("_n"))

@@ -2723,6 +2723,65 @@ class IndexReader:
             & (F.col("_lon") <= float(right)))
             .select("doc_id").orderBy("doc_id").limit(k))
 
+    def search_geotile_grid(self, query: str, lat_col, lon_col,
+                            zoom: int = 3, mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """geotile_grid aggregation (the ES analogue): matched docs
+        bucketed into web-mercator map tiles, keyed 'z/x/y' exactly as
+        ES emits them —
+
+            x = floor((lon + 180)/360 · 2^z)
+            y = floor((1 − ln(tan φ + 1/cos φ)/π)/2 · 2^z)
+
+        One partial-agg shuffle of one row per touched tile per task
+        (bucket count ≤ 4^z, never corpus). The mercator inner value is
+        rounded to 9 decimals BEFORE floor on both engines: tan/ln are
+        libm calls whose last ulp may differ between runtimes, and the
+        tile id must not (the cross-engine determinism convention; a
+        9-decimal round moves a tile boundary by ~0.1 µm)."""
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        z2 = float(2 ** int(zoom))
+        matches = self.match_docs(query, mode, exclude, min_match)
+        phi = F.radians(lat_col.cast("double"))
+        merc = (F.lit(1.0) - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi))
+                / F.lit(float(np.pi))) / F.lit(2.0) * F.lit(z2)
+        x = F.floor((lon_col.cast("double") + 180.0) / 360.0 * F.lit(z2))
+        y = F.floor(F.round(merc, 9))
+        docs = self._docs().select(
+            "shard", "doc_id",
+            F.concat_ws("/", F.lit(int(zoom)).cast("string"),
+                        x.cast("string"), y.cast("string"))
+            .alias("tile"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.groupBy("tile")
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy(F.desc("n_docs"), "tile"))
+
+    def search_geo_centroid(self, query: str, lat_col, lon_col,
+                            mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """geo_centroid aggregation (the ES analogue): the arithmetic
+        mean lat/lon of the match set plus its count, one algebraic
+        partial agg (ES likewise accumulates plain sums per shard)."""
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id", lat_col.cast("double").alias("_lat"),
+            lon_col.cast("double").alias("_lon"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return joined.agg(
+            F.round(F.avg("_lat"), 6).alias("centroid_lat"),
+            F.round(F.avg("_lon"), 6).alias("centroid_lon"),
+            F.count("*").alias("n_docs"))
+
     def search_boxplot(self, query: str, value_col, mode: str = "or",
                        exclude: str | None = None,
                        min_match: int = 1) -> DataFrame:

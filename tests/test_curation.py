@@ -157,3 +157,36 @@ def test_dsir_weight_join_is_broadcast(spark, docs):
     # the bucket-keyed weight join must broadcast (n_buckets rows), never
     # shuffle the corpus token stream on the bucket key
     assert "BroadcastHashJoin" in plan
+
+
+def test_mix_sources_rates_and_determinism(spark, docs):
+    import hashlib
+    out = curation.mix_sources(docs, {"src0": 3.0, "src1": 1.0},
+                               total_docs=40).toPandas()
+    # unlisted sources drop
+    assert set(out["source"]) <= {"src0", "src1"}
+    # identical under a different partitioning
+    out2 = curation.mix_sources(docs.repartition(7),
+                                {"src0": 3.0, "src1": 1.0},
+                                total_docs=40).toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # brute-force membership: u(doc) < min(1, total*w/n)
+    pdf = docs.select("doc_id", "source").toPandas()
+    n = pdf.groupby("source").size()
+    for s, w in (("src0", 0.75), ("src1", 0.25)):
+        rate = min(1.0, 40 * w / n[s])
+        ids = pdf.loc[pdf["source"] == s, "doc_id"]
+        want = {int(d) for d in ids if int(hashlib.md5(
+            f"mix{d}".encode()).hexdigest()[:4], 16) / 65536.0 < rate}
+        got = set(out.loc[out["source"] == s, "doc_id"])
+        assert got == want
+        got_rate = set(out.loc[out["source"] == s, "mix_rate"])
+        assert got_rate == {round(rate, 6)}
+
+
+def test_mix_sources_undersupplied_caps_at_one(spark, docs):
+    # demand far above supply: rate caps at 1.0 and every doc survives
+    out = curation.mix_sources(docs, {"src0": 1.0},
+                               total_docs=10**9).toPandas()
+    n0 = docs.where(F.col("source") == "src0").count()
+    assert len(out) == n0 and set(out["mix_rate"]) == {1.0}

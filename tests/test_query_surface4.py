@@ -196,3 +196,35 @@ def test_diversified_sampler_walk_equivalence(reader, corpus, cap, n):
     # cap is respected per (shard, value)
     assert got.merge(scored[["doc_id", "shard"]], on="doc_id") \
               .groupby(["shard", "value"]).size().max() <= cap
+
+
+def test_geotile_grid(reader, mdf):
+    got = reader.search_geotile_grid(
+        Q, (F.col("doc_id") % 120 - 60).cast("double"),
+        (F.col("doc_id") % 340 - 170).cast("double"), zoom=3).toPandas()
+    lat = (mdf["doc_id"] % 120 - 60).astype(float)
+    lon = (mdf["doc_id"] % 340 - 170).astype(float)
+    x = np.floor((lon + 180.0) / 360.0 * 8.0).astype(int)
+    phi = np.radians(lat)
+    merc = (1.0 - np.log(np.tan(phi) + 1.0 / np.cos(phi))
+            / np.pi) / 2.0 * 8.0
+    y = np.floor(np.round(merc, 9)).astype(int)
+    tiles = pd.Series([f"3/{a}/{b}" for a, b in zip(x, y)])
+    want = tiles.value_counts()
+    gm = dict(zip(got["tile"], got["n_docs"]))
+    assert gm == want.to_dict()
+    # ordered (n_docs desc, tile asc)
+    assert list(got.sort_values(["n_docs", "tile"],
+                                ascending=[False, True])["tile"]) \
+        == list(got["tile"])
+
+
+def test_geo_centroid(reader, mdf):
+    got = reader.search_geo_centroid(
+        Q, (F.col("doc_id") % 120 - 60).cast("double"),
+        (F.col("doc_id") % 340 - 170).cast("double")).collect()[0]
+    lat = (mdf["doc_id"] % 120 - 60).astype(float)
+    lon = (mdf["doc_id"] % 340 - 170).astype(float)
+    assert got["centroid_lat"] == round(float(lat.mean()), 6)
+    assert got["centroid_lon"] == round(float(lon.mean()), 6)
+    assert got["n_docs"] == len(mdf)
