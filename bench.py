@@ -292,6 +292,22 @@ def main() -> None:
         t0 = time.time()
         reader.phrase_search_local("get user", k=10, first_n=30)
         timings["span_first_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.span_near_local("index merge", k=10, slop=3,
+                               in_order=False)
+        timings["span_near_unordered_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.combined_fields_local("index merge",
+                                     fields=("content", "lang"), k=10)
+        timings["combined_fields_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.search_bool_prefix("index mer", k=10).collect()
+        timings["bool_prefix"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_diversified_sampler(
+            "index merge", sample_top=10, dedup_col=F.col("lang"),
+            max_per_value=2).collect()
+        timings["diversified_sampler"] = round(time.time() - t0, 3)
 
         # snapshot-clone overhead (the versioned-incremental fixed cost:
         # hardlinks only, O(#files) — must stay ~ms at any corpus size)
@@ -364,6 +380,13 @@ def main() -> None:
              "batch writer", "user request count"])],
         "query_id long, query string, mode string, min_match int")
     timed("percolate_5q", lambda: percolate(documents, pq).count())
+    timed("gopher_quality",
+          lambda: textstats.gopher_quality(documents).count())
+    timed("bigram_logprob",
+          lambda: textstats.bigram_logprob(documents).count())
+    timed("mix_sources", lambda: curation.mix_sources(
+        documents, {"src1": 2.0, "src3": 1.0},
+        total_docs=int(documents.count() * 0.2)).count())
 
     total = time.time() - t_all
     out = {

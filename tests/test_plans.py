@@ -177,3 +177,56 @@ def test_minhash_filter_stays_above_spread_exchange(spark):
     # no pushed filters at all (the line is absent) or an empty list
     assert ("PushedFilters" not in scan_block
             or "PushedFilters: []" in scan_block)
+
+
+def test_new_aggs_stay_jvm_side(spark, idx):
+    """Session-4 agg family: matrix_stats / MAD / top_metrics /
+    bucket_script / cumulative_cardinality / geotile / geo_centroid are
+    pure column expressions over the match-set join — the only Python
+    node allowed in the plan is match_docs' posting grouped-map (one
+    FlatMapGroupsInPandas), never a row-wise UDF over the docstore."""
+    reader = IndexReader(spark, idx)
+    lat = (F.col("doc_id") % 120 - 60).cast("double")
+    lon = (F.col("doc_id") % 340 - 170).cast("double")
+    frames = [
+        reader.search_matrix_stats(
+            "index merge", {"a": F.length("content"),
+                            "b": (F.col("doc_id") % 7).cast("double")}),
+        reader.search_mad("index merge", F.length("content")),
+        reader.search_top_metrics("index merge", F.length("content"),
+                                  {"m": lat}, size=2),
+        reader.search_bucket_script("index merge",
+                                    F.length("content"), 100),
+        reader.search_cumulative_cardinality(
+            "index merge",
+            F.expr("timestamp'2025-01-01' + make_interval(0,0,0,0,"
+                   "CAST(doc_id % 24 AS INT),0,0)"), F.col("lang")),
+        reader.search_geotile_grid("index merge", lat, lon, zoom=2),
+        reader.search_geo_centroid("index merge", lat, lon),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+        assert "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan
+        # every Python node is match_docs' posting grouped-map (it may
+        # appear twice: once feeding the join, once inside the dynamic
+        # partition-pruning subquery that shard-prunes the docstore
+        # scan — re-running the bounded match to skip docstore files
+        # is the trade we want); never a row-wise UDF over doc rows
+        assert plan.count("FlatMapGroupsInPandas") \
+            == plan.count("match_shard")
+
+
+def test_mix_sources_broadcasts_counts_and_no_extra_shuffle(spark):
+    from maestro_spark.operators import curation
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = curation.mix_sources(docs, {"src0": 1.0, "src1": 1.0},
+                               total_docs=100)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the probe side must not shuffle: the only exchange feeds the
+    # dim-sized count aggregate / broadcast, never a repartition of docs
+    assert "SortMergeJoin" not in plan
