@@ -288,3 +288,50 @@ def incremental_update_versioned(
                 shutil.rmtree(os.path.join(base_dir, old), ignore_errors=True)
     manifest["version_dir"] = version
     return manifest
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    transform,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+) -> dict:
+    """_update_by_query (the ES analogue, ManagementController's bulk
+    re-map flow re-expressed): re-index every doc matching `query` with
+    a column `transform` applied, touching ONLY the shards holding
+    matches.
+
+    transform: DataFrame -> DataFrame over the matched docstore rows
+    (must keep the natural key repo/path/commit and the indexed
+    columns — the painless-script seam; column expressions stay
+    whole-stage-codegen).
+
+    Scale shape: the match set comes from the posting-bounded
+    match_docs (never a corpus scan); the docstore fetch joins on
+    (shard, doc_id) so partition pruning opens only matched shards;
+    the rewrite is incremental_update's affected-shard-only rebuild
+    with stable ids. Work ∝ |matches| + |touched shards| · shard_size,
+    corpus-size independent — the same cost model ES documents for
+    _update_by_query (it re-indexes matched docs, it does not rewrite
+    segments in place)."""
+    from maestro_spark.operators.search import IndexReader
+
+    cfg = cfg or IndexConfig()
+    reader = IndexReader(spark, index_dir)
+    matches = reader.match_docs(query, mode=mode)
+    docs_path = os.path.join(index_dir, "docs")
+    stored = spark.read.parquet(docs_path)
+    hit = stored.join(matches, ["shard", "doc_id"], "left_semi") \
+                .drop("doc_id", "shard", "content_sha256")
+    mod = transform(hit)
+    missing = [c for c in DOC_COLS if c not in mod.columns]
+    if missing:
+        raise ValueError(
+            f"transform dropped required doc columns {missing}")
+    return incremental_update(
+        spark, index_dir,
+        mod.select(*DOC_COLS, *[c for c in cfg.stored_columns
+                                if c in mod.columns]),
+        None, cfg)

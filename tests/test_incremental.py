@@ -311,3 +311,47 @@ def test_bloom_probe_distributed_path(spark, tmp_path, monkeypatch):
     none = keybloom.candidate_shards(
         spark, idx, keys.limit(0), ["repo", "path", "commit"], manifest)
     assert none == set()
+
+
+def test_update_by_query(spark, tmp_path):
+    """ES _update_by_query: matched docs re-indexed with a transform,
+    only their shards rebuilt, ids stable, non-matches untouched."""
+    from maestro_spark.operators.incremental import update_by_query
+
+    idx = str(tmp_path / "ubq")
+    docs = synth_docs(spark, 200, seed=7, partitions=4)
+    build_index(spark, docs, idx, CFG)
+    ids_before = _ids(spark, idx)
+    reader = IndexReader(spark, idx)
+    match_before = set(reader.search_pandas("lambda", k=500)["doc_id"])
+    assert match_before, "need a non-empty match set"
+    shards_hit = {d // CFG.shard_size for d in match_before}
+
+    m = update_by_query(
+        spark, idx, "lambda",
+        lambda df: df.withColumn(
+            "content", F.concat(F.col("content"), F.lit(" zzqpatched"))),
+        CFG)
+    touched = set(map(int, m["shards"])) - set(m["skipped_shards"])
+    assert touched == shards_hit
+    # ids stable, every previously-matching doc now carries the marker
+    ids_after = _ids(spark, idx)
+    assert ids_after == ids_before
+    reader2 = IndexReader(spark, idx)
+    patched = set(reader2.search_pandas("zzqpatched", k=500)["doc_id"])
+    assert patched == match_before
+    # and still matches the original term
+    assert set(reader2.search_pandas("lambda", k=500)["doc_id"]) \
+        == match_before
+
+
+def test_update_by_query_guards_dropped_columns(spark, tmp_path):
+    from maestro_spark.operators.incremental import update_by_query
+
+    idx = str(tmp_path / "ubq2")
+    build_index(spark, synth_docs(spark, 60, seed=7, partitions=2),
+                idx, CFG)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dropped required"):
+        update_by_query(spark, idx, "lambda",
+                        lambda df: df.drop("lang"), CFG)
