@@ -1897,6 +1897,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_mixing"] = _q_mix_sources
 
+    def _q_span_not(s: SparkSession, d: str) -> DataFrame:
+        # span_not: 'slow query' phrase occurrences with no 'fast'
+        # within 1 slot before / 1 after the span; tf = survivors
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.span_not_local("slow query", "fast",
+                                    pre=1, post=1, k=40)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["span_not"] = _q_span_not
+
+    def _q_span_or(s: SparkSession, d: str) -> DataFrame:
+        # span_or: union of two exact-phrase clauses scored as ONE
+        # pseudo-term (tf sums across clauses)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.span_or_local(["slow query", "fast scan"], k=40)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["span_or"] = _q_span_or
+
     return q
 
 
@@ -3461,5 +3488,47 @@ r AS (SELECT doc_id, source, u,
       FROM u)
 SELECT doc_id, source, round(rate, 6) AS mix_rate
 FROM r WHERE u < rate"""
+    # span_not: include span [i, i+1] (1-based), exclude width-1 span q;
+    # pre=1/post=1 kill window is q in [i-1, i+2]
+    o["span_not"] = f"""
+WITH {_ARR},
+inc AS (SELECT doc_id, i FROM arr,
+        unnest(range(1, greatest(len(ts), 1))) AS t(i)
+        WHERE ts[i] = 'slow' AND ts[i+1] = 'query'),
+exc AS (SELECT doc_id, i AS q FROM arr,
+        unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'fast'),
+sv AS (SELECT inc.doc_id, inc.i FROM inc
+       WHERE NOT EXISTS (SELECT 1 FROM exc
+             WHERE exc.doc_id = inc.doc_id
+               AND exc.q >= inc.i - 1 AND exc.q <= inc.i + 2)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM sv GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
+    o["span_or"] = f"""
+WITH {_ARR},
+big AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS s
+        FROM arr, unnest(range(1, greatest(len(ts), 1))) AS t(i)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM big
+       WHERE s IN ('slow query', 'fast scan') GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
 
     return o

@@ -4102,6 +4102,179 @@ class IndexReader:
             1.0 - bm25.B + bm25.B * dls / float(st["avgdl"]))))
         return self._merge_topk(docs, scores, k)
 
+    def _decoded_positions(self, rows: dict, terms: list[str]):
+        """(doc_ids, positions, offsets) per term from fetched posting
+        rows — the shared decode step of the span family. Returns None
+        when any term is absent from this shard."""
+        if any(t not in rows for t in terms):
+            return None
+        out = {}
+        for t in sorted(set(terms)):
+            pos, tfs_t = decode_positions(rows[t])
+            off = np.concatenate(([0], np.cumsum(tfs_t)))
+            out[t] = (_decode_full(rows[t]).doc_ids, pos, off)
+        return out
+
+    @staticmethod
+    def _doc_positions(decoded, t: str, d: int) -> np.ndarray:
+        dl_t, pos, off = decoded[t]
+        j = int(np.searchsorted(dl_t, d))
+        if j >= dl_t.size or dl_t[j] != d:
+            return np.empty(0, pos.dtype)
+        return pos[off[j]:off[j + 1]]
+
+    @staticmethod
+    def _exact_starts(plists: list[np.ndarray]) -> np.ndarray:
+        """Start positions of the exact consecutive sequence: p such
+        that p+i ∈ plists[i] for every i (sorted-array intersections)."""
+        starts = plists[0]
+        for i, p in enumerate(plists[1:], start=1):
+            starts = starts[np.isin(starts, p - i, assume_unique=True)]
+            if starts.size == 0:
+                break
+        return starts
+
+    def _span_score(self, docs: np.ndarray, tfs: np.ndarray,
+                    shard_dls: np.ndarray, k: int) -> pd.DataFrame:
+        st = self.stats["fields"]["content"]
+        idf = float(bm25.idf(docs.size, st["n_docs"]))
+        scores = idf * (tfs / (tfs + bm25.K1 * (
+            1.0 - bm25.B + bm25.B * shard_dls / float(st["avgdl"]))))
+        return self._merge_topk(docs, scores, k)
+
+    def span_not_local(self, include: str, exclude: str,
+                       pre: int = 0, post: int = 0, k: int = 10,
+                       max_workers: int | None = None) -> pd.DataFrame:
+        """span_not query (the Lucene SpanNotQuery / ES span_not
+        analogue): occurrences of the `include` exact phrase that do NOT
+        come within `pre` positions before or `post` positions after any
+        occurrence of the `exclude` term/phrase. tf = surviving spans;
+        a doc with none drops out (df reflects the restriction, like
+        span_first). Scored as the phrase pseudo-term.
+
+        Same posting-bounded serving shape as the rest of the span
+        family: intersection docs only, one searchsorted interval test
+        per include span against the exclude position array."""
+        tok = self.cfg.get("tokenizer", "code")
+        inc = phrase_terms(include, tok)
+        exc = phrase_terms(exclude, tok)
+        if not inc or not exc:
+            raise ValueError("span_not needs include and exclude spans")
+        n_inc, n_exc = len(inc), len(exc)
+        by_shard = self._fetch_posting_rows(sorted(set(inc) | set(exc)))
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+
+        def run(item):
+            shard, rows = item
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                     np.empty(0, np.float64))
+            dec = self._decoded_positions(rows, inc)
+            if dec is None:
+                return empty
+            dec_ex = self._decoded_positions(rows, exc)
+            inter = None
+            for t in sorted(set(inc)):
+                ids = dec[t][0]
+                inter = ids if inter is None else inter[
+                    np.isin(inter, ids, assume_unique=True)]
+            if inter is None or inter.size == 0:
+                return empty
+            out_docs, out_tf = [], []
+            for d in inter:
+                starts = self._exact_starts(
+                    [self._doc_positions(dec, t, d) for t in inc])
+                if starts.size == 0:
+                    continue
+                if dec_ex is not None:
+                    ex_starts = self._exact_starts(
+                        [self._doc_positions(dec_ex, t, d) for t in exc])
+                    if ex_starts.size:
+                        # exclude span [q, q+n_exc-1] widened by pre/post
+                        # kills include span [p, p+n_inc-1] when the
+                        # intervals intersect
+                        lo = np.searchsorted(
+                            ex_starts, starts - pre - (n_exc - 1))
+                        hi = np.searchsorted(
+                            ex_starts, starts + (n_inc - 1) + post,
+                            side="right")
+                        starts = starts[lo == hi]
+                if starts.size:
+                    out_docs.append(d)
+                    out_tf.append(starts.size)
+            if not out_docs:
+                return empty
+            docs = np.asarray(out_docs, np.int64)
+            dls = _load_doclens(index_dir, shard, "content",
+                                shard * shard_size, shard_size)
+            return (docs, np.asarray(out_tf, np.float64),
+                    dls[docs - shard * shard_size])
+
+        matched = _map_shards(run, sorted(by_shard.items()), max_workers)
+        docs = np.concatenate([m[0] for m in matched]) \
+            if matched else np.empty(0, np.int64)
+        if docs.size == 0:
+            return self._EMPTY_HITS()
+        return self._span_score(
+            docs, np.concatenate([m[1] for m in matched]),
+            np.concatenate([m[2] for m in matched]), k)
+
+    def span_or_local(self, clauses: list[str], k: int = 10,
+                      max_workers: int | None = None) -> pd.DataFrame:
+        """span_or query (the Lucene SpanOrQuery / ES span_or analogue):
+        the union of the clause spans — tf(d) = total occurrences of ANY
+        clause's exact phrase, df = docs with at least one, scored as
+        one pseudo-term (so a doc matching two clauses outranks equal-dl
+        docs matching one). Posting-bounded; each clause's doc set is
+        its own intersection, the union never widens past the clauses'
+        postings."""
+        tok = self.cfg.get("tokenizer", "code")
+        seqs = [phrase_terms(c, tok) for c in clauses]
+        seqs = [s for s in seqs if s]
+        if not seqs:
+            raise ValueError("span_or needs at least one clause")
+        all_terms = sorted({t for s in seqs for t in s})
+        by_shard = self._fetch_posting_rows(all_terms)
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+
+        def run(item):
+            shard, rows = item
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                     np.empty(0, np.float64))
+            counts: dict[int, int] = {}
+            for seq in seqs:
+                dec = self._decoded_positions(rows, seq)
+                if dec is None:
+                    continue
+                inter = None
+                for t in sorted(set(seq)):
+                    ids = dec[t][0]
+                    inter = ids if inter is None else inter[
+                        np.isin(inter, ids, assume_unique=True)]
+                for d in inter:
+                    tf = self._exact_starts(
+                        [self._doc_positions(dec, t, d)
+                         for t in seq]).size
+                    if tf:
+                        counts[int(d)] = counts.get(int(d), 0) + tf
+            if not counts:
+                return empty
+            docs = np.asarray(sorted(counts), np.int64)
+            tfs = np.asarray([counts[int(d)] for d in docs], np.float64)
+            dls = _load_doclens(index_dir, shard, "content",
+                                shard * shard_size, shard_size)
+            return docs, tfs, dls[docs - shard * shard_size]
+
+        matched = _map_shards(run, sorted(by_shard.items()), max_workers)
+        docs = np.concatenate([m[0] for m in matched]) \
+            if matched else np.empty(0, np.int64)
+        if docs.size == 0:
+            return self._EMPTY_HITS()
+        return self._span_score(
+            docs, np.concatenate([m[1] for m in matched]),
+            np.concatenate([m[2] for m in matched]), k)
+
     def rescore_phrase_local(self, query: str, phrase: str | None = None,
                              window: int = 50, k: int = 10,
                              query_weight: float = 1.0,

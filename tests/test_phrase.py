@@ -587,3 +587,71 @@ def test_span_near_unordered_superset_of_ordered(spark, built):
     unordered = reader.span_near_local("get user", k=N_DOCS, slop=2,
                                        in_order=False)
     assert set(ordered["doc_id"]) <= set(unordered["doc_id"])
+
+
+def _exact_starts_brute(stream, seq):
+    return [i for i in range(len(stream) - len(seq) + 1)
+            if stream[i:i + len(seq)] == seq]
+
+
+@pytest.mark.parametrize("pre,post", [(0, 0), (1, 2)])
+def test_span_not_vs_brute(spark, built, corpus, pre, post):
+    reader = IndexReader(spark, built)
+    inc, exc = "get user", "return"
+    got = reader.span_not_local(inc, exc, pre=pre, post=post, k=N_DOCS)
+    iseq = phrase_terms(inc, "code")
+    eseq = phrase_terms(exc, "code")
+    st = reader.stats["fields"]["content"]
+    want = {}
+    for _, row in corpus.iterrows():
+        stream = _subtoken_stream(row["content"])
+        starts = _exact_starts_brute(stream, iseq)
+        if not starts:
+            continue
+        ex = _exact_starts_brute(stream, eseq)
+        lo_off = pre + (len(eseq) - 1)
+        hi_off = (len(iseq) - 1) + post
+        surv = [p for p in starts
+                if not any(p - lo_off <= q <= p + hi_off for q in ex)]
+        if surv:
+            want[int(row["doc_id"])] = (
+                len(surv),
+                float(len(code_tokens(pd.Series([row["content"]])).iat[0])))
+    gm = dict(zip(got["doc_id"], got["score"]))
+    assert set(gm) == set(want)
+    for d, (tf, dl) in want.items():
+        exp = float(bm25.idf(len(want), st["n_docs"])) * (
+            tf / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / st["avgdl"])))
+        assert gm[d] == pytest.approx(exp, rel=1e-12)
+
+
+def test_span_not_excludes_everything_when_wide(spark, built):
+    # a kill window covering the whole doc empties the result
+    reader = IndexReader(spark, built)
+    base = reader.span_not_local("get user", "return", k=N_DOCS)
+    wide = reader.span_not_local("get user", "return",
+                                 pre=10**6, post=10**6, k=N_DOCS)
+    # docs keeping spans under the wide window are exactly those with
+    # NO 'return' at all; they form a subset of the base survivors
+    assert set(wide["doc_id"]) <= set(base["doc_id"])
+
+
+def test_span_or_vs_brute(spark, built, corpus):
+    reader = IndexReader(spark, built)
+    clauses = ["get user", "token worker"]
+    got = reader.span_or_local(clauses, k=N_DOCS)
+    seqs = [phrase_terms(c, "code") for c in clauses]
+    st = reader.stats["fields"]["content"]
+    want = {}
+    for _, row in corpus.iterrows():
+        stream = _subtoken_stream(row["content"])
+        tf = sum(len(_exact_starts_brute(stream, s)) for s in seqs)
+        if tf:
+            want[int(row["doc_id"])] = (
+                tf, float(len(code_tokens(pd.Series([row["content"]])).iat[0])))
+    gm = dict(zip(got["doc_id"], got["score"]))
+    assert set(gm) == set(want)
+    for d, (tf, dl) in want.items():
+        exp = float(bm25.idf(len(want), st["n_docs"])) * (
+            tf / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / st["avgdl"])))
+        assert gm[d] == pytest.approx(exp, rel=1e-12)
