@@ -1924,6 +1924,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_or"] = _q_span_or
 
+    def _q_quality_classifier(s: SparkSession, d: str) -> DataFrame:
+        # GPT-3/WebText-style hashed logistic quality classifier:
+        # train on lang=='en' labels (one closed-form gradient step —
+        # the SQL-checkable case; multi-step is pytest-verified),
+        # score the corpus
+        from maestro_spark.operators.classifier import (
+            quality_classifier_scores)
+        return quality_classifier_scores(
+            _t(s, d, "documents"), (F.col("lang") == "en"),
+            n_features=4096, iters=1, lr=1.0)
+
+    q["quality_classifier"] = _q_quality_classifier
+
     return q
 
 
@@ -3530,5 +3543,25 @@ ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
                * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
          ph.doc_id
 LIMIT 10"""
+    # one closed-form gradient step from w=0 (sigmoid(0)=1/2):
+    # w_j = lr * sum_d x_dj (y_d - 1/2) / n ; margin = x . w
+    o["quality_classifier"] = f"""
+WITH {_TOK},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+f AS (SELECT t.doc_id, {_hex16_sql("t.term")} % 4096 AS bucket,
+             count(*)::DOUBLE / max(dl.dl) AS x
+      FROM tok t JOIN dl ON dl.doc_id = t.doc_id
+      GROUP BY t.doc_id, bucket),
+lb AS (SELECT doc_id, (lang = 'en')::INT::DOUBLE AS y FROM documents),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (SELECT f.bucket,
+             sum(f.x * (lb.y - 0.5)) / max(nn.n) AS w
+      FROM f JOIN lb ON lb.doc_id = f.doc_id CROSS JOIN nn
+      GROUP BY f.bucket),
+m AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+      FROM f JOIN w ON w.bucket = f.bucket GROUP BY f.doc_id)
+SELECT doc_id, round(m, 6) AS margin,
+       round(1.0 / (1.0 + exp(-m)), 6) AS prob
+FROM m"""
 
     return o
