@@ -1937,6 +1937,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_classifier"] = _q_quality_classifier
 
+    def _q_percolate_phrase(s: SparkSession, d: str) -> DataFrame:
+        # percolator with phrase queries: term candidates + consecutive
+        # -order verify (ES percolator re-checks candidates against the
+        # full query on a memory index)
+        from maestro_spark.operators.percolate import percolate
+        qdf = s.createDataFrame(
+            [(1, "slow query", "phrase", 1),
+             (2, "fast scan", "phrase", 1),
+             (3, "spark merge", "or", 1)],
+            "query_id long, query string, mode string, min_match int")
+        return (percolate(_t(s, d, "documents"), qdf)
+                .orderBy("doc_id", "query_id"))
+
+    q["percolate_phrase"] = _q_percolate_phrase
+
     return q
 
 
@@ -3563,5 +3578,23 @@ m AS (SELECT f.doc_id, sum(f.x * w.w) AS m
 SELECT doc_id, round(m, 6) AS margin,
        round(1.0 / (1.0 + exp(-m)), 6) AS prob
 FROM m"""
+    # phrase percolation: consecutive subsequence == substring of the
+    # space-joined token stream (tokens carry no separators)
+    o["percolate_phrase"] = f"""
+WITH {_ARR},
+{_TOK},
+j AS (SELECT doc_id, ' ' || array_to_string(ts, ' ') || ' ' AS s
+      FROM arr),
+p1 AS (SELECT doc_id, 1 AS query_id, 2::BIGINT AS n_matched FROM j
+       WHERE s LIKE '% slow query %'),
+p2 AS (SELECT doc_id, 2 AS query_id, 2::BIGINT AS n_matched FROM j
+       WHERE s LIKE '% fast scan %'),
+p3 AS (SELECT doc_id, 3 AS query_id, count(DISTINCT term)::BIGINT
+           AS n_matched
+       FROM tok WHERE term IN ('spark', 'merge') GROUP BY doc_id),
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      UNION ALL SELECT * FROM p3)
+SELECT doc_id, query_id::BIGINT AS query_id, n_matched FROM u
+ORDER BY doc_id, query_id"""
 
     return o

@@ -49,7 +49,9 @@ def analyze_queries(queries: DataFrame, query_col: str = "query",
         mode.alias("_mode"), msm.alias("_msm"))
     base = base.select(
         "query_id", "_terms",
-        F.when(F.col("_mode") == "and", F.size("_terms"))
+        # 'phrase' candidates need every distinct term (the AND bar);
+        # order is verified in percolate()'s second stage
+        F.when(F.col("_mode").isin("and", "phrase"), F.size("_terms"))
         .otherwise(F.least(F.col("_msm"), F.size("_terms")))
         .alias("required"),
         F.size("_terms").alias("n_terms"))
@@ -71,9 +73,39 @@ def percolate(docs: DataFrame, queries: DataFrame,
         F.explode(F.array_distinct(simple_token_col(F.col(text_col))))
         .alias("term"))
     hits = dtok.join(F.broadcast(qterms), "term", "inner")
-    return (hits.groupBy("doc_id", "query_id")
-            .agg(F.count("*").alias("n_matched"),
-                 F.first("required").alias("_req"))
-            .where(F.col("n_matched") >= F.col("_req"))
-            .select("doc_id", "query_id",
-                    F.col("n_matched").cast("long").alias("n_matched")))
+    cands = (hits.groupBy("doc_id", "query_id")
+             .agg(F.count("*").alias("n_matched"),
+                  F.first("required").alias("_req"))
+             .where(F.col("n_matched") >= F.col("_req"))
+             .select("doc_id", "query_id",
+                     F.col("n_matched").cast("long").alias("n_matched")))
+
+    # phrase verify stage (the ES percolator's memory-index re-check):
+    # queries registered with mode='phrase' additionally require their
+    # tokens CONSECUTIVELY. Tokens contain no separators, so consecutive
+    # subsequence ≡ substring of the space-joined token stream — a pure
+    # contains() over candidate pairs only (candidate-bounded work,
+    # whole-stage codegen; never doc × query).
+    id_col = q_cols.get("id_col", "query_id")
+    query_col = q_cols.get("query_col", "query")
+    mode_col = q_cols.get("mode_col", "mode")
+    if mode_col and mode_col in queries.columns:
+        ph = (queries.where(F.col(mode_col) == "phrase")
+              .select(F.col(id_col).alias("query_id"),
+                      F.array_join(simple_token_col(F.col(query_col)),
+                                   " ").alias("_ph")))
+        if ph.limit(1).count():
+            dj = docs.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.concat(F.lit(" "),
+                         F.array_join(simple_token_col(F.col(text_col)),
+                                      " "),
+                         F.lit(" ")).alias("_dj"))
+            cands = (cands.join(F.broadcast(ph), "query_id", "left")
+                     .join(dj, "doc_id")
+                     .where(F.col("_ph").isNull()
+                            | F.col("_dj").contains(
+                                F.concat(F.lit(" "), F.col("_ph"),
+                                         F.lit(" "))))
+                     .select("doc_id", "query_id", "n_matched"))
+    return cands

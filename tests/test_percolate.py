@@ -64,3 +64,38 @@ def test_percolate_join_is_broadcast(spark, docs):
     plan = percolate(docs, _qdf(spark)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_percolate_phrase_mode(spark):
+    """mode='phrase' requires the tokens CONSECUTIVELY; term candidates
+    alone must not match."""
+    from maestro_spark.operators.percolate import percolate
+    docs = spark.createDataFrame(
+        [(0, "the slow query ran"),        # phrase present
+         (1, "query was slow today"),      # both terms, wrong order
+         (2, "slow and heavy query"),      # both terms, gap
+         (3, "nothing relevant here"),
+         (4, "slow query slow query")],    # repeated phrase
+        "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "slow query", "phrase", 1),
+         (2, "slow query", "and", 1)],
+        "query_id long, query string, mode string, min_match int")
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(docs, qdf).collect()}
+    # phrase (q1): only docs 0 and 4; AND (q2): 0, 1, 2, 4
+    assert {(d, 1) for d in (0, 4)} == {x for x in got if x[1] == 1}
+    assert {(d, 2) for d in (0, 1, 2, 4)} == {x for x in got if x[1] == 2}
+
+
+def test_percolate_phrase_single_token_and_boundary(spark):
+    from maestro_spark.operators.percolate import percolate
+    docs = spark.createDataFrame(
+        [(0, "queryslow mash"),   # substring of a longer token: NO match
+         (1, "query slow")],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "query slow", "phrase", 1)],
+        "query_id long, query string, mode string, min_match int")
+    got = {r["doc_id"] for r in percolate(docs, qdf).collect()}
+    assert got == {1}
