@@ -4070,20 +4070,54 @@ class IndexReader:
                 pos, tfs_t = decode_positions(rows[t])
                 off = np.concatenate(([0], np.cumsum(tfs_t)))
                 decoded[t] = (doc_lists[t], pos, off)
-            out_docs, out_tf = [], []
-            for d in inter:
-                plists = []
-                for t in terms:
-                    dl_t, pos, off = decoded[t]
-                    j = int(np.searchsorted(dl_t, d))
-                    plists.append(pos[off[j]:off[j + 1]])
-                tf = _count_min_windows(plists, cap)
-                if tf:
-                    out_docs.append(d)
-                    out_tf.append(tf)
-            if not out_docs:
-                return empty
-            docs = np.asarray(out_docs, np.int64)
+            if n == 2:
+                # vectorized 2-term case: with positions distinct (or
+                # label-tie-pinned), a minimal window is exactly an
+                # ADJACENT opposite-label pair in the merged
+                # (doc, pos, label) order — one lexsort across ALL
+                # intersected docs, no per-doc loop
+                m = np.int64(1 << _PHRASE_KEY_BITS)
+
+                def keys_of(ti: int) -> tuple[np.ndarray, np.ndarray]:
+                    dl_t, pos, off = decoded[terms[ti]]
+                    idx = np.searchsorted(dl_t, inter)
+                    lens = off[idx + 1] - off[idx]
+                    flat_doc = np.repeat(inter, lens)
+                    first = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    within = (np.arange(int(lens.sum()), dtype=np.int64)
+                              - np.repeat(first, lens))
+                    p = pos[np.repeat(off[idx], lens) + within]
+                    return flat_doc * m + p, np.full(
+                        flat_doc.size, ti, dtype=np.int8)
+                ka, la = keys_of(0)
+                kb, lb_ = keys_of(1)
+                k = np.concatenate((ka, kb))
+                lv = np.concatenate((la, lb_))
+                o = np.lexsort((lv, k))
+                k, lv = k[o], lv[o]
+                adj = ((lv[1:] != lv[:-1])
+                       & (k[1:] // m == k[:-1] // m)
+                       & (k[1:] - k[:-1] <= cap))
+                if not adj.any():
+                    return empty
+                d_adj = (k[:-1][adj] // m).astype(np.int64)
+                docs, tf_counts = np.unique(d_adj, return_counts=True)
+                out_tf = tf_counts
+            else:
+                out_docs, out_tf = [], []
+                for d in inter:
+                    plists = []
+                    for t in terms:
+                        dl_t, pos, off = decoded[t]
+                        j = int(np.searchsorted(dl_t, d))
+                        plists.append(pos[off[j]:off[j + 1]])
+                    tf = _count_min_windows(plists, cap)
+                    if tf:
+                        out_docs.append(d)
+                        out_tf.append(tf)
+                if not out_docs:
+                    return empty
+                docs = np.asarray(out_docs, np.int64)
             dls = _load_doclens(index_dir, shard, "content",
                                 shard * shard_size, shard_size)
             return (docs, np.asarray(out_tf, np.float64),
@@ -4610,7 +4644,10 @@ def _count_min_windows(pos_lists: list[np.ndarray], cap: int) -> int:
     allp = np.concatenate(pos_lists)
     lab = np.concatenate([np.full(p.size, i, dtype=np.int32)
                           for i, p in enumerate(pos_lists)])
-    order = np.argsort(allp, kind="mergesort")
+    # (pos, label) order: label breaks position ties deterministically
+    # (distinct terms can share a slot under the code analyzer's
+    # whole-ident convention; the tie order pins the enumeration)
+    order = np.lexsort((lab, allp))
     allp, lab = allp[order], lab[order]
     cnt = np.zeros(n, dtype=np.int64)
     covered = 0
