@@ -704,6 +704,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["paragraph_dedup"] = _q_paragraph_dedup
 
+    def _q_substring_dedup(s: SparkSession, d: str) -> DataFrame:
+        # ExactSubstr dedup (Lee et al. 2022): token 8-gram windows
+        # duplicated >= 2x corpus-wide; per-doc unioned span coverage.
+        # hash_fn="text" keeps the window string as the group key so the
+        # oracle is value-identical (production key is xxhash64).
+        return dedup.substring_dup_stats(
+            _t(s, d, "documents"), n=8, hash_fn="text")
+
+    q["substring_dedup"] = _q_substring_dedup
+
     def _q_decontaminate(s: SparkSession, d: str) -> DataFrame:
         # GPT-3-style benchmark decontamination: corpus docs sharing any
         # word 8-gram with the (synthetic) eval slice get flagged
@@ -2068,6 +2078,26 @@ kept AS (SELECT doc_id, par_idx FROM (
 SELECT p.doc_id, count(*)::BIGINT AS n_pars, count(k.par_idx)::BIGINT AS n_kept
 FROM pars p LEFT JOIN kept k ON k.doc_id = p.doc_id AND k.par_idx = p.par_idx
 GROUP BY p.doc_id"""
+    # substring dedup: a window's interval-union coverage = for starts
+    # sorted per doc, min(8, next_start - start) each + 8 for the last
+    o["substring_dedup"] = f"""
+WITH {_ARR},
+w AS (SELECT doc_id, i AS s, array_to_string(ts[i : i + 7], ' ') AS gram
+      FROM arr, unnest(range(1, len(ts) - 6)) AS t(i) WHERE len(ts) >= 8),
+gc AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+dw AS (SELECT w.doc_id, w.s FROM w JOIN gc USING (gram)),
+cov AS (SELECT doc_id, s,
+               lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        FROM dw),
+agg AS (SELECT doc_id, count(*)::BIGINT AS dup_windows,
+               sum(least(8, coalesce(nxt - s, 8)))::BIGINT AS dup_tokens
+        FROM cov GROUP BY doc_id)
+SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens,
+       coalesce(g.dup_windows, 0)::BIGINT AS dup_windows,
+       coalesce(g.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(coalesce(g.dup_tokens, 0)::DOUBLE
+             / greatest(len(a.ts), 1), 6) AS dup_fraction
+FROM arr a LEFT JOIN agg g USING (doc_id)"""
     o["decontaminate"] = f"""
 WITH {_ARR},
 sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 7], ' ') AS s

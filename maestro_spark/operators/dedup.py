@@ -26,7 +26,7 @@ Scale design (the part the small-SF oracle can't see):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from maestro_spark.operators.textstats import simple_token_col
@@ -523,3 +523,79 @@ def dedup_paragraphs(pars: DataFrame, id_col: str = "doc_id",
     kept = keyed.join(winners, "_phash").where(
         (F.col(id_col) == F.col("_wi")) & (F.col(idx_col) == F.col("_wx")))
     return kept.drop("_phash", "_wi", "_wx")
+
+
+# --------------------------------------------- exact substring dedup
+
+def substring_dup_stats(docs: DataFrame, n: int = 8,
+                        min_count: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Exact duplicated-substring detection (the ExactSubstr dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public): a token window of length `n` is *duplicated* when
+    the identical window occurs at ≥ `min_count` positions corpus-wide
+    (across docs or repeated within one doc). Per doc, the duplicated
+    windows' [start, start+n) intervals are unioned and the covered token
+    count reported — the span a training pipeline would cut out.
+
+    Returns (doc_id, n_tokens, dup_windows, dup_tokens, dup_fraction),
+    one row per doc (zeros when nothing is duplicated).
+
+    100 TB shape (the paper builds a suffix array; the distributed
+    equivalent below reproduces its fixed-length-window variant with
+    pure DataFrame ops):
+      * windows are emitted map-side as (key, doc, start) where key =
+        xxhash64 of the window text — an 8-byte uniform shuffle key; the
+        window STRING never shuffles (hash_fn="text" keeps the string
+        key for SQL-oracle parity at test scale).
+      * ONE groupBy(key) with map-side partial counts finds duplicated
+        keys; boilerplate windows repeated 10^6× collapse in the
+        combiner, so the skew lands on partial agg, not the exchange.
+      * the dup-key filter joins back hash-partitioned on the same key
+        (no broadcast assumption — the dup-key set at corpus scale is
+        itself corpus-sized).
+      * interval union is a lead() window partitioned BY DOC (bounded by
+        the longest document, never corpus-wide): with starts sorted,
+        covered = Σ min(n, next_start − start) over dup windows, + n for
+        the last — exact union of overlapping fixed-length intervals.
+    """
+    toks = simple_token_col(F.col(text_col))
+    base = spread(docs).select(
+        F.col(id_col), toks.alias("_ts"), F.size(toks).alias("n_tokens"))
+    starts = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", F.slice(F.col("_ts"), F.col("start"), n))
+    key = F.md5(gram) if hash_fn == "md5" else (
+        gram if hash_fn == "text" else F.xxhash64(gram))
+    w = (base.select(id_col, "_ts", F.explode(starts).alias("start"))
+         .select(id_col, "start", key.alias("_k")))
+    dup_keys = (w.groupBy("_k").agg(F.count("*").alias("_c"))
+                .where(F.col("_c") >= min_count).select("_k"))
+    dupw = w.join(dup_keys, "_k").select(id_col, "start")
+    nxt = F.lead("start").over(
+        Window.partitionBy(id_col).orderBy("start"))
+    cov = (dupw.withColumn("_nxt", nxt)
+           .groupBy(id_col)
+           .agg(F.count("*").alias("dup_windows"),
+                F.sum(F.least(F.lit(n), F.coalesce(
+                    F.col("_nxt") - F.col("start"), F.lit(n))))
+                .alias("dup_tokens")))
+    return (
+        base.select(id_col, "n_tokens")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long")
+            .alias("dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+            .alias("dup_fraction"),
+        )
+    )

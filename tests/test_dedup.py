@@ -213,3 +213,85 @@ def test_decontaminate_overlap(spark):
            for r in decontaminate(corpus, ev, n=8).collect()}
     assert got[1][0] >= 1 and got[1][1] is True
     assert got[2] == (0, False)
+
+
+# ------------------------------------------- exact substring dedup
+
+def _brute_substring_stats(texts: dict[int, str], n: int,
+                           min_count: int = 2) -> dict[int, tuple]:
+    """Python oracle for substring_dup_stats: count every window
+    occurrence corpus-wide, union dup-window intervals per doc."""
+    import re as _re
+    toks = {d: _re.findall(r"[a-z0-9]+", t.lower()) for d, t in texts.items()}
+    occ: dict[tuple, int] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            g = tuple(ts[i:i + n])
+            occ[g] = occ.get(g, 0) + 1
+    out = {}
+    for d, ts in toks.items():
+        starts = [i for i in range(len(ts) - n + 1)
+                  if occ[tuple(ts[i:i + n])] >= min_count]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + n))
+        frac = round(len(covered) / max(len(ts), 1), 6)
+        out[d] = (len(ts), len(starts), len(covered), frac)
+    return out
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "text", "md5"])
+def test_substring_dup_stats_planted(spark, hash_fn):
+    # doc 0/1 share an 8-token run; doc 2 repeats its own run twice;
+    # doc 3 is clean; doc 4 is shorter than the window
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, f"intro {run} outro zero"),
+        (1, f"{run} tail one two"),
+        (2, f"{run} mid {run}"),
+        (3, "nothing shared here at all in this document body text"),
+        (4, "too short"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dup_stats(d, n=8, hash_fn=hash_fn).collect()}
+    want = _brute_substring_stats(dict((i, t) for i, t in rows), 8)
+    assert set(got) == set(want)
+    for doc, (ntok, nwin, ncov, frac) in want.items():
+        r = got[doc]
+        assert r["n_tokens"] == ntok, doc
+        assert r["dup_windows"] == nwin, doc
+        assert r["dup_tokens"] == ncov, doc
+        assert r["dup_fraction"] == pytest.approx(frac, abs=1e-9), doc
+    # the planted run IS duplicated: docs 0-2 covered, 3-4 zero
+    assert got[0]["dup_tokens"] == 8 and got[3]["dup_tokens"] == 0
+    assert got[4]["dup_windows"] == 0
+
+
+def test_substring_dup_overlap_union(spark):
+    """Overlapping dup windows union, not sum: a 9-token shared run has
+    two overlapping 8-windows but only 9 covered tokens."""
+    run = "a1 b2 c3 d4 e5 f6 g7 h8 i9"
+    d = spark.createDataFrame(
+        [(0, f"{run} xxx"), (1, f"yyy {run}")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in dedup.substring_dup_stats(d, n=8).collect()}
+    assert got[0]["dup_windows"] == 2
+    assert got[0]["dup_tokens"] == 9
+    assert got[1]["dup_tokens"] == 9
+
+
+def test_substring_dup_corpus_matches_brute(spark, documents):
+    """Full corpus (sf0.001) vs the Python oracle, production hash."""
+    texts = {r["doc_id"]: r["text"]
+             for r in documents.select("doc_id", "text").collect()}
+    want = _brute_substring_stats(texts, 8)
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dup_stats(documents, n=8).collect()}
+    assert set(got) == set(want)
+    mism = [d for d in want
+            if (got[d]["n_tokens"], got[d]["dup_windows"],
+                got[d]["dup_tokens"]) != want[d][:3]]
+    assert not mism, mism[:5]
+    assert any(v[1] > 0 for v in want.values()), "corpus has no dups?"
