@@ -714,6 +714,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dedup"] = _q_substring_dedup
 
+    def _q_frequent_item_sets(s: SparkSession, d: str) -> DataFrame:
+        # ES frequent_item_sets agg (apriori pair mining): token pairs
+        # co-occurring in >= 25% of docs, top 20
+        return curation.frequent_item_sets(
+            _t(s, d, "documents"), min_support=0.25, top=20)
+
+    q["frequent_item_sets"] = _q_frequent_item_sets
+
     def _q_decontaminate(s: SparkSession, d: str) -> DataFrame:
         # GPT-3-style benchmark decontamination: corpus docs sharing any
         # word 8-gram with the (synthetic) eval slice get flagged
@@ -2098,6 +2106,22 @@ SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens,
        round(coalesce(g.dup_tokens, 0)::DOUBLE
              / greatest(len(a.ts), 1), 6) AS dup_fraction
 FROM arr a LEFT JOIN agg g USING (doc_id)"""
+    o["frequent_item_sets"] = f"""
+WITH {_TOK},
+dt AS (SELECT DISTINCT doc_id, term AS item FROM tok),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+f1 AS (SELECT item FROM dt CROSS JOIN nd GROUP BY item, nd.n
+       HAVING count(*) >= ceil(0.25 * nd.n)),
+pr AS (SELECT a.doc_id, a.item AS item1, b.item AS item2
+       FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND a.item < b.item
+       WHERE a.item IN (SELECT item FROM f1)
+         AND b.item IN (SELECT item FROM f1)),
+pc AS (SELECT item1, item2, count(*)::BIGINT AS doc_count
+       FROM pr GROUP BY item1, item2)
+SELECT item1, item2, doc_count,
+       round(doc_count / nd.n, 6) AS support
+FROM pc CROSS JOIN nd WHERE doc_count >= ceil(0.25 * nd.n)
+ORDER BY doc_count DESC, item1, item2 LIMIT 20"""
     o["decontaminate"] = f"""
 WITH {_ARR},
 sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 7], ' ') AS s

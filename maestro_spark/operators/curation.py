@@ -310,3 +310,69 @@ def mix_sources(docs: DataFrame, weights: dict[str, float],
             .where(u < rate)
             .withColumn("mix_rate", F.round(rate, 6))
             .drop("_n"))
+
+
+def frequent_item_sets(docs: DataFrame, min_support: float = 0.25,
+                       top: int = 20, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """ES frequent_item_sets aggregation (8.x, public API; the classic
+    apriori pair-mining step): item = a distinct token of the doc, a
+    PAIR is frequent when >= min_support of ALL docs contain both.
+    Returns (item1, item2, doc_count, support), the `top` most frequent
+    pairs, ordered (doc_count desc, item1, item2) — fully deterministic.
+
+    100 TB shape:
+      * singleton pass: ONE partial-agg groupBy(item) over distinct
+        (doc, item) — uniform key, combiner-collapsed.
+      * apriori prune: only items with df >= ceil(s*N) survive; that set
+        is SMALL by construction (<= avg_items_per_doc / s entries), so
+        the item filter is a BROADCAST semi-join — no shuffle.
+      * pair generation is map-side: per-doc sorted frequent-item arrays
+        (one doc-keyed groupBy) explode to i<j combinations with array
+        HOFs (JVM, no Python). Per-doc cost is O(m^2) where m is the
+        doc's FREQUENT-item count — bounded by the prune, not by doc
+        length.
+      * pair counting: ONE groupBy on the (item1, item2) key; hot pairs
+        (stop-word pairs) collapse in the combiner.
+      * min_support should be a binary fraction (0.25, 0.125) if oracle
+        cross-checking matters: ceil(s*N) is then ulp-exact on every
+        engine.
+    """
+    from maestro_spark.operators.dedup import spread
+    from maestro_spark.operators.textstats import simple_token_col
+
+    dt = (spread(docs)
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct(
+                      simple_token_col(F.col(text_col)))).alias("item")))
+    nd = docs.agg(F.count("*").alias("_n"))
+    thr = F.ceil(F.lit(min_support) * F.col("_n"))
+    f1 = (dt.groupBy("item").agg(F.count("*").alias("_df"))
+          .crossJoin(F.broadcast(nd))
+          .where(F.col("_df") >= thr)
+          .select("item"))
+    arr = (dt.join(F.broadcast(f1), "item")
+           .groupBy(id_col)
+           .agg(F.sort_array(F.collect_set("item")).alias("_a")))
+    a = F.col("_a")
+    combos = F.flatten(F.transform(
+        a,
+        lambda x, i: F.transform(
+            F.slice(a, i + F.lit(2),
+                    F.greatest(F.size(a) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("item1"), y.alias("item2")),
+        ),
+    ))
+    pairs = arr.select(F.explode(combos).alias("p")).select("p.*")
+    return (
+        pairs.groupBy("item1", "item2")
+        .agg(F.count("*").alias("doc_count"))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("doc_count") >= thr)
+        .select("item1", "item2", F.col("doc_count").cast("long")
+                .alias("doc_count"),
+                F.round(F.col("doc_count") / F.col("_n"), 6)
+                .alias("support"))
+        .orderBy(F.desc("doc_count"), "item1", "item2")
+        .limit(top)
+    )

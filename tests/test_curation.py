@@ -190,3 +190,49 @@ def test_mix_sources_undersupplied_caps_at_one(spark, docs):
                                total_docs=10**9).toPandas()
     n0 = docs.where(F.col("source") == "src0").count()
     assert len(out) == n0 and set(out["mix_rate"]) == {1.0}
+
+
+# --------------------------------------------- frequent_item_sets
+
+def _brute_fis(texts, min_support, top):
+    import itertools, math, re
+    sets = [sorted(set(re.findall(r"[a-z0-9]+", t.lower())))
+            for t in texts]
+    n = len(texts)
+    thr = math.ceil(min_support * n)
+    cnt = {}
+    for ts in sets:
+        for a, b in itertools.combinations(ts, 2):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    rows = [(a, b, c, round(c / n, 6))
+            for (a, b), c in cnt.items() if c >= thr]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:top]
+
+
+def test_frequent_item_sets_planted(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta delta"),
+        (2, "alpha beta"),
+        (3, "alpha gamma zeta"),
+        (4, "beta gamma eta eta eta"),   # repeats don't inflate counts
+        (5, "unrelated words only"),
+        (6, "alpha beta theta"),
+        (7, "omega psi chi"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in curation.frequent_item_sets(
+        d, min_support=0.5, top=10).collect()]
+    want = _brute_fis([t for _, t in rows], 0.5, 10)
+    assert got == want
+    # (alpha, beta) co-occurs in docs 0,1,2,6 = 4/8 = exactly 0.5
+    assert ("alpha", "beta", 4, 0.5) in got
+
+
+def test_frequent_item_sets_corpus_matches_brute(spark, docs):
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = _brute_fis(texts, 0.25, 15)
+    got = [tuple(r) for r in curation.frequent_item_sets(
+        docs, min_support=0.25, top=15).collect()]
+    assert got == want and len(got) == 15
