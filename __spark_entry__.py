@@ -1942,6 +1942,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_or"] = _q_span_or
 
+    def _q_intervals(s: SparkSession, d: str) -> DataFrame:
+        # ES intervals query: all_of(ordered, max_gaps=2) of
+        # [match('slow'), any_of(match('query'), match('scan'))] —
+        # the composable Lucene IntervalsSource algebra; tf = minimal
+        # intervals, scored as one pseudo-term (span-family convention)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.intervals_local(
+            {"all_of": {"ordered": True, "max_gaps": 2, "intervals": [
+                {"match": {"query": "slow"}},
+                {"any_of": {"intervals": [
+                    {"match": {"query": "query"}},
+                    {"match": {"query": "scan"}}]}}]}}, k=40)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["intervals_query"] = _q_intervals
+
+    def _q_intervals_filter(s: SparkSession, d: str) -> DataFrame:
+        # ES intervals positional filter: ordered 'slow ... query'
+        # (max_gaps=3) intervals NOT containing an occurrence of 'fast'
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.intervals_local(
+            {"match": {"query": "slow query", "ordered": True,
+                       "max_gaps": 3,
+                       "filter": {"not_containing":
+                                  {"match": {"query": "fast"}}}}}, k=40)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["intervals_filter"] = _q_intervals_filter
+
     def _q_quality_classifier(s: SparkSession, d: str) -> DataFrame:
         # GPT-3/WebText-style hashed logistic quality classifier:
         # train on lang=='en' labels (one closed-form gradient step —
@@ -3570,6 +3607,67 @@ r AS (SELECT doc_id, source, u,
       FROM u)
 SELECT doc_id, source, round(rate, 6) AS mix_rate
 FROM r WHERE u < rate"""
+    # intervals all_of(ordered, max_gaps=2): a minimal ordered interval
+    # (a=slow, b∈{query,scan}) is a pair with b the FIRST union position
+    # after a and a the LAST slow before b — i.e. no occurrence of
+    # either side strictly between — and gap b−a−1 ≤ 2 (the greedy
+    # enumeration + gap filter + minimize collapses to exactly these)
+    o["intervals_query"] = f"""
+WITH {_ARR},
+pa AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'slow'),
+pb AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i)
+       WHERE ts[i] IN ('query', 'scan')),
+pr AS (SELECT a.doc_id FROM pa a JOIN pb b ON b.doc_id = a.doc_id
+       WHERE b.p > a.p AND b.p - a.p - 1 <= 2
+         AND NOT EXISTS (SELECT 1 FROM pa x WHERE x.doc_id = a.doc_id
+             AND x.p > a.p AND x.p < b.p)
+         AND NOT EXISTS (SELECT 1 FROM pb y WHERE y.doc_id = a.doc_id
+             AND y.p > a.p AND y.p < b.p)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM pr GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
+    # intervals filter: the ordered slow→query minimal pairs (gap ≤ 3)
+    # that do NOT contain a 'fast' position (not_containing rule:
+    # fast ∉ [a, b] inclusive — width-1 nesting)
+    o["intervals_filter"] = f"""
+WITH {_ARR},
+pa AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'slow'),
+pb AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'query'),
+pf AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'fast'),
+pr AS (SELECT a.doc_id FROM pa a JOIN pb b ON b.doc_id = a.doc_id
+       WHERE b.p > a.p AND b.p - a.p - 1 <= 3
+         AND NOT EXISTS (SELECT 1 FROM pa x WHERE x.doc_id = a.doc_id
+             AND x.p > a.p AND x.p < b.p)
+         AND NOT EXISTS (SELECT 1 FROM pb y WHERE y.doc_id = a.doc_id
+             AND y.p > a.p AND y.p < b.p)
+         AND NOT EXISTS (SELECT 1 FROM pf z WHERE z.doc_id = a.doc_id
+             AND z.p >= a.p AND z.p <= b.p)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM pr GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
     # span_not: include span [i, i+1] (1-based), exclude width-1 span q;
     # pre=1/post=1 kill window is q in [i-1, i+2]
     o["span_not"] = f"""

@@ -4309,6 +4309,102 @@ class IndexReader:
             docs, np.concatenate([m[1] for m in matched]),
             np.concatenate([m[2] for m in matched]), k)
 
+    def intervals_local(self, expr: dict, k: int = 10,
+                        max_workers: int | None = None) -> pd.DataFrame:
+        """ES `intervals` query (Lucene IntervalsSource algebra), serving
+        path: a composable rule tree of match / prefix / wildcard /
+        fuzzy / all_of / any_of sources with ordered + max_gaps
+        semantics and positional filters (containing / contained_by /
+        overlapping / before / after and their not_* complements) —
+        see maestro_spark.functions.intervals for the per-doc algebra.
+        The reference's ES delegate exposes exactly this surface
+        (SURVEY §2 X6 family).
+
+        Scoring: tf(d) = number of MINIMAL matching intervals, df = docs
+        with tf > 0, one pseudo-term BM25 — the span family's documented
+        convention (span_near/span_or/span_not), kept here so the whole
+        positional-query surface is mutually consistent and
+        oracle-checkable. (Lucene's IntervalQuery applies a 1/width
+        saturation instead.)
+
+        Physical shape: posting-bounded like every span query — the
+        rule tree's REQUIRED-term structure prunes candidate docs
+        per shard (conjunctions intersect, disjunctions union, positive
+        filters intersect with their reference) before any position is
+        decoded; positions decode only for candidates; per-doc
+        evaluation is O(Σ positions · tree depth); coordinator top-k
+        merge. Multi-term expansion rules reuse the sub-linear
+        automaton walk (_expand_pattern) and fail past 128 expansions,
+        as ES does."""
+        from maestro_spark.functions import intervals as ivx
+        self._refresh_if_stale()
+        if not self.cfg.get("store_positions"):
+            raise ValueError(
+                "intervals requires an index built with "
+                "IndexConfig(store_positions=True); this index has no "
+                f"prox stream ({self.index_dir})")
+        tok = self.cfg.get("tokenizer", "code")
+
+        def analyze(text: str) -> list[str]:
+            return phrase_terms(text, tok)
+
+        def expand(kind: str, pattern: str) -> list[str]:
+            pat = pattern.lower() + ("*" if kind == "prefix" else "")
+            rows = self._expand_pattern(
+                "wildcard" if kind == "prefix" else kind, pat,
+                1 if kind == "fuzzy" else 0, ivx.MAX_EXPANSIONS + 1)
+            return [t for t, _ in rows]
+
+        root = ivx.parse_intervals(expr, analyze, expand)
+        terms = sorted(root.terms)
+        if not terms:
+            return self._EMPTY_HITS()
+        by_shard = self._fetch_posting_rows(terms)
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+        empty_pos = np.empty(0, np.int64)
+
+        def run(item):
+            shard, rows = item
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                     np.empty(0, np.float64))
+            present = [t for t in terms if t in rows]
+            if not present:
+                return empty
+            dec = self._decoded_positions(rows, present)
+
+            def docs_of(t: str) -> np.ndarray:
+                return dec[t][0] if t in dec else np.empty(0, np.int64)
+
+            cand = ivx.candidate_docs(root, docs_of)
+            if cand.size == 0:
+                return empty
+            out_docs, out_tf = [], []
+            for d in cand:
+                def getpos(t: str, _d=int(d)) -> np.ndarray:
+                    return (self._doc_positions(dec, t, _d)
+                            if t in dec else empty_pos)
+                tf = ivx.eval_node(root, getpos).shape[0]
+                if tf:
+                    out_docs.append(int(d))
+                    out_tf.append(tf)
+            if not out_docs:
+                return empty
+            docs = np.asarray(out_docs, np.int64)
+            dls = _load_doclens(index_dir, shard, "content",
+                                shard * shard_size, shard_size)
+            return (docs, np.asarray(out_tf, np.float64),
+                    dls[docs - shard * shard_size])
+
+        matched = _map_shards(run, sorted(by_shard.items()), max_workers)
+        docs = np.concatenate([m[0] for m in matched]) \
+            if matched else np.empty(0, np.int64)
+        if docs.size == 0:
+            return self._EMPTY_HITS()
+        return self._span_score(
+            docs, np.concatenate([m[1] for m in matched]),
+            np.concatenate([m[2] for m in matched]), k)
+
     def rescore_phrase_local(self, query: str, phrase: str | None = None,
                              window: int = 50, k: int = 10,
                              query_weight: float = 1.0,
