@@ -1827,6 +1827,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["combined_fields"] = _q_combined_fields
 
+    def _q_cross_fields(s: SparkSession, d: str) -> DataFrame:
+        # ES multi_match type=cross_fields (Lucene BlendedTermQuery):
+        # term-centric — per term, df* = max over fields, per-field
+        # scores combine as dismax + tie_breaker, then SUM over terms
+        # (vs best_fields: per-FIELD scores dismaxed; vs
+        # combined_fields: stats merged before scoring)
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.cross_fields_local(
+            "src3 merge", fields=("content", "repo"),
+            tie_breaker=0.3, k=40)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["cross_fields"] = _q_cross_fields
+
     def _q_rank_eval(s: SparkSession, d: str) -> DataFrame:
         # ES _rank_eval API: precision@k / recall@k / MRR / DCG / NDCG
         # against deterministic synthetic judgements (rating 2 at
@@ -3453,6 +3471,41 @@ sc AS (SELECT c.doc_id,
        JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN st
        GROUP BY c.doc_id)
 SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
+    # cross_fields: per term df* = greatest(df_content, df_repo); each
+    # field scores with its OWN tf/dl/avgdl (repo keyword: tf=dl=avgdl=1)
+    # but the SHARED blended idf; per (doc, term) combine = max + 0.3 *
+    # (sum - max); final score = sum over terms
+    o["cross_fields"] = f"""
+WITH {_TOK},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tc AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('merge', 'src3') GROUP BY doc_id, term),
+kw AS (SELECT doc_id, lower(trim(source)) AS term FROM documents
+       WHERE lower(trim(source)) IN ('merge', 'src3')),
+dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tc GROUP BY term),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM kw GROUP BY term),
+dfb AS (SELECT t.term,
+        greatest(coalesce(c.df, 0.0), coalesce(r.df, 0.0)) AS df
+        FROM (SELECT 'merge' AS term UNION ALL SELECT 'src3') t
+        LEFT JOIN dfc c ON c.term = t.term
+        LEFT JOIN dfr r ON r.term = t.term),
+u AS (SELECT t.doc_id, t.term,
+             ln(1.0 + (st.n - b.df + 0.5) / (b.df + 0.5))
+             * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+      FROM tc t JOIN dfb b ON b.term = t.term
+      JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st
+      UNION ALL
+      SELECT k.doc_id, k.term,
+             ln(1.0 + (st.n - b.df + 0.5) / (b.df + 0.5))
+                 / (2.2::DOUBLE) AS s
+      FROM kw k JOIN dfb b ON b.term = k.term CROSS JOIN st),
+pt AS (SELECT doc_id, term,
+              max(s) + 0.3 * (sum(s) - max(s)) AS st
+       FROM u GROUP BY doc_id, term),
+tot AS (SELECT doc_id, sum(st) AS score FROM pt GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM tot
 ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
     _CS_FMT = """dft{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
         WHERE term IN ({terms}) GROUP BY term),

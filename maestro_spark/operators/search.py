@@ -3295,6 +3295,128 @@ class IndexReader:
             return self._EMPTY_HITS()
         return self._merge_topk(ids, scores, k)
 
+    def cross_fields_local(self, text: str,
+                           fields: tuple = ("content", "repo"),
+                           tie_breaker: float = 0.0, k: int = 10,
+                           minimum_should_match: int = 1,
+                           max_workers: int | None = None
+                           ) -> pd.DataFrame:
+        """multi_match type=cross_fields (the ES analogue — Lucene's
+        BlendedTermQuery with the dismax rewrite): term-centric, the
+        dual of best_fields. Each analyzed TERM is scored per field with
+        a BLENDED document frequency
+
+            df*(t) = max_f df_f(t)
+
+        (so 'john' rare in first_name but common in last_name gets ONE
+        idf — the signature cross_fields fix for names split across
+        fields), per-field tf/dl/avgdl otherwise, and the per-term
+        contributions combine as
+
+            score_t(d) = max_f s_{t,f}(d) + tie_breaker · Σ_others
+            score(d)   = Σ_t score_t(d)
+
+        minimum_should_match counts TERMS (matched in any field) — the
+        reason cross_fields exists: operator/msm apply per term, not
+        per field, so 'will smith' with operator=and means each term
+        somewhere, not both terms in one field.
+
+        Keyword fields contribute their 'field:term' posting form (X1
+        namespace, tf = dl = 1). Serving shape mirrors
+        combined_fields_local: ONE pruned posting fetch for {t}∪{f:t},
+        a dfs phase folding per-shard dfs into the global blended df*,
+        then a per-shard numpy scorer over the touched-doc union and a
+        coordinator top-k merge — posting-bounded, corpus-size
+        independent. Unpruned (every touched doc is scored): the
+        per-term dismax structure admits the same max-of-sums MaxScore
+        bound _dismax_shard_rows uses, worth wiring only if this query
+        ever shows up in a hot path."""
+        w_fields = tuple(fields)
+        tok = self.cfg.get("tokenizer", "code")
+        q_terms = sorted(set(analyze_query(text, tokenizer=tok)))
+        if not q_terms:
+            return self._EMPTY_HITS()
+
+        def pform(f: str, t: str) -> str:
+            return t if f == "content" else f"{f}:{t}"
+
+        fetch = sorted({pform(f, t) for f in w_fields for t in q_terms})
+        by_shard = self._fetch_posting_rows(fetch)
+        if not by_shard:
+            return self._EMPTY_HITS()
+        shard_size = self.cfg["shard_size"]
+        f_stats = self.stats["fields"]
+        n_corpus = max(int(f_stats.get(f, {}).get("n_docs", 0))
+                       for f in w_fields)
+        avgdl = {f: float(f_stats.get(f, {}).get("avgdl", 1.0))
+                 for f in w_fields}
+        tie = float(tie_breaker)
+        msm = int(minimum_should_match)
+
+        # dfs phase: blended df*(t) = max over fields of the field's
+        # GLOBAL df (per-shard dfs sum across shards first)
+        df_tf: dict[tuple[str, str], int] = {}
+        decoded: dict[int, dict[tuple[str, str], tuple]] = {}
+        for shard, rows in sorted(by_shard.items()):
+            base = shard * shard_size
+            md = {}
+            for t in q_terms:
+                for f in w_fields:
+                    r = rows.get(pform(f, t))
+                    if r is None:
+                        continue
+                    pl_ = _decode_full(r)
+                    md[(t, f)] = (pl_.doc_ids - base,
+                                  pl_.tfs.astype(np.float64))
+                    df_tf[(t, f)] = df_tf.get((t, f), 0) + pl_.doc_ids.size
+            if md:
+                decoded[shard] = md
+        df_star = {t: max((df_tf.get((t, f), 0) for f in w_fields),
+                          default=0) for t in q_terms}
+        idfs = {t: float(bm25.idf(df_star[t], n_corpus))
+                for t in q_terms if df_star[t] > 0}
+        if not idfs or not decoded:
+            return self._EMPTY_HITS()
+
+        def run(item):
+            shard, md = item
+            base = shard * shard_size
+            dls = {f: _load_doclens(self.index_dir, shard, f, base,
+                                    shard_size) for f in w_fields}
+            total = np.zeros(shard_size, dtype=np.float64)
+            nmatch = np.zeros(shard_size, dtype=np.int32)
+            touched = np.zeros(shard_size, dtype=bool)
+            best = np.empty(shard_size, dtype=np.float64)
+            ssum = np.empty(shard_size, dtype=np.float64)
+            t_touch = np.empty(shard_size, dtype=bool)
+            for t in q_terms:
+                if t not in idfs:
+                    continue
+                best.fill(0.0)
+                ssum.fill(0.0)
+                t_touch.fill(False)
+                for f in w_fields:
+                    got = md.get((t, f))
+                    if got is None:
+                        continue
+                    loc, tfs = got
+                    s = idfs[t] * bm25.tfnorm(tfs, dls[f][loc], avgdl[f])
+                    np.maximum.at(best, loc, s)
+                    ssum[loc] += s
+                    t_touch[loc] = True
+                total += best + tie * (ssum - best)
+                nmatch += t_touch
+                touched |= t_touch
+            loc = np.nonzero(touched & (nmatch >= msm))[0]
+            return loc + base, total[loc]
+
+        results = _map_shards(run, sorted(decoded.items()), max_workers)
+        ids = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        if ids.size == 0:
+            return self._EMPTY_HITS()
+        return self._merge_topk(ids, scores, k)
+
     def rank_eval(self, queries: dict[str, str],
                   ratings: dict[str, dict[int, int]], k: int = 10,
                   relevant_threshold: int = 1) -> pd.DataFrame:

@@ -151,6 +151,104 @@ def test_combined_fields_vs_content_only(reader, toks):
         assert gm[d] == pytest.approx(want[d], rel=1e-12)
 
 
+def _cross_fields_brute(toks, langs, terms, n, avgdl_c, avgdl_l,
+                        tie, msm=1):
+    df_c = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    df_l = {t: sum(1 for v in langs.values() if v == t) for t in terms}
+    want = {}
+    for d, ts in toks.items():
+        total, matched = 0.0, 0
+        for t in terms:
+            df_star = max(df_c[t], df_l[t])
+            if df_star == 0:
+                continue
+            idf = float(bm25.idf(df_star, n))
+            scores = []
+            tf = float(ts.count(t))
+            if tf:
+                scores.append(idf * float(bm25.tfnorm(
+                    np.array([tf]), np.array([float(len(ts))]),
+                    avgdl_c)[0]))
+            if langs[d] == t:
+                scores.append(idf * float(bm25.tfnorm(
+                    np.array([1.0]), np.array([1.0]), avgdl_l)[0]))
+            if scores:
+                total += max(scores) + tie * (sum(scores) - max(scores))
+                matched += 1
+        if matched >= msm:
+            want[d] = total
+    return want
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3])
+def test_cross_fields(reader, corpus, toks, tie):
+    # 'java' is frequent as a lang keyword, rarer in content: the
+    # blended df* = max(df_content, df_lang) is exercised both ways
+    got = reader.cross_fields_local(
+        "java merge", fields=("content", "lang"), tie_breaker=tie,
+        k=300)
+    langs = dict(zip(corpus["doc_id"], corpus["lang"]))
+    want = _cross_fields_brute(
+        toks, langs, ["java", "merge"], len(corpus),
+        float(reader.stats["fields"]["content"]["avgdl"]),
+        float(reader.stats["fields"]["lang"]["avgdl"]), tie)
+    gm = dict(zip(got["doc_id"], got["score"]))
+    assert set(gm) == set(want)
+    for d in want:
+        assert gm[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_cross_fields_blends_df(spark, tmp_path):
+    # the signature cross_fields behavior: a term RARE in one field but
+    # COMMON in another gets ONE blended idf = idf(max df). Planted:
+    # 'ada' appears in 1 doc's content but is the lang of 8 of 10 docs,
+    # so a doc matching ONLY in content must be scored with df*=8, not
+    # df=1 — a content-only scorer disagrees by exactly the idf ratio.
+    rows = []
+    for i in range(10):
+        lang = "ada" if i < 8 else "cobol"
+        text = "ada merge table" if i == 9 else "merge stream table"
+        rows.append((i, "r", f"f{i}", "c", lang, text))
+    df = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, commit string, "
+              "lang string, content string")
+    out = str(tmp_path / "xf_idx")
+    build_index(spark, df, out,
+                IndexConfig(tokenizer="simple",
+                            index_fields=("content", "lang")),
+                id_col="doc_id")
+    r = IndexReader(spark, out)
+    got = r.cross_fields_local("ada", fields=("content", "lang"), k=20)
+    gm = dict(zip(got["doc_id"], got["score"]))
+    assert 9 in gm                       # content-only match
+    avgdl = float(r.stats["fields"]["content"]["avgdl"])
+    plain = float(bm25.idf(1, 10)) * float(bm25.tfnorm(
+        np.array([1.0]), np.array([3.0]), avgdl)[0])
+    blended = float(bm25.idf(8, 10)) * float(bm25.tfnorm(
+        np.array([1.0]), np.array([3.0]), avgdl)[0])
+    assert gm[9] == pytest.approx(blended, rel=1e-12)
+    assert gm[9] != pytest.approx(plain, rel=1e-9)
+
+
+def test_cross_fields_msm_counts_terms(reader, corpus, toks):
+    # minimum_should_match=2: each term must match SOMEWHERE (any
+    # field) — the term-centric semantics cross_fields exists for
+    langs = dict(zip(corpus["doc_id"], corpus["lang"]))
+    got = reader.cross_fields_local(
+        "java merge", fields=("content", "lang"),
+        minimum_should_match=2, k=300)
+    want = _cross_fields_brute(
+        toks, langs, ["java", "merge"], len(corpus),
+        float(reader.stats["fields"]["content"]["avgdl"]),
+        float(reader.stats["fields"]["lang"]["avgdl"]), 0.0, msm=2)
+    assert set(got["doc_id"]) == set(want)
+    assert set(want)  # non-degenerate
+    # and every matched doc has both terms somewhere
+    for d in want:
+        assert ("java" in toks[d] or langs[d] == "java")
+        assert ("merge" in toks[d] or langs[d] == "merge")
+
+
 def test_rank_eval(reader, toks):
     avgdl = float(reader.stats["fields"]["content"]["avgdl"])
     rated = {d: (2 if d % 7 == 0 else 1)
