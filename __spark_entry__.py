@@ -722,6 +722,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frequent_item_sets"] = _q_frequent_item_sets
 
+    def _q_categorize_text(s: SparkSession, d: str) -> DataFrame:
+        # ES categorize_text agg (similarity_threshold=100 exact case):
+        # cluster docs by their first 5 digit-free tokens (the ML
+        # categorizer's variable-part filtering), top 20 categories
+        return textstats.categorize_text(
+            _t(s, d, "documents"), max_matched_tokens=5, top=20)
+
+    q["categorize_text"] = _q_categorize_text
+
     def _q_decontaminate(s: SparkSession, d: str) -> DataFrame:
         # GPT-3-style benchmark decontamination: corpus docs sharing any
         # word 8-gram with the (synthetic) eval slice get flagged
@@ -2177,6 +2186,18 @@ SELECT item1, item2, doc_count,
        round(doc_count / nd.n, 6) AS support
 FROM pc CROSS JOIN nd WHERE doc_count >= ceil(0.25 * nd.n)
 ORDER BY doc_count DESC, item1, item2 LIMIT 20"""
+    o["categorize_text"] = f"""
+WITH {_ARR},
+k AS (SELECT doc_id,
+             array_to_string(
+                 list_filter(ts, t -> NOT regexp_matches(t, '[0-9]'))[1:5],
+                 ' ') AS category,
+             length(text) AS len
+      FROM arr JOIN documents USING (doc_id))
+SELECT category, count(*)::BIGINT AS doc_count,
+       max(len)::BIGINT AS max_matching_length
+FROM k WHERE category <> ''
+GROUP BY category ORDER BY doc_count DESC, category LIMIT 20"""
     o["decontaminate"] = f"""
 WITH {_ARR},
 sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 7], ' ') AS s

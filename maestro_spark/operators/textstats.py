@@ -378,3 +378,48 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg(lp), 6).alias("avg_logprob")))
+
+
+def categorize_text(docs: DataFrame, max_matched_tokens: int = 5,
+                    min_doc_count: int = 1, top: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ES categorize_text aggregation (8.x, public API) at
+    similarity_threshold=100 — the deterministic exact-key case: docs
+    cluster by their token signature after the ML-categorizer's token
+    filtering (tokens containing a digit are treated as variable parts
+    and dropped — timestamps, ids, counters), capped at the first
+    `max_matched_tokens` stable tokens. Returns one row per category:
+    (category, doc_count, max_matching_length), the `top` largest,
+    ordered (doc_count desc, category asc).
+
+    At thresholds < 100 ES merges near-identical keys with a
+    drain-style token-tree walk whose result is insertion-order
+    dependent; the exact case is the deterministic, oracle-checkable
+    contract and the one that matters for training-data boilerplate
+    clustering (identical templates collapse regardless of the
+    variable parts).
+
+    100 TB shape: key extraction is a pure column expression (WSCG,
+    map-only); ONE groupBy on the category key — template-heavy
+    corpora collapse in the map-side combiner exactly like exact
+    dedup; top-N is a TakeOrderedAndProject, never a full sort.
+    max_matching_length (ES: the char budget a message may occupy and
+    still match the category) folds as a max() in the same partial agg.
+    """
+    toks = simple_token_col(F.col(text_col))
+    stable = F.slice(
+        F.filter(toks, lambda t: ~t.rlike("[0-9]")),
+        1, int(max_matched_tokens))
+    key = F.array_join(stable, " ")
+    return (docs
+            .select(F.col(id_col),
+                    key.alias("category"),
+                    F.length(F.col(text_col)).alias("_len"))
+            .where(F.col("category") != "")
+            .groupBy("category")
+            .agg(F.count("*").alias("doc_count"),
+                 F.max("_len").cast("long").alias("max_matching_length"))
+            .where(F.col("doc_count") >= int(min_doc_count))
+            .orderBy(F.desc("doc_count"), "category")
+            .limit(int(top)))

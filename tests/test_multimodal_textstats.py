@@ -218,3 +218,54 @@ def test_bigram_logprob_prefers_frequent_sequences(spark):
     got = {r["doc_id"]: r["avg_logprob"]
            for r in textstats.bigram_logprob(df).collect()}
     assert got[8] < got[0]
+
+
+# --------------------------------------------------- categorize_text
+
+def test_categorize_text_planted(spark):
+    from maestro_spark.operators.textstats import categorize_text
+    rows = [
+        (0, "ERROR connection to host 10.0.0.1 failed after 3 retries"),
+        (1, "ERROR connection to host 10.9.8.7 failed after 11 retries"),
+        (2, "ERROR connection to host db02a failed"),   # db02a has digit
+        (3, "INFO job 42 finished in 7s"),
+        (4, "INFO job 43 finished in 9s"),
+        (5, "1 2 3 4"),                                  # all variable
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = categorize_text(d, max_matched_tokens=5, top=10).collect()
+    got = {r["category"]: (r["doc_count"], r["max_matching_length"])
+           for r in out}
+    # docs 0-2: digit-bearing tokens (ips, retry counts, db02a) drop;
+    # first 5 stable tokens coincide -> one category of 3
+    assert got["error connection to host failed"] == (
+        3, max(len(rows[0][1]), len(rows[1][1]), len(rows[2][1])))
+    # '7s'/'9s' are single digit-bearing tokens and drop whole
+    assert got["info job finished in"] == (
+        2, max(len(rows[3][1]), len(rows[4][1])))
+    # the all-digit doc yields an empty key and is excluded
+    assert sum(c for c, _ in got.values()) == 5
+    # ordering: biggest category first, then lexicographic
+    assert [r["category"] for r in out][0] == \
+        "error connection to host failed"
+
+
+def test_categorize_text_corpus_matches_brute(spark):
+    import re
+
+    from maestro_spark.operators.textstats import categorize_text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.select("doc_id", "text").toPandas()
+    cnt = {}
+    for t in pdf["text"]:
+        toks = [x for x in re.findall(r"[a-z0-9]+", t.lower())
+                if not re.search(r"[0-9]", x)][:5]
+        key = " ".join(toks)
+        if key:
+            c, m = cnt.get(key, (0, 0))
+            cnt[key] = (c + 1, max(m, len(t)))
+    want = sorted(((k, c, m) for k, (c, m) in cnt.items()),
+                  key=lambda r: (-r[1], r[0]))[:15]
+    got = [(r["category"], r["doc_count"], r["max_matching_length"])
+           for r in categorize_text(docs, top=15).collect()]
+    assert got == want
