@@ -1065,6 +1065,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["date_histogram"] = _q_date_histo
 
+    def _q_geo_bounds(s: SparkSession, d: str) -> DataFrame:
+        # ES geo_bounds agg: bounding box (top-left / bottom-right) of
+        # the match set's runtime lat/lon points
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geo_bounds("spark stream", _LAT(), _LON())
+
+    q["geo_bounds"] = _q_geo_bounds
+
+    def _q_rate(s: SparkSession, d: str) -> DataFrame:
+        # ES rate agg in a month date_histogram, unit=day: per-month
+        # doc count divided by THAT month's day count (Jan 31 / Feb 28
+        # / Mar 31 — the calendar-aware divisor) over a 90-day runtime
+        # timestamp
+        reader = IndexReader(s, _ensure_index(s, d))
+        ts = F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
+                    "0, 0, 0, 0, CAST(doc_id % 2160 AS INT), 0, 0)")
+        return reader.search_rate("spark stream", ts,
+                                  interval="month", unit="day")
+
+    q["rate_agg"] = _q_rate
+
     def _q_date_range(s: SparkSession, d: str) -> DataFrame:
         # ES date_range agg: [from, to) named ranges, one conditional agg
         reader = IndexReader(s, _ensure_index(s, d))
@@ -2456,6 +2477,25 @@ SELECT sum(({_MT_SQL} < TIMESTAMP '2025-01-10 00:00:00')::BIGINT)
        sum(({_MT_SQL} >= TIMESTAMP '2025-01-20 00:00:00')::BIGINT)
            AS late
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["geo_bounds"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
+SELECT round(max({_LAT_SQL}), 6) AS top,
+       round(min({_LON_SQL}), 6) AS "left",
+       round(min({_LAT_SQL}), 6) AS bottom,
+       round(max({_LON_SQL}), 6) AS "right",
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+    o["rate_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+b AS (SELECT date_trunc('month', TIMESTAMP '2025-01-01 00:00:00'
+                 + (d.doc_id % 2160) * INTERVAL 1 HOUR) AS mb
+      FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT strftime(mb, '%Y-%m') AS bucket, count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE
+             / date_part('day', last_day(mb::DATE)), 6) AS rate_per_day
+FROM b GROUP BY mb ORDER BY bucket"""
     o["geo_distance_query"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),

@@ -2782,6 +2782,68 @@ class IndexReader:
             F.round(F.avg("_lon"), 6).alias("centroid_lon"),
             F.count("*").alias("n_docs"))
 
+    def search_geo_bounds(self, query: str, lat_col, lon_col,
+                          mode: str = "or",
+                          exclude: str | None = None,
+                          min_match: int = 1) -> DataFrame:
+        """geo_bounds aggregation (the ES analogue): the bounding box of
+        the match set's points — top-left (max lat, min lon) /
+        bottom-right (min lat, max lon) — plus the count. Pure min/max
+        partial agg, identical scale shape to geo_centroid. (ES's
+        wrap_longitude antimeridian handling is for geo_shapes; point
+        data uses the plain min/max box computed here.)"""
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id", lat_col.cast("double").alias("_lat"),
+            lon_col.cast("double").alias("_lon"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return joined.agg(
+            F.round(F.max("_lat"), 6).alias("top"),
+            F.round(F.min("_lon"), 6).alias("left"),
+            F.round(F.min("_lat"), 6).alias("bottom"),
+            F.round(F.max("_lon"), 6).alias("right"),
+            F.count("*").alias("n_docs"))
+
+    def search_rate(self, query: str, ts_col, interval: str = "month",
+                    unit: str = "day", value_col=None, mode: str = "or",
+                    exclude: str | None = None,
+                    min_match: int = 1) -> DataFrame:
+        """rate aggregation inside a date_histogram (the ES analogue):
+        per calendar bucket, the doc count (or sum of `value_col`)
+        normalized to `unit` — CALENDAR-AWARE, so a month bucket at
+        unit=day divides by that month's actual day count (28-31),
+        exactly ES's rate semantics. Same one-partial-agg shape as
+        date_histogram; the per-bucket divisor is a constant expression
+        on the bucket key."""
+        if interval != "month" or unit != "day":
+            raise ValueError("supported: interval='month', unit='day' "
+                             "(the calendar-aware case; others are "
+                             "fixed-ratio divisions)")
+        if isinstance(ts_col, str):
+            ts_col = F.col(ts_col)
+        val = F.lit(1.0) if value_col is None else (
+            F.col(value_col) if isinstance(value_col, str) else value_col
+        ).cast("double")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            F.date_trunc("month", ts_col).alias("_b"), val.alias("_v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.groupBy("_b")
+                .agg(F.sum("_v").alias("_sum"),
+                     F.count("*").alias("n_docs"))
+                .select(
+                    F.date_format("_b", "yyyy-MM").alias("bucket"),
+                    "n_docs",
+                    F.round(F.col("_sum")
+                            / F.dayofmonth(F.last_day("_b")), 6)
+                    .alias("rate_per_day"))
+                .orderBy("bucket"))
+
     def search_boxplot(self, query: str, value_col, mode: str = "or",
                        exclude: str | None = None,
                        min_match: int = 1) -> DataFrame:

@@ -228,3 +228,40 @@ def test_geo_centroid(reader, mdf):
     assert got["centroid_lat"] == round(float(lat.mean()), 6)
     assert got["centroid_lon"] == round(float(lon.mean()), 6)
     assert got["n_docs"] == len(mdf)
+
+
+def test_geo_bounds(reader, mdf):
+    got = reader.search_geo_bounds(
+        Q, (F.col("doc_id") % 120 - 60).cast("double"),
+        (F.col("doc_id") % 340 - 170).cast("double")).collect()[0]
+    lat = (mdf["doc_id"] % 120 - 60).astype(float)
+    lon = (mdf["doc_id"] % 340 - 170).astype(float)
+    assert got["top"] == round(float(lat.max()), 6)
+    assert got["bottom"] == round(float(lat.min()), 6)
+    assert got["left"] == round(float(lon.min()), 6)
+    assert got["right"] == round(float(lon.max()), 6)
+    assert got["n_docs"] == len(mdf)
+
+
+def test_rate_agg_calendar_divisor(reader, mdf):
+    # 90-day runtime ts spread: Feb's rate divides by 28, Jan/Mar by 31
+    ts = F.expr("timestamp'2025-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, CAST(doc_id * 8 % 2160 AS INT), 0, 0)")
+    got = reader.search_rate(Q, ts, interval="month",
+                             unit="day").toPandas()
+    t = (pd.Timestamp("2025-01-01")
+         + pd.to_timedelta(mdf["doc_id"] * 8 % 2160, unit="h"))
+    per = t.dt.strftime("%Y-%m").value_counts().sort_index()
+    days = {"2025-01": 31, "2025-02": 28, "2025-03": 31}
+    assert list(got["bucket"]) == list(per.index)
+    for _, r in got.iterrows():
+        assert r["n_docs"] == per[r["bucket"]]
+        assert r["rate_per_day"] == round(
+            per[r["bucket"]] / days[r["bucket"]], 6)
+    assert set(got["bucket"]) == set(days)   # all three months hit
+
+
+def test_rate_agg_rejects_unsupported_units(reader):
+    with pytest.raises(ValueError, match="calendar-aware"):
+        reader.search_rate(Q, F.lit("2025-01-01").cast("timestamp"),
+                           interval="week", unit="day")
