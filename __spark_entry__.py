@@ -731,6 +731,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["categorize_text"] = _q_categorize_text
 
+    def _q_c4_quality(s: SparkSession, d: str) -> DataFrame:
+        # C4 cleaning rules (Raffel 2020 §2.2): terminal-punct +
+        # 5-word + no-javascript line filter; >=3-sentence /
+        # no-lorem-ipsum / no-brace page gate; map-only, zero shuffle.
+        # The corpus text is single-line, so deterministic extra lines
+        # (keyed on doc_id) are appended so every rule path — pass,
+        # too-short, no-punct, javascript, lorem-ipsum — is exercised.
+        did = F.col("doc_id")
+        page = F.concat(
+            F.col("text"), F.lit("\n"),
+            F.when(did % 3 == 0,
+                   F.lit("This line has more than five words, clearly."))
+            .when(did % 3 == 1, F.lit("short line."))
+            .otherwise(F.lit("no terminal punctuation here at all")),
+            F.lit("\n"),
+            F.when(did % 5 == 0,
+                   F.lit("Lorem ipsum dolor sit amet for the filter!"))
+            .when(did % 7 == 0,
+                  F.lit("This sentence mentions javascript twice, "
+                        "javascript indeed."))
+            .otherwise(F.lit("Another good sentence appears right "
+                             "here today. And one more follows it!")))
+        return curation.c4_quality(
+            _t(s, d, "documents").select("doc_id", page.alias("text")))
+
+    q["c4_quality"] = _q_c4_quality
+
     def _q_decontaminate(s: SparkSession, d: str) -> DataFrame:
         # GPT-3-style benchmark decontamination: corpus docs sharing any
         # word 8-gram with the (synthetic) eval slice get flagged
@@ -2219,6 +2246,46 @@ SELECT category, count(*)::BIGINT AS doc_count,
        max(len)::BIGINT AS max_matching_length
 FROM k WHERE category <> ''
 GROUP BY category ORDER BY doc_count DESC, category LIMIT 20"""
+    o["c4_quality"] = f"""
+WITH p AS (SELECT doc_id,
+       text || chr(10)
+       || CASE WHEN doc_id % 3 = 0
+               THEN 'This line has more than five words, clearly.'
+               WHEN doc_id % 3 = 1 THEN 'short line.'
+               ELSE 'no terminal punctuation here at all' END
+       || chr(10)
+       || CASE WHEN doc_id % 5 = 0
+               THEN 'Lorem ipsum dolor sit amet for the filter!'
+               WHEN doc_id % 7 = 0
+               THEN 'This sentence mentions javascript twice, javascript indeed.'
+               ELSE 'Another good sentence appears right here today. And one more follows it!'
+          END AS text
+       FROM documents),
+l AS (SELECT doc_id, text,
+       list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                  x -> trim(x)), x -> x <> '') AS lines
+       FROM p),
+k AS (SELECT doc_id, text, lines,
+       list_filter(lines, x -> regexp_matches(x, '[.!?\"]$')
+           AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+       FROM l),
+c AS (SELECT doc_id,
+       len(lines)::BIGINT AS total_lines,
+       len(kept)::BIGINT AS kept_lines,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{{') AS has_brace
+       FROM k)
+SELECT doc_id, total_lines, kept_lines,
+       len(regexp_extract_all(clean_text, '[.!?]'))::BIGINT
+           AS n_sentences,
+       has_lorem, has_brace,
+       (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        AND NOT has_lorem AND NOT has_brace) AS keep,
+       clean_text
+FROM c"""
     o["decontaminate"] = f"""
 WITH {_ARR},
 sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i : i + 7], ' ') AS s

@@ -376,3 +376,52 @@ def frequent_item_sets(docs: DataFrame, min_support: float = 0.25,
         .orderBy(F.desc("doc_count"), "item1", "item2")
         .limit(top)
     )
+
+
+def c4_quality(docs: DataFrame, min_words_per_line: int = 5,
+               min_sentences: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, public recipe),
+    line-level filtering + page-level gating:
+
+      line kept  iff it ends in a terminal punctuation mark (. ! ? ")
+                 AND has >= min_words_per_line whitespace words
+                 AND does not mention 'javascript' (case-insensitive)
+      page kept  iff the kept text has >= min_sentences terminal marks
+                 AND the page has no 'lorem ipsum'
+                 AND the page has no curly brace '{'
+
+    Returns one row per doc: (doc_id, total_lines, kept_lines,
+    n_sentences, has_lorem, has_brace, keep, clean_text) where
+    clean_text is the newline-join of the kept lines — the artifact a
+    pipeline trains on.
+
+    100 TB shape: pure column expressions over one text column — split /
+    filter / rlike array HOFs, all inside WholeStageCodegen, map-only,
+    ZERO shuffle. The page decision never leaves the row it reads. (The
+    recipe's fourth rule — three-sentence dedup across pages — is the
+    corpus-wide step and lives in paragraph_dedup / substring_dedup.)
+    """
+    trimmed = F.transform(F.split(F.col(text_col), "\n"),
+                          lambda l: F.trim(l))
+    lines = F.filter(trimmed, lambda l: l != "")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(l, "\\s+"), lambda w: w != ""))
+           >= int(min_words_per_line))
+        & ~F.lower(l).contains("javascript"))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("total_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_sent >= int(min_sentences)) & ~has_lorem & ~has_brace)
+        .alias("keep"),
+        clean.alias("clean_text"))

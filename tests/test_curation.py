@@ -236,3 +236,96 @@ def test_frequent_item_sets_corpus_matches_brute(spark, docs):
     got = [tuple(r) for r in curation.frequent_item_sets(
         docs, min_support=0.25, top=15).collect()]
     assert got == want and len(got) == 15
+
+
+# ----------------------------------------------------------- c4_quality
+
+def test_c4_quality_planted(spark):
+    rows = [
+        # keeps: 3 terminal-punct >=5-word lines, no lorem/brace
+        (0, "The first good sentence sits here.\n"
+            "Another entirely reasonable sentence follows it!\n"
+            "Is this a third qualifying sentence? yes\n"
+            "short one."),
+        # line filter: too short / no punct / javascript all drop
+        (1, "tiny line.\n"
+            "this line has no terminal punctuation at all\n"
+            "This line mentions javascript so it must go away.\n"
+            "Only this surviving line gives one single sentence."),
+        # page gates: lorem ipsum kills an otherwise-perfect page
+        (2, "A perfectly fine long sentence number one stands here.\n"
+            "A perfectly fine long sentence number two stands here.\n"
+            "Lorem ipsum dolor sit amet is a classic filler phrase.\n"
+            "A perfectly fine long sentence number three stands here."),
+        # curly brace kills the page
+        (3, "function f() { return 1; }\n"
+            "A perfectly fine long sentence number one stands here.\n"
+            "A perfectly fine long sentence number two stands here.\n"
+            "A perfectly fine long sentence number three stands here."),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in curation.c4_quality(d).collect()}
+    r0 = out[0]
+    # line 'Is this...? yes' ends in 's' -> dropped; 'short one.' <5 words
+    assert (r0["total_lines"], r0["kept_lines"]) == (4, 2)
+    assert r0["n_sentences"] == 2 and not r0["keep"]
+    r1 = out[1]
+    assert r1["kept_lines"] == 1 and not r1["keep"]
+    assert "javascript" not in r1["clean_text"]
+    r2 = out[2]
+    assert r2["has_lorem"] and not r2["keep"] and r2["n_sentences"] >= 3
+    r3 = out[3]
+    assert r3["has_brace"] and not r3["keep"]
+    # and the brace line itself was already dropped by the line filter
+    assert "{" not in r3["clean_text"]
+
+
+def test_c4_quality_keep_path(spark):
+    d = spark.createDataFrame(
+        [(0, "One good long sentence stands right here today.\n"
+             "Two good long sentences stand right here today.\n"
+             "Three good long sentences stand right here today.")],
+        "doc_id long, text string")
+    r = curation.c4_quality(d).collect()[0]
+    assert r["keep"] and r["n_sentences"] == 3 and r["kept_lines"] == 3
+    assert r["clean_text"].count("\n") == 2
+
+
+def test_c4_quality_corpus_matches_brute(spark, docs):
+    import re
+    pdf = docs.select("doc_id", "text").toPandas()
+    # synthesize multi-line pages the same way the entry query does
+    def page(i, t):
+        a = ("This line has more than five words, clearly."
+             if i % 3 == 0 else
+             "short line." if i % 3 == 1 else
+             "no terminal punctuation here at all")
+        b = ("Lorem ipsum dolor sit amet for the filter!" if i % 5 == 0
+             else "This sentence mentions javascript twice, javascript "
+                  "indeed." if i % 7 == 0
+             else "Another good sentence appears right here today. "
+                  "And one more follows it!")
+        return f"{t}\n{a}\n{b}"
+    want = {}
+    for i, t in zip(pdf["doc_id"], pdf["text"]):
+        p = page(int(i), t)
+        lines = [l.strip() for l in p.split("\n") if l.strip()]
+        kept = [l for l in lines
+                if re.search(r'[.!?"]$', l) and len(l.split()) >= 5
+                and "javascript" not in l.lower()]
+        clean = "\n".join(kept)
+        ns = len(re.findall(r"[.!?]", clean))
+        want[int(i)] = (len(lines), len(kept), ns,
+                        "lorem ipsum" in p.lower(), "{" in p,
+                        ns >= 3 and "lorem ipsum" not in p.lower()
+                        and "{" not in p, clean)
+    sdf = spark.createDataFrame(
+        [(int(i), page(int(i), t))
+         for i, t in zip(pdf["doc_id"], pdf["text"])],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["total_lines"], r["kept_lines"],
+                         r["n_sentences"], r["has_lorem"],
+                         r["has_brace"], r["keep"], r["clean_text"])
+           for r in curation.c4_quality(sdf).collect()}
+    assert got == want
