@@ -1180,6 +1180,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fuzzy_term_lookup"] = _q_fuzzy_terms
 
+    def _q_fuzzy_terms_osa(s: SparkSession, d: str) -> DataFrame:
+        # ES fuzzy_transpositions:true (the default): OSA distance —
+        # adjacent swap costs ONE edit, so the transposed pattern
+        # 'osrt' reaches 'sort' at max_edits=1 (plain Levenshtein = 2).
+        # At threshold 1, OSA == full Damerau-Levenshtein, so DuckDB's
+        # damerau_levenshtein is an exact oracle.
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.fuzzy_terms("osrt", max_edits=1,
+                                  transpositions=True)
+
+    q["fuzzy_term_lookup_osa"] = _q_fuzzy_terms_osa
+
     def _q_wildcard_terms(s: SparkSession, d: str) -> DataFrame:
         reader = IndexReader(s, _ensure_index(s, d))
         return reader.wildcard_terms("?a??")
@@ -2751,6 +2763,13 @@ ORDER BY score DESC, term LIMIT 15"""
     o["fuzzy_term_lookup"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE levenshtein(term, 'sort') <= 2 GROUP BY term"
+    )
+    # OSA (fuzzy_transpositions:true): at max_edits=1 the restricted
+    # OSA distance equals full Damerau-Levenshtein, so DuckDB's
+    # damerau_levenshtein is an exact oracle at this threshold.
+    o["fuzzy_term_lookup_osa"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE damerau_levenshtein(term, 'osrt') <= 1 GROUP BY term"
     )
     o["wildcard_term_lookup"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "

@@ -40,49 +40,74 @@ class LevenshteinAutomaton:
     """Position-set NFA for Levenshtein distance ≤ k from `pattern`
     (Schulz & Mihov 2002, run NFA-style without the DFA tabulation —
     state = frozenset of (i, e): i pattern chars consumed with e edits,
-    subsumption-reduced so |state| ≤ 2k+1)."""
+    subsumption-reduced so |state| ≤ 2k+1).
 
-    def __init__(self, pattern: str, k: int):
+    transpositions=True adds the OSA (optimal string alignment /
+    restricted Damerau) transposition primitive — adjacent-swap costs
+    ONE edit — matching Lucene's LevenshteinAutomata with
+    transpositions, i.e. the ES `fuzzy_transpositions: true` default.
+    Schulz & Mihov §7 t-states: on c == w[i+1] a state (i, e) may enter
+    (i, e+1, T), which consumes the NEXT char only if it equals w[i],
+    landing on (i+2, e+1). A t-state lives exactly one step and is
+    always accompanied by the plain insertion state (i, e+1) (created
+    under the same e < k guard), so finality needs no t-state case."""
+
+    def __init__(self, pattern: str, k: int, transpositions: bool = False):
         self.w = pattern
         self.k = int(k)
+        self.t = bool(transpositions)
 
     def start(self):
         # ε-closure over deletions: skipping j pattern chars costs j
-        return self._reduce([(j, j) for j in range(self.k + 1)])
+        return self._reduce([(j, j, 0) for j in range(self.k + 1)])
 
     def _reduce(self, states):
-        # drop subsumed states: (i, e) is useless if some (i, e') e'<e
-        best: dict[int, int] = {}
-        for i, e in states:
-            if e <= self.k and (i not in best or e < best[i]):
-                best[i] = e
-        return tuple(sorted(best.items()))
+        # drop subsumed states: (i, e, f) is useless if some (i, e', f)
+        # with e' < e. Plain states never subsume t-states (a t-state
+        # reaches (i+2, e) only on the NEXT step, after consuming one
+        # more char — dominance doesn't transfer across time).
+        best: dict[tuple[int, int], int] = {}
+        for i, e, f in states:
+            if e <= self.k and ((i, f) not in best or e < best[(i, f)]):
+                best[(i, f)] = e
+        return tuple(sorted((i, e, f) for (i, f), e in best.items()))
 
     def step(self, state, c: str):
         """Consume one term character; returns the new state or None
         when no viable continuation exists."""
         w, k = self.w, self.k
-        nxt: list[tuple[int, int]] = []
-        for i, e in state:
+        nxt: list[tuple[int, int, int]] = []
+        for i, e, f in state:
+            if f:                               # t-state: finish swap
+                if c == w[i]:
+                    nxt.append((i + 2, e, 0))
+                continue
             if i < len(w) and w[i] == c:
-                nxt.append((i + 1, e))          # match
+                nxt.append((i + 1, e, 0))          # match
             if e < k:
-                nxt.append((i, e + 1))          # insertion into term
+                nxt.append((i, e + 1, 0))          # insertion into term
                 if i < len(w):
-                    nxt.append((i + 1, e + 1))  # substitution
-        # ε-closure over deletions (skip pattern chars)
+                    nxt.append((i + 1, e + 1, 0))  # substitution
+                if (self.t and i + 1 < len(w) and c == w[i + 1]
+                        and w[i] != c):
+                    nxt.append((i, e + 1, 1))      # begin transposition
+        # ε-closure over deletions (skip pattern chars; plain states)
         out = []
-        for i, e in nxt:
+        for i, e, f in nxt:
+            if f:
+                out.append((i, e, f))
+                continue
             j = 0
             while e + j <= k and i + j <= len(w):
-                out.append((i + j, e + j))
+                out.append((i + j, e + j, 0))
                 j += 1
         red = self._reduce(out)
         return red or None
 
     def is_final(self, state) -> bool:
         """Accept if the (ended) term is within k of the full pattern."""
-        return any(e + (len(self.w) - i) <= self.k for i, e in state)
+        return any(e + (len(self.w) - i) <= self.k
+                   for i, e, f in state if not f)
 
 
 class GlobAutomaton:

@@ -542,8 +542,9 @@ class IndexReader:
             idx = np.asarray([int(i) for i in cand
                               if rx.fullmatch(terms[i])], dtype=np.int64)
         else:
-            idx = dfs_expand(terms,
-                             LevenshteinAutomaton(pattern, max_edits))
+            idx = dfs_expand(terms, LevenshteinAutomaton(
+                pattern, max_edits,
+                transpositions=(kind == "fuzzy_t")))
         pdf = pd.DataFrame({"term": terms[idx], "df": dfs[idx]})
         # deterministic expansion cap (the ES max_expansions analogue):
         # keep the highest-df terms, ties by term
@@ -554,13 +555,19 @@ class IndexReader:
         return out
 
     def fuzzy_terms(self, term: str, max_edits: int = 1,
-                    max_expansions: int = 50) -> DataFrame:
+                    max_expansions: int = 50,
+                    transpositions: bool = False) -> DataFrame:
         """Dictionary fuzzy lookup: (term, df) for every content term
-        within `max_edits` Levenshtein of `term` (ES fuzzy-query term
-        enumeration). Driver-side sidecar scan, no posting payload read."""
+        within `max_edits` of `term` (ES fuzzy-query term enumeration).
+        transpositions=True uses OSA distance (adjacent swap = ONE
+        edit) — Lucene's `fuzzy_transpositions: true` ES default; the
+        plain-Levenshtein default here is kept for result stability
+        with the pre-existing oracle rows. Driver-side sidecar scan,
+        no posting payload read."""
         self._refresh_if_stale()
-        rows = self._expand_pattern("fuzzy", term.lower(), max_edits,
-                                    max_expansions)
+        rows = self._expand_pattern(
+            "fuzzy_t" if transpositions else "fuzzy", term.lower(),
+            max_edits, max_expansions)
         return self.spark.createDataFrame(
             rows or [], schema="term string, df long")
 

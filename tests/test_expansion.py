@@ -255,6 +255,62 @@ def test_levenshtein_automaton_randomized():
         assert sorted(vocab[idx]) == sorted(want), (pat, k)
 
 
+def _osa_distance(a: str, b: str) -> int:
+    """Brute-force OSA (restricted Damerau-Levenshtein) DP oracle:
+    adjacent transposition costs 1, no substring is edited twice."""
+    m, n = len(a), len(b)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        d[i][0] = i
+    for j in range(n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[m][n]
+
+
+def test_osa_automaton_transposed_pattern():
+    """fuzzy_transpositions semantics: adjacent swap is ONE edit with
+    the t-state automaton, TWO without (plain Levenshtein)."""
+    vocab = np.array(sorted(["sort", "sore", "short", "osrt", "ost"]),
+                     dtype=object)
+    with_t = set(vocab[dfs_expand(
+        vocab, LevenshteinAutomaton("osrt", 1, transpositions=True))])
+    without = set(vocab[dfs_expand(vocab, LevenshteinAutomaton("osrt", 1))])
+    assert "sort" in with_t and "sort" not in without
+    assert "osrt" in with_t and "osrt" in without  # exact always matches
+    assert "ost" in with_t and "ost" in without    # one deletion
+
+
+def test_osa_automaton_randomized():
+    """DFS with transpositions == brute-force OSA DP for every
+    (pattern, k), including patterns seeded with adjacent swaps."""
+    vocab = _synthetic_vocab(3000)
+    cases = [("egtuser1", 1), ("esttname2", 2), ("queryotken77", 1),
+             ("mergeshadr12", 2), ("getuser1", 1), ("abab", 2)]
+    for pat, k in cases:
+        idx = dfs_expand(vocab, LevenshteinAutomaton(
+            pat, k, transpositions=True))
+        want = [t for t in vocab if _osa_distance(t, pat) <= k]
+        assert sorted(vocab[idx]) == sorted(want), (pat, k)
+
+
+def test_osa_automaton_plain_unchanged():
+    """transpositions=False must stay exactly plain Levenshtein (the
+    pre-existing oracle rows depend on it)."""
+    vocab = _synthetic_vocab(3000)
+    for pat, k in [("egtuser1", 1), ("setname2", 2)]:
+        idx = dfs_expand(vocab, LevenshteinAutomaton(pat, k))
+        want = [t for t in vocab if _edit_distance_le(t, pat, k)]
+        assert sorted(vocab[idx]) == sorted(want), (pat, k)
+
+
 def test_glob_automaton_randomized():
     vocab = _synthetic_vocab(3000)
     cases = [("get*", "get.*"), ("*user*", ".*user.*"),
