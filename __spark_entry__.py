@@ -97,6 +97,52 @@ def _ensure_routed_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_CHILD_CFG = IndexConfig(
+    shard_size=8192,
+    n_buckets=8,
+    n_salts=4,
+    hot_df_fraction=0.05,
+    sample_fraction=1.0,
+    tokenizer="simple",
+    index_fields=("content",),
+    stored_columns=("parent",),   # the parent-join doc value
+)
+
+
+def _child_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child corpus for the ES parent-join surface: 10-token chunks of
+    each document (chunk_paragraphs — the DuckDB-mirroring split), child
+    id = parent_doc_id * 100 + chunk_idx (texts are ≤ ~13 chunks, so the
+    stride never collides) which keeps a parent's children id-contiguous
+    — range sharding then co-locates them like ES parent routing."""
+    pars = dedup.chunk_paragraphs(
+        _t(spark, sf_dir, "documents"), "text", chunk=10)
+    cid = (F.col("doc_id") * 100 + F.col("par_idx")).cast("long")
+    return pars.select(
+        cid.alias("doc_id"),
+        F.col("doc_id").cast("long").alias("parent"),
+        F.lit("pars").alias("repo"),
+        cid.cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("paragraph").alias("content"),
+    )
+
+
+def _ensure_child_index(spark: SparkSession, sf_dir: str) -> str:
+    """Paragraph-child index for has_child / has_parent / parent_id /
+    children agg (operators/parentjoin.py): its own BM25 stats (df, N,
+    avgdl are paragraph-corpus quantities), `parent` as a stored doc
+    value, ids verbatim so oracle joins are 1:1."""
+    out = os.path.join(
+        tempfile.gettempdir(), "maestro_entry_child_idx_v1",
+        re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
+    )
+    build_index(spark, _child_docs(spark, sf_dir), out, _CHILD_CFG,
+                resume=True, id_col="doc_id")
+    return out
+
+
 def _entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = F.struct(
         F.when(F.col("doc_id") % 5 == 0, F.lit("mirror"))
@@ -2094,6 +2140,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["percolate_phrase"] = _q_percolate_phrase
 
+    def _q_has_child(s: SparkSession, d: str) -> DataFrame:
+        # ES has_child (parent-join): parents ranked by the MAX BM25
+        # score of their matching paragraph children, min_children=2
+        from maestro_spark.operators import parentjoin
+        cr = IndexReader(s, _ensure_child_index(s, d))
+        return parentjoin.has_child(cr, "slow query merge", k=10,
+                                    score_mode="max", min_children=2)
+
+    q["has_child"] = _q_has_child
+
+    def _q_has_parent(s: SparkSession, d: str) -> DataFrame:
+        # ES has_parent score=true: children inherit the parent's BM25
+        # score on the PARENT index
+        from maestro_spark.operators import parentjoin
+        cr = IndexReader(s, _ensure_child_index(s, d))
+        pr = IndexReader(s, _ensure_index(s, d))
+        return parentjoin.has_parent(cr, pr, "spark stream", k=20)
+
+    q["has_parent"] = _q_has_parent
+
+    def _q_parent_id(s: SparkSession, d: str) -> DataFrame:
+        # ES parent_id query: one parent's children, constant score
+        from maestro_spark.operators import parentjoin
+        cr = IndexReader(s, _ensure_child_index(s, d))
+        return parentjoin.parent_id(cr, 7)
+
+    q["parent_id_query"] = _q_parent_id
+
+    def _q_children_agg(s: SparkSession, d: str) -> DataFrame:
+        # ES children aggregation: parent match set bucketed by lang,
+        # stepped down to child count + avg child token count
+        from maestro_spark.operators import parentjoin
+        cr = IndexReader(s, _ensure_child_index(s, d))
+        pr = IndexReader(s, _ensure_index(s, d))
+        return parentjoin.children_agg(cr, pr, "spark stream", "lang")
+
+    q["children_agg"] = _q_children_agg
+
     return q
 
 
@@ -3948,5 +4032,80 @@ u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
       UNION ALL SELECT * FROM p3)
 SELECT doc_id, query_id::BIGINT AS query_id, n_matched FROM u
 ORDER BY doc_id, query_id"""
+
+    # parent-join family: child corpus = 10-token chunks, cid = 100 *
+    # parent + chunk_idx (mirrors _child_docs); child BM25 stats are
+    # paragraph-corpus quantities (own df / N / avgdl)
+    _PARS = """pars AS (
+  SELECT doc_id * 100 + (i - 1) AS cid, doc_id AS parent,
+         array_to_string(ts[(i - 1) * 10 + 1 : i * 10], ' ') AS par
+  FROM arr, unnest(range(1, cast(ceil(len(ts) / 10.0) AS BIGINT) + 1)) AS t(i)
+  WHERE len(ts) > 0)"""
+
+    def _child_bm25(terms: list[str]) -> str:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        return f"""ptok AS (SELECT cid, u.term FROM pars,
+             unnest(string_split(par, ' ')) AS u(term)),
+ctf AS (SELECT cid, term, count(*)::DOUBLE AS tf FROM ptok GROUP BY cid, term),
+cdl AS (SELECT cid, count(*)::DOUBLE AS dl FROM ptok GROUP BY cid),
+cst AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM cdl),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf
+        WHERE term IN ({tl}) GROUP BY term),
+ccs AS (SELECT t.cid,
+               sum(ln(1.0 + (cst.n - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * cdl.dl / cst.avgdl)))
+                   AS score
+        FROM ctf t JOIN cdf d ON t.term = d.term
+        JOIN cdl ON cdl.cid = t.cid CROSS JOIN cst
+        GROUP BY t.cid)"""
+
+    o["has_child"] = f"""
+WITH {_ARR},
+{_PARS},
+{_child_bm25(['merge', 'query', 'slow'])}
+SELECT p.parent, round(max(c.score), 6) AS score,
+       count(*)::BIGINT AS n_children
+FROM ccs c JOIN pars p ON p.cid = c.cid
+GROUP BY p.parent HAVING count(*) >= 2
+ORDER BY score DESC, parent LIMIT 10"""
+
+    o["has_parent"] = f"""
+WITH {_ARR}, {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ('spark', 'stream') GROUP BY term),
+cs AS (SELECT t.doc_id,
+              sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                  * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                  AS score
+       FROM tfq t JOIN dft d ON t.term = d.term
+       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st
+       GROUP BY t.doc_id),
+{_PARS}
+SELECT p.cid AS child_id, p.parent, round(cs.score, 6) AS score
+FROM pars p JOIN cs ON cs.doc_id = p.parent
+ORDER BY score DESC, child_id LIMIT 20"""
+
+    o["parent_id_query"] = f"""
+WITH {_ARR},
+{_PARS}
+SELECT cid AS child_id, 1.0::DOUBLE AS score FROM pars
+WHERE parent = 7 ORDER BY child_id"""
+
+    o["children_agg"] = f"""
+WITH {_ARR}, {_TOK},
+{_PARS},
+pm AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+chp AS (SELECT parent, count(*)::BIGINT AS n_ch,
+               sum(len(string_split(par, ' ')))::BIGINT AS ts
+        FROM pars GROUP BY parent)
+SELECT d.lang AS bucket, count(*)::BIGINT AS n_parents,
+       sum(coalesce(chp.n_ch, 0))::BIGINT AS n_children,
+       round(sum(chp.ts)::DOUBLE / sum(chp.n_ch), 6) AS avg_child_tokens
+FROM pm JOIN documents d ON d.doc_id = pm.doc_id
+LEFT JOIN chp ON chp.parent = pm.doc_id
+GROUP BY d.lang ORDER BY bucket"""
 
     return o

@@ -1,0 +1,141 @@
+"""ES parent-join (`join` field) re-expressed Spark-first.
+
+The reference models the analysis→files relation as NESTED documents
+inside one file-centric doc (file_centric.json:224-243 via
+`nested.py`); Elasticsearch's alternative modeling for independently
+updatable children is the parent-join field with the `has_child` /
+`has_parent` / `parent_id` queries and the `children` aggregation,
+under the constraint that a parent and its children share a shard
+(parent routing). Here the child corpus is its own index whose
+docstore carries a `parent` doc value; when child ids derive from
+parent ids (parent * stride + child_idx, the entry convention) range
+sharding CO-LOCATES a parent's children exactly as ES routing does, so
+every parent-key groupBy below combines map-side to one row per parent
+per task before a final shuffle whose volume is |parents|, never
+|children|. (An index built with IndexConfig.routing_col="parent"
+gives the same co-location for ids that don't encode the parent.)
+
+Scale shape at 100 TB: the child match set is posting-bounded (it
+comes from scored_matches' pruned posting scan, never a corpus scan);
+parent aggregation is one partial-agg shuffle of one row per matched
+parent; has_parent's join is keyed on the parent doc value and
+broadcast-eligible whenever the parent match set is small (AQE decides
+from the runtime size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCORE_AGGS = {"max": F.max, "min": F.min, "sum": F.sum, "avg": F.avg}
+
+
+def has_child(child_reader, query: str, k: int = 10,
+              score_mode: str = "max", min_children: int = 1,
+              max_children: int | None = None, mode: str = "or",
+              parent_col: str = "parent") -> DataFrame:
+    """ES has_child query: rank PARENTS by an aggregate of their
+    matching children's BM25 scores (score_mode max|sum|avg|min|none),
+    keeping only parents whose MATCHING-child count lies within
+    [min_children, max_children] — the ES parameter semantics (the
+    bounds count children matched by the inner query, not all
+    children). Exact over the FULL scored child match set
+    (scored_matches), one parent-key partial agg; ranking on
+    round(score, 6) with parent-id tie-break (the cross-engine
+    determinism convention used by every scoring operator here).
+
+    Returns DataFrame(parent long, score double, n_children long)."""
+    if score_mode not in ("none", *_SCORE_AGGS):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    sm = child_reader.scored_matches(query, mode=mode)
+    docs = child_reader._docs().select(
+        "shard", "doc_id", F.col(parent_col).alias("_parent"))
+    j = sm.join(docs, ["shard", "doc_id"], "inner")
+    aggs = [F.count("*").alias("n_children")]
+    if score_mode != "none":
+        aggs.insert(0, F.round(_SCORE_AGGS[score_mode]("score"), 6)
+                    .alias("score"))
+    g = j.groupBy("_parent").agg(*aggs)
+    if score_mode == "none":
+        # ES score_mode=none: pure existence filter, constant score
+        g = g.withColumn("score", F.lit(0.0))
+    g = g.where(F.col("n_children") >= int(min_children))
+    if max_children is not None:
+        g = g.where(F.col("n_children") <= int(max_children))
+    return (g.select(F.col("_parent").alias("parent"), "score",
+                     "n_children")
+            .orderBy(F.desc("score"), F.asc("parent")).limit(k))
+
+
+def has_parent(child_reader, parent_reader, parent_query: str,
+               k: int = 10, mode: str = "or", score: bool = True,
+               parent_col: str = "parent") -> DataFrame:
+    """ES has_parent query: return CHILDREN whose parent matches
+    parent_query on the parent index. score=True propagates the
+    parent's BM25 score to every child (ES `score: true`); score=False
+    is filter context (constant 0, ES default). Ranking on the rounded
+    parent score with child-id tie-break.
+
+    Returns DataFrame(child_id long, parent long, score double)."""
+    ps = (parent_reader.scored_matches(parent_query, mode=mode)
+          .select(F.col("doc_id").alias("_pid"),
+                  F.round("score", 6).alias("_pscore")))
+    ch = child_reader._docs().select(
+        F.col("doc_id").alias("child_id"),
+        F.col(parent_col).cast("long").alias("_pid"))
+    out = ch.join(ps, "_pid", "inner")
+    score_col = F.col("_pscore") if score else F.lit(0.0)
+    return (out.select("child_id", F.col("_pid").alias("parent"),
+                       score_col.alias("score"))
+            .orderBy(F.desc("score"), F.asc("child_id")).limit(k))
+
+
+def parent_id(child_reader, parent, boost: float = 1.0,
+              parent_col: str = "parent") -> DataFrame:
+    """ES parent_id query: every child of ONE parent, constant score =
+    boost. Under the derived-id scheme a parent's children are
+    id-contiguous, so the docstore scan's parquet min/max row-group
+    stats prune to one shard's worth of files — the analogue of ES
+    routing the fetch to the parent's single shard.
+
+    Returns DataFrame(child_id long, score double) in child-id order."""
+    ch = child_reader._docs().where(F.col(parent_col) == parent)
+    return (ch.select(F.col("doc_id").alias("child_id"),
+                      F.lit(float(boost)).alias("score"))
+            .orderBy("child_id"))
+
+
+def children_agg(child_reader, parent_reader, parent_query: str,
+                 bucket_col: str = "lang", mode: str = "or",
+                 parent_col: str = "parent") -> DataFrame:
+    """ES `children` aggregation: bucket the PARENT match set by a
+    parent field, step down to each bucket's children, and compute
+    child metrics (child count + average child token count). Shape:
+    children pre-aggregate on the parent key (map-side combine under
+    parent/child co-location — one row per parent), then one
+    broadcast-eligible join to the matched parents and one bucket-key
+    partial agg; nothing corpus-scale crosses the wire twice.
+
+    Returns DataFrame(bucket, n_parents, n_children, avg_child_tokens)
+    ordered by bucket."""
+    pm = parent_reader.match_docs(parent_query, mode)
+    pdocs = parent_reader._docs().select("shard", "doc_id", bucket_col)
+    parents = (pm.join(pdocs, ["shard", "doc_id"], "inner")
+               .select(F.col("doc_id").alias("_pid"),
+                       F.col(bucket_col).alias("bucket")))
+    # child token count: children are space-joined simple tokens, so a
+    # single split is the exact token count (no re-analysis needed)
+    ch = child_reader._docs().select(
+        F.col(parent_col).cast("long").alias("_pid"),
+        F.size(F.split(F.col("content"), " ")).cast("long").alias("_nt"))
+    chp = ch.groupBy("_pid").agg(F.count("*").alias("_nc"),
+                                 F.sum("_nt").alias("_ts"))
+    out = parents.join(chp, "_pid", "left")
+    return (out.groupBy("bucket").agg(
+                F.count("*").alias("n_parents"),
+                F.sum(F.coalesce(F.col("_nc"), F.lit(0)))
+                .cast("long").alias("n_children"),
+                F.round(F.sum("_ts").cast("double") / F.sum("_nc"), 6)
+                .alias("avg_child_tokens"))
+            .orderBy("bucket"))
