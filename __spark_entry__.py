@@ -2032,6 +2032,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geotile_grid"] = _q_geotile
 
+    def _q_geohash(s: SparkSession, d: str) -> DataFrame:
+        # ES geohash_grid agg: base32 geohash cells at precision 4 —
+        # closed-form bit interleave, no libm, no rounding pin
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geohash_grid("spark stream", _LAT(),
+                                          _LON(), precision=4)
+
+    q["geohash_grid"] = _q_geohash
+
     def _q_geo_centroid(s: SparkSession, d: str) -> DataFrame:
         # ES geo_centroid agg: mean lat/lon of the match set
         reader = IndexReader(s, _ensure_index(s, d))
@@ -3870,6 +3879,34 @@ g AS (SELECT floor(({_LON_SQL} + 180.0) / 360.0 * 8.0) AS x,
 SELECT '3/' || x::INT || '/' || y::INT AS tile,
        count(*)::BIGINT AS n_docs
 FROM g GROUP BY 1 ORDER BY n_docs DESC, tile"""
+    # geohash_grid: the same unrolled interleave the engine uses
+    # (search.geohash_col), generated here for precision 4 — every op
+    # is IEEE arithmetic or an integer bit op, so no rounding pin
+    from maestro_spark.operators.search import GEOHASH32 as _GH32
+    _GH_P = 4
+    _gh_nbits = 5 * _GH_P
+    _gh_lonb, _gh_latb = (_gh_nbits + 1) // 2, _gh_nbits // 2
+    _gh_sum = " + ".join(
+        (f"(((li >> {_gh_lonb - 1 - j // 2}) & 1) << {_gh_nbits - 1 - j})"
+         if j % 2 == 0 else
+         f"(((ti >> {_gh_latb - 1 - (j - 1) // 2}) & 1) << {_gh_nbits - 1 - j})")
+        for j in range(_gh_nbits))
+    _gh_chars = " || ".join(
+        f"substr('{_GH32}', CAST(((gh >> {5 * (_GH_P - 1 - c)}) & 31) "
+        "AS INTEGER) + 1, 1)" for c in range(_GH_P))
+    o["geohash_grid"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT least(CAST(floor(({_LON_SQL} + 180.0) / 360.0
+                              * {float(2 ** _gh_lonb)}) AS BIGINT),
+                   {2 ** _gh_lonb - 1}) AS li,
+             least(CAST(floor(({_LAT_SQL} + 90.0) / 180.0
+                              * {float(2 ** _gh_latb)}) AS BIGINT),
+                   {2 ** _gh_latb - 1}) AS ti
+      FROM documents d JOIN m ON m.doc_id = d.doc_id),
+h AS (SELECT {_gh_sum} AS gh FROM g)
+SELECT {_gh_chars} AS geohash, count(*)::BIGINT AS n_docs
+FROM h GROUP BY 1 ORDER BY n_docs DESC, geohash"""
     o["geo_centroid"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))

@@ -117,6 +117,51 @@ def _no_aqe(spark: SparkSession):
         conf.set("spark.sql.adaptive.enabled", prev)
 
 
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lat_col, lon_col, precision: int):
+    """base32 geohash of (lat, lon) at `precision` chars, as a Column.
+
+    Closed form (no iteration, no libm): quantize lon to ceil(5p/2)
+    bits and lat to floor(5p/2) bits, interleave MSB-first starting
+    with longitude (the geohash bit order), then emit 5-bit groups
+    through the geohash base32 alphabet. Every operation is IEEE
+    +,*,/ or an integer bit op — correctly rounded and therefore
+    bit-identical across engines (unlike tan/ln in geotile, which
+    need the 9dp pin). The whole expression stays inside whole-stage
+    codegen."""
+    nbits = 5 * int(precision)
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    lon_i = F.least(
+        F.floor((lon_col.cast("double") + 180.0) / 360.0
+                * F.lit(float(2 ** lonbits))),
+        F.lit(2 ** lonbits - 1)).cast("long")
+    lat_i = F.least(
+        F.floor((lat_col.cast("double") + 90.0) / 180.0
+                * F.lit(float(2 ** latbits))),
+        F.lit(2 ** latbits - 1)).cast("long")
+    combined = None
+    for j in range(nbits):
+        if j % 2 == 0:
+            src, bit = lon_i, lonbits - 1 - j // 2
+        else:
+            src, bit = lat_i, latbits - 1 - (j - 1) // 2
+        term = F.shiftleft(
+            F.shiftright(src, bit).bitwiseAND(F.lit(1)), nbits - 1 - j)
+        combined = term if combined is None else combined + term
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(combined, 5 * (precision - 1 - c))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"))
+        for c in range(int(precision))
+    ]
+    return F.concat(*chars)
+
+
 def term_field(term: str) -> str:
     for p, f in FIELD_OF_PREFIX.items():
         if term.startswith(p):
@@ -2767,6 +2812,35 @@ class IndexReader:
         return (joined.groupBy("tile")
                 .agg(F.count("*").alias("n_docs"))
                 .orderBy(F.desc("n_docs"), "tile"))
+
+    def search_geohash_grid(self, query: str, lat_col, lon_col,
+                            precision: int = 4, size: int | None = None,
+                            mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """geohash_grid aggregation (the ES analogue): matched docs
+        bucketed by base32 geohash cell at `precision` chars (1-12).
+        Same partial-agg shape as geotile_grid (one row per touched
+        cell per task). The geohash is computed CLOSED-FORM — two
+        quantizations plus an unrolled 5·precision-term bit interleave,
+        all IEEE +,*,/ and integer bit ops (no libm), so the cell key is
+        bit-identical across engines with no rounding pin. `size` is
+        the ES bucket cap (deterministic: count desc, geohash asc)."""
+        if not 1 <= int(precision) <= 12:
+            raise ValueError("geohash precision must be in 1..12")
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            geohash_col(lat_col, lon_col, int(precision)).alias("geohash"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        out = (joined.groupBy("geohash")
+               .agg(F.count("*").alias("n_docs"))
+               .orderBy(F.desc("n_docs"), "geohash"))
+        return out.limit(int(size)) if size is not None else out
 
     def search_geo_centroid(self, query: str, lat_col, lon_col,
                             mode: str = "or",

@@ -265,3 +265,86 @@ def test_rate_agg_rejects_unsupported_units(reader):
     with pytest.raises(ValueError, match="calendar-aware"):
         reader.search_rate(Q, F.lit("2025-01-01").cast("timestamp"),
                            interval="week", unit="day")
+
+
+# ------------------------------------------------------- geohash_grid
+
+def _py_geohash(lat: float, lon: float, p: int) -> str:
+    """Independent reference: the classic interval-halving geohash."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = [], [], True
+    while len(out) < p:
+        rng = lon_r if even else lat_r
+        v = lon if even else lat
+        mid = (rng[0] + rng[1]) / 2
+        if v >= mid:
+            bits.append(1)
+            rng[0] = mid
+        else:
+            bits.append(0)
+            rng[1] = mid
+        even = not even
+        if len(bits) == 5:
+            out.append(b32[int("".join(map(str, bits)), 2)])
+            bits = []
+    return "".join(out)
+
+
+def test_geohash_col_known_vectors(spark):
+    from maestro_spark.operators.search import geohash_col
+    pts = [(42.6, -5.6, 5, "ezs42"),
+           (57.64911, 10.40744, 11, "u4pruydqqvj"),
+           (-25.382708, -49.265506, 8, "6gkzwgjz"),
+           (0.0, 0.0, 3, "s00"),
+           (-89.9, -179.9, 4, "0000"),
+           (89.9, 179.9, 4, "zzzz")]
+    df = spark.createDataFrame([(la, lo) for la, lo, _, _ in pts],
+                               "lat double, lon double").toPandas()
+    for (la, lo, p, want) in pts:
+        got = (spark.createDataFrame([(la, lo)], "lat double, lon double")
+               .select(geohash_col(F.col("lat"), F.col("lon"), p)
+                       .alias("g")).head()["g"])
+        assert got == want == _py_geohash(la, lo, p), (la, lo, p)
+    assert len(df) == len(pts)  # keep the frame referenced
+
+
+def test_geohash_col_randomized(spark):
+    from maestro_spark.operators.search import geohash_col
+    # the 0.0503717 offset keeps every point far (>> 1 ulp) from any
+    # geohash cell boundary: a point within one ulp of a boundary can
+    # legitimately land on either side depending on whether the
+    # algorithm quantizes (closed form, both engines identically) or
+    # halves intervals (this reference) — e.g. lon=11.24999999999999
+    # where (lon+180.0) correctly rounds to exactly 191.25
+    rows = [(((i * 37) % 1800) / 10.0 - 90.0 + 0.0503717,
+             ((i * 53) % 3600) / 10.0 - 180.0 + 0.0503717)
+            for i in range(200)]
+    for p in (1, 4, 7):
+        got = (spark.createDataFrame(rows, "lat double, lon double")
+               .select("lat", "lon",
+                       geohash_col(F.col("lat"), F.col("lon"), p)
+                       .alias("g")).collect())
+        for r in got:
+            assert r["g"] == _py_geohash(r["lat"], r["lon"], p), (r, p)
+
+
+def test_geohash_grid(reader, mdf):
+    got = reader.search_geohash_grid(
+        Q, (F.col("doc_id") % 120 - 60).cast("double"),
+        (F.col("doc_id") % 340 - 170).cast("double"),
+        precision=3).toPandas()
+    lat = (mdf["doc_id"] % 120 - 60).astype(float)
+    lon = (mdf["doc_id"] % 340 - 170).astype(float)
+    cells = pd.Series([_py_geohash(a, o, 3) for a, o in zip(lat, lon)])
+    want = cells.value_counts()
+    assert dict(zip(got["geohash"], got["n_docs"])) == want.to_dict()
+    # ordered (n_docs desc, geohash asc) and the size cap keeps the head
+    assert list(got.sort_values(["n_docs", "geohash"],
+                                ascending=[False, True])["geohash"]) \
+        == list(got["geohash"])
+    capped = reader.search_geohash_grid(
+        Q, (F.col("doc_id") % 120 - 60).cast("double"),
+        (F.col("doc_id") % 340 - 170).cast("double"),
+        precision=3, size=5).toPandas()
+    assert list(capped["geohash"]) == list(got["geohash"][:5])
