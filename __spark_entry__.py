@@ -2071,6 +2071,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_not"] = _q_span_not
 
+    def _q_span_containing(s: SparkSession, d: str) -> DataFrame:
+        # span_containing: minimal ordered 'slow ... scan' chains
+        # (gaps <= 2) that CONTAIN a 'query' occurrence; tf = kept
+        # big spans
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.span_containing_local("slow scan", "query",
+                                           k=40, big_gaps=2)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["span_containing"] = _q_span_containing
+
+    def _q_span_within(s: SparkSession, d: str) -> DataFrame:
+        # span_within: 'query' occurrences lying INSIDE a minimal
+        # 'slow ... scan' chain (gaps <= 2); tf = kept little spans
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.span_within_local("query", "slow scan",
+                                       k=40, big_gaps=2)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["span_within"] = _q_span_within
+
     def _q_span_or(s: SparkSession, d: str) -> DataFrame:
         # span_or: union of two exact-phrase clauses scored as ONE
         # pseudo-term (tf sums across clauses)
@@ -3989,6 +4018,48 @@ ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
                * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
          ph.doc_id
 LIMIT 10"""
+    # span_containing / span_within: minimal ordered slow→scan chains
+    # (closest slow before the earliest scan, the two NOT EXISTS
+    # minimality conditions) with internal gap <= 2, tested against
+    # width-1 'query' spans; tf = kept spans of the RETURNED clause
+    _SPAN_BIG = """
+pa AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'slow'),
+pb AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'scan'),
+pq AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'query'),
+pr AS (SELECT a.doc_id, a.p AS s, b.p AS e FROM pa a
+       JOIN pb b ON b.doc_id = a.doc_id
+       WHERE b.p > a.p AND b.p - a.p - 1 <= 2
+         AND NOT EXISTS (SELECT 1 FROM pa x WHERE x.doc_id = a.doc_id
+             AND x.p > a.p AND x.p < b.p)
+         AND NOT EXISTS (SELECT 1 FROM pb y WHERE y.doc_id = a.doc_id
+             AND y.p > a.p AND y.p < b.p))"""
+    _SPAN_SCORE = """
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
+    o["span_containing"] = f"""
+WITH {_ARR},{_SPAN_BIG},
+kept AS (SELECT r.doc_id FROM pr r WHERE EXISTS (
+           SELECT 1 FROM pq WHERE pq.doc_id = r.doc_id
+             AND pq.p >= r.s AND pq.p <= r.e)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM kept GROUP BY doc_id),{_SPAN_SCORE}"""
+    o["span_within"] = f"""
+WITH {_ARR},{_SPAN_BIG},
+kept AS (SELECT q.doc_id FROM pq q WHERE EXISTS (
+           SELECT 1 FROM pr WHERE pr.doc_id = q.doc_id
+             AND pr.s <= q.p AND pr.e >= q.p)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM kept GROUP BY doc_id),{_SPAN_SCORE}"""
     # span_not: include span [i, i+1] (1-based), exclude width-1 span q;
     # pre=1/post=1 kill window is q in [i-1, i+2]
     o["span_not"] = f"""

@@ -4518,6 +4518,98 @@ class IndexReader:
             docs, np.concatenate([m[1] for m in matched]),
             np.concatenate([m[2] for m in matched]), k)
 
+    def span_containing_local(self, big: str, little: str, k: int = 10,
+                              big_gaps: int = 0,
+                              max_workers: int | None = None
+                              ) -> pd.DataFrame:
+        """span_containing query (Lucene SpanContainingQuery): minimal
+        spans of the `big` clause that wholly CONTAIN at least one span
+        of the `little` phrase. `big` is an ordered chain of its terms
+        with total internal gaps <= big_gaps (big_gaps=0 = exact
+        phrase; >0 is the span_near-as-big composition this query
+        exists for — with a plain phrase big, containment of a
+        sub-phrase is degenerate). tf = qualifying big spans (the
+        returned clause, as Lucene scores it); a doc with none drops
+        out. Reuses the intervals algebra (functions/intervals.py:
+        ordered_iv + filter_iv) — same minimal-interval semantics as
+        the ES intervals query, posting-bounded like the span family."""
+        return self._span_contain_local(big, little, "containing", k,
+                                        big_gaps, max_workers)
+
+    def span_within_local(self, little: str, big: str, k: int = 10,
+                          big_gaps: int = 0,
+                          max_workers: int | None = None) -> pd.DataFrame:
+        """span_within query (Lucene SpanWithinQuery): spans of the
+        `little` phrase that lie wholly WITHIN some span of the `big`
+        clause — span_containing's dual with the other clause returned;
+        tf = qualifying little spans."""
+        return self._span_contain_local(big, little, "within", k,
+                                        big_gaps, max_workers)
+
+    def _span_contain_local(self, big: str, little: str, keep: str,
+                            k: int, big_gaps: int,
+                            max_workers: int | None) -> pd.DataFrame:
+        from maestro_spark.functions.intervals import (filter_iv,
+                                                       ordered_iv, term_iv)
+        tok = self.cfg.get("tokenizer", "code")
+        big_t = phrase_terms(big, tok)
+        lit_t = phrase_terms(little, tok)
+        if not big_t or not lit_t:
+            raise ValueError("span_containing/within need both clauses")
+        by_shard = self._fetch_posting_rows(sorted(set(big_t) | set(lit_t)))
+        shard_size = self.cfg["shard_size"]
+        index_dir = self.index_dir
+
+        def run(item):
+            shard, rows = item
+            empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                     np.empty(0, np.float64))
+            dec_b = self._decoded_positions(rows, big_t)
+            dec_l = self._decoded_positions(rows, lit_t)
+            if dec_b is None or dec_l is None:
+                return empty
+            inter = None
+            for t in sorted(set(big_t)):
+                ids = dec_b[t][0]
+                inter = ids if inter is None else inter[
+                    np.isin(inter, ids, assume_unique=True)]
+            for t in sorted(set(lit_t)):
+                ids = dec_l[t][0]
+                inter = inter[np.isin(inter, ids, assume_unique=True)]
+            if inter is None or inter.size == 0:
+                return empty
+            out_docs, out_tf = [], []
+            for d in inter:
+                big_iv = ordered_iv(
+                    [term_iv(self._doc_positions(dec_b, t, d))
+                     for t in big_t], max_gaps=big_gaps)
+                lit_iv = ordered_iv(
+                    [term_iv(self._doc_positions(dec_l, t, d))
+                     for t in lit_t], max_gaps=0)
+                if keep == "containing":
+                    kept = filter_iv(big_iv, lit_iv, "containing")
+                else:
+                    kept = filter_iv(lit_iv, big_iv, "contained_by")
+                if kept.shape[0]:
+                    out_docs.append(d)
+                    out_tf.append(kept.shape[0])
+            if not out_docs:
+                return empty
+            docs = np.asarray(out_docs, np.int64)
+            dls = _load_doclens(index_dir, shard, "content",
+                                shard * shard_size, shard_size)
+            return (docs, np.asarray(out_tf, np.float64),
+                    dls[docs - shard * shard_size])
+
+        matched = _map_shards(run, sorted(by_shard.items()), max_workers)
+        docs = np.concatenate([m[0] for m in matched]) \
+            if matched else np.empty(0, np.int64)
+        if docs.size == 0:
+            return self._EMPTY_HITS()
+        return self._span_score(
+            docs, np.concatenate([m[1] for m in matched]),
+            np.concatenate([m[2] for m in matched]), k)
+
     def span_or_local(self, clauses: list[str], k: int = 10,
                       max_workers: int | None = None) -> pd.DataFrame:
         """span_or query (the Lucene SpanOrQuery / ES span_or analogue):

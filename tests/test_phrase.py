@@ -655,3 +655,89 @@ def test_span_or_vs_brute(spark, built, corpus):
         exp = float(bm25.idf(len(want), st["n_docs"])) * (
             tf / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / st["avgdl"])))
         assert gm[d] == pytest.approx(exp, rel=1e-12)
+
+
+# ------------------------------------ span_containing / span_within
+
+def _brute_big_chains(stream, seq, gaps):
+    """ordered_iv reference: greedy chain per first-term position,
+    total-gap filter, then minimal-envelope reduction."""
+    pos = [[i for i, t in enumerate(stream) if t == w] for w in seq]
+    if any(not p for p in pos):
+        return []
+    out = []
+    for p in pos[0]:
+        prev, width, ok = p, 1, True
+        for lst in pos[1:]:
+            nxt = [x for x in lst if x > prev]
+            if not nxt:
+                ok = False
+                break
+            prev = nxt[0]
+            width += 1
+        if ok and (prev - p + 1 - width) <= gaps:
+            out.append((p, prev))
+    return sorted({iv for iv in out
+                   if not any(jv != iv and jv[0] >= iv[0] and jv[1] <= iv[1]
+                              for jv in out)})
+
+
+def _span_contain_brute(corpus, big, lit, gaps, keep):
+    bseq = phrase_terms(big, "code")
+    lseq = phrase_terms(lit, "code")
+    want = {}
+    for _, row in corpus.iterrows():
+        stream = _subtoken_stream(row["content"])
+        chains = _brute_big_chains(stream, bseq, gaps)
+        lstarts = _exact_starts_brute(stream, lseq)
+        lend = len(lseq) - 1
+        if keep == "containing":
+            kept = [c for c in chains
+                    if any(c[0] <= q and q + lend <= c[1] for q in lstarts)]
+        else:
+            kept = [q for q in lstarts
+                    if any(c[0] <= q and q + lend <= c[1] for c in chains)]
+        if kept:
+            dl = float(len(code_tokens(pd.Series([row["content"]])).iat[0]))
+            want[int(row["doc_id"])] = (len(kept), dl)
+    return want
+
+
+def _assert_span_scores(reader, got, want):
+    st = reader.stats["fields"]["content"]
+    gm = dict(zip(got["doc_id"], got["score"]))
+    assert set(gm) == set(want)
+    for d, (tf, dl) in want.items():
+        exp = float(bm25.idf(len(want), st["n_docs"])) * (
+            tf / (tf + bm25.K1 * (1 - bm25.B + bm25.B * dl / st["avgdl"])))
+        assert gm[d] == pytest.approx(exp, rel=1e-12), d
+
+
+@pytest.mark.parametrize("gaps", [0, 1, 3])
+def test_span_containing_vs_brute(spark, built, corpus, gaps):
+    reader = IndexReader(spark, built)
+    got = reader.span_containing_local("value name", "filter", k=N_DOCS,
+                                       big_gaps=gaps)
+    want = _span_contain_brute(corpus, "value name", "filter", gaps,
+                               "containing")
+    if gaps >= 1:
+        assert want  # the gapped case must actually fire on this corpus
+    _assert_span_scores(reader, got, want)
+
+
+@pytest.mark.parametrize("gaps", [1, 3])
+def test_span_within_vs_brute(spark, built, corpus, gaps):
+    reader = IndexReader(spark, built)
+    got = reader.span_within_local("filter", "value name", k=N_DOCS,
+                                   big_gaps=gaps)
+    want = _span_contain_brute(corpus, "value name", "filter", gaps, "within")
+    assert want
+    _assert_span_scores(reader, got, want)
+
+
+def test_span_containing_impossible_is_empty(spark, built):
+    reader = IndexReader(spark, built)
+    # a 3-term little cannot fit inside a gap-0 2-term big
+    got = reader.span_containing_local("value name", "value filter name",
+                                       k=N_DOCS, big_gaps=0)
+    assert len(got) == 0
