@@ -1344,6 +1344,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_facets"] = _q_facets
     q["bm25_nested"] = _q_bm25_nested
 
+    def _q_terms_lookup(s: SparkSession, d: str) -> DataFrame:
+        # ES terms-lookup: the terms set comes from doc 8's stored
+        # repositories[].code values (one key-predicate docstore GET),
+        # then ranks docs whose repositories[].code overlaps that set
+        reader = IndexReader(s, _ensure_index(s, d))
+        codes = reader.terms_lookup(
+            8, F.transform("repositories", lambda r: r["code"]))
+        pred = F.exists("repositories",
+                        lambda r: r["code"].isin([str(c) for c in codes]))
+        return _search_df(s, d, "customer line", 10, doc_filter=pred)
+
+    q["terms_lookup_query"] = _q_terms_lookup
+
+    def _q_global_agg(s: SparkSession, d: str) -> DataFrame:
+        # ES global agg: lang buckets inside the query scope AND
+        # corpus-wide side by side (the global bucket ignores the query)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_global_agg("spark stream", "lang")
+
+    q["global_agg"] = _q_global_agg
+
     def _q_explain(s: SparkSession, d: str) -> DataFrame:
         # ES _explain analogue: per-(doc, term) BM25 contribution rows
         # for a fixed doc set; contribs sum to the search score (the
@@ -3056,6 +3077,23 @@ GROUP BY lang ORDER BY n_docs DESC, lang"""
     o["bm25_nested"] = _bm25_sql(
         ["customer", "line"],
         where="(doc_id % 4 = 0 OR (doc_id % 5 = 0 AND doc_id % 7 = 0))")
+
+    # terms-lookup: doc 8's repositories codes = {repo2 (8%3=2, 8%5!=0),
+    # mirror (8%4=0 second element)}; a doc's codes overlap that set iff
+    # element1 is mirror (%5=0) or repo2 (%3=2), or element2 exists (%4=0)
+    o["terms_lookup_query"] = _bm25_sql(
+        ["customer", "line"],
+        where="(doc_id % 5 = 0 OR doc_id % 3 = 2 OR doc_id % 4 = 0)")
+
+    o["global_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+mc AS (SELECT lang, count(*)::BIGINT AS n_matched
+       FROM documents JOIN m ON m.doc_id = documents.doc_id GROUP BY lang)
+SELECT d.lang, coalesce(mc.n_matched, 0)::BIGINT AS n_matched,
+       count(*)::BIGINT AS n_global
+FROM documents d LEFT JOIN mc ON mc.lang = d.lang
+GROUP BY d.lang, mc.n_matched ORDER BY d.lang"""
 
     o["nested_doc_build"] = """
 WITH j AS (SELECT o_custkey AS custkey, o_orderkey, count(*) AS n_items,

@@ -1689,6 +1689,45 @@ class IndexReader:
         return rel.groupBy("shard").applyInPandas(
             match_shard, schema="shard int, doc_id long")
 
+    def terms_lookup(self, doc_id: int, path) -> list:
+        """ES terms-lookup (`terms` query with index/id/path instead of
+        literal values): fetch ONE document's stored values at `path`
+        (a Column over the docstore row — may reach into nested stored
+        columns via transform/flatten) to use as the terms set of
+        another query (doc_filter / require_any). A single
+        key-predicate docstore fetch; parquet min/max row-group stats
+        prune the scan to the doc's shard — the analogue of ES's
+        routed single-doc GET that backs the lookup."""
+        row = (self._docs().where(F.col("doc_id") == int(doc_id))
+               .select(path.alias("_v")).head())
+        if row is None or row["_v"] is None:
+            return []
+        v = row["_v"]
+        return list(v) if isinstance(v, (list, tuple)) else [v]
+
+    def search_global_agg(self, query: str, col: str = "lang",
+                          mode: str = "or", exclude: str | None = None,
+                          min_match: int = 1) -> DataFrame:
+        """global aggregation (the ES analogue): a bucket agg computed
+        both INSIDE the query scope and OUTSIDE it — the global bucket
+        ignores the query entirely (ES's 'matched vs all' facet-panel
+        pattern). One partial agg per side: the matched side joins the
+        posting-bounded match ids to the doc values; the global side is
+        a corpus groupBy with no join at all. Full-outer semantics on
+        the bucket key (left from global) so query-empty buckets still
+        appear with n_matched = 0."""
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id", col)
+        m = (matches.join(docs, ["shard", "doc_id"], "inner")
+             .groupBy(col).agg(F.count("*").alias("_nm")))
+        g = docs.groupBy(col).agg(F.count("*").alias("n_global"))
+        return (g.join(m, col, "left")
+                .select(F.col(col),
+                        F.coalesce(F.col("_nm"), F.lit(0)).cast("long")
+                        .alias("n_matched"),
+                        "n_global")
+                .orderBy(col))
+
     def search_facets(self, query: str, facet_cols: tuple = ("lang",),
                       mode: str = "or", exclude: str | None = None,
                       min_match: int = 1) -> DataFrame:

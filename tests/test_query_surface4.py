@@ -348,3 +348,30 @@ def test_geohash_grid(reader, mdf):
         (F.col("doc_id") % 340 - 170).cast("double"),
         precision=3, size=5).toPandas()
     assert list(capped["geohash"]) == list(got["geohash"][:5])
+
+
+# --------------------------------------- terms_lookup + global agg
+
+def test_terms_lookup_fetch(reader, corpus):
+    row = corpus[corpus["doc_id"] == 5].iloc[0]
+    got = reader.terms_lookup(5, F.array(F.col("lang"), F.col("repo")))
+    assert got == [row["lang"], row["repo"]]
+    # scalar path wraps to a 1-list; missing doc -> []
+    assert reader.terms_lookup(5, F.col("lang")) == [row["lang"]]
+    assert reader.terms_lookup(10 ** 9, F.col("lang")) == []
+
+
+def test_global_agg(reader, corpus, match_ids):
+    got = reader.search_global_agg(Q, "lang").toPandas()
+    want_g = corpus["lang"].value_counts()
+    want_m = corpus[corpus["doc_id"].isin(match_ids)]["lang"].value_counts()
+    assert list(got["lang"]) == sorted(want_g.index)
+    for _, r in got.iterrows():
+        assert r["n_global"] == want_g[r["lang"]]
+        assert r["n_matched"] == want_m.get(r["lang"], 0)
+
+
+def test_global_agg_empty_query_keeps_global(reader, corpus):
+    got = reader.search_global_agg("zzznopeterm", "lang").toPandas()
+    assert (got["n_matched"] == 0).all()
+    assert got["n_global"].sum() == len(corpus)
