@@ -943,6 +943,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_bucket_stats"] = _q_bucket_stats
 
+    def _q_moving_pct(s: SparkSession, d: str) -> DataFrame:
+        # ES moving_percentiles pipeline: p50/p90 of doc length over the
+        # trailing 3 histogram buckets (exact; ES merges t-digests)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_moving_percentiles(
+            "spark stream", F.length("content"), 100.0, window=3,
+            pcts=(0.5, 0.9))
+
+    q["moving_percentiles"] = _q_moving_pct
+
+    def _q_scripted_metric(s: SparkSession, d: str) -> DataFrame:
+        # ES scripted_metric (the docs' profit example): map = signed
+        # length by lang, combine = per-shard sum, reduce = total +
+        # shard count — each script a plan fragment, no per-doc Python
+        reader = IndexReader(s, _ensure_index(s, d))
+        signed = (F.when(F.col("lang") == "en", F.length("content"))
+                  .otherwise(-F.length("content"))).cast("double")
+        return reader.search_scripted_metric(
+            "spark stream",
+            {"signed": signed},
+            [F.sum("signed").alias("shard_sum"),
+             F.count("*").alias("shard_n")],
+            [F.round(F.sum("shard_sum"), 6).alias("profit"),
+             F.sum("shard_n").cast("long").alias("n_docs"),
+             F.count("*").cast("long").alias("n_shards")])
+
+    q["scripted_metric"] = _q_scripted_metric
+
     def _q_nested_terms(s: SparkSession, d: str) -> DataFrame:
         # ES nested agg + terms + reverse_nested: facet INSIDE the
         # repositories[] array (n_elems = nested doc_count, n_docs =
@@ -2608,6 +2636,34 @@ SELECT d.lang || (d.doc_id % 50)::VARCHAR AS value,
        count(*)::BIGINT AS n_docs
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 GROUP BY 1 HAVING count(*) <= 2 ORDER BY n_docs, value"""
+    o["moving_percentiles"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+v AS (SELECT floor(length(text) / 100.0) * 100.0 AS bucket,
+             length(text)::DOUBLE AS v
+      FROM documents JOIN m ON m.doc_id = documents.doc_id),
+h AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM v GROUP BY bucket),
+fan AS (SELECT h.bucket, v.v FROM h JOIN v
+        ON v.bucket >= h.bucket - 200.0 AND v.bucket <= h.bucket),
+p AS (SELECT bucket, round(quantile_cont(v, 0.5), 6) AS p50,
+             round(quantile_cont(v, 0.9), 6) AS p90
+      FROM fan GROUP BY bucket)
+SELECT h.bucket, h.n_docs, p.p50, p.p90
+FROM h JOIN p ON p.bucket = h.bucket ORDER BY h.bucket"""
+
+    o["scripted_metric"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+sv AS (SELECT documents.doc_id // 1024 AS shard,
+              CASE WHEN lang = 'en' THEN length(text)::DOUBLE
+                   ELSE -(length(text)::DOUBLE) END AS signed
+       FROM documents JOIN m ON m.doc_id = documents.doc_id),
+c AS (SELECT shard, sum(signed) AS shard_sum, count(*) AS shard_n
+      FROM sv GROUP BY shard)
+SELECT round(sum(shard_sum), 6) AS profit,
+       CAST(sum(shard_n) AS BIGINT) AS n_docs,
+       count(*)::BIGINT AS n_shards FROM c"""
+
     o["bm25_histo_movfn"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),

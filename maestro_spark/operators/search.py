@@ -2567,6 +2567,76 @@ class IndexReader:
             out = out.limit(int(top))
         return out
 
+    def search_moving_percentiles(self, query: str, value_col,
+                                  interval: float, window: int = 3,
+                                  pcts: tuple = (0.5, 0.9),
+                                  mode: str = "or",
+                                  exclude: str | None = None,
+                                  min_match: int = 1) -> DataFrame:
+        """moving_percentiles pipeline agg (the ES analogue): a
+        percentiles metric slid across histogram buckets — bucket b
+        reports percentiles of the metric over the trailing `window`
+        buckets ending at b (key-distance window, same shift=1
+        alignment as search_moving_fn). ES merges per-bucket t-digest
+        sketches; here each matched doc's value fans out map-side to
+        the <= `window` windows it can belong to and Spark's EXACT
+        `percentile` aggregate reduces per window — exact, at a
+        window-bounded (×window) shuffle of the match set. At 100 TB
+        swap percentile → percentile_approx (one line) for exactly
+        ES's accuracy class."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        step = float(interval)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        v = value_col.cast("double")
+        docs = self._docs().select(
+            "shard", "doc_id",
+            (F.floor(v / F.lit(step)) * F.lit(step)).alias("bucket"),
+            v.alias("_v"))
+        j = matches.join(docs, ["shard", "doc_id"], "inner")
+        hist = j.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+        offsets = F.array(*[F.lit(step * kk) for kk in range(int(window))])
+        fan = (j.select("bucket", "_v", F.explode(offsets).alias("_off"))
+               .select((F.col("bucket") + F.col("_off")).alias("bucket"),
+                       "_v"))
+        pct_cols = [
+            F.round(F.percentile("_v", F.lit(float(p))), 6)
+            .alias(f"p{int(round(p * 100))}") for p in pcts]
+        pc = fan.groupBy("bucket").agg(*pct_cols)
+        # inner join drops fan-out windows past the last real bucket
+        return hist.join(pc, "bucket", "inner").orderBy("bucket")
+
+    def search_scripted_metric(self, query: str, map_exprs: dict,
+                               combine_exprs: list,
+                               reduce_exprs: list | None = None,
+                               mode: str = "or",
+                               exclude: str | None = None,
+                               min_match: int = 1) -> DataFrame:
+        """scripted_metric agg (the ES analogue), Spark-first: the four
+        ES scripts map onto PLAN FRAGMENTS instead of per-doc Python —
+
+          init_script    → implicit (aggregation state is Spark's)
+          map_script     → `map_exprs`, named Column expressions over
+                           the docstore row (JVM-side, stays in WSCG)
+          combine_script → `combine_exprs`, per-shard aggregate
+                           expressions over the mapped columns
+          reduce_script  → `reduce_exprs`, aggregates over the
+                           per-shard combined rows (one row per shard —
+                           coordinator-sized, exactly what ES reduces)
+
+        With reduce_exprs=None the per-shard combined rows are returned
+        (ES's response exposes them as _shards states). Work is
+        posting-bounded (match_docs) + one partial agg; no UDF."""
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            *[e.alias(n) for n, e in map_exprs.items()])
+        j = matches.join(docs, ["shard", "doc_id"], "inner")
+        per_shard = j.groupBy("shard").agg(*combine_exprs)
+        if reduce_exprs is None:
+            return per_shard.orderBy("shard")
+        return per_shard.agg(*reduce_exprs)
+
     def search_bucket_stats(self, query: str, value_col,
                             interval: float, mode: str = "or",
                             exclude: str | None = None,

@@ -375,3 +375,47 @@ def test_global_agg_empty_query_keeps_global(reader, corpus):
     got = reader.search_global_agg("zzznopeterm", "lang").toPandas()
     assert (got["n_matched"] == 0).all()
     assert got["n_global"].sum() == len(corpus)
+
+
+# --------------------------- moving_percentiles + scripted_metric
+
+def test_moving_percentiles(reader, mdf):
+    got = reader.search_moving_percentiles(
+        Q, F.length("content"), 500.0, window=2,
+        pcts=(0.5, 0.9)).toPandas()
+    b = mdf.assign(bucket=np.floor(mdf["dlen"] / 500) * 500)
+    hist = b.groupby("bucket").size().sort_index()
+    assert list(got["bucket"]) == list(hist.index)
+    assert list(got["n_docs"]) == list(hist.values)
+    for _, r in got.iterrows():
+        win = b[(b["bucket"] >= r["bucket"] - 500.0)
+                & (b["bucket"] <= r["bucket"])]["dlen"].to_numpy()
+        assert r["p50"] == round(
+            float(np.percentile(win, 50, method="linear")), 6), r["bucket"]
+        assert r["p90"] == round(
+            float(np.percentile(win, 90, method="linear")), 6), r["bucket"]
+
+
+def test_scripted_metric_multi_shard(reader, mdf):
+    signed = (F.when(F.col("lang") == "java", F.length("content"))
+              .otherwise(-F.length("content"))).cast("double")
+    combined = reader.search_scripted_metric(
+        Q, {"sv": signed},
+        [F.sum("sv").alias("ssum"), F.count("*").alias("sn")]).toPandas()
+    # per-shard combine states (the ES _shards view): 300 docs at
+    # shard_size=128 -> matches spread over >= 2 shards
+    assert len(combined) >= 2
+    b = mdf.assign(sv=np.where(mdf["lang"] == "java",
+                               mdf["dlen"], -mdf["dlen"]),
+                   shard=mdf["doc_id"] // 128)
+    want = b.groupby("shard")["sv"].agg(["sum", "count"]).sort_index()
+    assert list(combined["shard"]) == list(want.index)
+    assert list(combined["ssum"]) == list(want["sum"])
+    assert list(combined["sn"]) == list(want["count"])
+    reduced = reader.search_scripted_metric(
+        Q, {"sv": signed},
+        [F.sum("sv").alias("ssum")],
+        [F.round(F.sum("ssum"), 6).alias("total"),
+         F.count("*").cast("long").alias("n_shards")]).collect()[0]
+    assert reduced["total"] == round(float(b["sv"].sum()), 6)
+    assert reduced["n_shards"] == len(want)
