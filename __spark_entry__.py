@@ -30,6 +30,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # ----------------------------------------------------------------- helpers
 
+_GEO_POLY = [(50.0, -60.0), (55.0, 30.0), (0.0, 70.0),
+             (-45.0, 20.0), (-30.0, -70.0)]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -2090,6 +2094,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geohash_grid"] = _q_geohash
 
+    def _q_geo_polygon(s: SparkSession, d: str) -> DataFrame:
+        # ES geo_polygon / geo_shape(polygon): even-odd ray casting,
+        # unrolled per edge (closed form, cross-engine deterministic)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_geo_polygon(
+            "spark stream", _LAT(), _LON(), _GEO_POLY, k=20)
+
+    q["geo_polygon_query"] = _q_geo_polygon
+
     def _q_geo_centroid(s: SparkSession, d: str) -> DataFrame:
         # ES geo_centroid agg: mean lat/lon of the match set
         reader = IndexReader(s, _ensure_index(s, d))
@@ -4030,6 +4043,28 @@ g AS (SELECT least(CAST(floor(({_LON_SQL} + 180.0) / 360.0
 h AS (SELECT {_gh_sum} AS gh FROM g)
 SELECT {_gh_chars} AS geohash, count(*)::BIGINT AS n_docs
 FROM h GROUP BY 1 ORDER BY n_docs DESC, geohash"""
+    # geo_polygon: the same unrolled even-odd crossing sum the engine
+    # builds (search_geo_polygon), edge constants computed by the SAME
+    # Python floats on both sides
+    _pg_parts = []
+    for _i in range(len(_GEO_POLY)):
+        _yi, _xi = _GEO_POLY[_i]
+        _yj, _xj = _GEO_POLY[(_i + 1) % len(_GEO_POLY)]
+        if _yi == _yj:
+            continue
+        _pg_parts.append(
+            f"(CASE WHEN (({_yi!r} > lat) <> ({_yj!r} > lat)) AND "
+            f"(lon < {_xj - _xi!r} * (lat - {_yi!r}) / {_yj - _yi!r} "
+            f"+ {_xi!r}) THEN 1 ELSE 0 END)")
+    o["geo_polygon_query"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+g AS (SELECT d.doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+      FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT doc_id FROM g
+WHERE ({' + '.join(_pg_parts)}) % 2 = 1
+ORDER BY doc_id LIMIT 20"""
+
     o["geo_centroid"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))

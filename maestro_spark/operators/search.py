@@ -2884,6 +2884,46 @@ class IndexReader:
             & (F.col("_lon") <= float(right)))
             .select("doc_id").orderBy("doc_id").limit(k))
 
+    def search_geo_polygon(self, query: str, lat_col, lon_col,
+                           polygon: list, k: int = 10, mode: str = "or",
+                           exclude: str | None = None,
+                           min_match: int = 1) -> DataFrame:
+        """geo_polygon / geo_shape(polygon) query (the ES analogue):
+        matched docs whose point lies inside the polygon, by the
+        classic even-odd ray-casting crossing count (planar lat/lon —
+        the published point-in-polygon algorithm; unrolled per edge, so
+        the whole predicate is IEEE arithmetic inside WSCG and
+        cross-engine deterministic). polygon: [(lat, lon), ...] — the
+        closing edge back to the first vertex is implicit. Boundary
+        points follow the strict-inequality crossing convention
+        identically on both engines."""
+        if len(polygon) < 3:
+            raise ValueError("polygon needs >= 3 vertices")
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id", lat_col.cast("double").alias("_la"),
+            lon_col.cast("double").alias("_lo"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        y, x = F.col("_la"), F.col("_lo")
+        crossings = F.lit(0)
+        n = len(polygon)
+        for i in range(n):
+            yi, xi = float(polygon[i][0]), float(polygon[i][1])
+            yj, xj = (float(polygon[(i + 1) % n][0]),
+                      float(polygon[(i + 1) % n][1]))
+            if yi == yj:
+                continue                    # horizontal edge never crosses
+            c = (((F.lit(yi) > y) != (F.lit(yj) > y))
+                 & (x < F.lit(xj - xi) * (y - F.lit(yi))
+                    / F.lit(yj - yi) + F.lit(xi))).cast("int")
+            crossings = crossings + c
+        return (joined.where(crossings % 2 == 1)
+                .select("doc_id").orderBy("doc_id").limit(k))
+
     def search_geotile_grid(self, query: str, lat_col, lon_col,
                             zoom: int = 3, mode: str = "or",
                             exclude: str | None = None,

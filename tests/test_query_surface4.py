@@ -419,3 +419,61 @@ def test_scripted_metric_multi_shard(reader, mdf):
          F.count("*").cast("long").alias("n_shards")]).collect()[0]
     assert reduced["total"] == round(float(b["sv"].sum()), 6)
     assert reduced["n_shards"] == len(want)
+
+
+# ------------------------------------------------ geo_polygon query
+
+def _py_point_in_poly(lat, lon, poly):
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        yi, xi = poly[i]
+        yj, xj = poly[(i + 1) % n]
+        if yi == yj:
+            continue
+        if ((yi > lat) != (yj > lat)) and \
+                lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+            inside = not inside
+    return inside
+
+
+@pytest.mark.parametrize("poly", [
+    [(40.0, -50.0), (40.0, 50.0), (-40.0, 50.0), (-40.0, -50.0)],  # box
+    [(50.0, -60.0), (55.0, 30.0), (0.0, 70.0),
+     (-45.0, 20.0), (-30.0, -70.0)],                               # pentagon
+    [(30.0, -30.0), (30.0, 30.0), (-30.0, 0.0),
+     (10.0, -60.0), (10.0, 60.0)],                                 # star (self-intersecting, even-odd)
+])
+def test_geo_polygon_vs_brute(reader, mdf, poly):
+    lat_e = (F.col("doc_id") % 120 - 60).cast("double")
+    lon_e = (F.col("doc_id") % 340 - 170).cast("double")
+    got = [r["doc_id"] for r in reader.search_geo_polygon(
+        Q, lat_e, lon_e, poly, k=10 ** 6).collect()]
+    want = sorted(
+        int(d) for d in mdf["doc_id"]
+        if _py_point_in_poly(float(d % 120 - 60), float(d % 340 - 170),
+                             poly))
+    assert got == want and want
+
+
+def test_geo_polygon_box_equals_bbox(reader):
+    lat_e = (F.col("doc_id") % 120 - 60).cast("double")
+    lon_e = (F.col("doc_id") % 340 - 170).cast("double")
+    # a rectangle polygon must agree with the bounding-box query on
+    # interior points (edges differ: bbox is inclusive, crossing strict)
+    poly = [(40.0, -50.0), (40.0, 50.0), (-40.0, 50.0), (-40.0, -50.0)]
+    pg = {r["doc_id"] for r in reader.search_geo_polygon(
+        Q, lat_e, lon_e, poly, k=10 ** 6).collect()}
+    bb = {r["doc_id"] for r in reader.search_geo_bounding_box(
+        Q, lat_e, lon_e, top=40.0, left=-50.0, bottom=-40.0,
+        right=50.0, k=10 ** 6).collect()}
+    assert pg <= bb
+    border = {d for d in bb - pg
+              if abs(d % 120 - 60) == 40 or abs(d % 340 - 170) == 50}
+    assert border == bb - pg
+
+
+def test_geo_polygon_rejects_degenerate(reader):
+    with pytest.raises(ValueError):
+        reader.search_geo_polygon(Q, "lang", "lang", [(0.0, 0.0),
+                                                      (1.0, 1.0)])
