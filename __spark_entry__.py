@@ -1270,6 +1270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fuzzy_term_lookup_osa"] = _q_fuzzy_terms_osa
 
+    def _q_fuzzy_terms_prefix(s: SparkSession, d: str) -> DataFrame:
+        # ES fuzzy prefix_length=2: first two chars exact ('so'),
+        # Levenshtein <= 2 on the suffix only (Lucene semantics) —
+        # the expansion-bounding parameter for huge vocabularies
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.fuzzy_terms("sort", max_edits=2, prefix_length=2)
+
+    q["fuzzy_term_lookup_prefix"] = _q_fuzzy_terms_prefix
+
     def _q_wildcard_terms(s: SparkSession, d: str) -> DataFrame:
         reader = IndexReader(s, _ensure_index(s, d))
         return reader.wildcard_terms("?a??")
@@ -2982,6 +2991,13 @@ ORDER BY score DESC, term LIMIT 15"""
     o["fuzzy_term_lookup_osa"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE damerau_levenshtein(term, 'osrt') <= 1 GROUP BY term"
+    )
+    # prefix_length=2: Lucene suffix-distance — first 2 chars exact,
+    # Levenshtein on the remainders only
+    o["fuzzy_term_lookup_prefix"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE term LIKE 'so%' "
+        "AND levenshtein(substr(term, 3), 'rt') <= 2 GROUP BY term"
     )
     o["wildcard_term_lookup"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "

@@ -110,6 +110,36 @@ class LevenshteinAutomaton:
                    for i, e, f in state if not f)
 
 
+class PrefixedAutomaton:
+    """Mandatory-literal-prefix wrapper (Lucene FuzzyQuery's
+    prefixLength / ES fuzzy `prefix_length`): the first len(prefix)
+    term characters must equal the prefix exactly (no edits there —
+    they are "not fuzzified"); the inner automaton runs over the
+    REMAINDER only, matching Lucene's suffix-distance semantics. In a
+    dfs_expand walk the prefix check kills every subtree outside the
+    prefix's interval after at most len(prefix) nodes — the expansion
+    cost becomes proportional to the prefix subtrie, which is why ES
+    recommends the parameter at large vocabularies."""
+
+    def __init__(self, inner, prefix: str):
+        self.inner = inner
+        self.p = prefix
+
+    def start(self):
+        return (0, self.inner.start())
+
+    def step(self, state, c: str):
+        i, s = state
+        if i < len(self.p):
+            return (i + 1, s) if c == self.p[i] else None
+        s2 = self.inner.step(s, c)
+        return None if s2 is None else (i, s2)
+
+    def is_final(self, state) -> bool:
+        i, s = state
+        return i >= len(self.p) and self.inner.is_final(s)
+
+
 class GlobAutomaton:
     """Position-set NFA for shell-style wildcards (`*` any run, `?` one
     char) — the ES wildcard query's language."""

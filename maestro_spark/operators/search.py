@@ -542,7 +542,8 @@ class IndexReader:
         return arrs
 
     def _expand_pattern(self, kind: str, pattern: str, max_edits: int,
-                        max_expansions: int) -> list[tuple[str, int]]:
+                        max_expansions: int,
+                        prefix_len: int = 0) -> list[tuple[str, int]]:
         """Multi-term expansion, SUB-LINEAR in vocabulary size:
 
         fuzzy / wildcard — a Levenshtein / glob automaton walks the
@@ -560,9 +561,9 @@ class IndexReader:
         prefix intervals; a pattern with no derivable prefix (leading
         class) legitimately scans the dictionary once."""
         from maestro_spark.functions.automata import (
-            EXPAND_STATS, GlobAutomaton, LevenshteinAutomaton, dfs_expand,
-            regex_literal_prefixes)
-        key = (kind, pattern, max_edits, max_expansions)
+            EXPAND_STATS, GlobAutomaton, LevenshteinAutomaton,
+            PrefixedAutomaton, dfs_expand, regex_literal_prefixes)
+        key = (kind, pattern, max_edits, max_expansions, prefix_len)
         hit = self._expand_cache.get(key)
         if hit is not None:
             return hit
@@ -587,9 +588,14 @@ class IndexReader:
             idx = np.asarray([int(i) for i in cand
                               if rx.fullmatch(terms[i])], dtype=np.int64)
         else:
-            idx = dfs_expand(terms, LevenshteinAutomaton(
-                pattern, max_edits,
-                transpositions=(kind == "fuzzy_t")))
+            p = max(0, int(prefix_len))
+            auto = LevenshteinAutomaton(
+                pattern[p:], max_edits,
+                transpositions=(kind == "fuzzy_t"))
+            if p:
+                # ES prefix_length: first p chars exact, suffix fuzzy
+                auto = PrefixedAutomaton(auto, pattern[:p])
+            idx = dfs_expand(terms, auto)
         pdf = pd.DataFrame({"term": terms[idx], "df": dfs[idx]})
         # deterministic expansion cap (the ES max_expansions analogue):
         # keep the highest-df terms, ties by term
@@ -601,18 +607,22 @@ class IndexReader:
 
     def fuzzy_terms(self, term: str, max_edits: int = 1,
                     max_expansions: int = 50,
-                    transpositions: bool = False) -> DataFrame:
+                    transpositions: bool = False,
+                    prefix_length: int = 0) -> DataFrame:
         """Dictionary fuzzy lookup: (term, df) for every content term
         within `max_edits` of `term` (ES fuzzy-query term enumeration).
         transpositions=True uses OSA distance (adjacent swap = ONE
         edit) — Lucene's `fuzzy_transpositions: true` ES default; the
         plain-Levenshtein default here is kept for result stability
-        with the pre-existing oracle rows. Driver-side sidecar scan,
+        with the pre-existing oracle rows. prefix_length > 0 keeps the
+        first chars exact (Lucene suffix-distance semantics) and bounds
+        the trie walk to the prefix's subtrie — the parameter ES
+        recommends at large vocabularies. Driver-side sidecar scan,
         no posting payload read."""
         self._refresh_if_stale()
         rows = self._expand_pattern(
             "fuzzy_t" if transpositions else "fuzzy", term.lower(),
-            max_edits, max_expansions)
+            max_edits, max_expansions, prefix_len=int(prefix_length))
         return self.spark.createDataFrame(
             rows or [], schema="term string, df long")
 
