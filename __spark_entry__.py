@@ -1241,6 +1241,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["significant_terms"] = _q_sig_terms
 
+    def _q_sig_terms_chi2(s: SparkSession, d: str) -> DataFrame:
+        # ES significant_terms, chi_square heuristic (Manning IR 13.5.2
+        # 2x2 contingency test; include_negatives=false)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.significant_terms("customer", size=15,
+                                        heuristic="chi_square")
+
+    q["significant_terms_chi2"] = _q_sig_terms_chi2
+
+    def _q_sig_terms_mi(s: SparkSession, d: str) -> DataFrame:
+        # ES significant_terms, mutual_information heuristic (Manning
+        # IR 13.5.1; 0*log0 = 0; include_negatives=false)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.significant_terms("customer", size=15,
+                                        heuristic="mutual_information")
+
+    q["significant_terms_mi"] = _q_sig_terms_mi
+
     def _q_sig_terms_sampled(s: SparkSession, d: str) -> DataFrame:
         # ES sampler + significant_terms composition: foreground = the
         # per-shard top-40 scored matches (score_round=6 = the
@@ -2950,6 +2968,41 @@ SELECT f.term AS term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,
 FROM fg f JOIN bg b ON f.term = b.term CROSS JOIN tot
 WHERE f.fg_df / tot.fg_n > b.bg_df / tot.bg_n AND f.term <> 'customer'
 ORDER BY score DESC, term LIMIT 15"""
+    # chi_square / mutual_information heuristics over the same 2x2
+    # contingency cells (raw counts, not pct round-trips)
+    _SIG_CELLS = f"""
+WITH {_TOK},
+q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),
+tot AS (SELECT (SELECT count(*) FROM q)::DOUBLE AS fg_n,
+               (SELECT count(*) FROM documents)::DOUBLE AS bg_n),
+fg AS (SELECT t.term, count(DISTINCT t.doc_id)::DOUBLE AS fg_df
+       FROM tok t JOIN q ON t.doc_id = q.doc_id GROUP BY t.term),
+bg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS bg_df
+       FROM tok GROUP BY term),
+cells AS (SELECT f.term, f.fg_df AS n11, b.bg_df - f.fg_df AS n10,
+                 tot.fg_n - f.fg_df AS n01,
+                 tot.bg_n - b.bg_df - (tot.fg_n - f.fg_df) AS n00,
+                 b.bg_df AS tx, tot.fg_n AS fn, tot.bg_n AS nn
+          FROM fg f JOIN bg b ON f.term = b.term CROSS JOIN tot
+          WHERE f.fg_df / tot.fg_n > b.bg_df / tot.bg_n
+            AND f.term <> 'customer')"""
+    o["significant_terms_chi2"] = f"""{_SIG_CELLS}
+SELECT term, n11::BIGINT AS fg_df, tx::BIGINT AS bg_df,
+       round(nn * (n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01)
+             / (tx * fn * (nn - tx) * (nn - fn)), 6) AS score
+FROM cells ORDER BY score DESC, term LIMIT 15"""
+    o["significant_terms_mi"] = f"""{_SIG_CELLS}
+SELECT term, n11::BIGINT AS fg_df, tx::BIGINT AS bg_df,
+       round(
+         (CASE WHEN n11 > 0 THEN (n11 / nn) * log2(nn * n11 / (tx * fn))
+               ELSE 0.0 END)
+       + (CASE WHEN n10 > 0 THEN (n10 / nn) * log2(nn * n10 / (tx * (nn - fn)))
+               ELSE 0.0 END)
+       + (CASE WHEN n01 > 0 THEN (n01 / nn) * log2(nn * n01 / ((nn - tx) * fn))
+               ELSE 0.0 END)
+       + (CASE WHEN n00 > 0 THEN (n00 / nn) * log2(nn * n00 / ((nn - tx) * (nn - fn)))
+               ELSE 0.0 END), 6) AS score
+FROM cells ORDER BY score DESC, term LIMIT 15"""
     # sampler + significant_terms: the sample is the per-shard
     # (doc_id // shard_size=1024, ids verbatim) top-40 BM25 matches under
     # (round(score,6) desc, doc_id asc) — the engine's score_round rank

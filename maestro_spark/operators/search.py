@@ -3890,7 +3890,8 @@ class IndexReader:
                           min_match: int = 1,
                           exclude_query_terms: bool = True,
                           sample_top: int | None = None,
-                          score_round: int | None = None) -> DataFrame:
+                          score_round: int | None = None,
+                          heuristic: str = "jlh") -> DataFrame:
         """significant_terms aggregation over the content field (the ES
         agg, JLH heuristic): terms OVER-represented in the query's match
         set relative to the whole corpus —
@@ -3962,16 +3963,61 @@ class IndexReader:
               .select("term", F.col("df").alias("bg_df")))
         fg_pct = F.col("fg_df") / F.lit(float(fg_n))
         bg_pct = F.col("bg_df") / F.lit(bg_n)
+        score = self._sig_score(
+            heuristic, F.col("fg_df").cast("double"),
+            F.col("bg_df").cast("double"), float(fg_n), bg_n)
         out = (fg.join(bg, "term")
                .where(fg_pct > bg_pct)
                .select("term",
                        F.col("fg_df").cast("long").alias("fg_df"),
                        F.col("bg_df").cast("long").alias("bg_df"),
-                       F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
-                       .alias("score")))
+                       F.round(score, 6).alias("score")))
         if exclude_query_terms and plan.terms:
             out = out.where(~F.col("term").isin(list(plan.terms)))
         return out.orderBy(F.desc("score"), F.asc("term")).limit(size)
+
+    @staticmethod
+    def _sig_score(heuristic: str, fg_df, bg_df, fg_n: float,
+                   bg_n: float):
+        """Significance heuristics (the ES significant_terms family,
+        scored over the same 2×2 contingency table; formulas from
+        Manning/Raghavan/Schütze, IR §13.5 — the source ES cites):
+
+          jlh                — (fg% - bg%) · (fg% / bg%)
+          chi_square         — N·(n11·n00 - n10·n01)² / (n1.·n.1·n0.·n.0)
+          mutual_information — Σxy (nxy/N)·log2(N·nxy / (nx.·n.y)),
+                               0·log 0 = 0
+
+        The cells come from the RAW counts (not a pct round-trip, which
+        would reintroduce float error the chi² square then amplifies).
+        All heuristics here keep only positively-associated terms
+        (fg% > bg%, the caller's filter) — the ES
+        include_negatives=false configuration."""
+        if heuristic == "jlh":
+            fg_pct = fg_df / F.lit(float(fg_n))
+            bg_pct = bg_df / F.lit(float(bg_n))
+            return (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        n = F.lit(float(bg_n))
+        fn = F.lit(float(fg_n))
+        n11 = fg_df                          # fg docs with term
+        tx = bg_df                           # all docs with term
+        n10 = tx - n11
+        n01 = fn - n11
+        n00 = n - tx - n01
+        n1_, n0_ = tx, n - tx
+        n_1, n_0 = fn, n - fn
+        if heuristic == "chi_square":
+            d = n11 * n00 - n10 * n01
+            return n * d * d / (n1_ * n_1 * n0_ * n_0)
+        if heuristic == "mutual_information":
+            def mi_term(nxy, nx, ny):
+                return F.when(
+                    nxy > 0,
+                    (nxy / n) * F.log2(n * nxy / (nx * ny))
+                ).otherwise(F.lit(0.0))
+            return (mi_term(n11, n1_, n_1) + mi_term(n10, n1_, n_0)
+                    + mi_term(n01, n0_, n_1) + mi_term(n00, n0_, n_0))
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
 
     def suggest_terms_local(self, query: str, max_edits: int = 2,
                             per_term: int = 3) -> pd.DataFrame:

@@ -215,3 +215,54 @@ def test_sampled_matches_bounded_per_shard(reader):
         rest = grp[~grp["picked"]]
         if len(picked) and len(rest):
             assert picked["score"].min() >= rest["score"].max() - 1e-12
+
+
+@pytest.mark.parametrize("heuristic", ["chi_square", "mutual_information"])
+def test_significant_terms_heuristics(reader, heuristic):
+    """chi_square / mutual_information vs a pandas 2x2-contingency
+    brute force (Manning IR 13.5 formulas, raw counts)."""
+    q = "getUserName"
+    got = reader.significant_terms(q, size=12,
+                                   heuristic=heuristic).toPandas()
+    docs = reader._docs().select("doc_id", "content").toPandas()
+    t = doc_terms(docs["content"], tokenizer=reader.cfg["tokenizer"])
+    per_doc = pd.DataFrame({
+        "doc_id": docs["doc_id"].to_numpy()[t["pos"].to_numpy()],
+        "term": t["term"].astype(str)})
+    match_ids = set(reader.match_docs(q).toPandas()["doc_id"])
+    fg = (per_doc[per_doc["doc_id"].isin(match_ids)]
+          .groupby("term").size().rename("fg_df"))
+    bg = per_doc.groupby("term").size().rename("bg_df")
+    j = pd.concat([fg, bg], axis=1).dropna()
+    fn, nn = float(len(match_ids)), float(len(docs))
+    n11 = j["fg_df"].astype(float)
+    tx = j["bg_df"].astype(float)
+    n10, n01 = tx - n11, fn - n11
+    n00 = nn - tx - n01
+    if heuristic == "chi_square":
+        d = n11 * n00 - n10 * n01
+        score = nn * d * d / (tx * fn * (nn - tx) * (nn - fn))
+    else:
+        def mi(nxy, nx, ny):
+            v = np.where(nxy > 0,
+                         (nxy / nn) * np.log2(
+                             np.where(nxy > 0, nn * nxy / (nx * ny), 1.0)),
+                         0.0)
+            return v
+        score = (mi(n11, tx, fn) + mi(n10, tx, nn - fn)
+                 + mi(n01, nn - tx, fn) + mi(n00, nn - tx, nn - fn))
+    j = j.assign(score=np.round(score, 6))
+    qterms = set(reader.plan(q).terms)
+    j = j[(n11 / fn > tx / nn) & (~j.index.isin(qterms))]
+    want = (j.reset_index().rename(columns={"index": "term"})
+            .sort_values(["score", "term"], ascending=[False, True])
+            .head(12).reset_index(drop=True))
+    assert got["term"].tolist() == want["term"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(),
+                               rtol=0, atol=1.5e-6)
+
+
+def test_significant_terms_unknown_heuristic(reader):
+    with pytest.raises(ValueError):
+        reader.significant_terms("getUserName", heuristic="bogus").collect()
