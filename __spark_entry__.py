@@ -1424,6 +1424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["global_agg"] = _q_global_agg
 
+    def _q_terms_approx(s: SparkSession, d: str) -> DataFrame:
+        # ES terms agg AS DISTRIBUTED ES COMPUTES IT: per-shard top
+        # shard_size buckets + doc_count_error_upper_bound (exhausted
+        # shards contribute 0)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_terms_approx("spark stream", "lang",
+                                          size=3, shard_size=2)
+
+    q["terms_agg_approx"] = _q_terms_approx
+
     def _q_explain(s: SparkSession, d: str) -> DataFrame:
         # ES _explain analogue: per-(doc, term) BM25 contribution rows
         # for a fixed doc set; contribs sum to the search score (the
@@ -3232,6 +3242,29 @@ SELECT d.lang, coalesce(mc.n_matched, 0)::BIGINT AS n_matched,
        count(*)::BIGINT AS n_global
 FROM documents d LEFT JOIN mc ON mc.lang = d.lang
 GROUP BY d.lang, mc.n_matched ORDER BY d.lang"""
+
+    # approximate terms agg: mirror of the per-shard top-shard_size +
+    # error-floor algorithm (shard = doc_id // 1024, ids verbatim)
+    o["terms_agg_approx"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+per AS (SELECT d.doc_id // 1024 AS shard, d.lang AS value,
+               count(*)::BIGINT AS cnt
+        FROM documents d JOIN m ON m.doc_id = d.doc_id GROUP BY 1, 2),
+rk AS (SELECT shard, value, cnt,
+              row_number() OVER (PARTITION BY shard
+                                 ORDER BY cnt DESC, value) AS rk,
+              count(*) OVER (PARTITION BY shard) AS nv
+       FROM per),
+kept AS (SELECT * FROM rk WHERE rk <= 2),
+fl AS (SELECT shard, CASE WHEN max(nv) <= count(*) THEN 0
+                          ELSE min(cnt) END AS fl
+       FROM kept GROUP BY shard),
+tf AS (SELECT coalesce(sum(fl), 0) AS tf FROM fl),
+g AS (SELECT k.value, sum(k.cnt)::BIGINT AS n_docs, sum(f.fl) AS pf
+      FROM kept k JOIN fl f ON f.shard = k.shard GROUP BY k.value)
+SELECT g.value, g.n_docs, (tf.tf - g.pf)::BIGINT AS err_bound
+FROM g CROSS JOIN tf ORDER BY n_docs DESC, value LIMIT 3"""
 
     o["nested_doc_build"] = """
 WITH j AS (SELECT o_custkey AS custkey, o_orderkey, count(*) AS n_items,

@@ -1699,6 +1699,64 @@ class IndexReader:
         return rel.groupBy("shard").applyInPandas(
             match_shard, schema="shard int, doc_id long")
 
+    def search_terms_approx(self, query: str, col: str = "lang",
+                            size: int = 10, shard_size: int | None = None,
+                            mode: str = "or", exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """The ES terms aggregation AS ES ACTUALLY COMPUTES IT at
+        multi-shard scale — approximate, with the documented error
+        bound — unlike search_facets (exact, one global partial agg):
+
+          1. each shard returns its top `shard_size` buckets by local
+             count (default size·1.5+10, the ES default),
+          2. the coordinator sums per-term counts over the returned
+             lists only,
+          3. each bucket's doc_count_error_upper_bound = Σ over shards
+             that did NOT return the term of that shard's SMALLEST
+             returned count — zero for shards that returned ALL their
+             buckets (exhausted shards cannot hide the term).
+
+        Shape: one (shard, value) partial agg (already reduced), a
+        per-shard rank over bucket rows (bounded by distinct values per
+        shard, never docs), and a value-keyed final agg. Returns
+        (value, n_docs, err_bound) ordered (n_docs desc, value)."""
+        from pyspark.sql.window import Window
+        if shard_size is None:
+            shard_size = int(size * 1.5) + 10
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   F.col(col).alias("value"))
+        per = (matches.join(docs, ["shard", "doc_id"], "inner")
+               .groupBy("shard", "value").agg(F.count("*").alias("cnt")))
+        w = Window.partitionBy("shard").orderBy(F.desc("cnt"),
+                                                F.asc("value"))
+        ranked = per.select("shard", "value", "cnt",
+                            F.row_number().over(w).alias("_rk"),
+                            F.count("*").over(
+                                Window.partitionBy("shard")).alias("_nv"))
+        kept = ranked.where(F.col("_rk") <= int(shard_size))
+        # a shard's error floor: its smallest RETURNED count, or 0 when
+        # it returned every bucket it had
+        floors = (kept.groupBy("shard").agg(
+            F.min("cnt").alias("_floor"),
+            F.count("*").alias("_kept"),
+            F.max("_nv").alias("_nv"))
+            .select("shard",
+                    F.when(F.col("_nv") <= F.col("_kept"), F.lit(0))
+                    .otherwise(F.col("_floor")).alias("_floor")))
+        total_floor = floors.agg(
+            F.sum("_floor").alias("_tf")).select("_tf")
+        g = (kept.join(floors, "shard")
+             .groupBy("value")
+             .agg(F.sum("cnt").cast("long").alias("n_docs"),
+                  F.sum("_floor").alias("_present_floor")))
+        return (g.crossJoin(F.broadcast(total_floor))
+                .select("value", "n_docs",
+                        (F.coalesce(F.col("_tf"), F.lit(0))
+                         - F.col("_present_floor")).cast("long")
+                        .alias("err_bound"))
+                .orderBy(F.desc("n_docs"), "value").limit(int(size)))
+
     def terms_lookup(self, doc_id: int, path) -> list:
         """ES terms-lookup (`terms` query with index/id/path instead of
         literal values): fetch ONE document's stored values at `path`

@@ -477,3 +477,47 @@ def test_geo_polygon_rejects_degenerate(reader):
     with pytest.raises(ValueError):
         reader.search_geo_polygon(Q, "lang", "lang", [(0.0, 0.0),
                                                       (1.0, 1.0)])
+
+
+# ------------------------------------- approximate terms agg (ES mode)
+
+def _es_terms_approx(per: pd.DataFrame, shard_size: int, size: int):
+    """Reference: ES's per-shard top-shard_size merge with the
+    documented doc_count_error_upper_bound."""
+    kept, floors = [], {}
+    for s, sub in per.groupby("shard"):
+        sub = sub.sort_values(["cnt", "value"],
+                              ascending=[False, True], kind="mergesort")
+        top = sub.head(shard_size)
+        kept.append(top)
+        floors[s] = 0 if len(sub) <= shard_size else int(top["cnt"].min())
+    k = pd.concat(kept)
+    rows = []
+    for v, sub in k.groupby("value"):
+        present = set(sub["shard"])
+        err = sum(f for s, f in floors.items() if s not in present)
+        rows.append((v, int(sub["cnt"].sum()), err))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:size]
+
+
+@pytest.mark.parametrize("shard_size,size", [(1, 5), (2, 4), (50, 10)])
+def test_terms_approx_vs_reference(reader, mdf, shard_size, size):
+    got = [(r["value"], int(r["n_docs"]), int(r["err_bound"]))
+           for r in reader.search_terms_approx(
+               Q, "lang", size=size, shard_size=shard_size).collect()]
+    per = (mdf.assign(shard=mdf["doc_id"] // 128)
+           .groupby(["shard", "lang"]).size().rename("cnt")
+           .reset_index().rename(columns={"lang": "value"}))
+    assert per["shard"].nunique() >= 2  # genuinely multi-shard
+    assert got == _es_terms_approx(per, shard_size, size)
+
+
+def test_terms_approx_exhaustive_equals_exact(reader, mdf):
+    """shard_size >= distinct values per shard -> exact counts and a
+    zero error bound on every bucket (ES's exhausted-shard rule)."""
+    got = reader.search_terms_approx(Q, "lang", size=100,
+                                     shard_size=10 ** 6).toPandas()
+    want = mdf["lang"].value_counts()
+    assert dict(zip(got["value"], got["n_docs"])) == want.to_dict()
+    assert (got["err_bound"] == 0).all()
