@@ -309,6 +309,48 @@ def main() -> None:
             max_per_value=2).collect()
         timings["diversified_sampler"] = round(time.time() - t0, 3)
 
+        # round-3 session-5 families: span containing, geohash/polygon,
+        # distributed-ES terms agg, global agg, scripted_metric,
+        # moving_percentiles, prefix-bounded fuzzy. (Parent-join's cost
+        # components — scored_matches + one parent-key partial agg —
+        # are already timed by function_score and facets_spark.)
+        t0 = time.time()
+        reader.span_containing_local("get user", "name", k=10, big_gaps=2)
+        timings["span_containing_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.search_geohash_grid("index merge", blat, blon,
+                                   precision=4).collect()
+        timings["geohash_grid"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_geo_polygon(
+            "index merge", blat, blon,
+            [(50.0, -60.0), (55.0, 30.0), (0.0, 70.0), (-45.0, 20.0),
+             (-30.0, -70.0)], k=10).collect()
+        timings["geo_polygon"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_terms_approx("index merge", "lang", size=5,
+                                   shard_size=3).collect()
+        timings["terms_agg_approx"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_global_agg("index merge", "lang").collect()
+        timings["global_agg"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_scripted_metric(
+            "index merge",
+            {"sv": F.length("content").cast("double")},
+            [F.sum("sv").alias("s"), F.count("*").alias("n")],
+            [F.sum("s").alias("total"), F.count("*").alias("n_shards")]
+        ).collect()
+        timings["scripted_metric"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_moving_percentiles("index merge",
+                                         F.length("content"),
+                                         100.0, window=3).collect()
+        timings["moving_percentiles"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.fuzzy_terms("getusername", max_edits=2, prefix_length=3)
+        timings["fuzzy_prefix_expand"] = round(time.time() - t0, 4)
+
         # snapshot-clone overhead (the versioned-incremental fixed cost:
         # hardlinks only, O(#files) — must stay ~ms at any corpus size)
         from maestro_spark.sources.tableio import hardlink_clone
