@@ -1434,6 +1434,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terms_agg_approx"] = _q_terms_approx
 
+    def _q_min_score(s: SparkSession, d: str) -> DataFrame:
+        # ES top-level min_score: cutoff after exact ranking; the page
+        # under-fills rather than back-fills (both sides filter the
+        # same ROUNDED score, the cross-engine rank convention)
+        return (_search_df(s, d, "spark query merge", 10)
+                .where(F.col("score") >= 0.31))
+
+    q["bm25_min_score"] = _q_min_score
+
+    def _q_random_sampler(s: SparkSession, d: str) -> DataFrame:
+        # ES random_sampler agg (8.2): lang buckets over a p=0.5
+        # md5-deterministic sample, counts scaled by 1/p
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_random_sampler("spark stream", 0.5, "lang")
+
+    q["random_sampler_agg"] = _q_random_sampler
+
+    def _q_knn_cutoff(s: SparkSession, d: str) -> DataFrame:
+        # ES knn `similarity` threshold: top-k first, cutoff after —
+        # under-fills k, never back-fills
+        e = _t(s, d, "embeddings")
+        qv = [float(x) for x in e.where(F.col("vec_id") == 0)
+              .select("embedding").head()[0]]
+        return (similarity.brute_force_topk(e, qv, k=10, exclude_id=0,
+                                            min_sim=0.29)
+                .withColumnRenamed("cos", "cosine"))
+
+    q["knn_similarity_cutoff"] = _q_knn_cutoff
+
     def _q_explain(s: SparkSession, d: str) -> DataFrame:
         # ES _explain analogue: per-(doc, term) BM25 contribution rows
         # for a fixed doc set; contribs sum to the search score (the
@@ -3243,6 +3272,20 @@ SELECT d.lang, coalesce(mc.n_matched, 0)::BIGINT AS n_matched,
 FROM documents d LEFT JOIN mc ON mc.lang = d.lang
 GROUP BY d.lang, mc.n_matched ORDER BY d.lang"""
 
+    o["bm25_min_score"] = (
+        "SELECT * FROM ("
+        + _bm25_sql(_sql_terms("spark query merge"))
+        + ") WHERE score >= 0.31 ORDER BY score DESC, doc_id")
+
+    o["random_sampler_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+s AS (SELECT d.lang AS value FROM documents d JOIN m ON m.doc_id = d.doc_id
+      WHERE {_hex16_sql("'rs' || CAST(d.doc_id AS VARCHAR)")} / 65536.0 < 0.5)
+SELECT value, count(*)::BIGINT AS sampled_docs,
+       round(count(*) / 0.5, 6) AS est_docs
+FROM s GROUP BY value ORDER BY est_docs DESC, value"""
+
     # approximate terms agg: mirror of the per-shard top-shard_size +
     # error-floor algorithm (shard = doc_id // 1024, ids verbatim)
     o["terms_agg_approx"] = f"""
@@ -3470,6 +3513,14 @@ sc AS (SELECT e.vec_id, {cos_expr} AS cosine
        FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
        WHERE e.vec_id <> 0 AND e.label = 1 GROUP BY e.vec_id)
 SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
+    o["knn_similarity_cutoff"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT e.vec_id, {cos_expr} AS cosine
+       FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+       WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+topk AS (SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10)
+SELECT vec_id, cosine FROM topk WHERE cosine >= 0.29
+ORDER BY cosine DESC, vec_id"""
     o["field_caps"] = """
 SELECT * FROM (VALUES
   ('commit', 'string', false, true),

@@ -1757,6 +1757,45 @@ class IndexReader:
                         .alias("err_bound"))
                 .orderBy(F.desc("n_docs"), "value").limit(int(size)))
 
+    def search_min_score(self, query: str, min_score: float,
+                         k: int = 10, **kw) -> DataFrame:
+        """ES top-level `min_score`: hits scoring below the cutoff are
+        excluded. Applied after the exact top-k (removal only shrinks
+        the list, so filter-after-rank is identical to ES's
+        during-collection filter); the result may hold fewer than k
+        rows, never back-filled."""
+        out = self.search(query, k=k, **kw)
+        return out.where(F.col("score") >= float(min_score))
+
+    def search_random_sampler(self, query: str, probability: float,
+                              col: str = "lang", salt: str = "rs",
+                              mode: str = "or",
+                              exclude: str | None = None,
+                              min_match: int = 1) -> DataFrame:
+        """random_sampler aggregation (ES 8.2): sub-aggregations over a
+        probability-p random sample of the match set, with counts
+        SCALED by 1/p so each bucket estimates its unsampled value (the
+        ES behavior). Sampling is the deterministic md5-uniform pure
+        filter on doc_id (curation.uniform01 — no RNG state, stable
+        under retries and repartitioning), so the estimate is exactly
+        reproducible and oracle-checkable; ES's random generator is
+        likewise seedable. Returns (value, sampled_docs, est_docs)
+        ordered (est desc, value)."""
+        from maestro_spark.operators.curation import uniform01
+        p = float(probability)
+        if not 0.0 < p <= 1.0:
+            raise ValueError("probability must be in (0, 1]")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   F.col(col).alias("value"))
+        j = (matches.join(docs, ["shard", "doc_id"], "inner")
+             .where(uniform01("doc_id", salt) < F.lit(p)))
+        return (j.groupBy("value")
+                .agg(F.count("*").alias("sampled_docs"),
+                     F.round(F.count("*") / F.lit(p), 6)
+                     .alias("est_docs"))
+                .orderBy(F.desc("est_docs"), "value"))
+
     def terms_lookup(self, doc_id: int, path) -> list:
         """ES terms-lookup (`terms` query with index/id/path instead of
         literal values): fetch ONE document's stored values at `path`

@@ -51,18 +51,24 @@ def cosine_to_query(emb: DataFrame, query_vec: list[float],
 
 def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     exclude_id: int | None = None) -> DataFrame:
+                     exclude_id: int | None = None,
+                     min_sim: float | None = None) -> DataFrame:
     """Exact cosine top-k: narrow map + orderBy(cos desc, id asc).limit(k).
     Spark's TakeOrdered keeps only k rows per partition — no global sort
-    materialization."""
+    materialization. min_sim is the ES knn `similarity` threshold:
+    candidates below the cutoff are dropped AFTER ranking (the ES
+    semantics — the result may under-fill k, never back-fill)."""
     d = cosine_to_query(emb, query_vec, vec_col)
     if exclude_id is not None:
         d = d.where(F.col(id_col) != exclude_id)
-    return (
+    out = (
         d.select(id_col, "cos")
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+    if min_sim is not None:
+        out = out.where(F.col("cos") >= float(min_sim))
+    return out
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 3,

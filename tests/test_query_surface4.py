@@ -521,3 +521,27 @@ def test_terms_approx_exhaustive_equals_exact(reader, mdf):
     want = mdf["lang"].value_counts()
     assert dict(zip(got["value"], got["n_docs"])) == want.to_dict()
     assert (got["err_bound"] == 0).all()
+
+
+# --------------------------- min_score + random_sampler quick checks
+
+def test_search_min_score_equals_postfilter(reader):
+    full = reader.search(Q, k=10).toPandas()
+    thr = float(full["score"].iloc[4]) + 1e-12
+    got = reader.search_min_score(Q, thr, k=10).toPandas()
+    want = full[full["score"] >= thr]
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert 0 < len(got) < len(full)
+
+
+def test_random_sampler_deterministic_and_scaled(reader, mdf):
+    a = reader.search_random_sampler(Q, 0.5, "lang").toPandas()
+    b = reader.search_random_sampler(Q, 0.5, "lang").toPandas()
+    assert a.equals(b)                       # no RNG state
+    assert (a["est_docs"] == a["sampled_docs"] / 0.5).all()
+    # p=1 degenerates to the exact terms agg
+    full = reader.search_random_sampler(Q, 1.0, "lang").toPandas()
+    want = mdf["lang"].value_counts()
+    assert dict(zip(full["value"], full["sampled_docs"])) == want.to_dict()
+    with pytest.raises(ValueError):
+        reader.search_random_sampler(Q, 0.0, "lang")

@@ -200,3 +200,16 @@ def test_rrf_fuse(spark):
     assert got["doc_id"].tolist() == [1, 3, 2, 4]
     nr = dict(zip(got["doc_id"], got["n_retrievers"]))
     assert nr == {1: 2, 3: 2, 2: 1, 4: 1}
+
+
+def test_brute_force_min_sim_cutoff(emb, emb_np):
+    """ES knn `similarity` threshold: top-k first, cutoff after —
+    under-fills, never back-fills."""
+    ids, m = emb_np
+    q = m[ids.tolist().index(0)].tolist()
+    full = _np_topk(ids, m, q, 10, exclude=0)
+    thr = full[5][1] + 1e-9          # between ranks 5 and 6
+    got = [(r["vec_id"], r["cos"]) for r in similarity.brute_force_topk(
+        emb, q, 10, exclude_id=0, min_sim=thr).collect()]
+    assert got == [r for r in full if r[1] >= thr]
+    assert 0 < len(got) < 10
