@@ -1297,6 +1297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fuzzy_term_lookup_prefix"] = _q_fuzzy_terms_prefix
 
+    def _q_regex_intersection(s: SparkSession, d: str) -> DataFrame:
+        # ES regexp INTERSECTION operator: `s.*&.*m` = starts with s
+        # AND ends with m (both conjuncts fullmatch)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.regex_terms("s.*&.*m")
+
+    q["regex_intersection_lookup"] = _q_regex_intersection
+
     def _q_wildcard_terms(s: SparkSession, d: str) -> DataFrame:
         reader = IndexReader(s, _ensure_index(s, d))
         return reader.wildcard_terms("?a??")
@@ -3090,6 +3098,11 @@ ORDER BY score DESC, term LIMIT 15"""
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE term LIKE 'so%' "
         "AND levenshtein(substr(term, 3), 'rt') <= 2 GROUP BY term"
+    )
+    o["regex_intersection_lookup"] = (
+        f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "WHERE regexp_full_match(term, 's.*') "
+        "AND regexp_full_match(term, '.*m') GROUP BY term"
     )
     o["wildcard_term_lookup"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "

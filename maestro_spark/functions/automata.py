@@ -22,6 +22,8 @@ verification runs only over those binary-searched prefix intervals.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 # audit counters (reset_expand_stats in tests/bench): nodes = implicit
@@ -278,3 +280,70 @@ def regex_literal_prefixes(pattern: str, budget: int = 64
     if not prefixes or "" in prefixes:
         return None
     return sorted(prefixes)
+
+
+# ------------------------- ES/Lucene RegExp syntax operators (flags)
+
+def split_regex_intersection(pattern: str) -> list[str]:
+    """Split on TOP-LEVEL `&` — the Lucene RegExp INTERSECTION operator
+    ES enables by default (`a.+&.+b` = match both sides). `&` inside
+    character classes, groups, or after a backslash is literal/nested
+    and never splits. Returns [pattern] when no operator is present."""
+    parts, buf = [], []
+    depth = brack = 0
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            buf.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if brack:
+            if c == "]":
+                brack = 0
+        elif c == "[":
+            brack = 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "&" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def expand_regex_intervals(pattern: str, cap: int = 1024) -> str:
+    """Translate Lucene RegExp INTERVAL operators `<m-n>` (numeric
+    range, ES regexp syntax) into an explicit decimal alternation
+    `(m|m+1|...|n)` — plain representations, no leading zeros (the
+    Lucene behavior). Ranges wider than `cap` values are rejected
+    rather than silently truncated. Escaped `\\<` stays literal."""
+    out, i = [], 0
+    rx = re.compile(r"<(\d+)-(\d+)>")
+    while i < len(pattern):
+        if pattern[i] == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        m = rx.match(pattern, i)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+            if lo > hi:
+                raise ValueError(f"bad interval {m.group(0)}: min > max")
+            if hi - lo + 1 > cap:
+                raise ValueError(
+                    f"interval {m.group(0)} expands to {hi - lo + 1} "
+                    f"alternatives (cap {cap})")
+            out.append("(" + "|".join(str(v) for v in range(lo, hi + 1))
+                       + ")")
+            i = m.end()
+            continue
+        out.append(pattern[i])
+        i += 1
+    return "".join(out)

@@ -562,7 +562,8 @@ class IndexReader:
         class) legitimately scans the dictionary once."""
         from maestro_spark.functions.automata import (
             EXPAND_STATS, GlobAutomaton, LevenshteinAutomaton,
-            PrefixedAutomaton, dfs_expand, regex_literal_prefixes)
+            PrefixedAutomaton, dfs_expand, expand_regex_intervals,
+            regex_literal_prefixes, split_regex_intersection)
         key = (kind, pattern, max_edits, max_expansions, prefix_len)
         hit = self._expand_cache.get(key)
         if hit is not None:
@@ -571,11 +572,23 @@ class IndexReader:
         if kind == "wildcard":
             idx = dfs_expand(terms, GlobAutomaton(pattern))
         elif kind == "regex":
+            # ES regexp-syntax operators: top-level `&` (INTERSECTION)
+            # splits into conjunct patterns a candidate must ALL
+            # fullmatch; `<m-n>` (INTERVAL) expands to a bounded
+            # decimal alternation. Candidates come from the first
+            # conjunct with derivable literal prefixes (any conjunct's
+            # matches is a superset of the intersection).
             try:
-                rx = re.compile(pattern)
+                conj = [expand_regex_intervals(p)
+                        for p in split_regex_intersection(pattern)]
+                rxs = [re.compile(p) for p in conj]
             except re.error as e:
                 raise ValueError(f"bad regex query {pattern!r}: {e}") from e
-            prefixes = regex_literal_prefixes(pattern)
+            prefixes = None
+            for p in conj:
+                prefixes = regex_literal_prefixes(p)
+                if prefixes:
+                    break
             if prefixes:
                 parts = [np.arange(np.searchsorted(terms, p),
                                    np.searchsorted(terms, p + "\U0010ffff"))
@@ -585,8 +598,10 @@ class IndexReader:
             else:
                 cand = np.arange(len(terms))
             EXPAND_STATS["candidates"] += int(cand.size)
-            idx = np.asarray([int(i) for i in cand
-                              if rx.fullmatch(terms[i])], dtype=np.int64)
+            idx = np.asarray(
+                [int(i) for i in cand
+                 if all(rx.fullmatch(terms[i]) for rx in rxs)],
+                dtype=np.int64)
         else:
             p = max(0, int(prefix_len))
             auto = LevenshteinAutomaton(

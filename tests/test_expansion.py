@@ -389,3 +389,45 @@ def test_prefixed_automaton_bounds_walk():
     # prefixed hits with unchanged-suffix distance are a subset of the
     # free hits only on terms sharing the prefix — sanity, not identity
     assert len(pre_idx) >= 1 and len(free_idx) >= 1
+
+
+# ---------------------------- ES regexp operators (Lucene flags)
+
+def test_regex_intersection_operator(spark, built, content_df):
+    got = {r["term"]: r["df"] for r in IndexReader(spark, built)
+           .regex_terms("get.*&.*e", 10 ** 6).collect()}
+    want = {t: df for t, df in content_df.items()
+            if _re.fullmatch("get.*", t) and _re.fullmatch(".*e", t)}
+    assert got == want and got
+    # a conjunct that matches nothing empties the intersection
+    assert IndexReader(spark, built).regex_terms(
+        "get.*&zzz.*", 10 ** 6).count() == 0
+
+
+def test_regex_interval_operator(spark, built, content_df):
+    # terms like handler7 / server12: <5-20> matches the decimal range
+    got = {r["term"]: r["df"] for r in IndexReader(spark, built)
+           .regex_terms("[a-z]+<5-20>", 10 ** 6).collect()}
+    rx = _re.compile("[a-z]+(" + "|".join(str(v) for v in range(5, 21))
+                     + ")")
+    want = {t: df for t, df in content_df.items() if rx.fullmatch(t)}
+    assert got == want and got
+
+
+def test_regex_interval_guards():
+    from maestro_spark.functions.automata import expand_regex_intervals
+    assert expand_regex_intervals("a<2-4>b") == "a(2|3|4)b"
+    assert expand_regex_intervals(r"a\<2-4>b") == r"a\<2-4>b"  # escaped
+    with pytest.raises(ValueError):
+        expand_regex_intervals("a<9-2>b")
+    with pytest.raises(ValueError):
+        expand_regex_intervals("a<0-99999>b")
+
+
+def test_regex_intersection_split_nesting():
+    from maestro_spark.functions.automata import split_regex_intersection
+    assert split_regex_intersection("a.*&.*b") == ["a.*", ".*b"]
+    assert split_regex_intersection("a[&]b") == ["a[&]b"]      # class
+    assert split_regex_intersection("a(x&y)b") == ["a(x&y)b"]  # group
+    assert split_regex_intersection(r"a\&b") == [r"a\&b"]      # escape
+    assert split_regex_intersection("plain") == ["plain"]
