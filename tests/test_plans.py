@@ -230,3 +230,70 @@ def test_mix_sources_broadcasts_counts_and_no_extra_shuffle(spark):
     # the probe side must not shuffle: the only exchange feeds the
     # dim-sized count aggregate / broadcast, never a repartition of docs
     assert "SortMergeJoin" not in plan
+
+
+def test_session5_aggs_stay_jvm_side(spark, idx):
+    """Session-5 families: geohash_grid / geo_polygon / global agg /
+    approx terms agg / scripted_metric / moving_percentiles /
+    random_sampler are pure column expressions over the match-set join
+    — same no-row-wise-Python contract as the session-4 aggs."""
+    reader = IndexReader(spark, idx)
+    lat = (F.col("doc_id") % 120 - 60).cast("double")
+    lon = (F.col("doc_id") % 340 - 170).cast("double")
+    frames = [
+        reader.search_geohash_grid("index merge", lat, lon, precision=3),
+        reader.search_geo_polygon(
+            "index merge", lat, lon,
+            [(50.0, -60.0), (55.0, 30.0), (0.0, 70.0), (-45.0, 20.0)]),
+        reader.search_global_agg("index merge", "lang"),
+        reader.search_terms_approx("index merge", "lang", size=3,
+                                   shard_size=2),
+        reader.search_scripted_metric(
+            "index merge", {"v": F.length("content").cast("double")},
+            [F.sum("v").alias("s")], [F.sum("s").alias("t")]),
+        reader.search_moving_percentiles("index merge",
+                                         F.length("content"), 100.0),
+        reader.search_random_sampler("index merge", 0.5, "lang"),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+        assert "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan
+        assert plan.count("FlatMapGroupsInPandas") \
+            == plan.count("match_shard")
+
+
+def test_has_child_one_row_per_parent_partial_agg(spark, idx, tmp_path):
+    """Parent-join scale shape: the parent-key aggregation must be a
+    two-phase HashAggregate (map-side partial -> exchange carries one
+    row per parent), and the only Python node is scored_matches'
+    posting grouped-map."""
+    from maestro_spark.operators import parentjoin
+    from maestro_spark.operators.dedup import chunk_paragraphs
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    pars = chunk_paragraphs(docs.select("doc_id",
+                                        F.col("text").alias("text")),
+                            "text", chunk=10)
+    cid = (F.col("doc_id") * 100 + F.col("par_idx")).cast("long")
+    children = pars.select(
+        cid.alias("doc_id"), F.col("doc_id").cast("long").alias("parent"),
+        F.lit("p").alias("repo"), cid.cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("t").alias("lang"),
+        F.col("paragraph").alias("content"))
+    out = str(tmp_path / "pj_idx")
+    build_index(spark, children, out, IndexConfig(
+        shard_size=4096, n_buckets=4, n_salts=2, sample_fraction=1.0,
+        tokenizer="simple", index_fields=("content",),
+        stored_columns=("parent",)), id_col="doc_id")
+    cr = IndexReader(spark, out)
+    df = parentjoin.has_child(cr, "slow query", k=5, min_children=1)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two-phase agg on the parent key: partial HashAggregate BEFORE the
+    # exchange, final after — the exchange moves parents, not children
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
