@@ -690,6 +690,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_dismax"] = _q_dismax
 
+    def _q_most_fields(s: SparkSession, d: str) -> DataFrame:
+        # multi_match type=most_fields: the same text through every
+        # field's analyzer with per-field BM25 scores SUMMED (the
+        # bool-should rewrite ES applies) — the tie_breaker=1 point of
+        # the dis_max combine, sharing its cross-field MaxScore pruning
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.multi_match("stream es", ("content", "lang"),
+                                 k=40, mm_type="most_fields")
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_most_fields"] = _q_most_fields
+
     def _q_qstring(s: SparkSession, d: str) -> DataFrame:
         # query_string: should terms + must(+table, filter context that
         # also scores) + must_not(-lang:java)
@@ -875,6 +888,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_function_score"] = _q_function_score
 
+    def _q_script_score(s: SparkSession, d: str) -> DataFrame:
+        # ES script_score: the script REPLACES relevance — here BM25
+        # normalized by log doc length (a length-debiased ranking no
+        # boost_mode combine can express), exact over the full match set
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_script_score(
+            "spark query merge",
+            F.col("_score") / (F.lit(1.0) + F.log1p(F.length("content"))),
+            k=40, cols=("content",))
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_script_score"] = _q_script_score
+
     def _q_decay(s: SparkSession, d: str) -> DataFrame:
         # ES function_score gauss decay: bm25 * gauss(len; origin=500,
         # scale=300, decay=0.5) — exact over the full match set
@@ -946,6 +973,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "spark stream", F.length("content"), 100)
 
     q["bm25_bucket_stats"] = _q_bucket_stats
+
+    def _q_pct_bucket(s: SparkSession, d: str) -> DataFrame:
+        # ES percentiles_bucket pipeline: exact round(p/100·(n−1))
+        # index selection over the histogram's sorted doc counts (the
+        # PercentilesBucketPipelineAggregator rule, no interpolation)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_percentiles_bucket(
+            "spark stream", F.length("content"), 100,
+            percents=(25.0, 50.0, 90.0))
+
+    q["percentiles_bucket"] = _q_pct_bucket
+
+    def _q_ks_test(s: SparkSession, d: str) -> DataFrame:
+        # ES ML bucket_count_ks_test pipeline: K-S of the histogram's
+        # doc-count distribution vs uniform fractions; D statistics for
+        # alternative=less/greater/two_sided + asymptotic p-values
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_bucket_ks_test(
+            "spark stream", F.length("content"), 100)
+
+    q["bucket_ks_test"] = _q_ks_test
+
+    def _q_bucket_corr(s: SparkSession, d: str) -> DataFrame:
+        # ES ML bucket_correlation pipeline (count_correlation): Pearson
+        # of per-bucket doc counts against the bucket key series
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_bucket_correlation(
+            "spark stream", F.length("content"), 100)
+
+    q["bucket_correlation"] = _q_bucket_corr
 
     def _q_moving_pct(s: SparkSession, d: str) -> DataFrame:
         # ES moving_percentiles pipeline: p50/p90 of doc length over the
@@ -2449,6 +2506,8 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('stream', 'merge'))"""
     o["bm25_dismax"] = _bm25_sql(
         ["es", "stream"], [("lang", "es")],
         combine="greatest({0}, {1}) + 0.3 * (({0} + {1}) - greatest({0}, {1}))")
+    # most_fields = per-field sum (the default _bm25_sql combine)
+    o["bm25_most_fields"] = _bm25_sql(["es", "stream"], [("lang", "es")])
     o["bm25_query_string"] = _bm25_sql(
         ["merge", "stream", "table"],
         where=("doc_id IN (SELECT doc_id FROM tok WHERE term = 'table') "
@@ -2688,6 +2747,10 @@ FROM kn CROSS JOIN kd WHERE kd.df > 0"""
     o["bm25_function_score"] = _bm25_sql(
         ["merge", "query", "spark"],
         fscore="allsc.score * ln(1 + 0.001 * length(d.text))")
+    # script_score: the script REPLACES the score (no boost_mode combine)
+    o["bm25_script_score"] = _bm25_sql(
+        ["merge", "query", "spark"],
+        fscore="allsc.score / (1 + ln(1 + length(d.text)))")
     # gauss decay: 2sigma^2 = -scale^2/ln(decay) with scale=300, decay=0.5
     _TWO_SIG2 = -(300.0 ** 2) / math.log(0.5)
     o["bm25_decay_gauss"] = _bm25_sql(
@@ -2779,6 +2842,55 @@ SELECT (SELECT count(*)::BIGINT FROM h) AS n_buckets,
        (SELECT sum(n_docs)::BIGINT FROM h) AS sum_docs,
        (SELECT bucket FROM h ORDER BY n_docs DESC, bucket LIMIT 1)
            AS max_bucket"""
+    # percentiles_bucket: ES's round(p/100·(n−1)) nearest-rank selection
+    # (Java Math.round = floor(x+0.5)) over sorted bucket doc counts
+    o["percentiles_bucket"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+h AS (SELECT floor(length(text) / 100) * 100 AS bucket,
+             count(*)::BIGINT AS n_docs
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY 1),
+v AS (SELECT list_sort(list(n_docs)) AS v, count(*)::BIGINT AS n FROM h)
+SELECT n AS n_buckets,
+       v[CAST(floor(0.25 * (n - 1) + 0.5) AS BIGINT) + 1] AS p25,
+       v[CAST(floor(0.50 * (n - 1) + 0.5) AS BIGINT) + 1] AS p50,
+       v[CAST(floor(0.90 * (n - 1) + 0.5) AS BIGINT) + 1] AS p90
+FROM v"""
+    # bucket_count_ks_test: ecdf_actual = cumulative doc fraction in
+    # bucket-key order, ecdf_expected = uniform rank/n; D stats rounded
+    # FIRST, then the asymptotic exp(−2·N·D²) p-values over the rounded D
+    o["bucket_ks_test"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+h AS (SELECT floor(length(text) / 100) * 100 AS bucket,
+             count(*)::BIGINT AS n_docs
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY 1),
+c AS (SELECT sum(n_docs) OVER (ORDER BY bucket)::DOUBLE AS cum,
+             row_number() OVER (ORDER BY bucket)::DOUBLE AS rk,
+             sum(n_docs) OVER ()::DOUBLE AS tot,
+             count(*) OVER ()::DOUBLE AS nb
+      FROM h),
+d AS (SELECT CAST(max(nb) AS BIGINT) AS n_buckets,
+             CAST(max(tot) AS BIGINT) AS total_docs,
+             round(max(rk / nb - cum / tot), 6) AS d_less,
+             round(max(cum / tot - rk / nb), 6) AS d_greater,
+             round(max(abs(cum / tot - rk / nb)), 6) AS d_two_sided
+      FROM c)
+SELECT n_buckets, total_docs, d_less, d_greater, d_two_sided,
+       round(exp(-2 * total_docs * d_less * d_less), 6) AS p_less,
+       round(exp(-2 * total_docs * d_greater * d_greater), 6) AS p_greater,
+       round(least(1.0, 2 * exp(-2 * total_docs * d_two_sided
+                                * d_two_sided)), 6) AS p_two_sided
+FROM d"""
+    o["bucket_correlation"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+h AS (SELECT floor(length(text) / 100) * 100 AS bucket,
+             count(*)::BIGINT AS n_docs
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY 1)
+SELECT count(*)::BIGINT AS n_buckets,
+       round(corr(n_docs::DOUBLE, bucket::DOUBLE), 6) AS correlation
+FROM h"""
     o["nested_terms_agg"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),

@@ -956,6 +956,18 @@ class IndexReader:
                              f"one of ('content', {tuple(prefixes)})")
         return " ".join(prefixes[field] + tok for tok in text.split())
 
+    @staticmethod
+    def _mm_tie(mm_type: str, tie_breaker: float) -> float:
+        """Map a multi_match type to its combine: best_fields keeps the
+        caller's tie_breaker; most_fields IS the tie_breaker=1 point
+        (per-field sum — ES rewrites most_fields to a bool should)."""
+        if mm_type == "most_fields":
+            return 1.0
+        if mm_type != "best_fields":
+            raise ValueError(
+                "mm_type must be 'best_fields' or 'most_fields'")
+        return float(tie_breaker)
+
     def _multi_match_plans(self, text: str, fields: tuple
                            ) -> dict[str, QueryPlan]:
         plans = {f: self.plan(self._field_subquery(text, f)) for f in fields}
@@ -963,7 +975,8 @@ class IndexReader:
 
     def multi_match(self, text: str, fields: tuple = ("content",),
                     tie_breaker: float = 0.0, k: int = 10,
-                    engine: str = "spark", prune: bool = True) -> DataFrame:
+                    engine: str = "spark", prune: bool = True,
+                    mm_type: str = "best_fields") -> DataFrame:
         """multi_match, type=best_fields (the ES dis_max analogue): each
         field scores the text as its own BM25 subquery (content: analyzed
         terms; keyword fields: field-scoped terms), and a doc's final
@@ -975,6 +988,14 @@ class IndexReader:
         contribute a fraction. tie_breaker=0 is pure dis_max;
         tie_breaker=1 degenerates to the bool-should sum.
 
+        mm_type="most_fields" is the ES most_fields type: the same text
+        matched through every field's analyzer with the per-field scores
+        SUMMED (ES rewrites it to a bool should of per-field matches) —
+        exactly the tie_breaker=1 point of the combine above, so it
+        shares the dis_max scorer and its cross-field MaxScore pruning
+        (the combine stays monotone in every coordinate, which is the
+        property the bounds rely on).
+
         Exactness: every posting of a doc lives in its shard, so each
         shard computes final dis_max scores completely and returns its
         top-k; the coordinator merge is exact. Cross-field MaxScore
@@ -985,6 +1006,7 @@ class IndexReader:
         candidate set — see _dismax_shard_rows; results bit-identical
         to prune=False. One pruned posting scan serves every subquery
         (their term sets ride together)."""
+        tie_breaker = self._mm_tie(mm_type, tie_breaker)
         plans = self._multi_match_plans(text, fields)
         spark = self.spark
         if spark is None:
@@ -1028,10 +1050,12 @@ class IndexReader:
     def multi_match_local(self, text: str, fields: tuple = ("content",),
                           tie_breaker: float = 0.0, k: int = 10,
                           max_workers: int | None = None,
-                          prune: bool = True) -> pd.DataFrame:
+                          prune: bool = True,
+                          mm_type: str = "best_fields") -> pd.DataFrame:
         """Serving-path multi_match — same dis_max semantics and float64
         scores as multi_match (one posting fetch for all subqueries'
         terms, per-shard combine, coordinator merge), no Spark job."""
+        tie_breaker = self._mm_tie(mm_type, tie_breaker)
         plans = self._multi_match_plans(text, fields)
         if not plans:
             return self._EMPTY_HITS()
@@ -2494,6 +2518,36 @@ class IndexReader:
         return (joined.select("doc_id", comb.alias("score"))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
+    def search_script_score(self, query: str, script, k: int = 10,
+                            cols: tuple = (), mode: str = "or",
+                            min_score: float | None = None) -> DataFrame:
+        """script_score query (the ES analogue of fully custom ranking):
+        the script's value REPLACES the relevance score — unlike
+        function_score, which COMBINES via boost_mode — so ranking is by
+        the script alone over the FULL match set (a doc ranked last by
+        BM25 can win; a top-N rescore would be wrong).
+
+        `script` is a Column over `_score` (the BM25 score of `query`)
+        and the docstore columns named in `cols`; only those columns
+        reach the join (column-pruned docstore scan). ES requires the
+        script to be non-negative; this port leaves that to the caller's
+        expression. `min_score` mirrors script_score.min_score: docs
+        below the cutoff drop and the page under-fills, never back-fills.
+
+        Plan shape = function_score (exact): scored_matches stays on
+        executors, joins the pruned docstore on (shard, doc_id) — shard
+        equality keeps the probe partition-prunable — and the global
+        top-k compiles to TakeOrderedAndProject (k rows move, never a
+        full sort of the match set)."""
+        scored = (self.scored_matches(query, mode)
+                  .withColumnRenamed("score", "_score"))
+        docs = self._docs().select("shard", "doc_id", *cols)
+        joined = scored.join(docs, ["shard", "doc_id"], "inner")
+        out = joined.select("doc_id", script.alias("score"))
+        if min_score is not None:
+            out = out.where(F.col("score") >= float(min_score))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_rank_feature(self, query: str, value_col, k: int = 10,
                             pivot: float = 1.0, boost: float = 1.0,
                             fn: str = "saturation", mode: str = "or",
@@ -2780,6 +2834,125 @@ class IndexReader:
         argmax = (hist.orderBy(F.desc("n_docs"), F.asc("bucket")).limit(1)
                   .select(F.col("bucket").alias("max_bucket")))
         return stats.crossJoin(argmax)
+
+    def search_percentiles_bucket(self, query: str, value_col,
+                                  interval: float,
+                                  percents: tuple = (25.0, 50.0, 75.0),
+                                  mode: str = "or",
+                                  exclude: str | None = None,
+                                  min_match: int = 1) -> DataFrame:
+        """percentiles_bucket pipeline agg (ES): exact percentiles of
+        the per-bucket doc counts across the sibling histogram's
+        buckets, using ES's selection rule — sort the bucket values and
+        take index round(p/100 · (n−1)) (Java Math.round = floor(x+.5);
+        PercentilesBucketPipelineAggregator does exactly this, no
+        interpolation). One row out.
+
+        Scale: the input is the REDUCED bucket rows (one per non-empty
+        bucket), so the sort_array/collect_list here is bucket-count
+        sized, never corpus-sized — the same budget every ES pipeline
+        agg has (they all run on the coordinator over bucket arrays)."""
+        hist = self.search_histogram(query, value_col, interval, mode,
+                                     exclude, min_match)
+        agg = hist.agg(
+            F.sort_array(F.collect_list("n_docs")).alias("v"),
+            F.count("*").alias("n_buckets"))
+        cols = [F.col("n_buckets")]
+        for p in percents:
+            idx0 = F.floor(F.lit(float(p) / 100.0)
+                           * (F.col("n_buckets") - 1).cast("double")
+                           + F.lit(0.5)).cast("int")
+            key = f"p{float(p):g}".replace(".", "_")
+            cols.append(F.get("v", idx0).alias(key))
+        return agg.select(*cols)
+
+    def search_bucket_ks_test(self, query: str, value_col,
+                              interval: float,
+                              fractions: list[float] | None = None,
+                              mode: str = "or",
+                              exclude: str | None = None,
+                              min_match: int = 1) -> DataFrame:
+        """bucket_count_ks_test pipeline agg (the ES ML analogue): a
+        Kolmogorov–Smirnov test of the sibling histogram's doc-count
+        distribution against an expected `fractions` vector (default
+        uniform over the returned buckets, as ES defaults). Emits, in
+        bucket-key order, the three D statistics
+
+            d_less    = max(ecdf_expected − ecdf_actual)
+            d_greater = max(ecdf_actual − ecdf_expected)
+            d_two     = max |ecdf_actual − ecdf_expected|
+
+        plus the asymptotic p-values exp(−2·N·D²) (two_sided capped at
+        1 after doubling), N = total matched docs — the large-sample
+        bound ES's alternative=less/greater/two_sided modes report
+        against. Everything is a window cumsum + one global max over
+        bucket rows (already reduced), JVM-side end to end."""
+        hist = self.search_histogram(query, value_col, interval, mode,
+                                     exclude, min_match)
+        w = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        cum = hist.select(
+            "bucket", "n_docs",
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            F.row_number().over(Window.orderBy("bucket")).alias("rk"))
+        tot = hist.agg(F.sum("n_docs").alias("total_docs"),
+                       F.count("*").alias("n_buckets"))
+        j = cum.crossJoin(tot)
+        ecdf_a = F.col("cum_docs").cast("double") / F.col("total_docs")
+        if fractions is None:
+            ecdf_e = F.col("rk").cast("double") / F.col("n_buckets")
+        else:
+            cf, acc = [], 0.0
+            for f in fractions:
+                acc += float(f)
+                cf.append(acc)
+            # positional alignment with the sorted bucket keys (ES takes
+            # fractions positionally too); length-checked at plan time
+            # via element_at's null on overflow -> max ignores
+            ecdf_e = F.element_at(
+                F.array(*[F.lit(x) for x in cf]), F.col("rk"))
+        diff = ecdf_a - ecdf_e
+        out = j.agg(
+            F.max("n_buckets").alias("n_buckets"),
+            F.max("total_docs").alias("total_docs"),
+            F.round(F.max(-diff), 6).alias("d_less"),
+            F.round(F.max(diff), 6).alias("d_greater"),
+            F.round(F.max(F.abs(diff)), 6).alias("d_two_sided"))
+        n = F.col("total_docs").cast("double")
+
+        def pval(d):
+            return F.exp(F.lit(-2.0) * n * d * d)
+
+        return out.select(
+            "n_buckets", "total_docs", "d_less", "d_greater",
+            "d_two_sided",
+            F.round(pval(F.col("d_less")), 6).alias("p_less"),
+            F.round(pval(F.col("d_greater")), 6).alias("p_greater"),
+            F.round(F.least(F.lit(1.0),
+                            F.lit(2.0) * pval(F.col("d_two_sided"))),
+                    6).alias("p_two_sided"))
+
+    def search_bucket_correlation(self, query: str, value_col,
+                                  interval: float, indicator=None,
+                                  mode: str = "or",
+                                  exclude: str | None = None,
+                                  min_match: int = 1) -> DataFrame:
+        """bucket_correlation pipeline agg (the ES ML count_correlation
+        analogue): Pearson correlation between the sibling histogram's
+        per-bucket doc counts and an indicator series. `indicator` is a
+        Column/expression over the bucket key (default: the key itself —
+        "do counts trend with the metric?"); ES's literal-array form maps
+        to an element_at over the key rank, same alignment. One corr()
+        over the reduced bucket rows — a single partial-agg, no second
+        pass."""
+        hist = self.search_histogram(query, value_col, interval, mode,
+                                     exclude, min_match)
+        ind = (F.col("bucket").cast("double") if indicator is None
+               else indicator)
+        return hist.agg(
+            F.count("*").alias("n_buckets"),
+            F.round(F.corr(F.col("n_docs").cast("double"),
+                           ind.cast("double")), 6).alias("correlation"))
 
     def search_nested_terms(self, query: str, array_col: str,
                             field: str, mode: str = "or",
