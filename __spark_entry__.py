@@ -925,6 +925,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_rank_feature"] = _q_rank_feature
 
+    def _q_sparse_vector(s: SparkSession, d: str) -> DataFrame:
+        # ES sparse_vector / text_expansion (the ELSER learned-sparse
+        # analogue): caller-supplied token→weight map (inference is out
+        # of scope), score = Σ qw · stored tf — the rank_features
+        # implementation ES uses, a pure posting-bounded dot product
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_sparse_vector(
+            {"spark": 2.0, "stream": 1.0, "merge": 0.5}, k=40)
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["sparse_vector"] = _q_sparse_vector
+
     def _q_terms_set(s: SparkSession, d: str) -> DataFrame:
         # ES terms_set: per-doc minimum_should_match from a stored
         # expression (doc_id % 3 + 1 distinct matching terms required)
@@ -1297,6 +1310,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reader.significant_terms("customer", size=15)
 
     q["significant_terms"] = _q_sig_terms
+
+    def _q_sig_text(s: SparkSession, d: str) -> DataFrame:
+        # ES significant_text with filter_duplicate_text: a token inside
+        # any 6-gram span already seen earlier (in (doc, pos) order) is
+        # suppressed, so copy-pasted boilerplate raises fg_df only once
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.significant_text("customer", size=15)
+
+    q["significant_text"] = _q_sig_text
 
     def _q_sig_terms_chi2(s: SparkSession, d: str) -> DataFrame:
         # ES significant_terms, chi_square heuristic (Manning IR 13.5.2
@@ -3127,6 +3149,55 @@ SELECT f.term AS term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,
 FROM fg f JOIN bg b ON f.term = b.term CROSS JOIN tot
 WHERE f.fg_df / tot.fg_n > b.bg_df / tot.bg_n AND f.term <> 'customer'
 ORDER BY score DESC, term LIMIT 15"""
+    # significant_text + filter_duplicate_text: tokens inside a 6-gram
+    # span with an earlier occurrence (total order doc_id·10^6 + start —
+    # docs here are far shorter than 10^6 tokens) are suppressed before
+    # fg_df counts; scoring = the same JLH contrast
+    o["significant_text"] = f"""
+WITH {_ARR},
+{_TOK},
+q AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),
+gr AS (SELECT a.doc_id, i - 1 AS start,
+              array_to_string(ts[i : i + 5], ' ') AS gram
+       FROM arr a JOIN q ON q.doc_id = a.doc_id,
+            unnest(range(1, greatest(len(ts) - 4, 1))) t(i)
+       WHERE len(ts) >= 6),
+fr AS (SELECT gram, min(doc_id * 1000000 + start) AS fkey
+       FROM gr GROUP BY gram),
+dup AS (SELECT g.doc_id, g.start FROM gr g JOIN fr ON fr.gram = g.gram
+        WHERE g.doc_id * 1000000 + g.start > fr.fkey),
+cov AS (SELECT DISTINCT doc_id, start + j AS pos
+        FROM dup, unnest(range(0, 6)) t(j)),
+tp AS (SELECT a.doc_id, i - 1 AS pos, ts[i] AS term
+       FROM arr a JOIN q ON q.doc_id = a.doc_id,
+            unnest(range(1, len(ts) + 1)) t(i)),
+kept AS (SELECT tp.doc_id, tp.term FROM tp
+         LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         WHERE cov.doc_id IS NULL),
+tot AS (SELECT (SELECT count(*) FROM q)::DOUBLE AS fg_n,
+               (SELECT count(*) FROM documents)::DOUBLE AS bg_n),
+fg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS fg_df
+       FROM kept GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS bg_df
+       FROM tok GROUP BY term)
+SELECT f.term AS term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,
+       round((f.fg_df / tot.fg_n - b.bg_df / tot.bg_n)
+             * (f.fg_df / tot.fg_n) / (b.bg_df / tot.bg_n), 6) AS score
+FROM fg f JOIN bg b ON f.term = b.term CROSS JOIN tot
+WHERE f.fg_df / tot.fg_n > b.bg_df / tot.bg_n AND f.term <> 'customer'
+ORDER BY score DESC, term LIMIT 15"""
+    # sparse_vector: score = sum of query-weight x stored tf
+    o["sparse_vector"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('spark', 'stream', 'merge') GROUP BY doc_id, term),
+sc AS (SELECT doc_id,
+              sum(CASE term WHEN 'spark' THEN 2.0 * tf
+                            WHEN 'stream' THEN 1.0 * tf
+                            ELSE 0.5 * tf END) AS score
+       FROM tf GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
     # chi_square / mutual_information heuristics over the same 2x2
     # contingency cells (raw counts, not pct round-trips)
     _SIG_CELLS = f"""

@@ -2548,6 +2548,101 @@ class IndexReader:
             out = out.where(F.col("score") >= float(min_score))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_sparse_vector(self, weights: dict[str, float], k: int = 10,
+                             prune_below: float = 0.0,
+                             engine: str = "spark"):
+        """sparse_vector / text_expansion query (the ES analogue of
+        learned sparse retrieval — ELSER): the query is a token→weight
+        map (in ES, model-inference output; here caller-supplied —
+        inference is out of scope), a document's sparse feature weight
+        for a token is the value stored in the tf slot (exactly how ES
+        implements rank_features / text_expansion: weights are indexed
+        as term frequencies), and
+
+            score(d) = Σ_t  qw_t · tf(t, d)
+
+        — a posting-bounded linear dot product. No dl/idf factor, so
+        unlike BM25 there is no global-stats phase; work ∝ the query
+        tokens' posting sizes, never corpus size.
+
+        prune_below mirrors ES's `prune` option (default off): query
+        tokens with weight < threshold are dropped BEFORE the scan —
+        fewer posting lists read (ES prunes on frequency ratios; same
+        budget intent, deterministic rule). Weights must be > 0 (the ES
+        non-negative contract; zero-weight tokens are no-ops).
+
+        Plan: pruned posting scan of the query tokens → per-shard
+        weighted accumulate in sorted-token order (one np.add.at per
+        token over memoized decodes — deterministic float order) →
+        per-shard tie-aware top-k → coordinator merge (≤ k rows/shard
+        move). engine="local" serves from the posting-row cache with
+        the same kernel, no Spark job."""
+        if any(float(w) < 0 for w in weights.values()):
+            raise ValueError("sparse_vector weights must be non-negative")
+        qw = {t: float(w) for t, w in weights.items()
+              if float(w) >= float(prune_below) and float(w) != 0.0}
+        terms = sorted(qw)
+        shard_size = self.cfg["shard_size"]
+
+        def sv_shard(shard: int, rows: dict
+                     ) -> tuple[np.ndarray, np.ndarray]:
+            base = shard * shard_size
+            acc = np.zeros(shard_size, np.float64)
+            touched = np.zeros(shard_size, bool)
+            for t in terms:
+                r = rows.get(t)
+                if r is None:
+                    continue
+                pl = _decode_full(r)
+                loc = pl.doc_ids - base
+                acc[loc] += qw[t] * pl.tfs
+                touched[loc] = True
+            nz = np.flatnonzero(touched)
+            if nz.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            top, ts = _topk_ties(nz, acc[nz], k)
+            return (top + base).astype(np.int64), ts
+
+        if engine == "local" or self.spark is None:
+            by_shard = self._fetch_posting_rows(terms)
+            if not by_shard:
+                return self._EMPTY_HITS()
+            results = _map_shards(lambda it: sv_shard(it[0], it[1]),
+                                  sorted(by_shard.items()), None)
+            if not results:
+                return self._EMPTY_HITS()
+            ids = np.concatenate([r[0] for r in results])
+            scores = np.concatenate([r[1] for r in results])
+            if ids.size == 0:
+                return self._EMPTY_HITS()
+            return self._merge_topk(ids, scores, k)
+
+        self._refresh_if_stale()
+        spark = self.spark
+        schema = "doc_id long, score double"
+        if not terms:
+            return spark.createDataFrame([], schema)
+        n_buckets = self.cfg["n_buckets"]
+        buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+
+        def sv_shard_pdf(key, pdf):
+            rows = {r["term"]: r for r in pdf.to_dict("records")}
+            ids, scores = sv_shard(int(key[0]), rows)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        rel = self._postings().where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        local = rel.groupBy("shard").applyInPandas(sv_shard_pdf,
+                                                   schema=schema)
+        with _no_aqe(spark):
+            rows = local.collect()
+        if not rows:
+            return spark.createDataFrame([], schema)
+        ids = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+        scores = np.fromiter((r[1] for r in rows), np.float64, len(rows))
+        return spark.createDataFrame(self._merge_topk(ids, scores, k),
+                                     schema)
+
     def search_rank_feature(self, query: str, value_col, k: int = 10,
                             pivot: float = 1.0, boost: float = 1.0,
                             fn: str = "saturation", mode: str = "or",
@@ -4303,6 +4398,115 @@ class IndexReader:
             return (mi_term(n11, n1_, n_1) + mi_term(n10, n1_, n_0)
                     + mi_term(n01, n0_, n_1) + mi_term(n00, n0_, n_0))
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
+
+    def significant_text(self, query: str, size: int = 10,
+                         mode: str = "or",
+                         filter_duplicate_text: bool = True,
+                         dup_gram: int = 6,
+                         heuristic: str = "jlh",
+                         exclude_query_terms: bool = True) -> DataFrame:
+        """significant_text aggregation (ES): significant_terms over a
+        free-text field by RE-ANALYSIS of the matched docs' stored
+        content — which is already how this engine's significant_terms
+        computes its foreground — plus the flag that distinguishes the
+        ES agg: filter_duplicate_text. ES's DeDuplicatingTokenFilter
+        suppresses tokens inside any ≥6-token sequence already seen in
+        earlier-processed foreground text, so copy-pasted boilerplate
+        (retweets, reply chains, license headers) inflates a term's
+        fg_df only ONCE.
+
+        Deterministic re-expression of that rule: a token occurrence at
+        (doc, pos) is suppressed iff some `dup_gram`-gram window covering
+        it has an earlier occurrence in (doc_id, start_pos) order — the
+        shard-processing order of ES pinned to a total order so results
+        are reproducible and oracle-comparable. fg_df = matched docs
+        with ≥1 SURVIVING occurrence of the term; bg/scoring identical
+        to significant_terms (same heuristics, same termdict background).
+
+        Plan shape: re-analysis with positions is match-set-bounded
+        (mapInArrow, dictionary-coded); grams form from 5 lead() columns
+        in one window partitioned by doc (WSCG after the per-doc sort);
+        the first-occurrence rule is one partial-agg min(struct) per
+        distinct gram (the paragraph_dedup shape — no corpus window);
+        covered positions anti-join the occurrences. Everything is
+        bounded by foreground token count, never corpus size."""
+        plan = self.plan(query)
+        matches = self.match_docs(query, mode)
+        fg_n = self.count_local(query, mode=mode)
+        out_schema = "term string, fg_df long, bg_df long, score double"
+        if fg_n == 0:
+            return self.spark.createDataFrame([], out_schema)
+        from maestro_spark.functions.tokenize import token_record_batches
+        docs = self._docs().select("shard", "doc_id", "content")
+        matched = matches.join(docs, ["shard", "doc_id"], "inner")
+        tok_name = self.cfg.get("tokenizer", "code")
+
+        def fg_iter(batches):
+            from maestro_spark.functions.tokenize import bounded_batches
+            for b in batches:
+                if not b.num_rows:
+                    continue
+                for sub in bounded_batches(b):
+                    yield from token_record_batches(
+                        sub, ("content",), tok_name, True)
+
+        occ = (matched.mapInArrow(
+                   fg_iter,
+                   schema="doc_id long, shard int, term string, tf long, "
+                          "dl long, field string, positions array<long>")
+               .select("doc_id", "term",
+                       F.explode("positions").alias("pos")))
+        if filter_duplicate_text:
+            g = int(dup_gram)
+            # ordered per-doc stream: (pos, term) — term tie-break pins
+            # same-position rows (code tokenizer whole-ident forms)
+            w = Window.partitionBy("doc_id").orderBy("pos", "term")
+            gram_cols = [F.col("term")] + [
+                F.lead("term", i).over(w) for i in range(1, g)]
+            end_pos = F.lead("pos", g - 1).over(w)
+            grams = (occ.select(
+                         "doc_id", F.col("pos").alias("start"),
+                         end_pos.alias("end"),
+                         F.concat_ws(" ", *gram_cols).alias("gram"),
+                         F.lead("term", g - 1).over(w).alias("_last"))
+                     .where(F.col("_last").isNotNull()))
+            first = (grams.groupBy("gram")
+                     .agg(F.min(F.struct("doc_id", "start"))
+                          .alias("f"))
+                     .select("gram", F.col("f.doc_id").alias("f_doc"),
+                             F.col("f.start").alias("f_start")))
+            dup = (grams.join(first, "gram")
+                   .where((F.col("doc_id") > F.col("f_doc"))
+                          | ((F.col("doc_id") == F.col("f_doc"))
+                             & (F.col("start") > F.col("f_start")))))
+            covered = (dup.select(
+                           "doc_id",
+                           F.explode(F.sequence("start", "end"))
+                           .alias("pos"))
+                       .distinct())
+            occ = occ.join(covered, ["doc_id", "pos"], "left_anti")
+        fg = (occ.groupBy("term")
+              .agg(F.countDistinct("doc_id").alias("fg_df")))
+        st = self.stats.get("fields", {}).get("content", {})
+        bg_n = float(st.get("n_docs", 1)) or 1.0
+        bg = (self.spark.read.parquet(
+                  os.path.join(self.index_dir, "termdict"))
+              .where(~F.col("term").contains(":"))
+              .select("term", F.col("df").alias("bg_df")))
+        fg_pct = F.col("fg_df") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df") / F.lit(bg_n)
+        score = self._sig_score(
+            heuristic, F.col("fg_df").cast("double"),
+            F.col("bg_df").cast("double"), float(fg_n), bg_n)
+        out = (fg.join(bg, "term")
+               .where(fg_pct > bg_pct)
+               .select("term",
+                       F.col("fg_df").cast("long").alias("fg_df"),
+                       F.col("bg_df").cast("long").alias("bg_df"),
+                       F.round(score, 6).alias("score")))
+        if exclude_query_terms and plan.terms:
+            out = out.where(~F.col("term").isin(list(plan.terms)))
+        return out.orderBy(F.desc("score"), F.asc("term")).limit(size)
 
     def suggest_terms_local(self, query: str, max_edits: int = 2,
                             per_term: int = 3) -> pd.DataFrame:

@@ -246,3 +246,142 @@ def test_bucket_correlation(reader, toks, corpus):
         Q, F.length("content"), 50.0).toPandas().iloc[0]
     assert int(got["n_buckets"]) == h.size
     assert abs(float(got["correlation"]) - want) <= 1e-6
+
+
+# --------------------------------------------------- sparse_vector
+
+
+SV_W = {"index": 2.0, "merge": 1.0, "slow": 0.25}
+
+
+def test_sparse_vector_dot_product(reader, toks):
+    want = {}
+    for d, ts in toks.items():
+        s = sum(w * ts.count(t) for t, w in SV_W.items())
+        if s > 0:
+            want[d] = s
+    wdf = (pd.DataFrame({"doc_id": list(want), "score": list(want.values())})
+           .sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort").head(10))
+    got = reader.search_sparse_vector(SV_W, k=10).toPandas()
+    assert got["doc_id"].tolist() == wdf["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               wdf["score"].to_numpy(), rtol=1e-12)
+
+
+def test_sparse_vector_local_parity(reader):
+    loc = reader.search_sparse_vector(SV_W, k=10, engine="local")
+    spk = reader.search_sparse_vector(SV_W, k=10).toPandas()
+    assert spk["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  loc["score"].to_numpy())
+
+
+def test_sparse_vector_prune_below(reader, toks):
+    """prune_below drops the low-weight token BEFORE the scan: result
+    equals querying without it."""
+    a = reader.search_sparse_vector(SV_W, k=10, prune_below=0.5,
+                                    engine="local")
+    b = reader.search_sparse_vector({"index": 2.0, "merge": 1.0}, k=10,
+                                    engine="local")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(),
+                                  b["score"].to_numpy())
+
+
+def test_sparse_vector_negative_weight_rejected(reader):
+    with pytest.raises(ValueError, match="non-negative"):
+        reader.search_sparse_vector({"index": -1.0}, engine="local")
+
+
+# --------------------------------------------------- significant_text
+
+
+SIG_BOILER = "alpha beta gamma delta epsilon zeta"
+SIG_DOCS = [
+    f"{SIG_BOILER} uniqzero customer",       # d0: boilerplate + customer
+    f"{SIG_BOILER} uniqone customer",        # d1: SAME boilerplate
+    "customer uniqtwo hello world",          # d2: fg, no boilerplate
+    "alpha hello things",                    # d3: bg only
+    "beta world other",                      # d4
+    "gamma words here",                      # d5
+    "plain filler text",                     # d6
+    "more filler words",                     # d7
+]
+
+
+@pytest.fixture(scope="module")
+def sig_reader(spark, tmp_path_factory):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(SIG_DOCS)),
+        "repo": "r", "path": [str(i) for i in range(len(SIG_DOCS))],
+        "commit": "c0", "lang": "text", "content": SIG_DOCS,
+    })
+    out = str(tmp_path_factory.mktemp("idx_sigtext"))
+    build_index(spark, spark.createDataFrame(pdf), out, CFG,
+                id_col="doc_id")
+    return IndexReader(spark, out)
+
+
+def _sig_text_oracle(dedup: bool, size: int = 20) -> pd.DataFrame:
+    """Pure-python mirror of the significant_text rule over SIG_DOCS."""
+    toks = [d.split() for d in SIG_DOCS]
+    fg_ids = [i for i, ts in enumerate(toks) if "customer" in ts]
+    kept: dict[int, list[str]] = {}
+    seen: dict[str, tuple] = {}
+    covered: dict[int, set] = {i: set() for i in fg_ids}
+    if dedup:
+        for d in fg_ids:
+            ts = toks[d]
+            for s in range(len(ts) - 5):
+                gram = " ".join(ts[s:s + 6])
+                if gram in seen:
+                    covered[d].update(range(s, s + 6))
+                else:
+                    seen[gram] = (d, s)
+    for d in fg_ids:
+        kept[d] = [t for p, t in enumerate(toks[d])
+                   if p not in covered[d]]
+    fg_n, bg_n = float(len(fg_ids)), float(len(toks))
+    fg_df: dict[str, int] = {}
+    for d in fg_ids:
+        for t in set(kept[d]):
+            fg_df[t] = fg_df.get(t, 0) + 1
+    bg_df = {t: sum(1 for ts in toks if t in ts)
+             for t in fg_df}
+    rows = []
+    for t, f in fg_df.items():
+        if t == "customer":
+            continue
+        fp, bp = f / fg_n, bg_df[t] / bg_n
+        if fp > bp:
+            rows.append((t, f, bg_df[t], round((fp - bp) * fp / bp, 6)))
+    out = pd.DataFrame(rows, columns=["term", "fg_df", "bg_df", "score"])
+    return (out.sort_values(["score", "term"], ascending=[False, True],
+                            kind="mergesort").head(size)
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("dedup", [True, False])
+def test_significant_text(sig_reader, dedup):
+    got = sig_reader.significant_text(
+        "customer", size=20, filter_duplicate_text=dedup).toPandas()
+    want = _sig_text_oracle(dedup)
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["fg_df"].tolist() == want["fg_df"].tolist()
+    assert got["bg_df"].tolist() == want["bg_df"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), atol=1e-6)
+
+
+def test_significant_text_dedup_suppresses_boilerplate(sig_reader):
+    """The copy-pasted 6-gram counts once: fg_df(alpha) drops 2 -> 1."""
+    on = sig_reader.significant_text(
+        "customer", size=20, filter_duplicate_text=True).toPandas()
+    off = sig_reader.significant_text(
+        "customer", size=20, filter_duplicate_text=False).toPandas()
+    f_on = dict(zip(on["term"], on["fg_df"]))
+    f_off = dict(zip(off["term"], off["fg_df"]))
+    assert f_off.get("alpha", 0) == 2
+    # alpha survives in d0 (first occurrence) only
+    assert f_on.get("alpha", 0) <= 1
