@@ -2213,6 +2213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bigram_logprob"] = _q_bigram_lm
 
+    def _q_ccnet_buckets(s: SparkSession, d: str) -> DataFrame:
+        # CCNet head/middle/tail bucketing (Wenzek 2020): per-language
+        # equal-count ntile(3) over the unigram-LM fluency score
+        return curation.ccnet_buckets(_t(s, d, "documents"))
+
+    q["ccnet_buckets"] = _q_ccnet_buckets
+
     def _q_span_near_unordered(s: SparkSession, d: str) -> DataFrame:
         # span_near(in_order=false) / ES intervals ordered:false:
         # 'slow' and 'query' in any order within a 5-slot window;
@@ -2364,6 +2371,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame(pdf, "doc_id long, score double")
 
     q["intervals_filter"] = _q_intervals_filter
+
+    def _q_span_multi(s: SparkSession, d: str) -> DataFrame:
+        # ES span_multi (Lucene SpanMultiTermQueryWrapper): a multi-term
+        # query (wildcard sl*) as a span clause inside span_near(slop=0,
+        # in_order) — composed on the intervals algebra: all_of(ordered,
+        # max_gaps=0, [wildcard, match]); expansion rides the sub-linear
+        # termdict automaton walk, capped at 128 as ES does
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.intervals_local(
+            {"all_of": {"ordered": True, "max_gaps": 0, "intervals": [
+                {"wildcard": {"wildcard": "sl*"}},
+                {"match": {"query": "query"}}]}}, k=40)
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["span_multi"] = _q_span_multi
 
     def _q_quality_classifier(s: SparkSession, d: str) -> DataFrame:
         # GPT-3/WebText-style hashed logistic quality classifier:
@@ -4050,6 +4076,24 @@ SELECT t.doc_id, count(*) AS n_tokens,
        round(avg(ln(f.ctf)) - ln(max(tot.total)), 6) AS avg_logprob
 FROM tok t JOIN f USING (term) CROSS JOIN tot
 GROUP BY t.doc_id"""
+    # ccnet_buckets: per-lang ntile(3) over (rounded score desc, doc_id)
+    # — both engines order by the ROUNDED score, a total order
+    o["ccnet_buckets"] = f"""
+WITH {_TOK},
+f AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok GROUP BY term),
+tot AS (SELECT sum(ctf) AS total FROM f),
+sc AS (SELECT t.doc_id, round(avg(ln(f.ctf)) - ln(max(tot.total)), 6)
+              AS avg_logprob
+       FROM tok t JOIN f USING (term) CROSS JOIN tot GROUP BY t.doc_id),
+b AS (SELECT d.doc_id, d.lang, sc.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY sc.avg_logprob DESC, d.doc_id)
+                 AS bucket
+      FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+SELECT doc_id, lang, avg_logprob, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket_name
+FROM b"""
     o["mad_agg"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'window')),
@@ -4453,6 +4497,29 @@ pr AS (SELECT a.doc_id FROM pa a JOIN pb b ON b.doc_id = a.doc_id
              AND x.p > a.p AND x.p < b.p)
          AND NOT EXISTS (SELECT 1 FROM pb y WHERE y.doc_id = a.doc_id
              AND y.p > a.p AND y.p < b.p)),
+ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM pr GROUP BY doc_id),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM ph)
+SELECT ph.doc_id,
+       round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN dfp
+ORDER BY round(ln(1.0 + (st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+               * ph.tf / (ph.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) DESC,
+         ph.doc_id
+LIMIT 10"""
+    # span_multi: wildcard sl* followed immediately by 'query' — with
+    # max_gaps=0 the pair is adjacent (b = a+1), so the minimal-interval
+    # NOT EXISTS guards are vacuous; tf = adjacent-pair count
+    o["span_multi"] = f"""
+WITH {_ARR},
+pa AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] LIKE 'sl%'),
+pb AS (SELECT doc_id, i AS p FROM arr,
+       unnest(range(1, len(ts) + 1)) AS t(i) WHERE ts[i] = 'query'),
+pr AS (SELECT a.doc_id FROM pa a JOIN pb b ON b.doc_id = a.doc_id
+       WHERE b.p = a.p + 1),
 ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM pr GROUP BY doc_id),
 dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM arr WHERE len(ts) > 0),
 st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),

@@ -312,6 +312,45 @@ def mix_sources(docs: DataFrame, weights: dict[str, float],
             .drop("_n"))
 
 
+def ccnet_buckets(docs: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang", id_col: str = "doc_id",
+                  n_buckets: int = 3) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §3.3, public): score each document with a language-model fluency
+    score — here the corpus unigram LM (textstats.unigram_logprob, the
+    KenLM stand-in this repo uses throughout) — then split EACH
+    LANGUAGE into `n_buckets` equal-count buckets by score order.
+    Bucket 1 ("head") is the most fluent third, "tail" the least; LLM
+    pipelines train on head+middle and drop or downweight tail.
+
+    Deterministic: ntile over (rounded score desc, doc_id) — a total
+    order, so buckets are identical across runs, partitionings, and
+    engines (the DuckDB oracle reproduces them exactly).
+
+    Scale shape: LM scoring is two partial-agg groupBys + one
+    term-keyed sort-merge join (see unigram_logprob — nothing
+    corpus-sized on the driver); the split is ONE window partitioned by
+    language, so each language sorts in its own tasks, no global sort.
+    Caveat at 100 TB: a dominant language funnels through one task's
+    sort — swap the ntile for approx_percentile score cutoffs computed
+    in a first pass (two-phase, buckets identical up to quantile
+    error); kept exact here for the oracle contract."""
+    from maestro_spark.operators.textstats import unigram_logprob
+    scores = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.desc("avg_logprob"), F.asc(id_col)))
+    bucket = F.ntile(n_buckets).over(w)
+    name = bucket.cast("string")
+    if n_buckets == 3:
+        name = (F.when(bucket == 1, "head")
+                .when(bucket == 2, "middle")
+                .otherwise("tail"))
+    return (docs.select(id_col, lang_col)
+            .join(scores, id_col)
+            .select(id_col, lang_col, "avg_logprob",
+                    bucket.alias("bucket"), name.alias("bucket_name")))
+
+
 def frequent_item_sets(docs: DataFrame, min_support: float = 0.25,
                        top: int = 20, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:

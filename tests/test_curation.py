@@ -329,3 +329,28 @@ def test_c4_quality_corpus_matches_brute(spark, docs):
                          r["has_brace"], r["keep"], r["clean_text"])
            for r in curation.c4_quality(sdf).collect()}
     assert got == want
+
+
+def test_ccnet_buckets_per_lang_tertiles(spark, docs):
+    """CCNet head/middle/tail: per-language equal-count ntile over
+    (rounded LM score desc, doc_id) — recompute the expected bucket
+    from the returned scores and the standard ntile rule."""
+    out = curation.ccnet_buckets(docs).toPandas()
+    assert len(out) == docs.count()
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values(["avg_logprob", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        n = len(g)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        want = [b + 1 for b, sz in enumerate(sizes) for _ in range(sz)]
+        assert g["bucket"].tolist() == want, lang
+        names = {1: "head", 2: "middle", 3: "tail"}
+        assert g["bucket_name"].tolist() == [names[b] for b in want]
+
+
+def test_ccnet_buckets_deterministic(spark, docs):
+    a = curation.ccnet_buckets(docs).toPandas().sort_values("doc_id")
+    b = (curation.ccnet_buckets(docs.repartition(7)).toPandas()
+         .sort_values("doc_id"))
+    assert a["bucket"].tolist() == b["bucket"].tolist()
