@@ -351,6 +351,38 @@ def main() -> None:
         reader.fuzzy_terms("getusername", max_edits=2, prefix_length=3)
         timings["fuzzy_prefix_expand"] = round(time.time() - t0, 4)
 
+        # round-3 session-9 families: learned-sparse dot product (both
+        # engines), script_score (full-match-set rescoring), most_fields
+        # combine, significant_text with 6-gram dedup, bucket pipelines
+        sv_w = {"index": 2.0, "merge": 1.0, "return": 0.5}
+        t0 = time.time()
+        reader.search_sparse_vector(sv_w, k=10).collect()
+        timings["sparse_vector"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_sparse_vector(sv_w, k=10, engine="local")
+        timings["sparse_vector_local"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        reader.search_script_score(
+            "index query merge",
+            F.col("_score") / (F.lit(1.0) + F.log1p(F.length("content"))),
+            k=10, cols=("content",)).collect()
+        timings["script_score"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.multi_match("index java", ("content", "lang"), k=10,
+                           mm_type="most_fields").collect()
+        timings["most_fields"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.significant_text("error retry", size=10).collect()
+        timings["significant_text_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_percentiles_bucket(
+            "index merge", F.length("content"), 100.0).collect()
+        timings["percentiles_bucket"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reader.search_bucket_ks_test(
+            "index merge", F.length("content"), 100.0).collect()
+        timings["bucket_ks_test"] = round(time.time() - t0, 3)
+
         # snapshot-clone overhead (the versioned-incremental fixed cost:
         # hardlinks only, O(#files) — must stay ~ms at any corpus size)
         from maestro_spark.sources.tableio import hardlink_clone
@@ -414,6 +446,8 @@ def main() -> None:
     timed("dsir_weights", lambda: curation.dsir_weights(
         documents, documents.where(F.col("doc_id") % 17 == 0),
         n_buckets=1024).agg(F.avg("logratio")).collect())
+    timed("ccnet_buckets", lambda: curation.ccnet_buckets(documents)
+          .groupBy("lang", "bucket_name").count().collect())
 
     from maestro_spark.operators.percolate import percolate
     pq = spark.createDataFrame(
