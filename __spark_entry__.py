@@ -777,6 +777,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dedup"] = _q_substring_dedup
 
+    def _q_substring_clean(s: SparkSession, d: str) -> DataFrame:
+        # ExactSubstr MATERIALIZATION (Lee et al. 2022): every duplicated
+        # 8-gram occurrence except the first (in (doc, start) order) is
+        # excised and the cleaned text rebuilt — the step that actually
+        # produces the training corpus
+        return dedup.substring_dedup_clean(
+            _t(s, d, "documents"), n=8, hash_fn="text")
+
+    q["substring_dedup_clean"] = _q_substring_clean
+
     def _q_frequent_item_sets(s: SparkSession, d: str) -> DataFrame:
         # ES frequent_item_sets agg (apriori pair mining): token pairs
         # co-occurring in >= 25% of docs, top 20
@@ -2595,6 +2605,31 @@ SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens,
        round(coalesce(g.dup_tokens, 0)::DOUBLE
              / greatest(len(a.ts), 1), 6) AS dup_fraction
 FROM arr a LEFT JOIN agg g USING (doc_id)"""
+    # ExactSubstr excision: keep-first total order = doc_id·10^6 + start
+    # (docs are far shorter than 10^6 tokens); positions 1-based both sides
+    o["substring_dedup_clean"] = f"""
+WITH {_ARR},
+w AS (SELECT doc_id, i AS s, array_to_string(ts[i : i + 7], ' ') AS gram
+      FROM arr, unnest(range(1, len(ts) - 6)) AS t(i) WHERE len(ts) >= 8),
+gc AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+dw AS (SELECT w.doc_id, w.s, w.gram FROM w JOIN gc USING (gram)),
+fr AS (SELECT gram, min(doc_id * 1000000 + s) AS fkey FROM dw GROUP BY gram),
+lt AS (SELECT d.doc_id, d.s FROM dw d JOIN fr USING (gram)
+       WHERE d.doc_id * 1000000 + d.s > fr.fkey),
+cov AS (SELECT DISTINCT doc_id, s + j AS pos
+        FROM lt, unnest(range(0, 8)) AS t(j)),
+tp AS (SELECT doc_id, i AS pos, ts[i] AS term
+       FROM arr, unnest(range(1, len(ts) + 1)) AS t(i)),
+kept AS (SELECT tp.doc_id, tp.pos, tp.term FROM tp
+         LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         WHERE cov.pos IS NULL),
+rb AS (SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+              string_agg(term, ' ' ORDER BY pos) AS clean_text
+       FROM kept GROUP BY doc_id)
+SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens,
+       coalesce(rb.kept_tokens, 0)::BIGINT AS kept_tokens,
+       coalesce(rb.clean_text, '') AS clean_text
+FROM arr a LEFT JOIN rb USING (doc_id)"""
     o["frequent_item_sets"] = f"""
 WITH {_TOK},
 dt AS (SELECT DISTINCT doc_id, term AS item FROM tok),

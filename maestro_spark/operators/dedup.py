@@ -599,3 +599,89 @@ def substring_dup_stats(docs: DataFrame, n: int = 8,
             .alias("dup_fraction"),
         )
     )
+
+
+def substring_dedup_clean(docs: DataFrame, n: int = 8,
+                          min_count: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """ExactSubstr dedup MATERIALIZATION (Lee et al. 2022 — the step
+    their released tool performs after detection): excise every
+    duplicated window occurrence EXCEPT the first, producing the
+    cleaned corpus a training pipeline actually feeds the tokenizer.
+    Deterministic keep-first rule: a token position p of doc d is
+    removed iff some window (d, s), s ≤ p < s+n, has a corpus-wide
+    duplicated key (count ≥ min_count) and (d, s) is not that key's
+    first occurrence in (doc_id, start) order — so one copy of every
+    duplicated passage survives, boilerplate repeated 10⁶× survives
+    exactly once.
+
+    Returns (doc_id, n_tokens, kept_tokens, clean_text); clean_text is
+    the kept tokens rejoined with single spaces (the simple tokenizer
+    is not invertible — whitespace/punctuation normalize away, as in
+    the paper's token-level variant).
+
+    100 TB shape — same skeleton as substring_dup_stats plus one
+    partial-agg: window keys shuffle as 8-byte hashes (hash_fn="text"
+    keeps strings for SQL-oracle parity at test scale); first
+    occurrences come from ONE min(struct(doc, start)) per duplicated
+    key (map-side combine — the paragraph_dedup shape, no corpus
+    window); covered positions and the text rebuild are per-doc
+    (bounded by the longest document). The rebuild's
+    sort_array(collect_list(struct(pos, term))) is doc-length-bounded,
+    never corpus-bounded."""
+    toks = simple_token_col(F.col(text_col))
+    base = spread(docs).select(
+        F.col(id_col), toks.alias("_ts"), F.size(toks).alias("n_tokens"))
+    starts = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", F.slice(F.col("_ts"), F.col("start"), n))
+    key = F.md5(gram) if hash_fn == "md5" else (
+        gram if hash_fn == "text" else F.xxhash64(gram))
+    w = (base.select(id_col, "_ts", F.explode(starts).alias("start"))
+         .select(id_col, "start", key.alias("_k"))).persist()
+    dup_keys = (w.groupBy("_k").agg(F.count("*").alias("_c"))
+                .where(F.col("_c") >= min_count).select("_k"))
+    dupw = w.join(dup_keys, "_k")
+    first = (dupw.groupBy("_k")
+             .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("start").alias("s"))).alias("f"))
+             .select("_k", F.col("f.d").alias("_fd"),
+                     F.col("f.s").alias("_fs")))
+    later = (dupw.join(first, "_k")
+             .where((F.col(id_col) > F.col("_fd"))
+                    | ((F.col(id_col) == F.col("_fd"))
+                       & (F.col("start") > F.col("_fs")))))
+    covered = (later.select(
+                   F.col(id_col),
+                   F.explode(F.sequence(
+                       F.col("start"),
+                       F.col("start") + F.lit(n - 1))).alias("pos"))
+               .distinct())
+    tok_rows = base.select(
+        id_col, "n_tokens",
+        F.posexplode("_ts").alias("pos0", "term")
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col, "n_tokens")
+               .agg(F.sort_array(F.collect_list(
+                        F.struct("pos", "term"))).alias("_kt"))
+               .select(
+                   id_col,
+                   F.col("n_tokens").cast("long").alias("n_tokens"),
+                   F.size("_kt").cast("long").alias("kept_tokens"),
+                   F.concat_ws(
+                       " ", F.transform(F.col("_kt"), lambda s: s["term"])
+                   ).alias("clean_text")))
+    # a doc absent from `rebuilt` had NO surviving token rows — either
+    # empty to begin with or fully excised; both get kept_tokens = 0
+    return (base.select(id_col,
+                        F.col("n_tokens").cast("long").alias("n_tokens"))
+            .join(rebuilt.drop("n_tokens"), id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("kept_tokens", F.lit(0).cast("long"))
+                    .alias("kept_tokens"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))

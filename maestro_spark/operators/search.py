@@ -3002,10 +3002,15 @@ class IndexReader:
                 acc += float(f)
                 cf.append(acc)
             # positional alignment with the sorted bucket keys (ES takes
-            # fractions positionally too); length-checked at plan time
-            # via element_at's null on overflow -> max ignores
-            ecdf_e = F.element_at(
-                F.array(*[F.lit(x) for x in cf]), F.col("rk"))
+            # fractions positionally too). NO silent cap: a fractions
+            # vector shorter than the bucket count fails the job at
+            # runtime instead of dropping tail buckets from the test
+            guard = F.assert_true(
+                F.col("rk") <= F.lit(len(cf)),
+                F.lit("bucket_count_ks_test: fractions has fewer entries "
+                      "than histogram buckets"))
+            ecdf_e = F.when(guard.isNull(), F.element_at(
+                F.array(*[F.lit(x) for x in cf]), F.col("rk")))
         diff = ecdf_a - ecdf_e
         out = j.agg(
             F.max("n_buckets").alias("n_buckets"),
@@ -4457,6 +4462,10 @@ class IndexReader:
                .select("doc_id", "term",
                        F.explode("positions").alias("pos")))
         if filter_duplicate_text:
+            # occ feeds two plan branches (the gram stream and the final
+            # anti-join); persist so the match-set re-analysis runs once
+            # (the LSH-signature convention, dedup.py)
+            occ = occ.persist()
             g = int(dup_gram)
             # ordered per-doc stream: (pos, term) — term tie-break pins
             # same-position rows (code tokenizer whole-ident forms)

@@ -295,3 +295,42 @@ def test_substring_dup_corpus_matches_brute(spark, documents):
                 got[d]["dup_tokens"]) != want[d][:3]]
     assert not mism, mism[:5]
     assert any(v[1] > 0 for v in want.values()), "corpus has no dups?"
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "text"])
+def test_substring_dedup_clean_planted(spark, hash_fn):
+    """ExactSubstr excision keeps the FIRST occurrence of a duplicated
+    run (in (doc, start) order) and excises every later one."""
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, f"intro {run} outro zero"),
+        (1, f"{run} tail one two"),
+        (2, f"{run} mid {run}"),
+        (3, "nothing shared here at all in this document body text"),
+        (4, "too short"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dedup_clean(d, n=8, hash_fn=hash_fn).collect()}
+    # doc 0 is the first occurrence: everything survives
+    assert got[0]["kept_tokens"] == got[0]["n_tokens"]
+    assert got[0]["clean_text"] == f"intro {run} outro zero"
+    # doc 1's copy is later: the 8-token run is excised
+    assert got[1]["clean_text"] == "tail one two"
+    assert got[1]["kept_tokens"] == 3
+    # doc 2: both of its copies are later than doc 0's -> only 'mid'
+    assert got[2]["clean_text"] == "mid"
+    # clean docs untouched
+    assert got[3]["clean_text"] == rows[3][1]
+    assert got[4]["clean_text"] == "too short"
+
+
+def test_substring_dedup_clean_fully_excised(spark):
+    """A doc that is exactly one later duplicated window keeps nothing."""
+    run = "a1 b2 c3 d4 e5 f6 g7 h8"
+    d = spark.createDataFrame([(0, f"{run} x"), (1, run)],
+                              "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in dedup.substring_dedup_clean(d, n=8).collect()}
+    assert got[1]["kept_tokens"] == 0 and got[1]["clean_text"] == ""
+    assert got[0]["kept_tokens"] == 9

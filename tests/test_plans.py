@@ -297,3 +297,47 @@ def test_has_child_one_row_per_parent_partial_agg(spark, idx, tmp_path):
     # exchange, final after — the exchange moves parents, not children
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_session9_plans(spark, idx):
+    """Session-9 family: script_score / bucket pipelines stay JVM-side —
+    the only Python nodes are the posting grouped-maps (match_shard /
+    score_all), never a row-wise UDF over doc rows; script_score's
+    docstore join prunes to the script's columns; ccnet_buckets is pure
+    WSCG + one lang-partitioned window."""
+    from maestro_spark.operators import curation
+    reader = IndexReader(spark, idx)
+    frames = [
+        reader.search_percentiles_bucket("index merge",
+                                         F.length("content"), 100.0),
+        reader.search_bucket_ks_test("index merge",
+                                     F.length("content"), 100.0),
+        reader.search_bucket_correlation("index merge",
+                                         F.length("content"), 100.0),
+        reader.search_script_score(
+            "index merge",
+            F.col("_score") / (F.lit(1.0) + F.log1p(F.length("content"))),
+            cols=("content",)),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+        assert "BatchEvalPython" not in plan \
+            and "ArrowEvalPython" not in plan
+        assert plan.count("FlatMapGroupsInPandas") \
+            == plan.count("match_shard") + plan.count("score_all")
+    # script_score with cols=("lang",) must not read the wide content
+    # column from the docstore
+    df = reader.search_script_score(
+        "index merge",
+        F.col("_score") * F.when(F.col("lang") == "java", 2.0)
+        .otherwise(1.0), cols=("lang",))
+    plan = _plan(df)
+    for seg in plan.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "content" not in head, "docstore scan must prune content"
+    # ccnet_buckets: no Python nodes at all (scoring is one token join)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(curation.ccnet_buckets(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -385,3 +385,14 @@ def test_significant_text_dedup_suppresses_boilerplate(sig_reader):
     assert f_off.get("alpha", 0) == 2
     # alpha survives in d0 (first occurrence) only
     assert f_on.get("alpha", 0) <= 1
+
+
+def test_bucket_ks_test_short_fractions_raises(reader):
+    """NO silent cap: fewer fractions than buckets fails the job
+    instead of dropping tail buckets from the test."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="fewer entries"):
+        reader.search_bucket_ks_test(
+            Q, F.length("content"), 50.0, fractions=[1.0]).collect()
