@@ -4428,13 +4428,21 @@ class IndexReader:
         with ≥1 SURVIVING occurrence of the term; bg/scoring identical
         to significant_terms (same heuristics, same termdict background).
 
-        Plan shape: re-analysis with positions is match-set-bounded
-        (mapInArrow, dictionary-coded); grams form from 5 lead() columns
-        in one window partitioned by doc (WSCG after the per-doc sort);
-        the first-occurrence rule is one partial-agg min(struct) per
-        distinct gram (the paragraph_dedup shape — no corpus window);
-        covered positions anti-join the occurrences. Everything is
-        bounded by foreground token count, never corpus size."""
+        Plan shape: re-analysis is match-set-bounded (mapInArrow,
+        dictionary-coded). The dedup path makes exactly TWO
+        foreground-scale shuffles and sorts nothing corpus-wide: (1) one
+        groupBy(doc) rebuilds each doc's ordered token array (per-doc
+        sort_array — doc-length bounded); gram hashes then form
+        MAP-SIDE as one xxhash64-over-slice array HOF (the decontaminate
+        window-hash convention: 8-byte keys, no n-gram string ever
+        built; a 64-bit collision would suppress one extra span —
+        birthday odds ~1e-6 at 10^7 grams); (2) one groupBy(gram hash)
+        finds first occurrences (min(struct) partial agg — the
+        paragraph_dedup shape). Later-duplicate starts fold back per doc
+        and suppression is a per-doc array filter (WSCG HOFs), so no
+        occurrence-scale anti-join, window sort, or countDistinct ever
+        runs. Everything is bounded by foreground token count, never
+        corpus size."""
         plan = self.plan(query)
         matches = self.match_docs(query, mode)
         fg_n = self.count_local(query, mode=mode)
@@ -4445,6 +4453,8 @@ class IndexReader:
         docs = self._docs().select("shard", "doc_id", "content")
         matched = matches.join(docs, ["shard", "doc_id"], "inner")
         tok_name = self.cfg.get("tokenizer", "code")
+        g = int(dup_gram)
+        with_pos = bool(filter_duplicate_text)
 
         def fg_iter(batches):
             from maestro_spark.functions.tokenize import bounded_batches
@@ -4453,49 +4463,76 @@ class IndexReader:
                     continue
                 for sub in bounded_batches(b):
                     yield from token_record_batches(
-                        sub, ("content",), tok_name, True)
+                        sub, ("content",), tok_name, with_pos)
 
-        occ = (matched.mapInArrow(
-                   fg_iter,
-                   schema="doc_id long, shard int, term string, tf long, "
-                          "dl long, field string, positions array<long>")
-               .select("doc_id", "term",
-                       F.explode("positions").alias("pos")))
-        if filter_duplicate_text:
-            # occ feeds two plan branches (the gram stream and the final
-            # anti-join); persist so the match-set re-analysis runs once
-            # (the LSH-signature convention, dedup.py)
-            occ = occ.persist()
-            g = int(dup_gram)
-            # ordered per-doc stream: (pos, term) — term tie-break pins
+        tok_schema = ("doc_id long, shard int, term string, tf long, "
+                      "dl long, field string")
+        if not filter_duplicate_text:
+            # token_record_batches emits ONE row per (doc, term): fg_df
+            # is a plain count — no positions, no explode
+            fg = (matched.mapInArrow(fg_iter, schema=tok_schema)
+                  .groupBy("term").agg(F.count("*").alias("fg_df")))
+        else:
+            occ = (matched.mapInArrow(
+                       fg_iter, schema=tok_schema + ", positions array<long>")
+                   .select("doc_id", "term",
+                           F.explode("positions").alias("pos")))
+            # (1) per-doc ordered token array; (pos, term) sort pins
             # same-position rows (code tokenizer whole-ident forms)
-            w = Window.partitionBy("doc_id").orderBy("pos", "term")
-            gram_cols = [F.col("term")] + [
-                F.lead("term", i).over(w) for i in range(1, g)]
-            end_pos = F.lead("pos", g - 1).over(w)
-            grams = (occ.select(
-                         "doc_id", F.col("pos").alias("start"),
-                         end_pos.alias("end"),
-                         F.concat_ws(" ", *gram_cols).alias("gram"),
-                         F.lead("term", g - 1).over(w).alias("_last"))
-                     .where(F.col("_last").isNotNull()))
+            # darr feeds two branches (the gram stream and the final
+            # suppression join) and grams feeds two (first-occurrence agg
+            # + the later-dup join): persist both so tokenization runs
+            # once and each gram hashes once (the LSH-signature
+            # convention, dedup.py)
+            darr = (occ.groupBy("doc_id")
+                    .agg(F.sort_array(F.collect_list(
+                             F.struct("pos", "term"))).alias("_st"))
+                    .select("doc_id",
+                            F.transform("_st", lambda s: s["term"])
+                            .alias("_ts"))
+                    .persist())
+            nt = F.size("_ts")
+            starts = F.when(
+                nt >= g, F.sequence(F.lit(1), nt - (g - 1))
+            ).otherwise(F.array().cast("array<int>"))
+            ghs = F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.xxhash64(F.slice(F.col("_ts"), i, g)).alias("gram")))
+            grams = (darr.select("doc_id", F.explode(ghs).alias("sg"))
+                     .select("doc_id", F.col("sg.start").alias("start"),
+                             F.col("sg.gram").alias("gram"))
+                     .persist())
+            # (2) first occurrence per gram hash in (doc, start) order
             first = (grams.groupBy("gram")
-                     .agg(F.min(F.struct("doc_id", "start"))
-                          .alias("f"))
+                     .agg(F.min(F.struct("doc_id", "start")).alias("f"))
                      .select("gram", F.col("f.doc_id").alias("f_doc"),
                              F.col("f.start").alias("f_start")))
-            dup = (grams.join(first, "gram")
-                   .where((F.col("doc_id") > F.col("f_doc"))
-                          | ((F.col("doc_id") == F.col("f_doc"))
-                             & (F.col("start") > F.col("f_start")))))
-            covered = (dup.select(
-                           "doc_id",
-                           F.explode(F.sequence("start", "end"))
-                           .alias("pos"))
-                       .distinct())
-            occ = occ.join(covered, ["doc_id", "pos"], "left_anti")
-        fg = (occ.groupBy("term")
-              .agg(F.countDistinct("doc_id").alias("fg_df")))
+            later = (grams.join(first, "gram")
+                     .where((F.col("doc_id") > F.col("f_doc"))
+                            | ((F.col("doc_id") == F.col("f_doc"))
+                               & (F.col("start") > F.col("f_start"))))
+                     .groupBy("doc_id")
+                     .agg(F.collect_list("start").alias("_ds")))
+            # suppression as a per-doc filter: token index p survives iff
+            # no later-duplicate window [s, s+g) covers it; surviving
+            # DISTINCT terms per doc feed the fg_df count
+            kept = (darr.join(later, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.array_distinct(F.transform(
+                            F.filter(
+                                F.sequence(F.lit(1), F.size("_ts")),
+                                lambda p: ~F.exists(
+                                    F.coalesce(
+                                        F.col("_ds"),
+                                        F.array().cast("array<int>")),
+                                    lambda s: (s <= p) & (p < s + g))),
+                            lambda p: F.element_at(F.col("_ts"), p)))
+                        .alias("_kt")))
+            fg = (kept.select(F.explode("_kt").alias("term"))
+                  .groupBy("term").agg(F.count("*").alias("fg_df")))
         st = self.stats.get("fields", {}).get("content", {})
         bg_n = float(st.get("n_docs", 1)) or 1.0
         bg = (self.spark.read.parquet(
