@@ -2106,6 +2106,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["auto_date_histogram"] = _q_auto_date_histo
 
+    def _q_var_width_histo(s: SparkSession, d: str) -> DataFrame:
+        # ES variable_width_histogram, deterministic variant: sorted
+        # distinct doc lengths split at the 4 largest gaps (ES's
+        # streaming clustering is order-dependent; the pinned rule is
+        # reproducible and oracle-exact — see the method docstring)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_variable_width_histogram(
+            "spark stream", F.length("content"), target_buckets=5)
+
+    q["variable_width_histogram"] = _q_var_width_histo
+
     def _q_cum_cardinality(s: SparkSession, d: str) -> DataFrame:
         # ES cumulative_cardinality pipeline agg — exact via the
         # first-occurrence identity (ES's HLL form is approximate)
@@ -4187,6 +4198,21 @@ SELECT p.iv AS interval,
        strftime(date_trunc(p.iv, g.ts), '%Y-%m-%d %H:%M:%S') AS bucket,
        count(*)::BIGINT AS n_docs
 FROM g CROSS JOIN p GROUP BY 1, 2 ORDER BY bucket"""
+    o["variable_width_histogram"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+vals AS (SELECT length(d.text)::DOUBLE AS v
+         FROM documents d JOIN m ON m.doc_id = d.doc_id),
+dv AS (SELECT DISTINCT v FROM vals),
+g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM dv),
+b AS (SELECT v FROM g WHERE gap IS NOT NULL
+      ORDER BY gap DESC, v LIMIT 4),
+asn AS (SELECT vals.v AS v,
+               (SELECT count(*) FROM b WHERE b.v <= vals.v) AS bucket
+        FROM vals)
+SELECT bucket::BIGINT AS bucket, min(v) AS min_v, max(v) AS max_v,
+       round(avg(v), 6) AS centroid, count(*)::BIGINT AS doc_count
+FROM asn GROUP BY bucket ORDER BY bucket"""
     o["cum_cardinality"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),

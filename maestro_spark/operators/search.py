@@ -3681,6 +3681,80 @@ class IndexReader:
                              "bucket", "n_docs")
                 .orderBy("bucket"))
 
+    def search_variable_width_histogram(self, query: str, value_col,
+                                        target_buckets: int = 5,
+                                        mode: str = "or",
+                                        exclude: str | None = None,
+                                        min_match: int = 1) -> DataFrame:
+        """variable_width_histogram aggregation (the ES analogue, made
+        deterministic). ES clusters the value stream into ≤
+        target_buckets variable-width buckets with an order-dependent
+        streaming nearest-centroid pass (explicitly "slightly different
+        results on every run"); this engine pins an equivalent-contract
+        DETERMINISTIC rule — split the sorted DISTINCT values at the
+        (target_buckets - 1) LARGEST adjacent gaps, ties broken by the
+        lower boundary — so results are reproducible and oracle-exact.
+        Bucket payload matches ES: min, max, centroid (= avg over all
+        matched values, duplicates included), doc_count, ordered by min.
+
+        Scale shape: the gap scan never runs a corpus-wide
+        single-partition window. Distinct values range-partition; lag()
+        runs per range partition (each already value-contiguous), and
+        the cross-partition gaps come from one tiny ordered pass over
+        the per-partition (min, max) rows — ≤ 1 row per partition.
+        Chosen split points are target-bounded, collected, and pushed
+        back as an array literal; bucket assignment is a WSCG array
+        filter over that literal (no join), and the final rollup is one
+        partial-agg groupBy on the bucket id."""
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        nb = int(target_buckets)
+        if nb < 1:
+            raise ValueError("target_buckets must be >= 1")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id", value_col.cast("double").alias("v"))
+        vals = (matches.join(docs, ["shard", "doc_id"], "inner")
+                .select("v").where(F.col("v").isNotNull()))
+        bounds: list[float] = []
+        if nb > 1:
+            dv = (vals.distinct().repartitionByRange(
+                      self.spark.sparkContext.defaultParallelism, "v")
+                  .withColumn("_pid", F.spark_partition_id()))
+            wp = Window.partitionBy("_pid").orderBy("v")
+            in_part = (dv.select(
+                           "v", (F.col("v") - F.lag("v").over(wp))
+                           .alias("gap"))
+                       .where(F.col("gap").isNotNull()))
+            # per-partition boundary rows: one (lo, hi) per non-empty
+            # range partition; ascending pid == ascending value range,
+            # so lag(hi) over pid is the preceding partition's max
+            pb = dv.groupBy("_pid").agg(F.min("v").alias("lo"),
+                                        F.max("v").alias("hi"))
+            wb = Window.orderBy("_pid")      # |partitions| rows only
+            cross = (pb.select("lo",
+                               F.lag("hi").over(wb).alias("prev_hi"))
+                     .where(F.col("prev_hi").isNotNull())
+                     .select(F.col("lo").alias("v"),
+                             (F.col("lo") - F.col("prev_hi"))
+                             .alias("gap")))
+            top = (in_part.unionByName(cross)
+                   .orderBy(F.desc("gap"), F.asc("v"))
+                   .limit(nb - 1).collect())
+            bounds = sorted(float(r["v"]) for r in top)
+        if bounds:
+            barr = F.array(*[F.lit(b) for b in bounds])
+            bucket = F.size(F.filter(barr, lambda b: b <= F.col("v")))
+        else:
+            bucket = F.lit(0)
+        return (vals.select(bucket.cast("long").alias("bucket"), "v")
+                .groupBy("bucket")
+                .agg(F.min("v").alias("min_v"),
+                     F.max("v").alias("max_v"),
+                     F.round(F.avg("v"), 6).alias("centroid"),
+                     F.count("*").alias("doc_count"))
+                .orderBy("bucket"))
+
     def search_cumulative_cardinality(self, query: str, ts_col,
                                       card_col, interval: str = "day",
                                       mode: str = "or",
