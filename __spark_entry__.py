@@ -1899,6 +1899,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["prefix_term_lookup"] = _q_prefix
 
+    def _q_terms_enum(s: SparkSession, d: str) -> DataFrame:
+        # ES _terms_enum API: paginate the sorted term dictionary —
+        # prefix 'c', cursor search_after='cu' (second page), size 8;
+        # termdict sidecar range scan, zero posting bytes, no Spark job
+        reader = IndexReader(s, _ensure_index(s, d))
+        pdf = reader.terms_enum_local("c", size=8, search_after="cu")
+        return s.createDataFrame(pdf, "term string")
+
+    q["terms_enum"] = _q_terms_enum
+
     def _q_top_events(s: SparkSession, d: str) -> DataFrame:
         from pyspark.sql import Window
         ev = _t(s, d, "events")
@@ -3965,6 +3975,12 @@ FROM events GROUP BY 1, 2"""
     o["prefix_term_lookup"] = (
         f"WITH {_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok "
         "WHERE term LIKE 'cu%' GROUP BY term"
+    )
+
+    o["terms_enum"] = (
+        f"WITH {_TOK} SELECT DISTINCT term FROM tok "
+        "WHERE term LIKE 'c%' AND term > 'cu' "
+        "ORDER BY term LIMIT 8"
     )
 
     o["top_events_per_user"] = """

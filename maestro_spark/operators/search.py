@@ -495,6 +495,66 @@ class IndexReader:
             .agg(F.sum("df").alias("df"))
         )
 
+    def terms_enum_local(self, string: str = "", size: int = 10,
+                         field: str = "content",
+                         search_after: str | None = None,
+                         case_insensitive: bool = True) -> pd.DataFrame:
+        """ES `_terms_enum` API analogue: paginate the sorted term
+        dictionary of a field — terms starting with `string`, strictly
+        after the `search_after` cursor, first `size` in term order.
+        Serves autocomplete-over-field-values (the documented ES use)
+        from the termdict sidecar: a range scan [max(prefix, cursor),
+        prefix+U+FFFF) hits parquet row-group min/max term stats, NO
+        posting bytes, no Spark job. Like ES, the response is terms
+        only (ES omits counts because they'd ignore deletes; here df
+        exists but the API stays faithful).
+
+        field="content" walks content terms (field-prefixed keyword
+        terms carry ':' and are excluded); a keyword field walks its
+        `field:` slice of the shared term namespace, cursor and prefix
+        mapped into that slice. The index is lowercased at build, so
+        case_insensitive=True folds the request (ES behavior) while
+        case_insensitive=False matches the stored form literally — an
+        uppercase prefix finds nothing, as in ES with a lowercase
+        normalizer. The loaded slice is prefix-bounded (dictionary-
+        sized worst case at prefix=''); at a 10^9-term vocabulary the
+        per-bucket term-sorted row groups support a streamed k-way
+        merge cut off at `size` — same contract, noted not built."""
+        self._refresh_if_stale()
+        if int(size) < 1:
+            raise ValueError("size must be >= 1")
+        pre = string.lower() if case_insensitive else string
+        after = search_after
+        if after is not None and case_insensitive:
+            after = after.lower()
+        ns = "" if field == "content" else f"{field}:"
+        lo = ns + pre
+        if after is not None and ns + after > lo:
+            lo = ns + after
+        hi = ns + pre + "￿"
+        td = os.path.join(self.index_dir, "termdict")
+        if os.path.exists(td):
+            ds = pads.dataset(td, format="parquet", partitioning="hive")
+            flt = (pads.field("term") < hi) & (
+                (pads.field("term") > lo) if after is not None
+                else (pads.field("term") >= lo))
+            pdf = ds.to_table(columns=["term"], filter=flt).to_pandas()
+        else:
+            rel = self._postings().select("term").distinct().where(
+                (F.col("term") < hi)
+                & ((F.col("term") > lo) if after is not None
+                   else (F.col("term") >= lo)))
+            pdf = rel.toPandas()
+        terms = pdf["term"]
+        if field == "content":
+            terms = terms[~terms.str.contains(":", regex=False)]
+        else:
+            terms = terms[terms.str.startswith(ns)].str[len(ns):]
+        terms = terms[terms.str.startswith(pre)]
+        out = terms.drop_duplicates().sort_values(kind="mergesort") \
+            .head(int(size)).reset_index(drop=True)
+        return pd.DataFrame({"term": out.astype(object)})
+
     # ---------------------------------------------------- term expansion
 
     def _content_termdict(self, lo: str | None = None,

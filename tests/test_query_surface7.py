@@ -128,3 +128,50 @@ def test_variable_width_single_bucket_is_stats(reader, corpus, toks):
     lens = [len(corpus["content"][i]) for i in matched]
     assert got["min_v"][0] == min(lens) and got["max_v"][0] == max(lens)
     assert got["doc_count"][0] == len(lens)
+
+
+# ----------------------------------- terms_enum
+
+
+def _all_content_terms(toks):
+    out = set()
+    for ts in toks.values():
+        out |= set(ts)
+    return sorted(out)
+
+
+def test_terms_enum_pages_cover_dictionary(reader, toks):
+    want = [t for t in _all_content_terms(toks) if t.startswith("m")]
+    got, after = [], None
+    while True:
+        page = reader.terms_enum_local("m", size=7, search_after=after)
+        if page.empty:
+            break
+        got.extend(page["term"])
+        assert len(page) <= 7
+        after = page["term"].iloc[-1]
+    assert got == want
+
+
+def test_terms_enum_case_handling(reader):
+    ci = reader.terms_enum_local("ME", size=50, case_insensitive=True)
+    cs = reader.terms_enum_local("ME", size=50, case_insensitive=False)
+    lower = reader.terms_enum_local("me", size=50)
+    assert list(ci["term"]) == list(lower["term"]) and len(ci) > 0
+    assert cs.empty      # stored forms are lowercase, literal miss
+
+
+def test_terms_enum_keyword_field_slice(reader, corpus):
+    got = list(reader.terms_enum_local("", size=100, field="lang")["term"])
+    want = sorted({str(v).lower() for v in corpus["lang"]})
+    assert got == want
+    # content enumeration never leaks field-prefixed keyword terms
+    allc = reader.terms_enum_local("", size=100_000)["term"]
+    assert not allc.str.contains(":", regex=False).any()
+
+
+def test_terms_enum_matches_prefix_terms(reader):
+    te = list(reader.terms_enum_local("in", size=100_000)["term"])
+    pt = sorted(reader.prefix_terms("in").toPandas()["term"])
+    pt = [t for t in pt if ":" not in t]
+    assert te == pt
