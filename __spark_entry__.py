@@ -2460,6 +2460,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["has_child"] = _q_has_child
 
+    def _q_has_child_inner(s: SparkSession, d: str) -> DataFrame:
+        # ES has_child + inner_hits: top-3 matching children attached
+        # to each returned parent (fetch-phase resolution — inner hits
+        # computed for the k returned parents only, never the full set)
+        from maestro_spark.operators import parentjoin
+        cr = IndexReader(s, _ensure_child_index(s, d))
+        return parentjoin.has_child_inner_hits(
+            cr, "slow query merge", k=10, inner_size=3,
+            score_mode="max", min_children=2)
+
+    q["has_child_inner_hits"] = _q_has_child_inner
+
     def _q_has_parent(s: SparkSession, d: str) -> DataFrame:
         # ES has_parent score=true: children inherit the parent's BM25
         # score on the PARENT index
@@ -4798,6 +4810,28 @@ SELECT p.parent, round(max(c.score), 6) AS score,
 FROM ccs c JOIN pars p ON p.cid = c.cid
 GROUP BY p.parent HAVING count(*) >= 2
 ORDER BY score DESC, parent LIMIT 10"""
+
+    o["has_child_inner_hits"] = f"""
+WITH {_ARR},
+{_PARS},
+{_child_bm25(['merge', 'query', 'slow'])},
+pa AS (SELECT p.parent, round(max(c.score), 6) AS score,
+              count(*)::BIGINT AS n_children
+       FROM ccs c JOIN pars p ON p.cid = c.cid
+       GROUP BY p.parent HAVING count(*) >= 2
+       ORDER BY score DESC, parent LIMIT 10),
+ch AS (SELECT p.parent, c.cid AS child_id,
+              round(c.score, 6) AS child_score,
+              row_number() OVER (
+                  PARTITION BY p.parent
+                  ORDER BY round(c.score, 6) DESC, c.cid
+              )::BIGINT AS child_rank
+       FROM ccs c JOIN pars p ON p.cid = c.cid)
+SELECT pa.parent, pa.score, pa.n_children,
+       ch.child_id, ch.child_score, ch.child_rank
+FROM pa JOIN ch ON ch.parent = pa.parent
+WHERE ch.child_rank <= 3
+ORDER BY pa.score DESC, pa.parent, ch.child_rank"""
 
     o["has_parent"] = f"""
 WITH {_ARR}, {_TOK},

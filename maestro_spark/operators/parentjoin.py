@@ -68,6 +68,55 @@ def has_child(child_reader, query: str, k: int = 10,
             .orderBy(F.desc("score"), F.asc("parent")).limit(k))
 
 
+def has_child_inner_hits(child_reader, query: str, k: int = 10,
+                         inner_size: int = 3, score_mode: str = "max",
+                         min_children: int = 1,
+                         max_children: int | None = None,
+                         mode: str = "or",
+                         parent_col: str = "parent") -> DataFrame:
+    """ES has_child with `inner_hits`: the has_child parent ranking,
+    plus — for each RETURNED parent only, the ES contract (inner hits
+    are resolved in the fetch phase for the final hit page, never for
+    the whole match set) — its top `inner_size` matching children
+    ranked (child_score desc, child_id asc).
+
+    Two passes over the scored child match set, exactly ES's
+    query-then-fetch shape: pass 1 is has_child (parent-key partial
+    agg → top-k), pass 2 re-joins the match set against the k returned
+    parents (broadcast — k-bounded) and ranks children inside each
+    parent's slice. The window partitions by parent over only the k
+    parents' children, so its sort is per-parent-children-bounded; the
+    hot-parent ceiling is one parent's matching children, the same
+    bound ES's per-hit inner-hits heap has.
+
+    Returns DataFrame(parent, score, n_children, child_id,
+    child_score, child_rank), child scores rounded to 6 (the
+    cross-engine determinism convention)."""
+    from pyspark.sql.window import Window
+    parents = has_child(child_reader, query, k, score_mode,
+                        min_children, max_children, mode, parent_col)
+    sm = child_reader.scored_matches(query, mode=mode)
+    docs = child_reader._docs().select(
+        "shard", "doc_id", F.col(parent_col).alias("_parent"))
+    keep = parents.select(F.col("parent").alias("_parent"),
+                          F.col("score").alias("_pscore"),
+                          "n_children")
+    ch = (sm.join(docs, ["shard", "doc_id"], "inner")
+          .join(F.broadcast(keep), "_parent")
+          .select(F.col("_parent").alias("parent"), "_pscore",
+                  "n_children", F.col("doc_id").alias("child_id"),
+                  F.round("score", 6).alias("child_score")))
+    w = Window.partitionBy("parent").orderBy(
+        F.desc("child_score"), F.asc("child_id"))
+    return (ch.withColumn("child_rank",
+                          F.row_number().over(w).cast("long"))
+            .where(F.col("child_rank") <= int(inner_size))
+            .select("parent", F.col("_pscore").alias("score"),
+                    "n_children", "child_id", "child_score",
+                    "child_rank")
+            .orderBy(F.desc("score"), F.asc("parent"), "child_rank"))
+
+
 def has_parent(child_reader, parent_reader, parent_query: str,
                k: int = 10, mode: str = "or", score: bool = True,
                parent_col: str = "parent") -> DataFrame:

@@ -157,6 +157,29 @@ def test_has_child_no_match_is_empty(spark, built):
     assert parentjoin.has_child(cr, "zzznope").count() == 0
 
 
+def test_has_child_inner_hits(spark, built):
+    _, cdir = built
+    cr = IndexReader(spark, cdir)
+    got = [(int(r["parent"]), float(r["score"]), int(r["n_children"]),
+            int(r["child_id"]), float(r["child_score"]),
+            int(r["child_rank"]))
+           for r in parentjoin.has_child_inner_hits(
+               cr, "merge query", k=5, inner_size=2,
+               score_mode="max").collect()]
+    parents = _brute_has_child("merge query", "max", k=5)
+    cs = _scores(CHILDREN, "merge query")
+    want = []
+    for p, score, n in parents:
+        kids = sorted(((round(s, 6), cid) for cid, s in cs.items()
+                       if PARENT_OF[cid] == p),
+                      key=lambda t: (-t[0], t[1]))[:2]
+        for rk, (s, cid) in enumerate(kids, 1):
+            want.append((p, score, n, cid, s, rk))
+    assert got == want
+    # inner hits exist ONLY for returned parents
+    assert {g[0] for g in got} == {p for p, _, _ in parents}
+
+
 def test_has_parent_score_propagation(spark, built):
     pdir, cdir = built
     cr, pr = IndexReader(spark, cdir), IndexReader(spark, pdir)
