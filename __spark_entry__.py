@@ -1863,6 +1863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ascending doc_id, never split, oversize doc -> own pack
     q["pack_sequences"] = lambda s, d: curation.pack_sequences(
         _t(s, d, "documents"), 2_000, "n_chars", "source", "doc_id")
+    # overlapping token-window chunking (RAG prep / ES semantic_text
+    # "word" strategy): window 30, overlap 10 -> stride 20; map-only
+    q["chunk_windows"] = lambda s, d: curation.chunk_windows(
+        _t(s, d, "documents"), window=30, overlap=10)
 
     # ---- events (batch analogue of the streaming path)
     def _q_events(s: SparkSession, d: str) -> DataFrame:
@@ -3967,6 +3971,21 @@ p AS (
 SELECT source, doc_id, n_chars::BIGINT AS n_chars, pk::BIGINT AS pack_id,
        fill::BIGINT AS pack_fill
 FROM p ORDER BY source, doc_id"""
+
+    o["chunk_windows"] = f"""
+WITH {_ARR},
+nc AS (SELECT doc_id, ts,
+              CASE WHEN len(ts) <= 30 THEN 1
+                   ELSE ceil((len(ts) - 30) / 20.0)::BIGINT + 1
+              END AS k
+       FROM arr WHERE len(ts) > 0),
+ch AS (SELECT doc_id, (i - 1)::BIGINT AS chunk_idx,
+              ((i - 1) * 20)::BIGINT AS start_tok,
+              ts[(i - 1) * 20 + 1 : (i - 1) * 20 + 30] AS w
+       FROM nc, unnest(range(1, k + 1)) AS t(i))
+SELECT doc_id, chunk_idx, start_tok, len(w)::BIGINT AS n_toks,
+       array_to_string(w, ' ') AS chunk
+FROM ch"""
 
     qs_list = ", ".join(str(q) for q in _QS)
     o["length_quantiles"] = f"""

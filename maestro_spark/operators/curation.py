@@ -417,6 +417,55 @@ def frequent_item_sets(docs: DataFrame, min_support: float = 0.25,
     )
 
 
+def chunk_windows(docs: DataFrame, window: int = 250, overlap: int = 100,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding prep
+    step (RAG chunking, public practice) and the ES `semantic_text`
+    field's "word" chunking strategy (max_chunk_size words per chunk,
+    the next chunk re-reading `overlap` words of the previous one, i.e.
+    stride = window - overlap; the final chunk is whatever remains).
+
+    Chunk count per doc: 1 if n <= window else
+    ceil((n - window) / stride) + 1 — every token is covered, chunk i
+    starts at i*stride, and only the last chunk may be short.
+
+    Returns (doc_id, chunk_idx, start_tok, n_toks, chunk) — chunk is
+    the space-joined token window the embedder consumes.
+
+    100 TB shape: tokenize/sequence/transform/slice are all array HOFs
+    over one text column inside WholeStageCodegen — map-only, ZERO
+    shuffle, and the explode multiplies rows by ~n/stride without ever
+    re-reading the source text (each output row carries only its own
+    window's text)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not 0 <= overlap < window:
+        raise ValueError("overlap must satisfy 0 <= overlap < window")
+    stride = window - overlap
+    from maestro_spark.operators.textstats import simple_token_col
+    ts = simple_token_col(F.col(text_col))
+    n = F.size(ts)
+    n_chunks = F.when(
+        n <= window, F.lit(1)
+    ).otherwise(F.ceil((n - window) / F.lit(float(stride))) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            (i * stride).cast("long").alias("start_tok"),
+            F.slice(ts, i * stride + 1, window).alias("_w")))
+    return (docs
+            .where(F.size(ts) > 0)   # token-free docs emit no chunks
+            .select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(
+                id_col,
+                F.col("c.chunk_idx").alias("chunk_idx"),
+                F.col("c.start_tok").alias("start_tok"),
+                F.size("c._w").cast("long").alias("n_toks"),
+                F.array_join("c._w", " ").alias("chunk")))
+
+
 def c4_quality(docs: DataFrame, min_words_per_line: int = 5,
                min_sentences: int = 3, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:

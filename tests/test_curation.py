@@ -354,3 +354,54 @@ def test_ccnet_buckets_deterministic(spark, docs):
     b = (curation.ccnet_buckets(docs.repartition(7)).toPandas()
          .sort_values("doc_id"))
     assert a["bucket"].tolist() == b["bucket"].tolist()
+
+
+def test_chunk_windows_matches_bruteforce(spark, docs):
+    import re
+
+    out = curation.chunk_windows(docs, window=12, overlap=4).toPandas()
+    ref = docs.select("doc_id", "text").toPandas()
+    stride = 8
+    want = {}
+    for r in ref.itertuples():
+        ts = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        if not ts:
+            continue
+        n = len(ts)
+        k = 1 if n <= 12 else -(-(n - 12) // stride) + 1
+        for i in range(k):
+            w = ts[i * stride: i * stride + 12]
+            want[(r.doc_id, i)] = (i * stride, len(w), " ".join(w))
+    got = {(r.doc_id, r.chunk_idx): (r.start_tok, r.n_toks, r.chunk)
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_chunk_windows_covers_every_token(spark, docs):
+    # strided reconstruction: dropping each chunk's first `overlap`
+    # tokens (except chunk 0) rebuilds the original token stream
+    out = (curation.chunk_windows(docs, window=10, overlap=3)
+           .toPandas().sort_values(["doc_id", "chunk_idx"]))
+    import re
+    ref = docs.select("doc_id", "text").toPandas().set_index("doc_id")
+    for doc_id, g in out.groupby("doc_id"):
+        rebuilt = []
+        for r in g.itertuples():
+            toks = r.chunk.split(" ")
+            rebuilt.extend(toks if r.chunk_idx == 0 else toks[3:])
+        ts = [t for t in re.split(
+            r"[^a-z0-9]+", ref.loc[doc_id, "text"].lower()) if t]
+        assert rebuilt == ts, doc_id
+
+
+def test_chunk_windows_is_shuffle_free(spark, docs):
+    plan = (curation.chunk_windows(docs, window=16, overlap=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_chunk_windows_param_guards(spark, docs):
+    with pytest.raises(ValueError):
+        curation.chunk_windows(docs, window=0)
+    with pytest.raises(ValueError):
+        curation.chunk_windows(docs, window=10, overlap=10)
