@@ -1817,6 +1817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "text", "doc_id")
     q["doc_sha256"] = lambda s, d: _t(s, d, "documents").select(
         "doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+    # MOSS winnowing (Schleimer 2003): min-hash-per-window k-gram
+    # fingerprints, rightmost tie; SELECTION itself is oracle-exact
+    # (48-bit md5-prefix gram hash, identical in DuckDB)
+    q["winnowing_fingerprint"] = lambda s, d: dedup.winnow_fingerprints(
+        _t(s, d, "documents"), k=5, w=4)
 
     def _q_pii_redact(s: SparkSession, d: str) -> DataFrame:
         # deterministic PII injection (doc_id-derived, identical in the
@@ -3912,6 +3917,26 @@ SELECT b.doc_id, md5(b.norm) AS fingerprint,
 FROM base b LEFT JOIN roll r USING (doc_id)"""
 
     o["doc_sha256"] = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+    o["winnowing_fingerprint"] = f"""
+WITH {_ARR},
+gr AS (SELECT doc_id, i,
+              ('0x' || substr(md5(array_to_string(ts[i : i + 4], ' ')),
+                              1, 12))::BIGINT AS fp
+       FROM arr, unnest(range(1, len(ts) - 3)) AS t(i)
+       WHERE len(ts) >= 5),
+mx AS (SELECT doc_id, max(i) AS m FROM gr GROUP BY doc_id),
+win AS (SELECT mx.doc_id, j
+        FROM mx, unnest(range(1, greatest(m - 3, 1) + 1)) AS t(j)),
+wm AS (SELECT w.doc_id, w.j, min(g.fp) AS fp
+       FROM win w JOIN gr g ON g.doc_id = w.doc_id
+            AND g.i BETWEEN w.j AND w.j + 3
+       GROUP BY w.doc_id, w.j),
+sel AS (SELECT wm.doc_id, max(g.i) AS pos, wm.fp
+        FROM wm JOIN gr g ON g.doc_id = wm.doc_id
+             AND g.i BETWEEN wm.j AND wm.j + 3 AND g.fp = wm.fp
+        GROUP BY wm.doc_id, wm.j, wm.fp)
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, fp FROM sel"""
 
     from maestro_spark.operators.textstats import EMAIL_RE, IPV4_RE, URL_RE
     o["pii_redact"] = f"""

@@ -368,6 +368,75 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16,
 
 # ----------------------------------------------- dedup cluster assembly
 
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm, public): hash every k-gram of the
+    token stream, slide a window of w consecutive gram hashes, and in
+    each window select the MINIMUM hash (rightmost on ties — the
+    paper's rule, which makes selection depend only on local context).
+    Guarantees: any shared substring of >= w + k - 1 tokens yields a
+    shared fingerprint, and expected density is 2/(w+1) — the
+    position-robust upgrade to doc_fingerprint's whole-doc rolling
+    hash, and the standard plagiarism/clone-detection key (join on fp
+    across docs).
+
+    Gram hash = first 48 bits of md5 over the space-joined gram, the
+    widened hex16 convention (DuckDB computes the identical value, so
+    winnow SELECTION — not just equality — is oracle-exact); the
+    production swap is xxhash64 over the token slice (the
+    significant_text convention: no gram string built). A doc with
+    fewer than k tokens has no grams and is absent; with fewer than w
+    grams, one window covers all grams (every gram-bearing doc keeps
+    >= 1 fingerprint).
+
+    Returns (doc_id, pos, fp): pos = 1-based token index where the
+    selected k-gram starts, fp = the 48-bit gram hash, one row per
+    DISTINCT selection (overlapping windows re-selecting the same gram
+    collapse, as in the paper).
+
+    100 TB shape: everything is array HOFs over one text column inside
+    WholeStageCodegen — map-only, ZERO shuffle; output is ~2n/(w+1)
+    rows per n-token doc. The cross-doc match join that consumes this
+    output is one hash-partitioned join on fp (uniform by
+    construction)."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    ts = simple_token_col(F.col(text_col))
+    n = F.size(ts)
+    m = n - (k - 1)                      # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(ts, i, k))),
+                        1, 12), 16, 10).cast("long"))
+    n_win = F.greatest(m - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.struct(
+            j.alias("j"),
+            F.array_min(F.slice(grams, j, w)).alias("fp")))
+    sels = F.transform(
+        wins,
+        lambda s: F.struct(
+            # rightmost position of the window minimum (ties -> later
+            # gram wins: the fold keeps overwriting with matches)
+            F.aggregate(
+                F.sequence(s["j"],
+                           F.least(s["j"] + (w - 1), m)),
+                F.lit(0),
+                lambda acc, o: F.when(
+                    F.element_at(grams, o) == s["fp"], o
+                ).otherwise(acc)).cast("long").alias("pos"),
+            s["fp"].alias("fp")))
+    return (docs.where(m >= 1)
+            .select(F.col(id_col),
+                    F.explode(F.array_distinct(sels)).alias("s"))
+            .select(id_col, F.col("s.pos").alias("pos"),
+                    F.col("s.fp").alias("fp")))
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 50) -> DataFrame:
     """Connected components over a pair/edge frame → (id, component) for

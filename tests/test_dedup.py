@@ -334,3 +334,66 @@ def test_substring_dedup_clean_fully_excised(spark):
            for r in dedup.substring_dedup_clean(d, n=8).collect()}
     assert got[1]["kept_tokens"] == 0 and got[1]["clean_text"] == ""
     assert got[0]["kept_tokens"] == 9
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def _winnow_brute(text, k, w):
+    import hashlib
+    import re
+    ts = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    m = len(ts) - (k - 1)
+    if m < 1:
+        return set()
+    grams = [int(hashlib.md5(
+        " ".join(ts[i:i + k]).encode()).hexdigest()[:12], 16)
+        for i in range(m)]
+    sel = set()
+    for j in range(max(m - (w - 1), 1)):
+        win = grams[j:j + w]
+        mn = min(win)
+        # rightmost minimum (the MOSS tie rule)
+        pos = j + max(i for i, g in enumerate(win) if g == mn)
+        sel.add((pos + 1, mn))      # 1-based
+    return sel
+
+
+@pytest.mark.parametrize("k,w", [(5, 4), (3, 2), (4, 8)])
+def test_winnow_matches_bruteforce(spark, documents, k, w):
+    got = dedup.winnow_fingerprints(documents, k=k, w=w).toPandas()
+    ref = documents.select("doc_id", "text").toPandas()
+    want = {(int(r.doc_id), p, f) for r in ref.itertuples()
+            for p, f in _winnow_brute(r.text, k, w)}
+    assert {(int(r.doc_id), int(r.pos), int(r.fp))
+            for r in got.itertuples()} == want
+
+
+def test_winnow_detects_shared_substring(spark):
+    """The paper's guarantee: a shared run of >= w + k - 1 tokens yields
+    a shared fingerprint; unrelated docs share nothing."""
+    run = " ".join(f"tok{i}" for i in range(8))      # 8 >= 4 + 5 - 1
+    rows = [(0, "alpha beta " + run + " gamma delta"),
+            (1, run + " epsilon zeta eta theta iota"),
+            (2, "totally different words here entirely unrelated stuff")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(d, k=5, w=4).toPandas()
+    by = {i: set(fp[fp["doc_id"] == i]["fp"]) for i in (0, 1, 2)}
+    assert by[0] & by[1]
+    assert not (by[0] & by[2]) and not (by[1] & by[2])
+
+
+def test_winnow_short_docs(spark):
+    d = spark.createDataFrame(
+        [(0, "a b c"),              # 3 toks < k=5: no grams, absent
+         (1, "a b c d e f")],       # 2 grams < w=4: one window, 1 fp
+        "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(d, k=5, w=4).toPandas()
+    assert set(fp["doc_id"]) == {1}
+    assert len(fp) == 1
+
+
+def test_winnow_is_shuffle_free(spark, documents):
+    plan = (dedup.winnow_fingerprints(documents)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
