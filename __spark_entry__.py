@@ -1806,6 +1806,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_pq"] = _q_ann_ivf_pq
 
+    def _q_maxsim(s: SparkSession, d: str) -> DataFrame:
+        # Late-interaction maxSim (ES rank_vectors maxSimDotProduct /
+        # ColBERT): query = vec_id 0 sliced into 4 x 16-dim sub-vectors,
+        # docs sliced the same way; score = sum over query subs of the
+        # best doc-sub dot product. Exact, map-only, no UDF.
+        e = _t(s, d, "embeddings")
+        full = [float(x) for x in
+                e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        qvs = [full[g * 16:(g + 1) * 16] for g in range(4)]
+        return similarity.maxsim_topk(e.where(F.col("vec_id") != 0),
+                                      qvs, k=10)
+
+    q["maxsim_topk"] = _q_maxsim
+
     # ---- text analysis
     q["lang_id"] = lambda s, d: textstats.marker_lang_id(
         _t(s, d, "documents"), _MARKERS, "text", "doc_id")
@@ -3812,6 +3826,21 @@ sc AS (SELECT e.vec_id, {cos_expr} AS cosine
        FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
        WHERE e.vec_id <> 0 AND e.label = 1 GROUP BY e.vec_id)
 SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
+    o["maxsim_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id, g.g, j.j,
+         sum(e.embedding[j.j * 16 + i]::DOUBLE
+             * q.qv[g.g * 16 + i]::DOUBLE) AS dp
+  FROM embeddings e, q,
+       unnest(range(0, 4)) AS g(g),
+       unnest(range(0, 4)) AS j(j),
+       unnest(range(1, 17)) AS t(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, g.g, j.j),
+best AS (SELECT vec_id, g, max(dp) AS bd FROM dots GROUP BY vec_id, g),
+sc AS (SELECT vec_id, round(sum(bd), 6) AS maxsim FROM best GROUP BY vec_id)
+SELECT vec_id, maxsim FROM sc ORDER BY maxsim DESC, vec_id LIMIT 10"""
     o["knn_similarity_cutoff"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 sc AS (SELECT e.vec_id, {cos_expr} AS cosine

@@ -356,6 +356,57 @@ def ann_ivf_pq_topk(encoded: DataFrame, query_vec: list[float],
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+# ------------------------------------------- late interaction (multi-vector)
+
+def split_subvectors(vec: Column, n_sub: int, sub_dim: int) -> Column:
+    """array<float>[n_sub*sub_dim] → array<array<float>>[n_sub] by
+    contiguous slicing — the deterministic stand-in for a true
+    multi-vector column (ES `rank_vectors` field / ColBERT per-token
+    embeddings). A real array<array<float>> column bypasses this and
+    feeds maxsim_score directly."""
+    return F.array(*[F.slice(vec, j * sub_dim + 1, sub_dim)
+                     for j in range(n_sub)])
+
+
+def maxsim_score(doc_subvecs: Column, query_vecs: list[list[float]]) -> Column:
+    """Late-interaction maxSim (ES 8.16 `rank_vectors` +
+    maxSimDotProduct in script_score; ColBERT — Khattab & Zaharia,
+    SIGIR 2020, public):
+
+        score(q, d) = Σ_i  max_j  dot(q_i, d_j)
+
+    — every query sub-vector picks its best-matching doc sub-vector and
+    the per-query maxima are summed. Query sub-vectors become literal
+    arrays (constant-folded); the max/dot are array HOFs over the doc's
+    multi-vector column, float64 left-to-right fold — entirely inside
+    WholeStageCodegen, no UDF, no join.
+
+    100 TB shape: map-only over the vector column (zero shuffle); top-k
+    consumption is a TakeOrderedAndProject. The ANN scale path is the
+    usual two-stage ColBERT serve: single-vector ANN recall (ann_ivf_*)
+    → exact maxsim rescore of the candidates with this expression."""
+    q_arrays = [F.array(*[F.lit(float(x)) for x in qv]) for qv in query_vecs]
+    score = None
+    for qa in q_arrays:
+        best = F.array_max(F.transform(doc_subvecs, lambda dv: _dot(dv, qa)))
+        score = best if score is None else score + best
+    return score
+
+
+def maxsim_topk(emb: DataFrame, query_vecs: list[list[float]], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact maxSim top-k over single-vector rows sliced into
+    len(query_vecs[0])-dim sub-vectors (see split_subvectors)."""
+    n_sub = len(query_vecs)
+    sub_dim = len(query_vecs[0])
+    subs = split_subvectors(F.col(vec_col).cast("array<double>"),
+                            n_sub, sub_dim)
+    return (emb.select(F.col(id_col),
+                       F.round(maxsim_score(subs, query_vecs), 6)
+                       .alias("maxsim"))
+            .orderBy(F.desc("maxsim"), F.asc(id_col)).limit(k))
+
+
 # ------------------------------------------------------- embedding near-dup
 
 def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.8,

@@ -213,3 +213,41 @@ def test_brute_force_min_sim_cutoff(emb, emb_np):
         emb, q, 10, exclude_id=0, min_sim=thr).collect()]
     assert got == [r for r in full if r[1] >= thr]
     assert 0 < len(got) < 10
+
+
+def test_maxsim_matches_numpy(emb, emb_np):
+    """Late-interaction maxSim (ColBERT / ES rank_vectors
+    maxSimDotProduct): score = sum over query sub-vectors of the best
+    doc-sub-vector dot product. Oracle: straight numpy over the same
+    4 x 16 contiguous slicing."""
+    ids, m = emb_np
+    full = m[ids.tolist().index(0)]
+    qvs = [full[g * 16:(g + 1) * 16].tolist() for g in range(4)]
+
+    docs = m.reshape(len(ids), 4, 16)          # (n, j, dim)
+    q = np.asarray(qvs)                        # (g, dim)
+    dots = np.einsum("njd,gd->ngj", docs, q)   # (n, g, j)
+    score = np.round(dots.max(axis=2).sum(axis=1), 6)
+    mask = ids != 0
+    order = sorted(np.flatnonzero(mask), key=lambda i: (-score[i], ids[i]))[:10]
+    want = [(int(ids[i]), float(score[i])) for i in order]
+
+    got = [(r["vec_id"], r["maxsim"]) for r in similarity.maxsim_topk(
+        emb.where(F.col("vec_id") != 0), qvs, k=10).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=2e-6)
+
+
+def test_maxsim_degenerate_single_sub_is_dot(emb, emb_np):
+    """With one query sub-vector spanning the whole embedding, maxSim
+    reduces to a plain dot product."""
+    ids, m = emb_np
+    q = m[ids.tolist().index(0)]
+    score = np.round(m @ q, 6)
+    mask = ids != 0
+    order = sorted(np.flatnonzero(mask), key=lambda i: (-score[i], ids[i]))[:5]
+    want = [int(ids[i]) for i in order]
+    got = [r["vec_id"] for r in similarity.maxsim_topk(
+        emb.where(F.col("vec_id") != 0), [q.tolist()], k=5).collect()]
+    assert got == want
