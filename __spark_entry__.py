@@ -2159,6 +2159,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cum_cardinality"] = _q_cum_cardinality
 
+    def _q_change_point(s: SparkSession, d: str) -> DataFrame:
+        # ES change_point pipeline agg (deterministic least-squares
+        # core): daily doc counts step down after day 10 — every 3rd
+        # doc's runtime timestamp folds into the first 240 hours
+        reader = IndexReader(s, _ensure_index(s, d))
+        ts = F.expr(
+            "timestamp'2025-01-01 00:00:00' + make_interval(0, 0, 0, 0, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 240 "
+            "ELSE doc_id % 720 END AS INT), 0, 0)")
+        return reader.search_change_point("spark stream", ts,
+                                          interval="day")
+
+    q["change_point"] = _q_change_point
+
+    def _q_geo_line(s: SparkSession, d: str) -> DataFrame:
+        # ES geo_line agg: per-lang track of the match set's runtime
+        # points, first 5 by (hour asc, doc_id asc — pinned ties),
+        # complete=false when truncated. Points serialized as exact
+        # integer-cents "lon,lat" (the runtime lat/lon are constructed
+        # at 2 decimals) so the cross-engine compare is float-format-free.
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.search_geo_line(
+            "spark stream", F.col("lang"), _LAT(), _LON(),
+            (F.col("doc_id") % 720).cast("double"), size=5)
+        pt = lambda p: F.concat(  # noqa: E731
+            F.round(F.element_at(p, 1) * 100).cast("long").cast("string"),
+            F.lit(","),
+            F.round(F.element_at(p, 2) * 100).cast("long").cast("string"))
+        return raw.select(
+            "group_value", "doc_count", "complete",
+            F.concat_ws(";", F.transform("line", pt)).alias("track"))
+
+    q["geo_line"] = _q_geo_line
+
+    def _IP():
+        # deterministic runtime IPv4 (Knuth multiplicative hash of
+        # doc_id, mod 2^32) — reproducible integer arithmetic in both
+        # engines, spread across the address space
+        return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+
+    def _q_ip_prefix(s: SparkSession, d: str) -> DataFrame:
+        # ES ip_prefix agg: /6 subnets of a runtime IPv4 field
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_ip_prefix("spark stream", _IP(),
+                                       prefix_length=6)
+
+    q["ip_prefix_agg"] = _q_ip_prefix
+
+    def _q_ip_range(s: SparkSession, d: str) -> DataFrame:
+        # ES ip_range agg: named [from, to) address ranges, one
+        # conditional partial agg
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_ip_range(
+            "spark stream", _IP(),
+            [("low", None, "64.0.0.0"),
+             ("mid", "64.0.0.0", "192.0.0.0"),
+             ("high", "192.0.0.0", None)])
+
+    q["ip_range_agg"] = _q_ip_range
+
     def _q_bucket_script(s: SparkSession, d: str) -> DataFrame:
         # ES bucket_script (avg_v = sum/count) + normalize
         # (percent_of_sum) pipelines over histogram buckets
@@ -4328,6 +4388,78 @@ SELECT h.bucket, h.n_docs,
         OVER (ORDER BY h.bucket ROWS UNBOUNDED PRECEDING))::BIGINT
            AS cum_distinct
 FROM h LEFT JOIN nw ON nw.bucket = h.bucket ORDER BY h.bucket"""
+    # change_point: least-squares single change point over daily counts —
+    # prefix sums s/q, SSE(k) = (q - s²/k) + ((Q-q) - (S-s)²/(n-k)),
+    # argmin with earliest-bucket ties; r² = 1 - SSE/SSE0
+    _CP_TS = ("TIMESTAMP '2025-01-01 00:00:00' + (CASE WHEN d.doc_id % 3 = 0 "
+              "THEN d.doc_id % 240 ELSE d.doc_id % 720 END) * INTERVAL 1 HOUR")
+    o["change_point"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+b AS (SELECT strftime(date_trunc('day', {_CP_TS}),
+                      '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(*)::DOUBLE AS c
+      FROM documents d JOIN m ON m.doc_id = d.doc_id GROUP BY 1),
+stt AS (SELECT lead(bucket) OVER (ORDER BY bucket) AS change_bucket,
+               (row_number() OVER (ORDER BY bucket))::DOUBLE AS k,
+               sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS s,
+               sum(c * c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                   AS q,
+               (count(*) OVER ())::DOUBLE AS n,
+               sum(c) OVER () AS s_all,
+               sum(c * c) OVER () AS q_all
+        FROM b),
+cand AS (SELECT change_bucket, s / k AS lm,
+                (s_all - s) / (n - k) AS rm,
+                (q - s * s / k)
+                  + ((q_all - q) - (s_all - s) * (s_all - s) / (n - k))
+                    AS sse,
+                q_all - s_all * s_all / n AS sse0, k
+         FROM stt WHERE k < n ORDER BY sse ASC, k ASC LIMIT 1)
+SELECT change_bucket, round(lm, 6) AS left_mean, round(rm, 6) AS right_mean,
+       round(rm - lm, 6) AS delta,
+       round(CASE WHEN sse0 > 0 THEN 1 - sse / sse0 ELSE 0 END, 6)
+           AS var_reduction,
+       CASE WHEN (CASE WHEN sse0 > 0 THEN 1 - sse / sse0 ELSE 0 END) >= 0.5
+            THEN 'step_change' ELSE 'stationary' END AS change_type
+FROM cand"""
+    o["geo_line"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+pts AS (SELECT d.lang AS group_value, d.doc_id,
+               CAST(round({_LON_SQL} * 100) AS BIGINT) AS lonc,
+               CAST(round({_LAT_SQL} * 100) AS BIGINT) AS latc,
+               d.doc_id % 720 AS sortv
+        FROM documents d JOIN m ON m.doc_id = d.doc_id),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY group_value
+                                 ORDER BY sortv, doc_id) AS rn,
+              count(*) OVER (PARTITION BY group_value) AS cnt
+       FROM pts)
+SELECT group_value, max(cnt)::BIGINT AS doc_count,
+       (max(cnt) <= 5) AS complete,
+       string_agg(lonc || ',' || latc, ';' ORDER BY sortv, doc_id) AS track
+FROM rk WHERE rn <= 5 GROUP BY group_value ORDER BY group_value"""
+    _IP_SQL = "((d.doc_id * 2654435761) % 4294967296)"
+    o["ip_prefix_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+sub AS (SELECT ({_IP_SQL} // 67108864) * 67108864 AS subnet,
+               count(*)::BIGINT AS doc_count
+        FROM documents d JOIN m ON m.doc_id = d.doc_id GROUP BY 1)
+SELECT ((subnet // 16777216) % 256) || '.' || ((subnet // 65536) % 256)
+         || '.' || ((subnet // 256) % 256) || '.' || (subnet % 256)
+         || '/6' AS key,
+       FALSE AS is_ipv6, 6 AS prefix_length, doc_count
+FROM sub ORDER BY subnet"""
+    o["ip_range_agg"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
+SELECT sum(({_IP_SQL} < 1073741824)::BIGINT) AS low,
+       sum(({_IP_SQL} >= 1073741824 AND {_IP_SQL} < 3221225472)::BIGINT)
+           AS mid,
+       sum(({_IP_SQL} >= 3221225472)::BIGINT) AS high
+FROM documents d JOIN m ON m.doc_id = d.doc_id"""
     o["bucket_script_agg"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),

@@ -3231,6 +3231,90 @@ class IndexReader:
         return joined.agg(*aggs)
 
     @staticmethod
+    def _ip_dotted(num_col):
+        """Dotted-quad string of a uint32-valued long Column — pure
+        integer div/mod (WSCG, engine-portable: no bit ops that differ
+        on signedness)."""
+        return F.concat_ws(
+            ".",
+            (num_col / F.lit(16777216)).cast("long") % 256,
+            (num_col / F.lit(65536)).cast("long") % 256,
+            (num_col / F.lit(256)).cast("long") % 256,
+            num_col % 256)
+
+    def search_ip_prefix(self, query: str, ip_col,
+                         prefix_length: int = 12, mode: str = "or",
+                         exclude: str | None = None,
+                         min_match: int = 1) -> DataFrame:
+        """ip_prefix aggregation (the ES analogue, IPv4): matched docs
+        bucketed by the /prefix_length subnet of an IP-valued field.
+        ip_col is the address as a uint32-valued long Column (the
+        docvalue form ES aggregates on). Buckets are emitted as ES does
+        — the network address with trailing zero bits plus the CIDR
+        length ("10.112.0.0/12"), is_ipv6=false, non-empty buckets only
+        (min_doc_count=1), ordered by network address. ONE partial-agg
+        groupBy on the subnet key (bucket count ≤ 2^prefix_length but
+        realistically |distinct subnets in the match set|) — the same
+        scale shape as terms/histogram aggs. Subnet masking is integer
+        floor-division (not signed bit ops), so any engine reproduces
+        it exactly."""
+        p = int(prefix_length)
+        if not 0 <= p <= 32:
+            raise ValueError("prefix_length must be in [0, 32]")
+        if isinstance(ip_col, str):
+            ip_col = F.col(ip_col)
+        block = 2 ** (32 - p)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            ((ip_col.cast("long") / F.lit(block)).cast("long")
+             * F.lit(block)).alias("_subnet"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        return (joined.groupBy("_subnet")
+                .agg(F.count("*").alias("doc_count"))
+                .select(F.concat(self._ip_dotted(F.col("_subnet")),
+                                 F.lit(f"/{p}")).alias("key"),
+                        F.lit(False).alias("is_ipv6"),
+                        F.lit(p).alias("prefix_length"),
+                        "doc_count", "_subnet")
+                .orderBy("_subnet")
+                .drop("_subnet"))
+
+    def search_ip_range(self, query: str, ip_col,
+                        ranges: list[tuple], mode: str = "or",
+                        exclude: str | None = None,
+                        min_match: int = 1) -> DataFrame:
+        """ip_range aggregation (the ES analogue, IPv4): named address
+        ranges with ES's [from, to) convention — `from` inclusive, `to`
+        exclusive, either side open with None; ranges may overlap (one
+        conditional sum per range over a single scan, the same shape as
+        search_date_range). ranges: [(name, from_dotted|None,
+        to_dotted|None)]; ip_col is the uint32-valued long Column."""
+        if isinstance(ip_col, str):
+            ip_col = F.col(ip_col)
+
+        def _num(dotted: str) -> int:
+            parts = [int(x) for x in dotted.split(".")]
+            if len(parts) != 4 or any(not 0 <= x <= 255 for x in parts):
+                raise ValueError(f"bad IPv4 literal: {dotted!r}")
+            return ((parts[0] << 24) | (parts[1] << 16)
+                    | (parts[2] << 8) | parts[3])
+
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   ip_col.cast("long").alias("_ip"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        aggs = []
+        for name, lo, hi in ranges:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("_ip") >= F.lit(_num(lo)))
+            if hi is not None:
+                cond = cond & (F.col("_ip") < F.lit(_num(hi)))
+            aggs.append(F.sum(cond.cast("long")).alias(name))
+        return joined.agg(*aggs)
+
+    @staticmethod
     def _haversine_km(lat_col, lon_col, lat: float, lon: float):
         """Great-circle distance (km) from (lat, lon) — built-in trig
         only, whole-stage-codegen friendly. R = 6371 km (ES's mean
@@ -3492,6 +3576,87 @@ class IndexReader:
             F.round(F.min("_lat"), 6).alias("bottom"),
             F.round(F.max("_lon"), 6).alias("right"),
             F.count("*").alias("n_docs"))
+
+    def search_geo_line(self, query: str, group_col, lat_col, lon_col,
+                        sort_col, size: int = 10, mode: str = "or",
+                        exclude: str | None = None,
+                        min_match: int = 1) -> DataFrame:
+        """geo_line aggregation (the ES analogue): per bucket of
+        `group_col`, the track of the match set's points ordered by
+        `sort_col` ascending, truncated to the FIRST `size` points
+        (ES keeps the lowest sort values when truncating), plus the
+        true bucket size and ES's `complete` flag (false when
+        truncated). ES's sort ties are unspecified; this engine pins
+        (sort asc, doc_id asc) so tracks are reproducible. Returns
+        DataFrame(group_value, doc_count, complete,
+        line array<array<double>> of [lon, lat] — the GeoJSON
+        LineString coordinate order), ordered by group_value.
+
+        Scale shape (skew-proof, same contract as search_top_hits): NO
+        window over the match set. Phase 1 is a map-side bounded heap —
+        each task keeps its own first-`size` points per bucket, so the
+        shuffle moves ≤ size rows per bucket per task however hot the
+        bucket; phase 2 re-selects the global first-`size` and
+        assembles the array. The true bucket count rides the same scan
+        as one partial agg."""
+        from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                                       LongType, StructField, StructType)
+        if isinstance(group_col, str):
+            group_col = F.col(group_col)
+        if isinstance(sort_col, str):
+            sort_col = F.col(sort_col)
+        if isinstance(lat_col, str):
+            lat_col = F.col(lat_col)
+        if isinstance(lon_col, str):
+            lon_col = F.col(lon_col)
+        ns = int(size)
+        if ns < 1:
+            raise ValueError("size must be >= 1")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id", group_col.alias("group_value"),
+            lat_col.cast("double").alias("_lat"),
+            lon_col.cast("double").alias("_lon"),
+            sort_col.cast("double").alias("_sortv"))
+        joined = (matches.join(docs, ["shard", "doc_id"], "inner")
+                  .select("group_value", "doc_id", "_lat", "_lon",
+                          "_sortv"))
+        joined = joined.persist()  # counts + heap ride one materialization
+        counts = joined.groupBy("group_value").agg(
+            F.count("*").alias("doc_count"))
+
+        def partial_first(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["group_value", "_sortv", "doc_id"],
+                                      kind="mergesort")
+                yield pdf.groupby("group_value", sort=False).head(ns)
+
+        cand = joined.mapInPandas(partial_first, schema=joined.schema)
+        gv_field = joined.schema["group_value"]
+        out_schema = StructType([
+            gv_field,
+            StructField("line", ArrayType(ArrayType(DoubleType())), False),
+            StructField("n_kept", LongType(), False)])
+
+        def assemble(key, pdf):
+            pdf = pdf.sort_values(["_sortv", "doc_id"],
+                                  kind="mergesort").head(ns)
+            line = [[float(lo), float(la)]
+                    for lo, la in zip(pdf["_lon"], pdf["_lat"])]
+            return pd.DataFrame({"group_value": [key[0]],
+                                 "line": [line],
+                                 "n_kept": [len(line)]})
+
+        lines = cand.groupBy("group_value").applyInPandas(
+            assemble, schema=out_schema)
+        out = (lines.join(counts, "group_value", "inner")
+               .select("group_value", "doc_count",
+                       (F.col("doc_count") <= F.lit(ns)).alias("complete"),
+                       "line")
+               .orderBy("group_value"))
+        return out
 
     def search_rate(self, query: str, ts_col, interval: str = "month",
                     unit: str = "day", value_col=None, mode: str = "or",
@@ -3861,6 +4026,80 @@ class IndexReader:
                 .select("bucket", "n_docs",
                         F.sum("_new").over(w).alias("cum_distinct"))
                 .orderBy("bucket"))
+
+    def search_change_point(self, query: str, ts_col,
+                            interval: str = "day", mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1) -> DataFrame:
+        """change_point aggregation (the ES ML pipeline-agg analogue,
+        made deterministic): detect the single most likely level shift
+        in a date_histogram doc-count series. ES runs a battery of
+        detectors (step_change/spike/dip/trend_change) with asymptotic
+        p-values; this engine pins the equivalent-contract DETERMINISTIC
+        core — the least-squares single change point (binary
+        segmentation step, the classic CUSUM/variance-reduction rule):
+        choose the split that minimizes within-segment squared error,
+        earliest bucket on ties. Reports the first bucket of the right
+        segment, both segment means, their delta, and the variance
+        reduction r² = 1 − SSE_split/SSE_total (0 when the series is
+        constant); `change_type` is "step_change" when the split
+        explains most of the variance (r² ≥ 0.5 — pinned threshold),
+        else "stationary" (ES's "no change found" verdict).
+
+        Scale shape: the candidate scan is O(n) via prefix sums —
+        SSE_left(k) = q_k − s_k²/k with s/q cumulative sum and
+        sum-of-squares — and every window runs over the BUCKET series
+        (time-range/interval rows, never corpus), the same contract as
+        the other pipeline aggs. One partial-agg groupBy feeds it.
+        Buckets follow this engine's date_histogram (emitted buckets
+        only, min_doc_count=1 convention)."""
+        if interval not in self._DATE_INTERVALS:
+            raise ValueError(
+                f"interval must be one of {self._DATE_INTERVALS}")
+        if isinstance(ts_col, str):
+            ts_col = F.col(ts_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select(
+            "shard", "doc_id",
+            F.date_format(F.date_trunc(interval, ts_col),
+                          "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+        histo = (matches.join(docs, ["shard", "doc_id"], "inner")
+                 .groupBy("bucket")
+                 .agg(F.count("*").cast("double").alias("c")))
+        wcum = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        wall = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        wnext = Window.orderBy("bucket")
+        stats = histo.select(
+            F.lead("bucket").over(wnext).alias("change_bucket"),
+            F.row_number().over(wnext).cast("double").alias("k"),
+            F.sum("c").over(wcum).alias("s"),
+            F.sum(F.col("c") * F.col("c")).over(wcum).alias("q"),
+            F.count("*").over(wall).cast("double").alias("n"),
+            F.sum("c").over(wall).alias("st"),
+            F.sum(F.col("c") * F.col("c")).over(wall).alias("qt"))
+        k, s, q = F.col("k"), F.col("s"), F.col("q")
+        n, st, qt = F.col("n"), F.col("st"), F.col("qt")
+        sse = ((q - s * s / k)
+               + ((qt - q) - (st - s) * (st - s) / (n - k)))
+        sse0 = qt - st * st / n
+        cand = (stats.where(k < n)
+                .select("change_bucket",
+                        (s / k).alias("_lm"),
+                        ((st - s) / (n - k)).alias("_rm"),
+                        sse.alias("_sse"), sse0.alias("_sse0"), "k")
+                .orderBy(F.asc("_sse"), F.asc("k")).limit(1))
+        r2 = F.when(F.col("_sse0") > 0.0,
+                    1.0 - F.col("_sse") / F.col("_sse0")).otherwise(F.lit(0.0))
+        return cand.select(
+            "change_bucket",
+            F.round("_lm", 6).alias("left_mean"),
+            F.round("_rm", 6).alias("right_mean"),
+            F.round(F.col("_rm") - F.col("_lm"), 6).alias("delta"),
+            F.round(r2, 6).alias("var_reduction"),
+            F.when(r2 >= 0.5, F.lit("step_change"))
+             .otherwise(F.lit("stationary")).alias("change_type"))
 
     def search_bucket_script(self, query: str, value_col,
                              interval: float, mode: str = "or",
