@@ -713,6 +713,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_query_string"] = _q_qstring
 
+    def _q_simple_qs(s: SparkSession, d: str) -> DataFrame:
+        # simple_query_string, default_operator=AND: positive clauses
+        # compile to CNF filter groups (spark|window) AND (merge) riding
+        # the same pruned posting scan; -table excludes; all terms score
+        reader = IndexReader(s, _ensure_index(s, d))
+        raw = reader.simple_query_string("spark|window merge -table",
+                                         k=40, default_operator="and")
+        return (raw.select("doc_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+    q["bm25_simple_qs"] = _q_simple_qs
+
     def _q_terms_filter(s: SparkSession, d: str) -> DataFrame:
         # ES `terms` filter: OR-set filter context (no score contribution)
         reader = IndexReader(s, _ensure_index(s, d))
@@ -2687,6 +2699,14 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('stream', 'merge'))"""
         where=("doc_id IN (SELECT doc_id FROM tok WHERE term = 'table') "
                "AND doc_id NOT IN (SELECT doc_id FROM documents "
                "WHERE lower(trim(lang)) = 'java')"))
+    # simple_query_string AND-operator CNF: (spark|window) ∧ (merge) ∧ ¬table
+    o["bm25_simple_qs"] = _bm25_sql(
+        ["spark", "window", "merge"],
+        where=("doc_id IN (SELECT doc_id FROM tok "
+               "WHERE term IN ('spark', 'window')) "
+               "AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'merge') "
+               "AND doc_id NOT IN (SELECT doc_id FROM tok "
+               "WHERE term = 'table')"))
     o["paragraph_dedup"] = f"""
 WITH {_ARR},
 pars AS (SELECT doc_id, i - 1 AS par_idx,

@@ -218,6 +218,76 @@ def parse_query_string(qs: str) -> dict[str, str]:
             "exclude": " ".join(must_not)}
 
 
+def _reject_multiterm_syntax(tok: str, ctx: str) -> None:
+    if (any(c in tok for c in "*?~\"'")
+            or (len(tok) > 2 and tok.startswith("/") and tok.endswith("/"))):
+        raise ValueError(
+            f"{tok!r}: fuzzy/wildcard/regex/phrase syntax is not part of "
+            f"the simple_query_string subset ({ctx}); use query_string / "
+            "phrase_search for multi-term expansions")
+
+
+def parse_simple_query_string(qs: str,
+                              default_operator: str = "or") -> dict:
+    """ES `simple_query_string` subset: whitespace-separated clauses,
+    `-tok` must_not, `+tok` forced-required, `a|b` in-clause alternation.
+
+    default_operator picks how positive clauses combine — "or" (the ES
+    default): every clause just scores (bool should); "and": every
+    positive clause becomes a filter-context OR-set that MUST be
+    satisfied — the CNF compile `(a|b) AND (c) AND (d)` — while ALL
+    terms still score. That mirrors ES's rewrite to a bool `must` of
+    per-clause match queries: each match scores and the doc score is
+    their sum, which equals the bool-should sum once the CNF filter
+    guarantees every clause matched (ref: maestro delegates this to
+    elasticsearch `simple_query_string`; semantics per Lucene
+    SimpleQueryParser).
+
+    Subset contract: literal terms and field prefixes (lang:java) only.
+    Fuzzy/wildcard/regex/quotes raise (a multi-term expansion has no
+    single posting set for filter context — the full syntax lives in
+    query_string / phrase_search). A clause whose token analyzes into
+    multiple index terms (compound identifiers) is satisfied by ANY of
+    them — the match-query OR rewrite. `-a|b` excludes docs matching
+    either alternative (exclusion is a flat union).
+
+    Returns {"query", "exclude", "groups"} for search(query, exclude=,
+    require_groups=)."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    should: list[str] = []
+    must_not: list[str] = []
+    groups: list[str] = []
+    for tok in qs.split():
+        if tok in ("+", "-", "|"):
+            continue
+        if tok[0] == "-":
+            body = tok[1:]
+            _reject_multiterm_syntax(body, "must_not")
+            must_not.extend(a for a in body.split("|") if a)
+            continue
+        required = tok[0] == "+"
+        body = tok[1:] if required else tok
+        _reject_multiterm_syntax(body, "clause")
+        alts = [a for a in body.split("|") if a]
+        if not alts:
+            continue
+        should.extend(alts)
+        if required or default_operator == "and":
+            groups.append(" ".join(alts))
+    if must_not and not should:
+        # pure-negative: no scoring clause — ES resolves against
+        # match_all; search(query=...) would silently return empty
+        # instead of the complement, so reject (same rule as
+        # parse_query_string).
+        raise ValueError(
+            "simple_query_string with only must_not clauses has no "
+            "scoring clause; add at least one positive term")
+    return {"query": " ".join(should),
+            "exclude": " ".join(must_not),
+            "groups": groups}
+
+
 @dataclass
 class QueryPlan:
     terms: list[str]          # canonical order (desc idf, term asc)
@@ -757,6 +827,7 @@ class IndexReader:
                exclude: str | None = None,
                require: str | None = None,
                require_any: str | None = None,
+               require_groups: list[str] | None = None,
                min_match: int = 1,
                routing: str | None = None,
                synonyms: dict[str, tuple] | None = None) -> DataFrame:
@@ -807,6 +878,12 @@ class IndexReader:
         ONE of its analyzed terms (OR-set filter context, no score).
         Composes with `require` by intersection.
 
+        require_groups: a list of OR-set clauses, EACH of which must be
+        satisfied (CNF filter context — the form simple_query_string's
+        default_operator=AND compiles to: (a|b) AND (c) AND (d|e)).
+        Every group's postings ride the same pruned scan; MaxScore
+        pruning stays exact (the conjunction folds into `allowed`).
+
         synonyms: query-time synonym expansion map — see plan()."""
         plan = self.plan(query, boosts=boosts, synonyms=synonyms)
         spark = self.spark
@@ -824,6 +901,7 @@ class IndexReader:
             hits = self.search_local(query, k, mode, prune, boosts=boosts,
                                      exclude=exclude, require=require,
                                      require_any=require_any,
+                                     require_groups=require_groups,
                                      min_match=min_match, routing=routing,
                                      synonyms=synonyms)
             return spark.createDataFrame(hits, "doc_id long, score double")
@@ -831,8 +909,11 @@ class IndexReader:
         ex_terms = self._exclusion_terms(exclude)
         req_terms = self._exclusion_terms(require)
         any_terms = self._exclusion_terms(require_any)
+        grp_terms = [self._exclusion_terms(g)
+                     for g in (require_groups or [])]
         all_terms = sorted(set(plan.terms) | set(ex_terms)
-                           | set(req_terms) | set(any_terms))
+                           | set(req_terms) | set(any_terms)
+                           | {t for g in grp_terms for t in g})
         buckets = sorted({_term_bucket(t, n_buckets) for t in all_terms})
         shard_size = self.cfg["shard_size"]
         index_dir = self.index_dir
@@ -851,7 +932,8 @@ class IndexReader:
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
                 excluded = _excluded_local(rows, ex_terms, shard * shard_size)
                 required = _filter_allowed(rows, req_terms, any_terms,
-                                           shard * shard_size)
+                                           shard * shard_size,
+                                           any_groups=grp_terms)
                 doc_ids, scores = score_shard_rows(
                     rows, terms, idfs, fields, avgdl, shard, shard_size,
                     index_dir, k, mode, prune, allowed=required,
@@ -876,7 +958,8 @@ class IndexReader:
                 rows = {r["term"]: r for r in pdf.to_dict("records")}
                 allowed = np.sort(adf["doc_id"].to_numpy(np.int64)) - shard * shard_size
                 required = _filter_allowed(rows, req_terms, any_terms,
-                                           shard * shard_size)
+                                           shard * shard_size,
+                                           any_groups=grp_terms)
                 if required is not None:
                     allowed = allowed[np.isin(allowed, required,
                                               assume_unique=True)]
@@ -932,6 +1015,30 @@ class IndexReader:
         return self.search(c["query"], k, mode, prune, boosts=boosts,
                            exclude=c["exclude"] or None,
                            require=c["require"] or None, engine=engine)
+
+    def simple_query_string(self, qs: str, k: int = 10,
+                            default_operator: str = "or",
+                            prune: bool = True,
+                            boosts: dict[str, float] | None = None,
+                            engine: str = "spark"):
+        """ES `simple_query_string` analogue (see parse_simple_query_string
+        for the subset grammar). default_operator="and" compiles positive
+        clauses to CNF filter groups `(a|b) AND (c) AND ...` riding the
+        same pruned posting scan (require_groups=); every term still
+        scores, so ranking matches ES's bool-must-of-match sum. MaxScore
+        pruning stays exact — the conjunction only shrinks the allowed
+        set, never a score. Returns a DataFrame on a Spark reader, pandas
+        on a serving-only reader (spark=None) or engine="local"."""
+        c = parse_simple_query_string(qs, default_operator)
+        if self.spark is None or engine == "local":
+            return self.search_local(
+                c["query"], k, "or", prune, boosts=boosts,
+                exclude=c["exclude"] or None,
+                require_groups=c["groups"] or None)
+        return self.search(c["query"], k, "or", prune, boosts=boosts,
+                           exclude=c["exclude"] or None,
+                           require_groups=c["groups"] or None,
+                           engine=engine)
 
     def search_boosting(self, query: str, negative: str,
                         negative_boost: float = 0.5, k: int = 10,
@@ -1290,6 +1397,7 @@ class IndexReader:
                      exclude: str | None = None,
                      require: str | None = None,
                      require_any: str | None = None,
+                     require_groups: list[str] | None = None,
                      min_match: int = 1,
                      routing: str | None = None,
                      synonyms: dict[str, tuple] | None = None,
@@ -1323,8 +1431,11 @@ class IndexReader:
         ex_terms = self._exclusion_terms(exclude)
         req_terms = self._exclusion_terms(require)
         any_terms = self._exclusion_terms(require_any)
+        grp_terms = [self._exclusion_terms(g)
+                     for g in (require_groups or [])]
         all_q_terms = sorted(set(plan.terms) | set(ex_terms)
-                             | set(req_terms) | set(any_terms))
+                             | set(req_terms) | set(any_terms)
+                             | {t for g in grp_terms for t in g})
         rshard = self._route(routing)
         if rshard is not None:
             # routed read: shard is a hive partition key, so the fetch
@@ -1343,7 +1454,8 @@ class IndexReader:
             excluded = _excluded_local(rows, ex_terms,
                                               shard * shard_size)
             required = _filter_allowed(rows, req_terms, any_terms,
-                                       shard * shard_size)
+                                       shard * shard_size,
+                                       any_groups=grp_terms)
             if within_ids is not None:
                 base = shard * shard_size
                 lo = np.searchsorted(within_ids, base)
@@ -6541,16 +6653,25 @@ def _any_of_local(shard_rows: dict[str, dict], any_terms: list[str],
 
 
 def _filter_allowed(shard_rows: dict[str, dict], req_terms: list[str],
-                    any_terms: list[str], base: int) -> np.ndarray | None:
+                    any_terms: list[str], base: int,
+                    any_groups: list[list[str]] | None = None,
+                    ) -> np.ndarray | None:
     """Combined filter-context allowed set: require (ALL terms) ∧
-    require_any (≥1 term). None = unconstrained."""
-    req = _required_local(shard_rows, req_terms, base)
-    anyof = _any_of_local(shard_rows, any_terms, base)
-    if req is None:
-        return anyof
-    if anyof is None:
-        return req
-    return req[np.isin(req, anyof, assume_unique=True)]
+    require_any (≥1 term) ∧ every group in any_groups (≥1 term each —
+    the CNF form simple_query_string's default_operator=AND compiles
+    to). None = unconstrained. Each clause is one posting union /
+    intersection over rows already fetched by the shared pruned scan;
+    the conjunction shrinks left-to-right with early exit."""
+    out = _required_local(shard_rows, req_terms, base)
+    for g in ([any_terms] if any_terms else []) + list(any_groups or []):
+        anyof = _any_of_local(shard_rows, g, base)
+        if anyof is None:
+            continue
+        out = anyof if out is None else out[
+            np.isin(out, anyof, assume_unique=True)]
+        if out.size == 0:
+            return out
+    return out
 
 
 def _required_local(shard_rows: dict[str, dict], req_terms: list[str],

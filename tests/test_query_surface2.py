@@ -25,7 +25,8 @@ from maestro_spark.functions.tokenize import (code_tokens, phrase_terms,
                                               subtoken_streams)
 from maestro_spark.operators.build import IndexConfig, build_index
 from maestro_spark.operators.search import (IndexReader, _phrase_tf_tokens,
-                                            parse_query_string)
+                                            parse_query_string,
+                                            parse_simple_query_string)
 from maestro_spark.sources.corpus import synth_docs
 
 N_DOCS = 400
@@ -178,6 +179,82 @@ def test_query_string_equals_explicit(reader):
     pd.testing.assert_frame_equal(got, want)
     spk = reader.query_string(qs, k=25).toPandas()
     assert spk["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+# ------------------------------------------------- simple_query_string / CNF
+
+def test_parse_simple_query_string():
+    c = parse_simple_query_string("merge stream|table -lang:java",
+                                  default_operator="and")
+    assert c == {"query": "merge stream table",
+                 "exclude": "lang:java",
+                 "groups": ["merge", "stream table"]}
+    # OR operator: only +clauses become groups
+    c = parse_simple_query_string("merge +stream|table x|y")
+    assert c == {"query": "merge stream table x y",
+                 "exclude": "", "groups": ["stream table"]}
+    # negated alternation excludes the union
+    c = parse_simple_query_string("merge -a|b")
+    assert c["exclude"] == "a b"
+    with pytest.raises(ValueError):
+        parse_simple_query_string("merge wild*", default_operator="and")
+    with pytest.raises(ValueError):
+        parse_simple_query_string('a "phrase b"')
+    with pytest.raises(ValueError):
+        parse_simple_query_string("-a -b|c")
+    with pytest.raises(ValueError):
+        parse_simple_query_string("a b", default_operator="xor")
+
+
+def test_require_groups_cnf_semantics(reader):
+    """(a|b) AND (c) filter context: allowed set is the CNF intersection
+    of per-group posting unions; scores of surviving docs untouched."""
+    base = _full(reader, Q)
+    a = set(_full(reader, "lambda")["doc_id"])
+    b = set(_full(reader, "defer")["doc_id"])
+    c = set(_full(reader, "return")["doc_id"])
+    want_ids = (a | b) & c
+    assert want_ids and want_ids != (a | b)
+    got = _full(reader, Q, require_groups=["lambda defer", "return"])
+    want = base[base["doc_id"].isin(want_ids)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # composes with require / require_any by intersection
+    d = set(_full(reader, "import")["doc_id"])
+    got2 = _full(reader, Q, require="import",
+                 require_groups=["lambda defer", "return"])
+    want2 = base[base["doc_id"].isin(want_ids & d)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2)
+
+
+def test_simple_query_string_and_operator(reader):
+    """default_operator=and == explicit require_groups CNF call; spark and
+    local paths rank-and-score identical."""
+    qs = "index|query merge -lambda"
+    loc = reader.simple_query_string(qs, k=25, default_operator="and",
+                                     engine="local")
+    want = reader.search_local("index query merge", k=25,
+                               exclude="lambda",
+                               require_groups=["index query", "merge"])
+    pd.testing.assert_frame_equal(loc, want)
+    spk = reader.simple_query_string(qs, k=25,
+                                     default_operator="and").toPandas()
+    assert spk["doc_id"].tolist() == loc["doc_id"].tolist()
+    np.testing.assert_array_equal(spk["score"].to_numpy(),
+                                  loc["score"].to_numpy())
+    # every surviving doc satisfies every clause
+    idx = set(_full(reader, "index")["doc_id"])
+    qry = set(_full(reader, "query")["doc_id"])
+    mrg = set(_full(reader, "merge")["doc_id"])
+    lam = set(_full(reader, "lambda")["doc_id"])
+    for did in loc["doc_id"]:
+        assert (did in idx or did in qry) and did in mrg and did not in lam
+
+
+def test_simple_query_string_or_equals_plain_search(reader):
+    got = reader.simple_query_string("index query merge", k=20,
+                                     engine="local")
+    want = reader.search_local("index query merge", k=20)
+    pd.testing.assert_frame_equal(got, want)
 
 
 # ----------------------------------------------------------------- collapse
