@@ -1039,6 +1039,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bucket_correlation"] = _q_bucket_corr
 
+    def _q_bucket_sort(s: SparkSession, d: str) -> DataFrame:
+        # ES bucket_sort pipeline agg: lang terms buckets with doc-length
+        # metrics, re-ordered by sum_v desc and truncated from=1/size=3
+        # (gates WHICH buckets return, never how docs score)
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_bucket_sort(
+            "spark stream", "lang", F.length("content"),
+            sort_by="sum_v", ascending=False, from_=1, size=3)
+
+    q["bucket_sort"] = _q_bucket_sort
+
+    def _q_sibling_bucket(s: SparkSession, d: str) -> DataFrame:
+        # ES sibling pipeline aggs (avg/sum/max/min/stats_bucket) over a
+        # lang terms agg with metric avg(doc length); keys[] arrays as
+        # sorted comma-joined strings
+        reader = IndexReader(s, _ensure_index(s, d))
+        return reader.search_sibling_bucket(
+            "spark stream", "lang", F.length("content"))
+
+    q["sibling_bucket"] = _q_sibling_bucket
+
     def _q_moving_pct(s: SparkSession, d: str) -> DataFrame:
         # ES moving_percentiles pipeline: p50/p90 of doc length over the
         # trailing 3 histogram buckets (exact; ES merges t-digests)
@@ -3110,6 +3131,35 @@ h AS (SELECT floor(length(text) / 100) * 100 AS bucket,
 SELECT count(*)::BIGINT AS n_buckets,
        round(corr(n_docs::DOUBLE, bucket::DOUBLE), 6) AS correlation
 FROM h"""
+    # bucket_sort: lang buckets ordered by sum_v desc (group_value
+    # tie-break), OFFSET 1 LIMIT 3 over the already-reduced bucket rows
+    o["bucket_sort"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+b AS (SELECT lang AS group_value, count(*)::BIGINT AS n_docs,
+             round(sum(length(text)::DOUBLE), 6) AS sum_v,
+             round(avg(length(text)::DOUBLE), 6) AS avg_v
+      FROM documents JOIN m ON m.doc_id = documents.doc_id
+      GROUP BY lang)
+SELECT group_value, n_docs, sum_v, avg_v FROM b
+ORDER BY sum_v DESC, group_value LIMIT 3 OFFSET 1"""
+    # sibling_bucket: per-lang m = round(avg(len), 6) FIRST, then one
+    # row of sibling stats; keys[] = all buckets attaining max/min
+    o["sibling_bucket"] = f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
+b AS (SELECT lang AS g, round(avg(length(text)::DOUBLE), 6) AS m
+      FROM documents JOIN m ON m.doc_id = documents.doc_id
+      GROUP BY lang)
+SELECT (SELECT count(*)::BIGINT FROM b) AS n_buckets,
+       (SELECT round(avg(m), 6) FROM b) AS avg_bucket,
+       (SELECT round(sum(m), 6) FROM b) AS sum_bucket,
+       (SELECT round(max(m), 6) FROM b) AS max_bucket,
+       (SELECT round(min(m), 6) FROM b) AS min_bucket,
+       (SELECT string_agg(g, ',' ORDER BY g) FROM b
+        WHERE m = (SELECT max(m) FROM b)) AS max_keys,
+       (SELECT string_agg(g, ',' ORDER BY g) FROM b
+        WHERE m = (SELECT min(m) FROM b)) AS min_keys"""
     o["nested_terms_agg"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),

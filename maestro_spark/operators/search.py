@@ -4247,6 +4247,81 @@ class IndexReader:
             .alias("pct_docs"))
             .orderBy("bucket"))
 
+    def search_bucket_sort(self, query: str, group_col, value_col,
+                           sort_by: str = "sum_v", ascending: bool = False,
+                           from_: int = 0, size: int = 5,
+                           mode: str = "or", exclude: str | None = None,
+                           min_match: int = 1) -> DataFrame:
+        """bucket_sort pipeline aggregation (the ES analogue): terms
+        buckets with their metrics re-ordered by one of the metrics and
+        truncated with from/size — it gates WHICH buckets are returned,
+        never how docs score (ref: maestro delegates aggregations to
+        elasticsearch; bucket_sort per the ES pipeline-agg docs). The
+        sort+offset+limit runs over ALREADY-REDUCED bucket rows (one row
+        per distinct group value — the only corpus-sized work is the one
+        partial-agg groupBy), with the group value as the deterministic
+        tie-break key."""
+        if isinstance(group_col, str):
+            group_col = F.col(group_col)
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        if sort_by not in ("n_docs", "sum_v", "avg_v"):
+            raise ValueError("sort_by must be one of n_docs/sum_v/avg_v")
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   group_col.alias("group_value"),
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        buckets = joined.groupBy("group_value").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("v"), 6).alias("sum_v"),
+            F.round(F.avg("v"), 6).alias("avg_v"))
+        key = F.asc(sort_by) if ascending else F.desc(sort_by)
+        out = buckets.orderBy(key, F.asc("group_value"))
+        if from_:
+            out = out.offset(int(from_))
+        return out.limit(int(size))
+
+    def search_sibling_bucket(self, query: str, group_col, value_col,
+                              mode: str = "or", exclude: str | None = None,
+                              min_match: int = 1) -> DataFrame:
+        """Sibling pipeline aggregations (the ES avg_bucket / sum_bucket /
+        max_bucket / min_bucket / stats_bucket analogues) over a terms
+        agg: per bucket, metric m = round(avg(v), 6); then ONE row of
+        sibling stats across the bucket list, with the ES keys[] arrays
+        (every bucket attaining the max/min) emitted as sorted
+        comma-joined strings. m is rounded BEFORE the sibling pass so
+        max/min key membership is a cross-engine-stable comparison.
+        Cost shape: one corpus-sized partial-agg groupBy, then a 1-row
+        agg over |distinct values| bucket rows broadcast-crossJoined
+        back for key extraction — nothing corpus-scale shuffles twice."""
+        if isinstance(group_col, str):
+            group_col = F.col(group_col)
+        if isinstance(value_col, str):
+            value_col = F.col(value_col)
+        matches = self.match_docs(query, mode, exclude, min_match)
+        docs = self._docs().select("shard", "doc_id",
+                                   group_col.alias("group_value"),
+                                   value_col.cast("double").alias("v"))
+        joined = matches.join(docs, ["shard", "doc_id"], "inner")
+        buckets = joined.groupBy("group_value").agg(
+            F.round(F.avg("v"), 6).alias("m"))
+        stats = buckets.agg(F.max("m").alias("_mx"),
+                            F.min("m").alias("_mn"))
+        return (buckets.crossJoin(F.broadcast(stats)).agg(
+            F.count("*").alias("n_buckets"),
+            F.round(F.avg("m"), 6).alias("avg_bucket"),
+            F.round(F.sum("m"), 6).alias("sum_bucket"),
+            F.round(F.first("_mx"), 6).alias("max_bucket"),
+            F.round(F.first("_mn"), 6).alias("min_bucket"),
+            F.array_join(F.array_sort(F.collect_list(
+                F.when(F.col("m") == F.col("_mx"),
+                       F.col("group_value")))), ",").alias("max_keys"),
+            F.array_join(F.array_sort(F.collect_list(
+                F.when(F.col("m") == F.col("_mn"),
+                       F.col("group_value")))), ",").alias("min_keys"),
+        ))
+
     def search_diversified_sampler(self, query: str, sample_top: int,
                                    dedup_col, max_per_value: int = 1,
                                    mode: str = "or",
