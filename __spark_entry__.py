@@ -2353,6 +2353,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_quality"] = _q_gopher
 
+    def _q_stack_quality(s: SparkSession, d: str) -> DataFrame:
+        # The Stack / StarCoder code-file filter (Kocetkov 2022 II-B):
+        # max/avg line length + alphanumeric fraction -> keep. The
+        # pre-training hygiene pass for the north-star CODE corpus;
+        # map-only, zero shuffle, WSCG.
+        return textstats.stack_quality(_t(s, d, "documents"))
+
+    q["stack_quality"] = _q_stack_quality
+
+    def _q_counter_rate(s: SparkSession, d: str) -> DataFrame:
+        # ES TSDB rate agg over a counter field with reset detection:
+        # per-series (user_id) lag in (ts, event_id) order; negative
+        # delta = reset -> the post-reset value IS the increase
+        # (Prometheus/ES rule); hourly calendar buckets. One shuffle on
+        # the series key, window + superset-key groupBy reuse it.
+        from maestro_spark.operators.timeseries import counter_rate
+        return counter_rate(_t(s, d, "events"))
+
+    q["counter_rate"] = _q_counter_rate
+
     def _q_bigram_lm(s: SparkSession, d: str) -> DataFrame:
         # interpolated bigram LM score (CCNet/KenLM-filter analogue,
         # one order above unigram_logprob)
@@ -4719,6 +4739,43 @@ SELECT doc_id, n_words::BIGINT AS n_words,
         AND mean_len >= 3.0 AND mean_len <= 10.0
         AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2) AS keep
 FROM g"""
+    # stack_quality: newline-split lines (empties count), alnum char
+    # fraction; thresholds 1000 / 100 / 0.25 (the papers' defaults)
+    o["stack_quality"] = """
+WITH w AS (SELECT doc_id, str_split(text, chr(10)) AS ls, text AS t
+           FROM documents),
+g AS (SELECT doc_id, len(ls) AS n_lines,
+      list_aggregate(list_transform(ls, x -> length(x)), 'max')
+          AS max_len,
+      list_aggregate(list_transform(ls, x -> length(x)), 'sum')::DOUBLE
+          / len(ls) AS avg_len,
+      CASE WHEN length(t) > 0 THEN
+        length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+          / length(t) ELSE 0.0 END AS alnum
+      FROM w)
+SELECT doc_id, n_lines::BIGINT AS n_lines,
+       max_len::BIGINT AS max_line_len,
+       round(avg_len, 6) AS avg_line_len,
+       round(alnum, 6) AS alnum_frac,
+       (max_len <= 1000 AND avg_len <= 100.0 AND alnum >= 0.25) AS keep
+FROM g"""
+    # counter_rate: identical per-series lag window + reset rule in
+    # DuckDB; first event of a series contributes 0
+    o["counter_rate"] = """
+WITH d AS (SELECT user_id AS series,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket,
+           value - lag(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+           value FROM events)
+SELECT series, bucket, count(*) AS n_events,
+       round(sum(CASE WHEN delta IS NULL THEN 0.0
+                      WHEN delta >= 0 THEN delta
+                      ELSE value END), 6) AS increase,
+       round(sum(CASE WHEN delta IS NULL THEN 0.0
+                      WHEN delta >= 0 THEN delta
+                      ELSE value END) / 3600.0, 6) AS rate_per_second
+FROM d GROUP BY series, bucket"""
     o["bigram_logprob"] = f"""
 WITH {_ARR},
 {_TOK},

@@ -423,3 +423,47 @@ def categorize_text(docs: DataFrame, max_matched_tokens: int = 5,
             .where(F.col("doc_count") >= int(min_doc_count))
             .orderBy(F.desc("doc_count"), "category")
             .limit(int(top)))
+
+
+def stack_quality(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_line_len: int = 1000,
+                  max_avg_line_len: float = 100.0,
+                  min_alnum_frac: float = 0.25) -> DataFrame:
+    """The Stack / StarCoder source-file quality filter (Kocetkov et al.
+    2022 §II-B, Li et al. 2023 — public): the standard pre-training
+    hygiene pass for CODE corpora (the engine's north-star payload —
+    auto-generated bundles, minified JS, and binary-ish blobs all trip
+    these), per file:
+
+      n_lines       number of newline-split lines (empty lines count —
+                    they are real lines of the file and lower the mean)
+      max_line_len  longest line, kept <= max_line_len (default 1000)
+      avg_line_len  mean line length, kept <= max_avg_line_len (100)
+      alnum_frac    alphanumeric characters / total characters, kept >=
+                    min_alnum_frac (0.25); empty file -> 0.0
+      keep          AND of the three rules
+
+    Scale shape: pure per-row column expressions over array HOFs —
+    map-only, zero shuffle, whole-stage codegen; a 100-TB corpus
+    filters at scan speed. Thresholds are the papers' defaults."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    max_len = F.array_max(F.transform(lines, F.length))
+    sum_len = F.aggregate(lines, F.lit(0.0),
+                          lambda acc, ln: acc + F.length(ln))
+    avg_len = sum_len / n_lines
+    n_alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    alnum_frac = F.when(F.length(text) > 0,
+                        n_alnum.cast("double") / F.length(text)
+                        ).otherwise(F.lit(0.0))
+    keep = ((max_len <= max_line_len)
+            & (avg_len <= max_avg_line_len)
+            & (alnum_frac >= min_alnum_frac))
+    return docs.select(
+        F.col(id_col), n_lines.cast("long").alias("n_lines"),
+        max_len.cast("long").alias("max_line_len"),
+        F.round(avg_len, 6).alias("avg_line_len"),
+        F.round(alnum_frac, 6).alias("alnum_frac"),
+        keep.alias("keep"))
