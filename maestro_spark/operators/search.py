@@ -4292,9 +4292,12 @@ class IndexReader:
         (every bucket attaining the max/min) emitted as sorted
         comma-joined strings. m is rounded BEFORE the sibling pass so
         max/min key membership is a cross-engine-stable comparison.
-        Cost shape: one corpus-sized partial-agg groupBy, then a 1-row
-        agg over |distinct values| bucket rows broadcast-crossJoined
-        back for key extraction — nothing corpus-scale shuffles twice."""
+        Cost shape: one corpus-sized partial-agg groupBy, then the
+        bucket rows (≤ |distinct group values| — the same bounded
+        coordinator budget every ES pipeline agg has) collect into ONE
+        array and every sibling stat derives from it via array HOFs —
+        a SINGLE pass; the crossJoin alternative physically duplicates
+        the corpus-scale match-join subtree (verified via explain)."""
         if isinstance(group_col, str):
             group_col = F.col(group_col)
         if isinstance(value_col, str):
@@ -4306,21 +4309,30 @@ class IndexReader:
         joined = matches.join(docs, ["shard", "doc_id"], "inner")
         buckets = joined.groupBy("group_value").agg(
             F.round(F.avg("v"), 6).alias("m"))
-        stats = buckets.agg(F.max("m").alias("_mx"),
-                            F.min("m").alias("_mn"))
-        return (buckets.crossJoin(F.broadcast(stats)).agg(
-            F.count("*").alias("n_buckets"),
-            F.round(F.avg("m"), 6).alias("avg_bucket"),
-            F.round(F.sum("m"), 6).alias("sum_bucket"),
-            F.round(F.first("_mx"), 6).alias("max_bucket"),
-            F.round(F.first("_mn"), 6).alias("min_bucket"),
-            F.array_join(F.array_sort(F.collect_list(
-                F.when(F.col("m") == F.col("_mx"),
-                       F.col("group_value")))), ",").alias("max_keys"),
-            F.array_join(F.array_sort(F.collect_list(
-                F.when(F.col("m") == F.col("_mn"),
-                       F.col("group_value")))), ",").alias("min_keys"),
-        ))
+        arr = F.col("_b")
+        ms = F.transform(arr, lambda x: x["m"])
+        mx, mn = F.array_max(ms), F.array_min(ms)
+
+        def _keys(bound):
+            return F.array_join(F.array_sort(F.transform(
+                F.filter(arr, lambda x: x["m"] == bound),
+                lambda x: x["group_value"])), ",")
+
+        return (buckets
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("m", "group_value"))).alias("_b"))
+                .select(
+                    F.size(arr).cast("long").alias("n_buckets"),
+                    F.round(F.aggregate(
+                        ms, F.lit(0.0), lambda a, x: a + x)
+                        / F.size(arr), 6).alias("avg_bucket"),
+                    F.round(F.aggregate(
+                        ms, F.lit(0.0), lambda a, x: a + x), 6)
+                    .alias("sum_bucket"),
+                    F.round(mx, 6).alias("max_bucket"),
+                    F.round(mn, 6).alias("min_bucket"),
+                    _keys(mx).alias("max_keys"),
+                    _keys(mn).alias("min_keys")))
 
     def search_diversified_sampler(self, query: str, sample_top: int,
                                    dedup_col, max_per_value: int = 1,
