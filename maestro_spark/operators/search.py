@@ -1947,25 +1947,33 @@ class IndexReader:
                                 Window.partitionBy("shard")).alias("_nv"))
         kept = ranked.where(F.col("_rk") <= int(shard_size))
         # a shard's error floor: its smallest RETURNED count, or 0 when
-        # it returned every bucket it had
-        floors = (kept.groupBy("shard").agg(
-            F.min("cnt").alias("_floor"),
-            F.count("*").alias("_kept"),
-            F.max("_nv").alias("_nv"))
-            .select("shard",
-                    F.when(F.col("_nv") <= F.col("_kept"), F.lit(0))
-                    .otherwise(F.col("_floor")).alias("_floor")))
-        total_floor = floors.agg(
-            F.sum("_floor").alias("_tf")).select("_tf")
-        g = (kept.join(floors, "shard")
-             .groupBy("value")
+        # it returned every bucket it had. Derived via windows over the
+        # kept rows (same shard partitioning — no new exchange) so the
+        # whole agg is ONE chain: the groupBy(shard,value)/floors/total
+        # branch structure recomputed the corpus match join three times
+        # (no planner exchange reuse across branches; same finding as
+        # search_sibling_bucket). The global floor total rides a
+        # single-partition window over the kept rows — bounded by
+        # shards × shard_size, exactly ES's coordinator merge budget —
+        # summing only each shard's _rk==1 representative so every
+        # shard counts once, in exact integers.
+        ws = Window.partitionBy("shard")
+        floor_c = F.when(F.col("_nv") <= F.count("*").over(ws), F.lit(0)) \
+                   .otherwise(F.min("cnt").over(ws))
+        kept = kept.select(
+            "value", "cnt", "_rk", floor_c.alias("_floor"))
+        kept = kept.select(
+            "value", "cnt", "_floor",
+            F.sum(F.when(F.col("_rk") == 1, F.col("_floor"))
+                  .otherwise(F.lit(0)))
+            .over(Window.partitionBy(F.lit(0))).alias("_tf"))
+        g = (kept.groupBy("value")
              .agg(F.sum("cnt").cast("long").alias("n_docs"),
-                  F.sum("_floor").alias("_present_floor")))
-        return (g.crossJoin(F.broadcast(total_floor))
-                .select("value", "n_docs",
-                        (F.coalesce(F.col("_tf"), F.lit(0))
-                         - F.col("_present_floor")).cast("long")
-                        .alias("err_bound"))
+                  F.sum("_floor").alias("_present_floor"),
+                  F.first("_tf").alias("_tf")))
+        return (g.select("value", "n_docs",
+                         (F.col("_tf") - F.col("_present_floor"))
+                         .cast("long").alias("err_bound"))
                 .orderBy(F.desc("n_docs"), "value").limit(int(size)))
 
     def search_min_score(self, query: str, min_score: float,
@@ -3089,18 +3097,21 @@ class IndexReader:
         one row: bucket count, min/max/avg/sum of per-bucket doc counts,
         plus the KEY of the max bucket (lowest bucket on ties — ES
         reports all tied keys; one deterministic representative here).
-        Two tiny aggregations over the reduced bucket rows."""
+        ONE aggregation over the reduced bucket rows — the argmax is a
+        struct-max inside the same agg (the stats ⨯ argmax crossJoin
+        alternative physically duplicates the corpus-scale histogram
+        subtree; same finding as search_sibling_bucket)."""
         hist = self.search_histogram(query, value_col, interval, mode,
                                      exclude, min_match)
-        stats = hist.agg(
+        return hist.agg(
             F.count("*").alias("n_buckets"),
             F.min("n_docs").alias("min_docs"),
             F.max("n_docs").alias("max_docs"),
             F.round(F.avg("n_docs"), 6).alias("avg_docs"),
-            F.sum("n_docs").alias("sum_docs"))
-        argmax = (hist.orderBy(F.desc("n_docs"), F.asc("bucket")).limit(1)
-                  .select(F.col("bucket").alias("max_bucket")))
-        return stats.crossJoin(argmax)
+            F.sum("n_docs").alias("sum_docs"),
+            F.max(F.struct(F.col("n_docs"), (-F.col("bucket"))
+                           .alias("_nb"), F.col("bucket")))
+            .getField("bucket").alias("max_bucket"))
 
     def search_percentiles_bucket(self, query: str, value_col,
                                   interval: float,
@@ -3158,13 +3169,18 @@ class IndexReader:
                                      exclude, min_match)
         w = Window.orderBy("bucket").rowsBetween(
             Window.unboundedPreceding, Window.currentRow)
-        cum = hist.select(
+        # totals ride windows over the SAME (already single-partition,
+        # bucket-row-bounded) frame — the agg-then-crossJoin shape
+        # duplicated the corpus-scale histogram subtree (same finding
+        # as search_sibling_bucket)
+        wa = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        j = hist.select(
             "bucket", "n_docs",
             F.sum("n_docs").over(w).alias("cum_docs"),
-            F.row_number().over(Window.orderBy("bucket")).alias("rk"))
-        tot = hist.agg(F.sum("n_docs").alias("total_docs"),
-                       F.count("*").alias("n_buckets"))
-        j = cum.crossJoin(tot)
+            F.row_number().over(Window.orderBy("bucket")).alias("rk"),
+            F.sum("n_docs").over(wa).alias("total_docs"),
+            F.count("*").over(wa).alias("n_buckets"))
         ecdf_a = F.col("cum_docs").cast("double") / F.col("total_docs")
         if fractions is None:
             ecdf_e = F.col("rk").cast("double") / F.col("n_buckets")
@@ -3273,12 +3289,18 @@ class IndexReader:
             F.min(F.length("s")).alias("min_len"),
             F.max(F.length("s")).alias("max_len"),
             F.round(F.avg(F.length("s")), 6).alias("avg_len"))
+        from pyspark.sql.window import Window
         chars = (joined.select(F.explode(F.split("s", "")).alias("c"))
                  .where(F.length("c") > 0)
                  .groupBy("c").agg(F.count("*").alias("n")))
-        tot = chars.agg(F.sum("n").alias("tot"))
-        ent = (chars.crossJoin(tot)
-               .select((F.col("n") / F.col("tot")).alias("p"))
+        # the char-total rides a window over the (distinct-char-bounded)
+        # reduced rows — the agg-then-crossJoin shape re-ran the whole
+        # explode+groupBy subtree a second time. The row-level pass
+        # (lens) and char-level pass (chars) remain two scans of the
+        # match set by construction.
+        tot = F.sum("n").over(Window.partitionBy(F.lit(0)))
+        ent = (chars
+               .select((F.col("n") / tot).alias("p"))
                .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6)
                     .alias("entropy")))
         return lens.crossJoin(ent)
@@ -3823,15 +3845,18 @@ class IndexReader:
         joined = matches.join(docs, ["shard", "doc_id"], "inner")
         qs = F.percentile(F.col("v"), F.array(F.lit(0.25), F.lit(0.5),
                                               F.lit(0.75)))
+        # min/max/percentiles in ONE agg — the max-via-crossJoin shape
+        # re-ran the corpus match join (same finding as
+        # search_sibling_bucket)
         return joined.agg(
             F.min("v").alias("min_v"),
-            qs.alias("_q")).select(
+            qs.alias("_q"),
+            F.max("v").alias("max_v")).select(
             "min_v",
             F.round(F.element_at("_q", 1), 6).alias("q1"),
             F.round(F.element_at("_q", 2), 6).alias("q2"),
             F.round(F.element_at("_q", 3), 6).alias("q3"),
-        ).crossJoin(joined.agg(F.max("v").alias("max_v"))) \
-         .select("min_v", "q1", "q2", "q3", "max_v")
+            "max_v")
 
     def search_t_test(self, query_a: str, query_b: str, value_col,
                       mode: str = "or") -> DataFrame:
@@ -4224,8 +4249,13 @@ class IndexReader:
         whole bucket set (normalize, method=percent_of_sum — here
         pct_docs). Both pipelines run over ALREADY-REDUCED bucket rows:
         the only corpus-sized work is the one partial-agg histogram;
-        the total for percent_of_sum is a second 1-row agg crossJoined
-        back (no single-partition window)."""
+        the total for percent_of_sum is a single-partition window over
+        the BUCKET rows only (≤ value-range/interval of them — the
+        bounded coordinator budget every ES pipeline agg has). The
+        crossJoin-a-1-row-agg alternative physically duplicates the
+        corpus-scale match-join subtree (2 docstore scans in explain —
+        same finding as search_sibling_bucket), so the tiny window is
+        the right trade."""
         if isinstance(value_col, str):
             value_col = F.col(value_col)
         matches = self.match_docs(query, mode, exclude, min_match)
@@ -4238,12 +4268,13 @@ class IndexReader:
         buckets = joined.groupBy("bucket").agg(
             F.count("*").alias("n_docs"),
             F.sum("v").alias("_sum_v"))
-        total = buckets.agg(F.sum("n_docs").alias("_total"))
-        return (buckets.crossJoin(total).select(
+        from pyspark.sql.window import Window
+        total = F.sum("n_docs").over(Window.partitionBy(F.lit(0)))
+        return (buckets.select(
             "bucket", "n_docs",
             F.round(F.col("_sum_v") / F.col("n_docs"), 6)
             .alias("avg_v"),
-            F.round(F.col("n_docs") / F.col("_total") * 100.0, 6)
+            F.round(F.col("n_docs") / total * 100.0, 6)
             .alias("pct_docs"))
             .orderBy("bucket"))
 
