@@ -253,11 +253,19 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     tg = tok(target, target_text_col, None)
     bg_counts = bg.groupBy("bucket").agg(F.count("*").alias("bg_n"))
     tg_counts = tg.groupBy("bucket").agg(F.count("*").alias("tg_n"))
-    bg_tot = bg_counts.agg(F.sum("bg_n").alias("bg_tot"))
-    tg_tot = tg_counts.agg(F.sum("tg_n").alias("tg_tot"))
+    # the LM totals ride a single-partition window over the reduced
+    # (≤ n_buckets-row) joined frame — the full outer join keeps every
+    # bucket from both sides, so the coalesced sums ARE the totals. The
+    # agg-then-crossJoin alternative physically re-runs the corpus
+    # tokenization subtree once per total (no planner exchange reuse
+    # across branches).
+    _wall = Window.partitionBy(F.lit(0))
     weights = (
         bg_counts.join(tg_counts, "bucket", "full_outer")
-        .crossJoin(bg_tot).crossJoin(tg_tot)
+        .withColumn("bg_tot",
+                    F.sum(F.coalesce("bg_n", F.lit(0))).over(_wall))
+        .withColumn("tg_tot",
+                    F.sum(F.coalesce("tg_n", F.lit(0))).over(_wall))
         .select(
             "bucket",
             (F.log((F.coalesce("tg_n", F.lit(0)) + 1.0)

@@ -518,20 +518,26 @@ def linear_fuse(rankings: list[DataFrame], weights: list[float],
     cross-engine determinism; the fused score is rounded to 6.
 
     Scale shape: same as rrf_fuse — inputs are coordinator-sized top-N
-    lists, so each min/max is a 1-row agg crossJoined back and the
-    fusion groupBy runs on k·|retrievers| rows (ES's coordinating-node
-    merge cost class). Returns (id, lin_score, n_retrievers) ordered
+    lists, so each min/max is a window over the retriever's own rows
+    (never a second run of the retriever) and the fusion groupBy runs
+    on k·|retrievers| rows (ES's coordinating-node merge cost class).
+    Returns (id, lin_score, n_retrievers) ordered
     (lin_score desc, id asc) top-k."""
     if len(weights) != len(rankings):
         raise ValueError("one weight per retriever")
+    from pyspark.sql import Window
     parts = []
     for df, w in zip(rankings, weights):
-        ext = df.agg(F.min(score_col).alias("_lo"),
-                     F.max(score_col).alias("_hi"))
-        norm = F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0)) \
-            .otherwise((F.col(score_col) - F.col("_lo"))
-                       / (F.col("_hi") - F.col("_lo")))
-        parts.append(df.crossJoin(ext).select(
+        # min/max ride a single-partition window over the retriever's
+        # OWN (top-N-bounded) rows — the agg-then-crossJoin shape
+        # physically re-ran the upstream retriever (a full BM25/kNN
+        # query) a second time per extreme
+        _wall = Window.partitionBy(F.lit(0))
+        lo = F.min(score_col).over(_wall)
+        hi = F.max(score_col).over(_wall)
+        norm = F.when(hi == lo, F.lit(1.0)) \
+            .otherwise((F.col(score_col) - lo) / (hi - lo))
+        parts.append(df.select(
             F.col(id_col).alias("_id"),
             (F.lit(float(w)) * norm).alias("_ws")))
     u = parts[0]

@@ -62,21 +62,29 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
 
     Scale shape: one partial-agg groupBy for the corpus term frequencies
     (vocabulary-sized output), one term-keyed sort-merge join of the token
-    stream against it, one partial-agg groupBy per doc; the 1-row totals
-    frame broadcasts. Nothing corpus-sized reaches the driver."""
+    stream against it, one partial-agg groupBy per doc. The token total
+    rides a single-partition window over the REDUCED vocabulary rows
+    (sorting the vocabulary once beats the agg-then-crossJoin shape,
+    which physically re-runs the corpus tokenization subtree — no
+    planner exchange reuse across branches); the learn-then-score two
+    passes over the token stream are the algorithm."""
+    from pyspark.sql.window import Window
     tok = docs.select(F.col(id_col),
                       F.explode(simple_token_col(F.col(text_col)))
                       .alias("term"))
-    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("ctf"))
-    totals = freq.agg(F.sum("ctf").alias("total"))
+    freq = (tok.groupBy("term")
+            .agg(F.count("*").cast("double").alias("ctf"))
+            .withColumn("_total", F.sum("ctf").over(
+                Window.partitionBy(F.lit(0)))))
     per_doc = (tok.join(freq, "term")
                .groupBy(id_col)
                .agg(F.count("*").alias("n_tokens"),
-                    F.sum(F.log("ctf")).alias("sum_log_ctf")))
-    return (per_doc.crossJoin(F.broadcast(totals))
-            .select(F.col(id_col), "n_tokens",
-                    F.round(F.col("sum_log_ctf") / F.col("n_tokens")
-                            - F.log("total"), 6).alias("avg_logprob")))
+                    F.sum(F.log("ctf")).alias("sum_log_ctf"),
+                    F.first("_total").alias("total")))
+    return per_doc.select(
+        F.col(id_col), "n_tokens",
+        F.round(F.col("sum_log_ctf") / F.col("n_tokens")
+                - F.log("total"), 6).alias("avg_logprob"))
 
 
 def quality_features(docs: DataFrame, text_col: str = "text",
@@ -350,11 +358,16 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
 
     Scale shape: the bigram count table is one partial-agg groupBy
     (|bigram vocab| rows, Zipf-bounded far below the token stream), its
-    prefix marginal a second vocabulary-sized agg; the doc bigram stream
-    joins both on their count keys (sort-merge/hash joins — broadcast
-    them instead when the vocabulary fits, as a real LM's would after
-    pruning) and reduces per doc with one partial agg. The 1-row total
-    broadcasts. Nothing corpus-sized reaches the driver."""
+    prefix marginal a WINDOW over those reduced rows (partitioned on
+    the prefix — distributed, no second corpus pass; likewise the
+    unigram total rides a single-partition window over the vocabulary
+    rows: the agg-then-join/crossJoin shapes physically re-ran the
+    corpus explode subtrees); the doc bigram stream joins both on
+    their count keys (sort-merge/hash joins — broadcast them instead
+    when the vocabulary fits, as a real LM's would after pruning) and
+    reduces per doc with one partial agg. Nothing corpus-sized reaches
+    the driver."""
+    from pyspark.sql.window import Window
     ts = simple_token_col(F.col(text_col))
     toks = docs.select(F.col(id_col), ts.alias("ts"))
     bg = toks.select(
@@ -364,17 +377,17 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
             F.slice("ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))),
             lambda a, b: F.struct(a.alias("v"), b.alias("w"))))
         .alias("p")).select(F.col(id_col), "p.v", "p.w")
-    bgc = bg.groupBy("v", "w").agg(
-        F.count("*").cast("double").alias("cvw"))
-    marg = bgc.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    bgc = (bg.groupBy("v", "w")
+           .agg(F.count("*").cast("double").alias("cvw"))
+           .withColumn("cv", F.sum("cvw").over(Window.partitionBy("v"))))
     uni = (docs.select(F.explode(ts).alias("term"))
-           .groupBy("term").agg(F.count("*").cast("double").alias("ctf")))
-    total = uni.agg(F.sum("ctf").alias("total"))
+           .groupBy("term").agg(F.count("*").cast("double").alias("ctf"))
+           .withColumn("total", F.sum("ctf").over(
+               Window.partitionBy(F.lit(0)))))
     lp = F.log(F.lit(float(lam)) * F.col("cvw") / F.col("cv")
                + F.lit(1.0 - float(lam)) * F.col("ctf") / F.col("total"))
-    return (bg.join(bgc, ["v", "w"]).join(marg, "v")
+    return (bg.join(bgc, ["v", "w"])
             .join(uni, F.col("w") == F.col("term"))
-            .crossJoin(F.broadcast(total))
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg(lp), 6).alias("avg_logprob")))
