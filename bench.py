@@ -464,6 +464,15 @@ def main() -> None:
         documents, {"src1": 2.0, "src3": 1.0},
         total_docs=int(documents.count() * 0.2)).count())
 
+    # round-3 session-10 families: code-file quality filter (map-only),
+    # TSDB counter rate (one series-key shuffle, window + reused-
+    # distribution groupBy)
+    timed("stack_quality",
+          lambda: textstats.stack_quality(documents).count())
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    from maestro_spark.operators.timeseries import counter_rate
+    timed("counter_rate", lambda: counter_rate(events).count())
+
     total = time.time() - t_all
     out = {
         "metric": "index-build docs/sec + BM25 top-k latency + curation ops wall",
