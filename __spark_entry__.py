@@ -2373,6 +2373,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["counter_rate"] = _q_counter_rate
 
+    def _q_downsample(s: SparkSession, d: str) -> DataFrame:
+        # ES TSDB downsampling: one doc per (series, hour) carrying
+        # min/max/sum/value_count + last_value ((ts, id)-pinned) — ONE
+        # (series, bucket) partial agg, last_value as struct-max argmax
+        from maestro_spark.operators.timeseries import downsample
+        return downsample(_t(s, d, "events"))
+
+    q["downsample_rollup"] = _q_downsample
+
+    def _q_downsample_requery(s: SparkSession, d: str) -> DataFrame:
+        # the mergeability proof: day-level stats RE-AGGREGATED FROM the
+        # hourly rollup — the oracle computes them from raw events, so
+        # equality IS downsample correctness (mergeable aggs compose)
+        from maestro_spark.operators.timeseries import downsample_requery
+        return downsample_requery(_t(s, d, "events"), unit="hour",
+                                  requery_unit="day")
+
+    q["downsample_requery"] = _q_downsample_requery
+
+    def _q_split_overlap(s: SparkSession, d: str) -> DataFrame:
+        # train/test leakage audit: pairwise distinct-8-gram overlap
+        # between source splits; grams travel as xxhash64 longs, ONE
+        # corpus shuffle on the gram hash, pair rows |splits|²-bounded
+        return curation.split_overlap(_t(s, d, "documents"), n=8)
+
+    q["split_overlap"] = _q_split_overlap
+
+    def _q_rerank_text_sim(s: SparkSession, d: str) -> DataFrame:
+        # ES retriever.text_similarity_reranker shape: BM25 top-30
+        # window re-scored by the deterministic lexical scorer (the
+        # model seam), top-10 of the new ordering; the window id list
+        # broadcasts into the docstore fetch
+        from maestro_spark.operators.similarity import \
+            text_similarity_rerank
+        reader = IndexReader(s, _ensure_index(s, d))
+        first = reader.search("spark merge query", k=90)
+        return text_similarity_rerank(first, reader._docs(),
+                                      "spark merge query", k=10,
+                                      window=30)
+
+    q["rerank_text_similarity"] = _q_rerank_text_sim
+
+    def _q_parent_agg(s: SparkSession, d: str) -> DataFrame:
+        # ES `parent` agg (inverse of `children`): child-query context
+        # stepped UP to parents, bucketed by a parent field; one
+        # parent-key partial agg (map-side under co-location) + one
+        # bucket partial agg
+        from maestro_spark.operators import parentjoin
+        cr = IndexReader(s, _ensure_child_index(s, d))
+        pr = IndexReader(s, _ensure_index(s, d))
+        return parentjoin.parent_agg(cr, pr, "merge slow", "lang")
+
+    q["parent_agg"] = _q_parent_agg
+
     def _q_bigram_lm(s: SparkSession, d: str) -> DataFrame:
         # interpolated bigram LM score (CCNet/KenLM-filter analogue,
         # one order above unigram_logprob)
@@ -4776,6 +4830,93 @@ SELECT series, bucket, count(*) AS n_events,
                       WHEN delta >= 0 THEN delta
                       ELSE value END) / 3600.0, 6) AS rate_per_second
 FROM d GROUP BY series, bucket"""
+    # downsample: identical (series, hour) rollup; last_value via the
+    # same (ts, id) total order (window rank 1 = the struct-max argmax)
+    _DS_BASE = """e AS (SELECT user_id AS series,
+          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+          ts, event_id, value FROM events),
+lastv AS (SELECT series, bucket, value AS lv FROM (
+            SELECT series, bucket, value,
+                   row_number() OVER (PARTITION BY series, bucket
+                                      ORDER BY ts DESC, event_id DESC) rn
+            FROM e) WHERE rn = 1)"""
+    o["downsample_rollup"] = f"""
+WITH {_DS_BASE},
+agg AS (SELECT series, bucket, count(*)::BIGINT AS doc_count,
+               round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+               round(sum(value), 6) AS v_sum,
+               count(value)::BIGINT AS v_count
+        FROM e GROUP BY series, bucket)
+SELECT agg.*, round(lastv.lv, 6) AS last_value
+FROM agg JOIN lastv USING (series, bucket)"""
+    o["downsample_requery"] = f"""
+WITH e AS (SELECT user_id AS series,
+          strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+          ts, event_id, value FROM events),
+lastv AS (SELECT series, bucket, value AS lv FROM (
+            SELECT series, bucket, value,
+                   row_number() OVER (PARTITION BY series, bucket
+                                      ORDER BY ts DESC, event_id DESC) rn
+            FROM e) WHERE rn = 1),
+agg AS (SELECT series, bucket, count(*)::BIGINT AS doc_count,
+               min(value) AS v_min, max(value) AS v_max,
+               sum(value) AS v_sum, count(value)::BIGINT AS v_count
+        FROM e GROUP BY series, bucket)
+SELECT agg.series, agg.bucket, agg.doc_count,
+       round(agg.v_min, 6) AS v_min, round(agg.v_max, 6) AS v_max,
+       round(agg.v_sum, 6) AS v_sum, agg.v_count,
+       round(agg.v_sum / agg.v_count, 6) AS v_avg,
+       round(lastv.lv, 6) AS last_value
+FROM agg JOIN lastv USING (series, bucket)"""
+    # split_overlap: per-split distinct 8-gram sets as STRINGS (the
+    # engine moves xxhash64 of the token window — counts identical
+    # absent a 64-bit collision, decontaminate's documented caveat)
+    o["split_overlap"] = f"""
+WITH {_ARR},
+g AS (SELECT DISTINCT d.source AS split,
+             array_to_string(ts[i:i+7], ' ') AS gram
+      FROM arr JOIN documents d ON d.doc_id = arr.doc_id,
+           unnest(range(1, len(ts) - 6)) AS t(i)
+      WHERE len(ts) >= 8),
+tot AS (SELECT split, count(*)::BIGINT AS n_a FROM g GROUP BY split)
+SELECT a.split AS split_a, b.split AS split_b,
+       count(*)::BIGINT AS n_shared, tot.n_a,
+       round(count(*)::DOUBLE / tot.n_a, 6) AS frac_of_a
+FROM g a JOIN g b ON a.gram = b.gram AND a.split <> b.split
+JOIN tot ON tot.split = a.split
+GROUP BY a.split, b.split, tot.n_a
+ORDER BY split_a, split_b"""
+    # text_similarity_reranker: BM25 top-30 rounded-rank window, then
+    # Jaccard(query tokens, distinct doc tokens); |q|=3 distinct terms
+    _RRK = _sql_terms("spark merge query")
+    _rrk_in = ", ".join(f"'{t}'" for t in _RRK)
+    o["rerank_text_similarity"] = f"""
+WITH {_TOK},
+tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfq
+        WHERE term IN ({_rrk_in}) GROUP BY term),
+cs AS (SELECT t.doc_id,
+              sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                  * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                  AS score
+       FROM tfq t JOIN dft d ON t.term = d.term
+       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st
+       GROUP BY t.doc_id),
+win AS (SELECT doc_id, round(score, 6) AS s1,
+               row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) rn
+        FROM cs),
+cut AS (SELECT doc_id, s1 FROM win WHERE rn <= 30),
+dtk AS (SELECT doc_id, count(DISTINCT term)::DOUBLE AS nd,
+               count(DISTINCT CASE WHEN term IN ({_rrk_in})
+                              THEN term END)::DOUBLE AS ni
+        FROM tok GROUP BY doc_id)
+SELECT c.doc_id,
+       round(dtk.ni / (dtk.nd + {len(_RRK)} - dtk.ni), 6) AS sim,
+       c.s1 AS score
+FROM cut c JOIN dtk ON dtk.doc_id = c.doc_id
+ORDER BY sim DESC, score DESC, c.doc_id LIMIT 10"""
     o["bigram_logprob"] = f"""
 WITH {_ARR},
 {_TOK},
@@ -5202,6 +5343,20 @@ SELECT d.lang AS bucket, count(*)::BIGINT AS n_parents,
        round(sum(chp.ts)::DOUBLE / sum(chp.n_ch), 6) AS avg_child_tokens
 FROM pm JOIN documents d ON d.doc_id = pm.doc_id
 LEFT JOIN chp ON chp.parent = pm.doc_id
+GROUP BY d.lang ORDER BY bucket"""
+
+    o["parent_agg"] = f"""
+WITH {_ARR},
+{_PARS},
+ptok AS (SELECT cid, u.term FROM pars,
+         unnest(string_split(par, ' ')) AS u(term)),
+cm AS (SELECT DISTINCT cid FROM ptok WHERE term IN ('merge', 'slow')),
+pm AS (SELECT p.parent, count(*)::BIGINT AS nm
+       FROM cm JOIN pars p ON p.cid = cm.cid GROUP BY p.parent)
+SELECT d.lang AS bucket, count(*)::BIGINT AS n_parents,
+       sum(pm.nm)::BIGINT AS n_matching_children,
+       round(avg(length(d.text)), 6) AS avg_parent_chars
+FROM pm JOIN documents d ON d.doc_id = pm.parent
 GROUP BY d.lang ORDER BY bucket"""
 
     return o

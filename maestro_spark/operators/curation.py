@@ -157,6 +157,74 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
                     (F.coalesce("n_bad", F.lit(0)) > 0).alias("contaminated")))
 
 
+def split_overlap(docs: DataFrame, n: int = 8,
+                  text_col: str = "text",
+                  split_col: str = "source") -> DataFrame:
+    """Cross-split n-gram overlap matrix — the train/test leakage audit
+    a training-data pipeline runs BEFORE decontaminate() tells it what
+    to drop (same n-gram membership rule as the GPT-3/PaLM appendix,
+    lifted from one eval set to every split×split pair): for each
+    ordered pair of splits,
+
+        n_shared  = |distinct n-grams in a ∩ distinct n-grams in b|
+        frac_of_a = n_shared / |distinct n-grams in a|
+
+    so a high frac_of_a with small a (an eval split) is leakage, and
+    the matrix is asymmetric on purpose.
+
+    100 TB shape: grams travel as xxhash64 of the token window (8-byte
+    longs, no gram strings — decontaminate's trick, same ~1e-6 birthday
+    caveat); per-doc distinct collapses map-side (array_distinct before
+    the explode), then ONE corpus-scale shuffle on the gram hash builds
+    gram → sorted set of splits (bounded by the split count). Everything
+    after — per-split totals, pair expansion via array HOFs, the pair
+    counts — runs over those already-reduced rows; pair rows are
+    |splits|²-bounded. Pairs that share nothing are absent (inner-join
+    semantics, mirrored by the oracle).
+
+    Returns DataFrame(split_a, split_b, n_shared, n_a, frac_of_a)
+    ordered by (split_a, split_b)."""
+    from maestro_spark.operators.textstats import simple_token_col
+
+    toks = simple_token_col(F.col(text_col))
+    arr = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.xxhash64(F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<long>"))
+    g = docs.select(F.col(split_col).alias("split"),
+                    F.explode(F.array_distinct(arr)).alias("gram"))
+    sets = g.groupBy("gram").agg(
+        F.sort_array(F.collect_set("split")).alias("splits"))
+    # ONE pair expansion serves both the totals and the intersections:
+    # the self-pair (a,a) counts a's distinct grams (every gram of a
+    # emits it), the cross pair (a,b) counts shared grams — so the whole
+    # matrix reduces in a single pass with no second branch re-running
+    # the corpus shuffle (the session-10 duplicated-subtree rule)
+    counts = (sets.select(F.explode(F.flatten(F.transform(
+                  "splits",
+                  lambda a: F.transform(
+                      "splits",
+                      lambda b: F.struct(a.alias("a"), b.alias("b")))))
+              ).alias("p"))
+              .groupBy(F.col("p.a").alias("split_a"),
+                       F.col("p.b").alias("split_b"))
+              .agg(F.count("*").alias("n_shared")))
+    # n_a = the self-pair row's count, lifted over each split_a group by
+    # a window over the ALREADY-REDUCED pair rows (a totals-join branch
+    # would physically re-run the corpus gram shuffle — Spark does not
+    # share exchanges across DataFrame branches)
+    w = Window.partitionBy("split_a")
+    n_a = F.max(F.when(F.col("split_a") == F.col("split_b"),
+                       F.col("n_shared"))).over(w)
+    return (counts.withColumn("n_a", n_a)
+            .where(F.col("split_a") != F.col("split_b"))
+            .select("split_a", "split_b", "n_shared", "n_a",
+                    F.round(F.col("n_shared") / F.col("n_a"), 6)
+                    .alias("frac_of_a"))
+            .orderBy("split_a", "split_b"))
+
+
 def pack_sequences(docs: DataFrame, budget: int,
                    token_col: str = "n_chars",
                    strata_col: str = "source",

@@ -283,8 +283,10 @@ def incremental_update_versioned(
         raise
     update_alias(base_dir, version)
     if keep_versions > 0:
+        from maestro_spark.sources.tableio import pit_versions
+        pinned = pit_versions(base_dir)  # live PITs retain their version
         for old in list_versions(base_dir)[:-keep_versions]:
-            if old != version:
+            if old != version and old not in pinned:
                 shutil.rmtree(os.path.join(base_dir, old), ignore_errors=True)
     manifest["version_dir"] = version
     return manifest

@@ -155,6 +155,42 @@ def parent_id(child_reader, parent, boost: float = 1.0,
             .orderBy("child_id"))
 
 
+def parent_agg(child_reader, parent_reader, child_query: str,
+               bucket_col: str = "lang", mode: str = "or",
+               parent_col: str = "parent") -> DataFrame:
+    """ES `parent` aggregation — the inverse of `children`: from a
+    CHILD query context, step UP to the parent documents and bucket
+    THEM by a parent field. Per ES semantics the bucket doc_count is
+    the number of PARENT docs reached (each parent counted once no
+    matter how many of its children matched); alongside it this
+    returns the matched-children volume and a parent metric (mean
+    parent length in chars — a stand-in for any parent sub-agg).
+
+    Shape: the child match set is posting-bounded (match_docs' pruned
+    posting scan); stepping up is one parent-key partial agg whose
+    rows combine map-side under parent/child co-location (one row per
+    matched parent leaves each task), then one broadcast-eligible join
+    to the parent docstore and one bucket-key partial agg — child-scale
+    data crosses the wire once, as parent-count-sized rows.
+
+    Returns DataFrame(bucket, n_parents, n_matching_children,
+    avg_parent_chars) ordered by bucket."""
+    cm = child_reader.match_docs(child_query, mode)
+    cdocs = child_reader._docs().select(
+        "shard", "doc_id", F.col(parent_col).cast("long").alias("_pid"))
+    per_parent = (cm.join(cdocs, ["shard", "doc_id"], "inner")
+                  .groupBy("_pid").agg(F.count("*").alias("_nm")))
+    pdocs = parent_reader._docs().select(
+        F.col("doc_id").alias("_pid"), F.col(bucket_col).alias("bucket"),
+        F.length("content").cast("double").alias("_chars"))
+    out = per_parent.join(pdocs, "_pid", "inner")
+    return (out.groupBy("bucket")
+            .agg(F.count("*").alias("n_parents"),
+                 F.sum("_nm").cast("long").alias("n_matching_children"),
+                 F.round(F.avg("_chars"), 6).alias("avg_parent_chars"))
+            .orderBy("bucket"))
+
+
 def children_agg(child_reader, parent_reader, parent_query: str,
                  bucket_col: str = "lang", mode: str = "or",
                  parent_col: str = "parent") -> DataFrame:

@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -547,3 +549,54 @@ def linear_fuse(rankings: list[DataFrame], weights: list[float],
             .agg(F.round(F.sum("_ws"), 6).alias("lin_score"),
                  F.count("*").cast("long").alias("n_retrievers"))
             .orderBy(F.desc("lin_score"), F.asc(id_col)).limit(k))
+
+
+def text_similarity_rerank(first_stage: DataFrame, docs: DataFrame,
+                           query_text: str, k: int = 10,
+                           window: int = 50, id_col: str = "doc_id",
+                           score_col: str = "score",
+                           text_col: str = "content",
+                           scorer=None) -> DataFrame:
+    """The ES 8.15 `retriever.text_similarity_reranker` shape: a first-
+    stage retriever's top `rank_window_size` hits are re-scored by a
+    (query, document-text) similarity model and the top-k of the NEW
+    ordering returns. ES calls an inference endpoint (a cross-encoder);
+    this engine keeps the retrieval plumbing real and makes the model a
+    `scorer` seam — a callable (query_tokens_col, doc_tokens_col) ->
+    score Column. The default is deterministic lexical Jaccard
+    |q ∩ d| / |q ∪ d| over distinct simple tokens (so the oracle can
+    reproduce it exactly); a real model drops in as an Arrow-batched
+    pandas_udf over the raw strings without touching the plan shape.
+
+    Plan shape: the window cut is a rounded-rank head of the first
+    stage's (top-bounded) result; the k-bounded id list BROADCASTS into
+    the docstore join, so the text fetch reads only the window's docs
+    (row-group pruned on id at the parquet scan — never a corpus scan);
+    token HOFs stay JVM-side. Final order: (round(sim, 6) desc,
+    first-stage rounded score desc, id asc).
+
+    Returns DataFrame(doc_id, sim, score) — `score` is the first-stage
+    rounded score carried through (ES returns both under `_rank`)."""
+    from maestro_spark.operators.textstats import simple_token_col
+
+    cut = (first_stage
+           .select(F.col(id_col).alias("_id"),
+                   F.round(score_col, 6).alias("_s1"))
+           .orderBy(F.desc("_s1"), F.asc("_id")).limit(int(window)))
+    qtoks = sorted(set(re.findall(r"[a-z0-9]+", query_text.lower())))
+    qarr = F.array(*[F.lit(t) for t in qtoks])
+    dtoks = F.array_distinct(simple_token_col(F.col(text_col)))
+    if scorer is None:
+        inter = F.size(F.array_intersect(dtoks, qarr))
+        union = F.size(F.array_union(dtoks, qarr))
+        sim = F.when(union > 0, inter.cast("double") / union) \
+            .otherwise(F.lit(0.0))
+    else:
+        sim = scorer(qarr, dtoks)
+    joined = docs.join(
+        F.broadcast(cut), docs[id_col] == F.col("_id"), "inner")
+    return (joined.select(F.col("_id").alias(id_col),
+                          F.round(sim, 6).alias("sim"),
+                          F.col("_s1").alias("score"))
+            .orderBy(F.desc("sim"), F.desc("score"), F.asc(id_col))
+            .limit(k))

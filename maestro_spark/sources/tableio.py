@@ -153,3 +153,69 @@ def hardlink_clone(src: str, dst: str) -> int:
                 shutil.copy2(s, t)
             n += 1
     return n
+
+
+# ---- point-in-time (PIT) reads -----------------------------------------
+# The ES analogue: POST /{index}/_pit pins a set of segments so paged /
+# long-running searches see one consistent view while writes and merges
+# continue (public ES docs, point-in-time API). On the versioned index
+# layout a PIT is a keep-alive file naming the version dir the alias
+# resolved to at open time: readers opened on that concrete dir never
+# re-resolve the alias (resolve_alias is identity off the base dir), and
+# version pruning skips any version a live PIT references — exactly ES's
+# "segments are retained while a PIT references them".
+
+PITS_DIR = "pits"
+
+
+def open_pit(base_dir: str) -> dict:
+    """Pin the CURRENT version for consistent reads across future alias
+    flips. Returns {"id", "version", "dir"}; pass `dir` to IndexReader
+    (a reader on a concrete v{N} dir is immune to alias flips) and `id`
+    to close_pit when done. Refused on an unversioned index — there is
+    no immutable version to pin (migrate with reindex(versioned=True))."""
+    import uuid
+
+    cur = resolve_alias(base_dir)
+    if os.path.abspath(cur) == os.path.abspath(base_dir):
+        raise ValueError(
+            f"{base_dir} is not a versioned index — PIT needs the "
+            "alias layout (build with versioned=True)")
+    version = os.path.basename(cur)
+    pit_id = uuid.uuid4().hex[:16]
+    write_manifest(os.path.join(base_dir, PITS_DIR, f"{pit_id}.json"),
+                   {"id": pit_id, "version": version})
+    return {"id": pit_id, "version": version, "dir": cur}
+
+
+def pit_versions(base_dir: str) -> set[str]:
+    """Versions pinned by live PITs — the set version pruning must skip."""
+    d = os.path.join(base_dir, PITS_DIR)
+    out = set()
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                m = read_manifest(os.path.join(d, f))
+                if m and "version" in m:
+                    out.add(m["version"])
+    return out
+
+
+def resolve_pit(base_dir: str, pit_id: str) -> str:
+    """Version dir a PIT pins; raises if the PIT was closed (the ES
+    `search_context_missing` analogue)."""
+    m = read_manifest(os.path.join(base_dir, PITS_DIR, f"{pit_id}.json"))
+    if m is None:
+        raise ValueError(f"no such PIT {pit_id!r} (closed or expired)")
+    return os.path.join(base_dir, m["version"])
+
+
+def close_pit(base_dir: str, pit_id: str) -> bool:
+    """Release the pin; the next versioned update may prune the version.
+    Returns False when the PIT was already gone (ES returns
+    succeeded=false)."""
+    p = os.path.join(base_dir, PITS_DIR, f"{pit_id}.json")
+    if not os.path.exists(p):
+        return False
+    os.unlink(p)
+    return True

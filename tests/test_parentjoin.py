@@ -231,3 +231,33 @@ def test_children_agg(spark, built):
                                             "lang").collect()}
     assert got == {lang: (np_, nc, round(ts / nc, 6))
                    for lang, (np_, nc, ts) in want.items()}
+
+
+def test_parent_agg(spark, built):
+    """ES `parent` agg (inverse of children): CHILD query context
+    stepped up to parents, bucketed by a parent field; n_parents counts
+    each reached parent once, n_matching_children counts the matched
+    child docs, avg_parent_chars averages the parent text length."""
+    pdir, cdir = built
+    cr, pr = IndexReader(spark, cdir), IndexReader(spark, pdir)
+    cs = _scores(CHILDREN, "merge slow")
+    per = {}
+    for cid in cs:
+        per[PARENT_OF[cid]] = per.get(PARENT_OF[cid], 0) + 1
+    want = {}
+    for p, nm in per.items():
+        lang = "java" if p % 3 else "py"
+        b = want.setdefault(lang, [0, 0, 0.0])
+        b[0] += 1
+        b[1] += nm
+        b[2] += len(_text(p))
+    got = {r["bucket"]: (int(r["n_parents"]),
+                         int(r["n_matching_children"]),
+                         float(r["avg_parent_chars"]))
+           for r in parentjoin.parent_agg(cr, pr, "merge slow",
+                                          "lang").collect()}
+    assert got == {lang: (np_, nc, round(chars / np_, 6))
+                   for lang, (np_, nc, chars) in want.items()}
+    # every parent counted once regardless of how many children matched
+    assert sum(v[0] for v in got.values()) == len(per)
+    assert sum(v[1] for v in got.values()) == len(cs)

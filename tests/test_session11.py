@@ -1,0 +1,217 @@
+"""Round-3 session-11 additions, each vs an independent brute force:
+
+  - timeseries.downsample / downsample_requery (ES TSDB downsampling):
+    per (series, calendar bucket) min/max/sum/value_count/last_value
+    rollup vs a pandas groupby with (ts, id)-ordered last; and the
+    mergeability proof — a day-level re-aggregation OF THE HOURLY
+    ROLLUP equals the same aggregation computed from raw events
+  - curation.split_overlap (train/test leakage audit): pairwise
+    distinct-n-gram overlap matrix vs python set intersections
+  - similarity.text_similarity_rerank (ES retriever.text_similarity_
+    reranker shape): rounded-rank window cut, deterministic Jaccard
+    rerank vs python brute force, window exclusion, scorer seam
+"""
+
+import datetime as dt
+import itertools
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.operators.curation import split_overlap
+from maestro_spark.operators.similarity import text_similarity_rerank
+from maestro_spark.operators.timeseries import downsample, downsample_requery
+
+# --------------------------------------------------- downsample
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _events():
+    rows = []
+    for i in range(240):
+        series = i % 5
+        ts = T0 + dt.timedelta(minutes=17 * i + series)
+        val = round(((i * 37) % 100) + series * 0.25, 2)
+        rows.append((i, ts, series, val))
+    # planted tie: two events in the same (series, hour) with equal ts —
+    # last_value must pin on the event id (the higher id wins)
+    rows.append((1000, T0 + dt.timedelta(minutes=5), 0, 1.5))
+    rows.append((1001, T0 + dt.timedelta(minutes=5), 0, 2.5))
+    return pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+
+
+def _brute_rollup(pdf, unit="hour"):
+    trunc = {"hour": "h", "day": "D", "minute": "min"}[unit]
+    g = pdf.assign(bucket=pdf["ts"].dt.floor(trunc).dt.strftime(
+        "%Y-%m-%d %H:%M:%S"))
+    out = {}
+    for (s, b), grp in g.groupby(["user_id", "bucket"]):
+        grp = grp.sort_values(["ts", "event_id"])
+        out[(s, b)] = (len(grp), round(grp["value"].min(), 6),
+                       round(grp["value"].max(), 6),
+                       round(grp["value"].sum(), 6), len(grp),
+                       round(grp["value"].iloc[-1], 6))
+    return out
+
+
+def test_downsample_matches_brute(spark):
+    pdf = _events()
+    got = {(r["series"], r["bucket"]):
+           (r["doc_count"], r["v_min"], r["v_max"], r["v_sum"],
+            r["v_count"], r["last_value"])
+           for r in downsample(spark.createDataFrame(pdf)).collect()}
+    assert got == _brute_rollup(pdf)
+
+
+def test_downsample_requery_equals_raw(spark):
+    """Day-level stats FROM the hourly rollup == day-level from raw —
+    the mergeability contract downsampling rests on."""
+    pdf = _events()
+    df = spark.createDataFrame(pdf)
+    got = {(r["series"], r["bucket"]):
+           (r["doc_count"], r["v_min"], r["v_max"], r["v_sum"],
+            r["v_count"], r["v_avg"], r["last_value"])
+           for r in downsample_requery(df, unit="hour",
+                                       requery_unit="day").collect()}
+    raw = {}
+    for (s, b), (n, lo, hi, sm, c, last) in _brute_rollup(pdf, "day").items():
+        raw[(s, b)] = (n, lo, hi, sm, c,
+                       round(pdf[(pdf.user_id == s)
+                                 & (pdf.ts.dt.floor("D").dt.strftime(
+                                     "%Y-%m-%d %H:%M:%S") == b)]
+                             ["value"].mean(), 6), last)
+    assert got == raw
+
+
+def test_downsample_guards(spark):
+    df = spark.createDataFrame(_events())
+    with pytest.raises(ValueError, match="unit"):
+        downsample(df, unit="week")
+    with pytest.raises(ValueError, match="coarser"):
+        downsample_requery(df, unit="hour", requery_unit="hour")
+    with pytest.raises(ValueError, match="coarser"):
+        downsample_requery(df, unit="day", requery_unit="hour")
+
+
+# --------------------------------------------------- split_overlap
+
+WORDS = ["red", "blue", "green", "fox", "jump", "run", "walk", "code",
+         "tree", "leaf"]
+
+
+def _odocs():
+    rows = []
+    for i in range(30):
+        split = f"s{i % 3}"
+        toks = [WORDS[(i * 3 + j) % len(WORDS)] for j in range(8 + i % 5)]
+        rows.append((i, split, " ".join(toks)))
+    # planted identical text across s0/s1 → guaranteed shared grams
+    rows.append((100, "s0", "alpha beta gamma delta alpha beta"))
+    rows.append((101, "s1", "alpha beta gamma delta alpha beta"))
+    return rows
+
+
+def _brute_overlap(rows, n):
+    grams = {}
+    for _i, split, text in rows:
+        ts = re.findall(r"[a-z0-9]+", text.lower())
+        g = {tuple(ts[j:j + n]) for j in range(len(ts) - n + 1)}
+        grams.setdefault(split, set()).update(g)
+    out = {}
+    for a, b in itertools.permutations(sorted(grams), 2):
+        shared = len(grams[a] & grams[b])
+        if shared:
+            out[(a, b)] = (shared, len(grams[a]),
+                           round(shared / len(grams[a]), 6))
+    return out
+
+
+@pytest.mark.parametrize("n", [3, 5])
+def test_split_overlap_matches_brute(spark, n):
+    rows = _odocs()
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["split_a"], r["split_b"]):
+           (r["n_shared"], r["n_a"], r["frac_of_a"])
+           for r in split_overlap(df, n=n).collect()}
+    assert got == _brute_overlap(rows, n)
+
+
+def test_split_overlap_asymmetric(spark):
+    """frac is relative to the LEFT split: a tiny split fully contained
+    in a big one shows frac_of_a = 1.0 one way, < 1 the other."""
+    rows = [(0, "big", "a b c d e f g h i j k l"),
+            (1, "small", "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["split_a"], r["split_b"]): r["frac_of_a"]
+           for r in split_overlap(df, n=3).collect()}
+    assert got[("small", "big")] == 1.0
+    assert got[("big", "small")] < 1.0
+
+
+# --------------------------------------------- text_similarity_rerank
+
+RDOCS = [
+    (0, "spark merge query fast index"),
+    (1, "merge merge merge merge merge merge merge"),   # high bm25, low sim
+    (2, "spark merge query"),                            # exact-ish match
+    (3, "unrelated words entirely here"),
+    (4, "spark query merge extra token pad pad pad"),
+    (5, "spark merge query"),                            # tie with 2 on sim
+]
+RQUERY = "spark merge query"
+
+
+def _brute_rerank(first, k, window):
+    cut = sorted(first, key=lambda r: (-round(r[1], 6), r[0]))[:window]
+    qt = set(re.findall(r"[a-z0-9]+", RQUERY.lower()))
+    out = []
+    for did, s in cut:
+        dt_ = set(re.findall(r"[a-z0-9]+", dict(RDOCS)[did].lower()))
+        sim = len(qt & dt_) / len(qt | dt_) if (qt | dt_) else 0.0
+        out.append((did, round(sim, 6), round(s, 6)))
+    out.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    return out[:k]
+
+
+FIRST = [(0, 3.5), (1, 9.9), (2, 2.2), (3, 1.1), (4, 2.9), (5, 2.2)]
+
+
+def test_rerank_matches_brute(spark):
+    docs = spark.createDataFrame(RDOCS, "doc_id long, content string")
+    first = spark.createDataFrame(FIRST, "doc_id long, score double")
+    got = [(r["doc_id"], r["sim"], r["score"])
+           for r in text_similarity_rerank(first, docs, RQUERY,
+                                           k=4, window=10).collect()]
+    assert got == _brute_rerank(FIRST, 4, 10)
+    # the sim ordering must actually beat the bm25 ordering: doc 1 is
+    # the bm25 winner but reranks below the exact matches
+    assert got[0][0] in (2, 5) and all(g[0] != 1 for g in got[:2])
+
+
+def test_rerank_window_cut_excludes(spark):
+    """A doc outside the rank window never returns, however similar."""
+    docs = spark.createDataFrame(RDOCS, "doc_id long, content string")
+    first = spark.createDataFrame(FIRST, "doc_id long, score double")
+    got = [(r["doc_id"], r["sim"], r["score"])
+           for r in text_similarity_rerank(first, docs, RQUERY,
+                                           k=4, window=2).collect()]
+    assert got == _brute_rerank(FIRST, 4, 2)
+    assert {g[0] for g in got} == {0, 1}  # window 2 = bm25 top-2 only
+
+
+def test_rerank_scorer_seam(spark):
+    """A custom scorer Column drops in without changing the plumbing."""
+    docs = spark.createDataFrame(RDOCS, "doc_id long, content string")
+    first = spark.createDataFrame(FIRST, "doc_id long, score double")
+    got = [r["doc_id"] for r in text_similarity_rerank(
+        first, docs, RQUERY, k=3, window=10,
+        scorer=lambda q, d: F.size(d).cast("double")).collect()]
+    # longest distinct-token doc first under the custom scorer
+    lens = {did: len(set(re.findall(r"[a-z0-9]+", t.lower())))
+            for did, t in RDOCS}
+    want = sorted(FIRST, key=lambda r: (-lens[r[0]], -round(r[1], 6),
+                                        r[0]))[:3]
+    assert got == [w[0] for w in want]

@@ -113,3 +113,55 @@ def test_version_pruning(spark, base):
     vs = list_versions(base)
     assert len(vs) == 2 and vs[-1] == "v4"
     assert resolve_alias(base).endswith("v4")
+
+
+# ------------------------------------------------------ point-in-time
+
+
+def test_pit_survives_pruning_and_serves_old_view(spark, base):
+    """ES PIT contract: a live PIT retains its version across updates
+    that would otherwise prune it, and a reader on the PIT dir keeps
+    serving the pinned snapshot."""
+    from maestro_spark.sources.tableio import (close_pit, open_pit,
+                                               pit_versions, resolve_pit)
+
+    pit = open_pit(base)
+    assert pit["version"] == "v1"
+    r_pit = IndexReader(spark, pit["dir"])
+    before = r_pit.search_local("user merge", k=10)
+
+    # two updates with keep_versions=1 — without the pin, v1 would die
+    for i in range(2):
+        incremental_update_versioned(
+            spark, base, _upsert_batch(spark, base, marker=f"zzp{'ab'[i]}"),
+            None, CFG, keep_versions=1)
+    vs = list_versions(base)
+    assert "v1" in vs and vs[-1] == "v3"      # pinned + current survive
+    assert "v2" not in vs                      # unpinned one was pruned
+    assert pit_versions(base) == {"v1"}
+    assert resolve_pit(base, pit["id"]).endswith("v1")
+
+    after = r_pit.search_local("user merge", k=10)
+    assert before.equals(after)
+    assert r_pit.count_local("zzpa") == 0      # snapshot: no new terms
+    assert IndexReader(spark, base).count_local("zzpb") == 5
+
+    # close → the NEXT update prunes v1
+    assert close_pit(base, pit["id"]) is True
+    assert close_pit(base, pit["id"]) is False  # idempotent, ES-style
+    incremental_update_versioned(
+        spark, base, _upsert_batch(spark, base, marker="zzpc"),
+        None, CFG, keep_versions=1)
+    assert "v1" not in list_versions(base)
+    with pytest.raises(ValueError, match="PIT"):
+        resolve_pit(base, pit["id"])
+
+
+def test_pit_refused_on_unversioned(spark, tmp_path):
+    from maestro_spark.sources.tableio import open_pit
+
+    flat = str(tmp_path / "idx_flat_pit")
+    build_index(spark, synth_docs(spark, 80, seed=5, partitions=4),
+                flat, CFG)
+    with pytest.raises(ValueError, match="versioned"):
+        open_pit(flat)
