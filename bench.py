@@ -473,6 +473,25 @@ def main() -> None:
     from maestro_spark.operators.timeseries import counter_rate
     timed("counter_rate", lambda: counter_rate(events).count())
 
+    # session-11 families: TSDB rollup + requery, leakage matrix, reranker
+    from maestro_spark.operators.timeseries import (downsample,
+                                                    downsample_requery)
+    timed("downsample_rollup", lambda: downsample(events).count())
+    timed("downsample_requery",
+          lambda: downsample_requery(events, unit="hour",
+                                     requery_unit="day").count())
+    timed("split_overlap",
+          lambda: curation.split_overlap(documents, n=8).count())
+
+    def _rerank():
+        from maestro_spark.operators.similarity import text_similarity_rerank
+        first = reader.search("spark merge query", k=90)
+        return text_similarity_rerank(first, reader._docs(),
+                                      "spark merge query", k=10,
+                                      window=30).count()
+
+    timed("rerank_text_sim", _rerank)
+
     total = time.time() - t_all
     out = {
         "metric": "index-build docs/sec + BM25 top-k latency + curation ops wall",

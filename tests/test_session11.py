@@ -215,3 +215,39 @@ def test_rerank_scorer_seam(spark):
     want = sorted(FIRST, key=lambda r: (-lens[r[0]], -round(r[1], 6),
                                         r[0]))[:3]
     assert got == [w[0] for w in want]
+
+
+# --------------------------------------------------- plan audits
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_downsample_plan_single_pass(spark):
+    """One corpus scan, ONE exchange (the (series, bucket) partial agg);
+    last_value rides the same agg as a struct-max — no window, no join,
+    no Python nodes."""
+    p = _plan(downsample(spark.createDataFrame(_events())))
+    assert p.count("Exchange") == 1
+    assert "Python" not in p
+
+
+def test_requery_plan_reaggregates_rollup(spark):
+    """The coarser re-query adds one partial agg over ALREADY-REDUCED
+    rollup rows — never a second pass over raw events (one scan)."""
+    df = spark.createDataFrame(_events())
+    p = _plan(downsample_requery(df, unit="hour", requery_unit="day"))
+    assert p.count("Exchange") == 2
+    assert "Python" not in p
+
+
+def test_split_overlap_plan_single_scan(spark):
+    """The totals come from the self-pair rows via a window over the
+    reduced pair matrix — the corpus gram shuffle runs ONCE (a totals
+    join branch would physically duplicate it)."""
+    rows = _odocs()
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    p = _plan(split_overlap(df, n=3))
+    assert p.count("Scan ExistingRDD") + p.count("Scan parquet") <= 1
+    assert "Python" not in p
