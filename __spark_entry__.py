@@ -101,6 +101,37 @@ def _ensure_routed_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_SCFG = IndexConfig(
+    shard_size=256,
+    n_buckets=8,
+    n_salts=2,
+    hot_df_fraction=0.05,
+    sample_fraction=1.0,
+    tokenizer="simple",
+    index_fields=("content",),
+)
+
+
+def _ensure_sorted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index-sorted twin (ES index.sort.field, operators/build.py
+    build_index_sorted): doc ids assigned in (lang, repo, path, commit)
+    order, so a lang-sorted query early-terminates from id order alone.
+    Ids are REASSIGNED by the sort — the oracle reproduces the mapping
+    as row_number() over the identical (lang, source, path-string)
+    total order (path = stringified source doc_id, unique)."""
+    from maestro_spark.operators.build import build_index_sorted
+
+    out = os.path.join(
+        tempfile.gettempdir(), "maestro_entry_sorted_v1",
+        re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        build_index_sorted(
+            spark, _entry_docs(spark, sf_dir).drop("doc_id", "repositories"),
+            out, "lang", _SCFG)
+    return out
+
+
 _CHILD_CFG = IndexConfig(
     shard_size=8192,
     n_buckets=8,
@@ -2426,6 +2457,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return parentjoin.parent_agg(cr, pr, "merge slow", "lang")
 
     q["parent_agg"] = _q_parent_agg
+
+    def _q_sorted_indexed(s: SparkSession, d: str) -> DataFrame:
+        # ES index sorting: lang-sorted query on the lang-sorted index,
+        # use_index_sort="force" = the early-termination path (per-shard
+        # first-k matching ids + k-bounded broadcast value fetch; the
+        # docstore sort column is never scanned for the match set)
+        reader = IndexReader(s, _ensure_sorted_index(s, d))
+        return reader.search_sorted("merge stream", "lang", k=12,
+                                    use_index_sort="force")
+
+    q["sorted_indexed_search"] = _q_sorted_indexed
 
     def _q_bigram_lm(s: SparkSession, d: str) -> DataFrame:
         # interpolated bigram LM score (CCNet/KenLM-filter analogue,
@@ -5344,6 +5386,22 @@ SELECT d.lang AS bucket, count(*)::BIGINT AS n_parents,
 FROM pm JOIN documents d ON d.doc_id = pm.doc_id
 LEFT JOIN chp ON chp.parent = pm.doc_id
 GROUP BY d.lang ORDER BY bucket"""
+
+    # sorted_indexed_search: reproduce the index-sort id remap as
+    # row_number over the identical (lang, source, path-string) order
+    # (path = stringified doc_id, unique → total order), then the
+    # lang-sorted match head in nid order
+    o["sorted_indexed_search"] = f"""
+WITH {_TOK},
+ids AS (SELECT doc_id AS orig, lang,
+               row_number() OVER (
+                   ORDER BY lang, source, CAST(doc_id AS VARCHAR)) - 1
+                   AS nid
+        FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'stream'))
+SELECT ids.nid AS doc_id, ids.lang AS sort_value
+FROM m JOIN ids ON ids.orig = m.doc_id
+ORDER BY nid LIMIT 12"""
 
     o["parent_agg"] = f"""
 WITH {_ARR},

@@ -484,11 +484,16 @@ def main() -> None:
           lambda: curation.split_overlap(documents, n=8).count())
 
     def _rerank():
+        # the index is torn down before this section; drive the reranker
+        # with a deterministic stand-in first stage over `documents` —
+        # what's being measured is the window cut + broadcast doc fetch
+        # + JVM-side token scoring, which is retriever-independent
         from maestro_spark.operators.similarity import text_similarity_rerank
-        first = reader.search("spark merge query", k=90)
-        return text_similarity_rerank(first, reader._docs(),
+        first = documents.select(
+            "doc_id", F.col("n_chars").cast("double").alias("score"))
+        return text_similarity_rerank(first, documents,
                                       "spark merge query", k=10,
-                                      window=30).count()
+                                      window=30, text_col="text").count()
 
     timed("rerank_text_sim", _rerank)
 

@@ -148,11 +148,21 @@ class IndexConfig:
                                        # ES number_of_shards analogue);
                                        # shard_size must absorb the
                                        # hottest routing key's doc count
+    index_sort: tuple | None = None    # ES index.sort.field analogue:
+                                       # (col, True) records that doc ids
+                                       # were assigned in (col asc, key)
+                                       # order, so doc_id order ≡
+                                       # (col, doc_id) order and sorted
+                                       # queries early-terminate. Set by
+                                       # build_index_sorted — never set
+                                       # it by hand on unsorted input.
 
     def to_dict(self) -> dict:
         d = asdict(self)
         d["index_fields"] = list(self.index_fields)
         d["stored_columns"] = list(self.stored_columns)
+        if self.index_sort is not None:
+            d["index_sort"] = list(self.index_sort)
         return d
 
 
@@ -436,6 +446,47 @@ def build_index(
                              keep={}, max_doc_id=max_doc_id, t0=t0)
     finally:
         d.unpersist()
+        if base is not None:
+            base.unpersist()
+
+
+def build_index_sorted(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    sort_col: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+) -> dict:
+    """Index sorting — the ES `index.sort.field` analogue (public docs:
+    index-modules-index-sorting; Lucene stores segment docs in sort
+    order so a query sorted the same way early-terminates after k
+    competitive hits). Here the storage order IS the doc_id order, so
+    sorting the index means assigning ids in (sort_col asc, stable doc
+    key) order; the one global sort this build already pays (the id
+    assignment's range partition) simply changes key. The manifest
+    records cfg.index_sort, and IndexReader.search_sorted serves a
+    matching sort from id order alone: per-shard first-k matching ids
+    (k longs per shard cross the wire), then a k-bounded broadcast
+    fetch of the sort values — the docstore is never scanned for the
+    match set, which is the whole point at 100 TB. Ties and
+    search_after cursors keep the (sort_value, doc_id) total order
+    because doc_id order ≡ that order by construction."""
+    from dataclasses import replace
+
+    from maestro_spark.operators.docids import DOC_KEY, assign_doc_ids
+
+    cfg = cfg or IndexConfig()
+    if cfg.routing_col is not None:
+        raise ValueError("index_sort and routing_col are exclusive "
+                         "(routing reassigns ids per shard)")
+    cfg = replace(cfg, index_sort=(sort_col, True))
+    with_ids = assign_doc_ids(docs, key_cols=[sort_col, *DOC_KEY])
+    base = getattr(with_ids, "_maestro_persisted_base", None)
+    try:
+        return build_index(spark, with_ids, out_dir, cfg, resume=resume,
+                           id_col="doc_id")
+    finally:
         if base is not None:
             base.unpersist()
 

@@ -23,14 +23,22 @@ from pyspark.sql import functions as F
 DOC_KEY = ["repo", "path", "commit"]
 
 
-def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Returns docs + doc_id (long, dense 0..N-1, ordered by DOC_KEY).
-    Result is persisted (MEMORY_AND_DISK); caller unpersists when done."""
+def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None,
+                   key_cols: list[str] | None = None) -> DataFrame:
+    """Returns docs + doc_id (long, dense 0..N-1, ordered by key_cols —
+    default DOC_KEY). Result is persisted (MEMORY_AND_DISK); caller
+    unpersists when done.
+
+    key_cols is the INDEX-SORT seam: passing [sort_field, *DOC_KEY]
+    assigns ids in (sort_field, stable tie) order, which makes doc_id
+    order ≡ (sort_field, doc_id) order index-wide — the invariant the
+    ES index-sorting early-termination path rests on."""
+    key_cols = list(key_cols) if key_cols else DOC_KEY
     spark = docs.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
     d = (
-        docs.repartitionByRange(num_partitions, *[F.col(c) for c in DOC_KEY])
-        .sortWithinPartitions(*DOC_KEY)
+        docs.repartitionByRange(num_partitions, *[F.col(c) for c in key_cols])
+        .sortWithinPartitions(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

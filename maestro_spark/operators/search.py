@@ -2279,7 +2279,8 @@ class IndexReader:
                       k: int = 10, mode: str = "or",
                       exclude: str | None = None,
                       min_match: int = 1,
-                      after: tuple | None = None) -> DataFrame:
+                      after: tuple | None = None,
+                      use_index_sort: str = "auto") -> DataFrame:
         """Field-sorted top-k — the ES `sort` clause analogue (rank by a
         stored field instead of _score): the k lowest/highest docs of the
         FULL match set by a docstore expression, ties broken doc_id asc.
@@ -2296,7 +2297,32 @@ class IndexReader:
         column-pruned docstore on (shard, doc_id), and the global
         orderBy+limit compiles to TakeOrderedAndProject — per-partition
         top-k heaps merged at the coordinator, k rows moved, never a
-        full sort of the match set."""
+        full sort of the match set.
+
+        use_index_sort ("auto" | "never" | "force"): on an index built
+        with build_index_sorted on THIS column in THIS direction, doc_id
+        order ≡ (sort_value, doc_id) order, so the query answers from id
+        order alone — per-shard first-k matching ids (k longs/shard),
+        then a k-bounded broadcast fetch of the sort values; the
+        docstore sort column is never scanned for the match set (the ES
+        index-sorting early-termination win). The `after` cursor reduces
+        to doc_id > cursor_id under the same invariant. "auto" takes the
+        fast path exactly when it is provably safe (manifest index_sort
+        matches a string column + direction), "force" raises if it
+        cannot, "never" opts out (the parity test's oracle path)."""
+        isort = self.cfg.get("index_sort")
+        can_early = (use_index_sort != "never"
+                     and isinstance(sort_col, str)
+                     and isort is not None
+                     and isort[0] == sort_col
+                     and bool(isort[1]) == bool(ascending))
+        if use_index_sort == "force" and not can_early:
+            raise ValueError(
+                f"index is not sorted on {sort_col!r} ascending={ascending}"
+                f" (manifest index_sort={isort!r})")
+        if can_early:
+            return self._search_sorted_indexed(query, sort_col, k, mode,
+                                               exclude, min_match, after)
         if isinstance(sort_col, str):
             sort_col = F.col(sort_col)
         matches = self.match_docs(query, mode, exclude, min_match)
@@ -2313,6 +2339,27 @@ class IndexReader:
         order = F.asc("sort_value") if ascending else F.desc("sort_value")
         return (joined.select("doc_id", "sort_value")
                 .orderBy(order, F.asc("doc_id")).limit(k))
+
+    def _search_sorted_indexed(self, query: str, sort_col: str, k: int,
+                               mode: str, exclude: str | None,
+                               min_match: int,
+                               after: tuple | None) -> DataFrame:
+        """Early-termination path for an index-sorted field (see
+        search_sorted): ids ARE the sort order, so the k first matching
+        ids are the answer; the docstore is touched only to attach the
+        k sort values (broadcast of k (shard, doc_id) rows into the
+        row-group-pruned scan — a point-lookup-class fetch)."""
+        matches = self.match_docs(query, mode, exclude, min_match)
+        if after is not None:
+            # (sort_value, doc_id) > cursor ≡ doc_id > cursor_id when
+            # ids were assigned in (sort_value, key) order
+            matches = matches.where(F.col("doc_id") > int(after[1]))
+        top = matches.orderBy(F.asc("doc_id")).limit(k)
+        docs = self._docs().select("shard", "doc_id",
+                                   F.col(sort_col).alias("sort_value"))
+        return (docs.join(F.broadcast(top), ["shard", "doc_id"], "inner")
+                .select("doc_id", "sort_value")
+                .orderBy(F.asc("doc_id")).limit(k))
 
     def search_cardinality(self, query: str, card_col, mode: str = "or",
                            exact: bool = True, rsd: float = 0.05,

@@ -251,3 +251,92 @@ def test_split_overlap_plan_single_scan(spark):
     p = _plan(split_overlap(df, n=3))
     assert p.count("Scan ExistingRDD") + p.count("Scan parquet") <= 1
     assert "Python" not in p
+
+
+# --------------------------------------------- index sorting (ES
+# index.sort.field): ids assigned in (sort_col, key) order; sorted
+# queries answer from id order with a k-bounded docstore fetch
+
+
+@pytest.fixture(scope="module")
+def sorted_idx(spark, tmp_path_factory):
+    from maestro_spark.operators.build import IndexConfig, build_index, \
+        build_index_sorted
+    from maestro_spark.sources.corpus import synth_docs
+
+    docs = synth_docs(spark, 150, seed=11, partitions=4)
+    cfg = IndexConfig(shard_size=64, n_buckets=4, n_salts=2,
+                      sample_fraction=1.0)
+    sdir = str(tmp_path_factory.mktemp("idx_sorted"))
+    build_index_sorted(spark, docs, sdir, "lang", cfg)
+    fdir = str(tmp_path_factory.mktemp("idx_flat"))
+    build_index(spark, docs, fdir, cfg)
+    return sdir, fdir
+
+
+def test_index_sort_invariant(spark, sorted_idx):
+    """doc_id order ≡ (lang, repo, path, commit) order index-wide."""
+    from maestro_spark.operators.search import IndexReader
+    sdir, _ = sorted_idx
+    rows = (IndexReader(spark, sdir)._docs()
+            .select("doc_id", "lang", "repo", "path", "commit")
+            .orderBy("doc_id").collect())
+    keys = [(r["lang"], r["repo"], r["path"], r["commit"]) for r in rows]
+    assert keys == sorted(keys)
+    assert [r["doc_id"] for r in rows] == list(range(len(rows)))
+
+
+@pytest.mark.parametrize("after", [None, "page2"])
+def test_index_sorted_query_parity(spark, sorted_idx, after):
+    """force (early-termination) ≡ never (full match-set sort), incl.
+    the search_after cursor, on several queries."""
+    from maestro_spark.operators.search import IndexReader
+    sdir, _ = sorted_idx
+    r = IndexReader(spark, sdir)
+    for q in ("user merge", "error", "stream window"):
+        kw = {}
+        if after == "page2":
+            first = r.search_sorted(q, "lang", k=3,
+                                    use_index_sort="never").collect()
+            if not first:
+                continue
+            kw["after"] = (first[-1]["sort_value"], first[-1]["doc_id"])
+        a = [(x["doc_id"], x["sort_value"]) for x in
+             r.search_sorted(q, "lang", k=5, use_index_sort="force",
+                             **kw).collect()]
+        b = [(x["doc_id"], x["sort_value"]) for x in
+             r.search_sorted(q, "lang", k=5, use_index_sort="never",
+                             **kw).collect()]
+        assert a == b and a
+
+
+def test_index_sort_force_guards(spark, sorted_idx):
+    from maestro_spark.operators.search import IndexReader
+    sdir, fdir = sorted_idx
+    with pytest.raises(ValueError, match="not sorted"):
+        IndexReader(spark, fdir).search_sorted(
+            "user", "lang", use_index_sort="force")
+    # wrong direction / wrong column refuse too; auto falls back
+    r = IndexReader(spark, sdir)
+    with pytest.raises(ValueError, match="not sorted"):
+        r.search_sorted("user", "lang", ascending=False,
+                        use_index_sort="force")
+    with pytest.raises(ValueError, match="not sorted"):
+        r.search_sorted("user", "repo", use_index_sort="force")
+    desc_auto = r.search_sorted("user", "lang", ascending=False, k=3)
+    desc_never = r.search_sorted("user", "lang", ascending=False, k=3,
+                                 use_index_sort="never")
+    assert [tuple(x) for x in desc_auto.collect()] == \
+        [tuple(x) for x in desc_never.collect()]
+
+
+def test_index_sorted_plan_k_bounded_fetch(spark, sorted_idx):
+    """The early path's docstore join must be a BROADCAST of the k-row
+    id head (point-lookup-class fetch), never a shuffle join of the
+    full match set against the docstore."""
+    from maestro_spark.operators.search import IndexReader
+    sdir, _ = sorted_idx
+    df = IndexReader(spark, sdir).search_sorted(
+        "user merge", "lang", k=5, use_index_sort="force")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
