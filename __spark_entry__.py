@@ -2458,6 +2458,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["parent_agg"] = _q_parent_agg
 
+    def _q_inc_dedup(s: SparkSession, d: str) -> DataFrame:
+        # batch-vs-store exact dedup (the production ingest shape): docs
+        # with doc_id%7==0 are the already-accepted store, the rest are
+        # the incoming batch; ONE fingerprint-key shuffle decides
+        # dup_of_store / dup_in_batch / keep
+        docs = _t(s, d, "documents")
+        norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+        store = (docs.where(F.col("doc_id") % 7 == 0)
+                 .select(F.md5(norm).alias("fingerprint")).distinct())
+        return dedup.incremental_dedup(
+            docs.where(F.col("doc_id") % 7 != 0), store)
+
+    q["incremental_dedup"] = _q_inc_dedup
+
+    def _q_hard_negatives(s: SparkSession, d: str) -> DataFrame:
+        # DPR-style hard-negative mining: per training query (vec 0, 7)
+        # the top-10 most-similar corpus vectors EXCLUDING its labeled
+        # positives (ids qid+1..qid+20) — exclusion before the rank
+        emb = _t(s, d, "embeddings")
+        qs = emb.where(F.col("vec_id").isin(0, 7))
+        pos = (qs.select(F.col("vec_id").alias("qid"))
+               .join(emb.select(F.col("vec_id").alias("nid")),
+                     (F.col("nid") >= F.col("qid") + 1)
+                     & (F.col("nid") <= F.col("qid") + 20)))
+        return (similarity.mine_hard_negatives(qs, emb, pos, k=10)
+                .orderBy("qid", "rank"))
+
+    q["hard_negatives"] = _q_hard_negatives
+
     def _q_sorted_indexed(s: SparkSession, d: str) -> DataFrame:
         # ES index sorting: lang-sorted query on the lang-sorted index,
         # use_index_sort="force" = the early-termination path (per-shard
@@ -5387,6 +5416,33 @@ FROM pm JOIN documents d ON d.doc_id = pm.doc_id
 LEFT JOIN chp ON chp.parent = pm.doc_id
 GROUP BY d.lang ORDER BY bucket"""
 
+    o["incremental_dedup"] = r"""
+WITH f AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                      AS fingerprint
+           FROM documents),
+batch AS (SELECT * FROM f WHERE doc_id % 7 <> 0),
+store AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 7 = 0),
+g AS (SELECT fingerprint, min(doc_id) AS mi FROM batch GROUP BY fingerprint)
+SELECT b.doc_id, b.fingerprint,
+       (s.fingerprint IS NOT NULL) AS dup_of_store,
+       b.doc_id <> g.mi AS dup_in_batch,
+       (s.fingerprint IS NULL AND b.doc_id = g.mi) AS keep
+FROM batch b JOIN g USING (fingerprint)
+LEFT JOIN store s USING (fingerprint)"""
+    o["hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 7)),
+sc AS (SELECT q.qid, e.vec_id AS nid, {cos_expr} AS cos
+       FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+       WHERE e.vec_id <> q.qid
+         AND NOT (e.vec_id BETWEEN q.qid + 1 AND q.qid + 20)
+       GROUP BY q.qid, e.vec_id),
+rk AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nid)::BIGINT AS rank
+       FROM sc)
+SELECT qid, nid, cos, rank FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
     # sorted_indexed_search: reproduce the index-sort id remap as
     # row_number over the identical (lang, source, path-string) order
     # (path = stringified doc_id, unique → total order), then the

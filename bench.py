@@ -497,6 +497,27 @@ def main() -> None:
 
     timed("rerank_text_sim", _rerank)
 
+    def _inc_dedup():
+        norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+        store = (documents.where(F.col("doc_id") % 7 == 0)
+                 .select(F.md5(norm).alias("fingerprint")).distinct())
+        return dedup.incremental_dedup(
+            documents.where(F.col("doc_id") % 7 != 0), store
+        ).agg(F.sum(F.col("keep").cast("long"))).collect()
+
+    timed("incremental_dedup", _inc_dedup)
+
+    def _hard_neg():
+        from maestro_spark.operators.similarity import mine_hard_negatives
+        qs = embeddings.where(F.col("vec_id").isin(0, 7))
+        pos = (qs.select(F.col("vec_id").alias("qid"))
+               .join(embeddings.select(F.col("vec_id").alias("nid")),
+                     (F.col("nid") >= F.col("qid") + 1)
+                     & (F.col("nid") <= F.col("qid") + 20)))
+        return mine_hard_negatives(qs, embeddings, pos, k=10).count()
+
+    timed("hard_negatives", _hard_neg)
+
     total = time.time() - t_all
     out = {
         "metric": "index-build docs/sec + BM25 top-k latency + curation ops wall",

@@ -62,6 +62,61 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def incremental_dedup(batch: DataFrame, store: DataFrame | None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      normalize: bool = True) -> DataFrame:
+    """Batch-vs-store exact dedup — the shape a PRODUCTION training-data
+    pipeline actually runs: each ingest batch dedups against a
+    persistent fingerprint store of everything already accepted (the
+    daily CommonCrawl-dump pattern), not against itself alone. A batch
+    doc is kept iff its fingerprint is absent from the store AND it is
+    the min-id holder among the batch's own copies.
+
+    `store` is a frame with a `fingerprint` column (the accumulated
+    md5 set; None = empty store → degenerates to exact_duplicates'
+    keep rule). Returns (doc_id, fingerprint, dup_of_store,
+    dup_in_batch, keep); feed the kept rows' fingerprints back with
+    updated_fingerprint_store for the next batch.
+
+    100 TB shape: ONE shuffle on the fingerprint key — store rows and
+    batch rows union-tag and reduce under a fingerprint-partitioned
+    window (per-fingerprint groups are duplicate-sized; a same-text
+    flood concentrates one key, the exact_duplicates caveat). In
+    production the store is a bucketed-by-fingerprint table, so this
+    shuffle co-locates with the store's layout and only the batch side
+    moves."""
+    text = F.col(text_col)
+    if normalize:
+        text = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    b = spread(batch).select(F.col(id_col), F.md5(text).alias("fingerprint"))
+    u = b.select(id_col, "fingerprint", F.lit(False).alias("_st"))
+    if store is not None:
+        u = u.unionByName(
+            store.select(F.lit(None).cast("long").alias(id_col),
+                         "fingerprint", F.lit(True).alias("_st")))
+    w = Window.partitionBy("fingerprint")
+    in_store = F.max(F.col("_st")).over(w)
+    min_id = F.min(id_col).over(w)  # nulls (store rows) ignored by min
+    return (u.withColumn("dup_of_store", in_store)
+            .withColumn("_mi", min_id)
+            .where(~F.col("_st"))
+            .select(id_col, "fingerprint", "dup_of_store",
+                    (F.col(id_col) != F.col("_mi")).alias("dup_in_batch"),
+                    (~F.col("dup_of_store")
+                     & (F.col(id_col) == F.col("_mi"))).alias("keep")))
+
+
+def updated_fingerprint_store(decisions: DataFrame,
+                              store: DataFrame | None) -> DataFrame:
+    """store ∪ the kept batch fingerprints — the next batch's `store`.
+    In production this is a MERGE INTO / dynamic-partition append to the
+    bucketed fingerprint table, not a rewrite."""
+    kept = decisions.where(F.col("keep")).select("fingerprint")
+    if store is None:
+        return kept
+    return store.select("fingerprint").unionByName(kept).distinct()
+
+
 # --------------------------------------------------------------- shingles
 
 def shingle_col(text: Column, n: int = 3) -> Column:

@@ -75,11 +75,17 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 3,
              qid_col: str = "vec_id", cid_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             exclude: DataFrame | None = None) -> DataFrame:
     """Brute-force k-NN join: every query row against every corpus row,
     per-query top-k via window rank. The exactness baseline for ANN; at
     scale the corpus side must be bucketed (see lsh/ivf below) — a true
-    cross join of 10^12×10^6 is never the plan."""
+    cross join of 10^12×10^6 is never the plan.
+
+    exclude: optional (qid, nid) pairs removed BEFORE ranking (the
+    filtered-kNN rule — ranking first and dropping after would
+    under-fill k), via a left-anti join that broadcasts when the
+    exclusion list is label-sized."""
     from pyspark.sql import Window
 
     q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv"))
@@ -87,15 +93,38 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 3,
     scored = (
         q.crossJoin(c)
         .where(F.col("qid") != F.col("nid"))
-        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("cv"))
-                                   / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6))
     )
+    if exclude is not None:
+        scored = scored.join(F.broadcast(exclude.select("qid", "nid")),
+                             ["qid", "nid"], "left_anti")
+    scored = scored.withColumn(
+        "cos", F.round(_dot(F.col("qv"), F.col("cv"))
+                       / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "cos", "rank")
     )
+
+
+def mine_hard_negatives(queries: DataFrame, corpus: DataFrame,
+                        positives: DataFrame, k: int = 5,
+                        qid_col: str = "vec_id", cid_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for dense-retriever training (DPR, Karpukhin
+    2020 §5.2; Contriever): for each training query, the k corpus
+    vectors MOST similar to it that are NOT labeled positives — the
+    negatives that actually move a contrastive loss. `positives` is the
+    (qid, nid) label table; exclusion happens BEFORE the rank so a
+    positive never displaces the k-th negative (knn_join's filtered-kNN
+    rule).
+
+    Scale path: swap the brute-force join for the IVF/LSH bucketed
+    variants above once the corpus outgrows it — the exclusion and rank
+    stages are unchanged. Returns (qid, nid, cos, rank)."""
+    return knn_join(queries, corpus, k, qid_col, cid_col, vec_col,
+                    exclude=positives)
 
 
 # ------------------------------------------------------------- sign-bit LSH

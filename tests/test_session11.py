@@ -340,3 +340,99 @@ def test_index_sorted_plan_k_bounded_fetch(spark, sorted_idx):
         "user merge", "lang", k=5, use_index_sort="force")
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+# ------------------------------------------- incremental (store) dedup
+
+
+def test_incremental_dedup_matches_brute(spark):
+    from maestro_spark.operators.dedup import (incremental_dedup,
+                                               updated_fingerprint_store)
+    import hashlib
+
+    texts = ["aa bb", "cc dd", "aa bb", "ee", "cc  dd", "ff", "aa   bb"]
+    batch_rows = [(i, t) for i, t in enumerate(texts)]
+    store_texts = ["ee", "gg"]
+
+    def fp(t):
+        import re as _re
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.lower()).strip().encode()).hexdigest()
+
+    store = spark.createDataFrame([(fp(t),) for t in store_texts],
+                                  "fingerprint string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_of_store"], r["dup_in_batch"], r["keep"])
+           for r in incremental_dedup(batch, store).collect()}
+    seen_store = {fp(t) for t in store_texts}
+    mins = {}
+    for i, t in batch_rows:
+        mins.setdefault(fp(t), i)
+    want = {i: (fp(t) in seen_store, i != mins[fp(t)],
+                fp(t) not in seen_store and i == mins[fp(t)])
+            for i, t in batch_rows}
+    assert got == want
+    # normalization folds whitespace: docs 0/2/6 are one group, 1/4 too
+    assert want[2] == (False, True, False) and want[4] == (False, True, False)
+    # store hit: doc 3 ('ee') is dup_of_store, never kept
+    assert want[3][0] is True and want[3][2] is False
+
+    # the updated store admits exactly store ∪ kept fingerprints, and a
+    # REPLAY of the same batch against it keeps nothing (idempotence)
+    dec = incremental_dedup(batch, store)
+    new_store = updated_fingerprint_store(dec, store)
+    replay = incremental_dedup(batch, new_store)
+    assert replay.where(F.col("keep")).count() == 0
+    assert new_store.count() == len({fp(t) for t in texts} | seen_store)
+
+
+def test_incremental_dedup_empty_store(spark):
+    """store=None degenerates to exact_duplicates' keep rule."""
+    from maestro_spark.operators.dedup import (exact_duplicates,
+                                               incremental_dedup)
+    rows = [(i, t) for i, t in enumerate(["x y", "z", "x  y", "w", "z"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = {r["doc_id"]: r["keep"]
+           for r in incremental_dedup(df, None).collect()}
+    ex = {r["doc_id"]: not r["is_dup"]
+          for r in exact_duplicates(df).collect()}
+    assert inc == ex
+    assert all(not r["dup_of_store"]
+               for r in incremental_dedup(df, None).collect())
+
+
+# ------------------------------------------- hard-negative mining
+
+
+def test_hard_negatives_matches_brute(spark):
+    import numpy as np
+    from maestro_spark.operators.similarity import mine_hard_negatives
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).tolist() for i in range(30)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    qids = [0, 9]
+    pos_pairs = [(0, 3), (0, 5), (9, 2), (9, 28)]
+    qs = emb.where(F.col("vec_id").isin(qids))
+    pos = spark.createDataFrame(pos_pairs, "qid long, nid long")
+    got = [(r["qid"], r["nid"], r["rank"])
+           for r in mine_hard_negatives(qs, emb, pos, k=4)
+           .orderBy("qid", "rank").collect()]
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    want = []
+    for q in qids:
+        banned = {n for qq, n in pos_pairs if qq == q} | {q}
+        sc = sorted(((cos(vecs[q], vecs[n]), n) for n in vecs
+                     if n not in banned), key=lambda t: (-t[0], t[1]))
+        want += [(q, n, i + 1) for i, (_c, n) in enumerate(sc[:4])]
+    assert got == want
+    # a positive never appears, and exclusion happened BEFORE the rank:
+    # rank k is still filled (4 per query)
+    assert all((q, n) not in pos_pairs for q, n, _ in got)
+    assert [sum(1 for g in got if g[0] == q) for q in qids] == [4, 4]
