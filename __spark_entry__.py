@@ -2571,6 +2571,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_mixing"] = _q_mix_sources
 
+    def _q_temperature_mix(s: SparkSession, d: str) -> DataFrame:
+        # temperature-scaled mixture (mBERT/XLM-R/mT5 rule): p_s ∝
+        # n_s^0.5, weights derived from ONE count agg; same md5 filter
+        return curation.temperature_mix(
+            _t(s, d, "documents").select("doc_id", "source"),
+            total_docs=300, temperature=0.5)
+
+    q["temperature_mix"] = _q_temperature_mix
+
+    def _q_gopher_repetition(s: SparkSession, d: str) -> DataFrame:
+        # full Gopher repetition battery (Rae 2021 Table A1): top
+        # 2/3/4-gram coverage + duplicated 5..10-gram coverage, span-
+        # union token fractions; one doc-key lead() window pass, ×9
+        # map-side fan-out, everything after on (doc, n[, gram]) windows
+        return textstats.gopher_repetition(_t(s, d, "documents"))
+
+    q["gopher_repetition"] = _q_gopher_repetition
+
     def _q_span_not(s: SparkSession, d: str) -> DataFrame:
         # span_not: 'slow query' phrase occurrences with no 'fast'
         # within 1 slot before / 1 after the span; tf = survivors
@@ -5110,6 +5128,61 @@ r AS (SELECT doc_id, source, u,
                  WHEN 'src1' THEN {2.0 / 3.0!r}::DOUBLE
                  WHEN 'src3' THEN {1.0 / 3.0!r}::DOUBLE END) / n) AS rate
       FROM u)
+SELECT doc_id, source, round(rate, 6) AS mix_rate
+FROM r WHERE u < rate"""
+    # gopher_repetition: identical span-union coverage in SQL — grams
+    # from list slices, counts/argmax/lag as windows over (doc, n[, gram]);
+    # top tie rule = (max count, lexicographically greatest gram)
+    _GOP_TOP, _GOP_DUP = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    _gop_cols = ", ".join(
+        [f"round(coalesce(max(CASE WHEN s.n = {n} THEN s.cov END), 0)"
+         f"::DOUBLE / greatest(len(a.ts), 1), 6) AS top_{n}gram_frac"
+         for n in _GOP_TOP]
+        + [f"round(coalesce(max(CASE WHEN s.n = {n} THEN s.cov END), 0)"
+           f"::DOUBLE / greatest(len(a.ts), 1), 6) AS dup_{n}gram_frac"
+           for n in _GOP_DUP])
+    o["gopher_repetition"] = f"""
+WITH {_ARR},
+grams AS (SELECT a.doc_id, n.n, t.i - 1 AS p,
+                 array_to_string(ts[t.i : t.i + n.n - 1], ' ') AS gram
+          FROM arr a,
+               unnest([{", ".join(map(str, _GOP_TOP + _GOP_DUP))}]) AS n(n),
+               unnest(range(1, greatest(len(a.ts) - n.n + 2, 1))) AS t(i)
+          WHERE len(a.ts) >= n.n),
+cnt AS (SELECT *, count(*) OVER (PARTITION BY doc_id, n, gram) AS c
+        FROM grams),
+mx AS (SELECT *,
+              max(c) OVER (PARTITION BY doc_id, n) AS cmax
+       FROM cnt),
+mg AS (SELECT *,
+              max(CASE WHEN c = cmax THEN gram END)
+                  OVER (PARTITION BY doc_id, n) AS gbest
+       FROM mx),
+kept AS (SELECT doc_id, n, p FROM mg
+         WHERE (n IN ({", ".join(map(str, _GOP_TOP))})
+                AND c = cmax AND gram = gbest)
+            OR (n IN ({", ".join(map(str, _GOP_DUP))}) AND c >= 2)),
+cov AS (SELECT doc_id, n, p,
+               CASE WHEN lag(p) OVER (PARTITION BY doc_id, n ORDER BY p)
+                         IS NULL THEN n
+                    ELSE least(p - lag(p) OVER (PARTITION BY doc_id, n
+                                                ORDER BY p), n) END AS c
+        FROM kept),
+s AS (SELECT doc_id, n, sum(c) AS cov FROM cov GROUP BY doc_id, n)
+SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens, {_gop_cols}
+FROM arr a LEFT JOIN s ON s.doc_id = a.doc_id
+GROUP BY a.doc_id, len(a.ts)"""
+    o["temperature_mix"] = f"""
+WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+           GROUP BY source),
+p AS (SELECT source, n,
+             pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS p FROM c),
+u AS (SELECT d.doc_id, d.source, p.n, p.p,
+             {_hex16_sql("concat('tmix', CAST(doc_id AS VARCHAR))")}
+                 / 65536.0 AS u
+      FROM documents d JOIN p ON p.source = d.source),
+r AS (SELECT doc_id, source, u,
+             least(1.0, 300.0 * p / n) AS rate FROM u)
 SELECT doc_id, source, round(rate, 6) AS mix_rate
 FROM r WHERE u < rate"""
     # intervals all_of(ordered, max_gaps=2): a minimal ordered interval

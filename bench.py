@@ -517,6 +517,11 @@ def main() -> None:
         return mine_hard_negatives(qs, embeddings, pos, k=10).count()
 
     timed("hard_negatives", _hard_neg)
+    timed("gopher_repetition",
+          lambda: textstats.gopher_repetition(documents).count())
+    timed("temperature_mix", lambda: curation.temperature_mix(
+        documents.select("doc_id", "source"), total_docs=300,
+        temperature=0.5).count())
 
     total = time.time() - t_all
     out = {

@@ -388,6 +388,44 @@ def mix_sources(docs: DataFrame, weights: dict[str, float],
             .drop("_n"))
 
 
+def temperature_mix(docs: DataFrame, total_docs: int,
+                    temperature: float = 0.7,
+                    strata_col: str = "source",
+                    id_col: str = "doc_id",
+                    salt: str = "tmix") -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/multi-
+    source reweighting rule of mBERT/XLM-R/mT5 (public: Conneau 2020
+    §3.1, Xue 2021 §3.2): source s is sampled with probability
+
+        p_s ∝ n_s^T        (T = temperature, 0 < T ≤ 1)
+
+    so T=1 keeps natural proportions and T→0 approaches uniform over
+    sources — the standard fix for low-resource sources being drowned
+    out. Weights DERIVE FROM THE DATA (one count agg), unlike
+    mix_sources' caller-fixed weights; sampling is the same
+    deterministic md5 pure filter (rate_s = min(1, total·p_s / n_s),
+    caps visible in mix_rate, never silently redistributed).
+
+    Same 100 TB shape as mix_sources: one |sources|-row partial agg
+    broadcast back onto the scan, zero extra shuffle, no RNG state."""
+    if not (0.0 < temperature <= 1.0):
+        raise ValueError("temperature must be in (0, 1]")
+    counts = (docs.groupBy(strata_col)
+              .agg(F.count("*").cast("double").alias("_n")))
+    # p_s = n_s^T / Σ n^T via a window over the |sources|-row agg (an
+    # agg-then-crossJoin total would re-run the corpus count branch)
+    wall = Window.partitionBy(F.lit(0))
+    p = (F.pow(F.col("_n"), F.lit(float(temperature)))
+         / F.sum(F.pow(F.col("_n"), F.lit(float(temperature)))).over(wall))
+    rated = counts.withColumn(
+        "_rate", F.least(F.lit(1.0), F.lit(float(total_docs)) * p / F.col("_n")))
+    u = uniform01(id_col, salt)
+    return (docs.join(F.broadcast(rated), strata_col)
+            .where(u < F.col("_rate"))
+            .withColumn("mix_rate", F.round(F.col("_rate"), 6))
+            .drop("_n", "_rate"))
+
+
 def ccnet_buckets(docs: DataFrame, text_col: str = "text",
                   lang_col: str = "lang", id_col: str = "doc_id",
                   n_buckets: int = 3) -> DataFrame:

@@ -480,3 +480,103 @@ def stack_quality(docs: DataFrame, text_col: str = "text",
         F.round(avg_len, 6).alias("avg_line_len"),
         F.round(alnum_frac, 6).alias("alnum_frac"),
         keep.alias("keep"))
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      top_ns: tuple = (2, 3, 4),
+                      dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """The full Gopher repetition battery (Rae et al. 2021, Table A1 —
+    the n-gram half; line/paragraph duplication lives in
+    dedup.dedup_paragraphs): per document,
+
+      top_{n}gram_frac  (n ∈ top_ns): fraction of TOKEN positions
+          covered by occurrences of the single most frequent n-gram
+          (count ties broken by the lexicographically greatest gram —
+          pinned so both engines pick the same one); Gopher drops docs
+          where the top 2/3/4-gram covers > 0.20/0.18/0.16.
+      dup_{n}gram_frac  (n ∈ dup_ns): fraction of token positions
+          covered by ANY n-gram occurring ≥ 2 times; thresholds
+          0.15…0.10 for n = 5…10.
+
+    Coverage is the UNION of the occurrences' [p, p+n-1] spans
+    (overlapping repeats never double-count — the DataTrove/NeMo
+    reproduction semantics, token-weighted rather than char-weighted:
+    deterministic and analyzer-consistent with every other operator
+    here).
+
+    Scale shape: ONE doc-key window pass derives all nine gram columns
+    via lead() offsets (the significant_text trick), a map-side ×9
+    fan-out stacks them into (doc, n, pos, gram) rows, and everything
+    after runs on windows over (doc, n[, gram]) partitions — counts
+    attach via a window (never a join back), span-union collapses to
+    sum(min(gap, n)) under a lag, and the per-(doc, n) sums reuse the
+    lag's partitioning (superset key, no extra exchange). No UDF, no
+    driver work; the ×9 token-stream fan-out is the knob (drop dup_ns
+    entries to cut it)."""
+    from pyspark.sql.window import Window
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    max_n = max(all_ns)
+    toks = simple_token_col(F.col(text_col))
+    pos = docs.select(F.col(id_col),
+                      F.posexplode(toks).alias("p", "t"))
+    w_doc = Window.partitionBy(id_col).orderBy("p")
+    w_all = Window.partitionBy(id_col)
+    # window exprs (lead/count) materialize in their own select — a
+    # generator (explode) cannot share an operator with them
+    led = pos.select(
+        id_col, "p",
+        F.count("*").over(w_all).alias("ntok"),
+        *[leads_c.alias(f"_l{j}") for j, leads_c in enumerate(
+            [F.col("t")] + [F.lead("t", j).over(w_doc)
+                            for j in range(1, max_n)])])
+    lead_cols = [F.col(f"_l{j}") for j in range(max_n)]
+    grams = [F.struct(F.lit(n).alias("n"),
+                      F.when(lead_cols[n - 1].isNotNull(),
+                             F.concat_ws(" ", *lead_cols[:n])).alias("gram"))
+             for n in all_ns]
+    rows = (led
+            .select(id_col, "p", "ntok",
+                    F.explode(F.array(*grams)).alias("g"))
+            .select(id_col, "p", "ntok",
+                    F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            .where(F.col("gram").isNotNull()))
+    w_g = Window.partitionBy(id_col, "n", "gram")
+    w_n = Window.partitionBy(id_col, "n")
+    rows = rows.withColumn("cnt", F.count("*").over(w_g))
+    # window results materialize as columns before the filter (window
+    # exprs are illegal inside WHERE)
+    rows = rows.withColumn(
+        "_top", F.struct("cnt", "gram")
+        == F.max(F.struct("cnt", "gram")).over(w_n))
+    keep = ((F.col("n").isin(list(top_ns)) & F.col("_top"))
+            | (F.col("n").isin(list(dup_ns)) & (F.col("cnt") >= 2)))
+    kept = rows.where(keep)
+    w_cov = Window.partitionBy(id_col, "n").orderBy("p")
+    prev = F.lag("p").over(w_cov)
+    cover = F.when(prev.isNull(), F.col("n")) \
+        .otherwise(F.least(F.col("p") - prev, F.col("n")))
+    sums = (kept.withColumn("_c", cover)
+            .groupBy(id_col, "n")
+            .agg(F.max("ntok").alias("ntok"),
+                 F.sum("_c").alias("cov")))
+    frac = F.round(F.col("cov") / F.greatest(F.col("ntok"), F.lit(1)), 6)
+    aggs = []
+    for n in top_ns:
+        aggs.append(F.coalesce(
+            F.max(F.when(F.col("n") == n, frac)), F.lit(0.0))
+            .alias(f"top_{n}gram_frac"))
+    for n in dup_ns:
+        aggs.append(F.coalesce(
+            F.max(F.when(F.col("n") == n, frac)), F.lit(0.0))
+            .alias(f"dup_{n}gram_frac"))
+    per_doc = sums.groupBy(id_col).agg(*aggs)
+    base = docs.select(F.col(id_col), F.size(toks).cast("long")
+                       .alias("n_tokens"))
+    out_cols = ([F.col(id_col), "n_tokens"]
+                + [F.coalesce(F.col(f"top_{n}gram_frac"), F.lit(0.0))
+                   .alias(f"top_{n}gram_frac") for n in top_ns]
+                + [F.coalesce(F.col(f"dup_{n}gram_frac"), F.lit(0.0))
+                   .alias(f"dup_{n}gram_frac") for n in dup_ns])
+    return base.join(per_doc, id_col, "left").select(*out_cols)

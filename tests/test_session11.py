@@ -436,3 +436,67 @@ def test_hard_negatives_matches_brute(spark):
     # rank k is still filled (4 per query)
     assert all((q, n) not in pos_pairs for q, n, _ in got)
     assert [sum(1 for g in got if g[0] == q) for q in qids] == [4, 4]
+
+
+# ------------------------------------------- gopher repetition battery
+
+
+GOP_DOCS = [
+    (0, "the cat sat on the mat the cat sat again and again and again"),
+    (1, "a a a a a a"),                        # overlapping self-repeat
+    (2, "x y z w"),                            # nothing repeats
+    (3, ""),                                   # empty doc
+    (4, "one two"),                            # shorter than every dup n
+    (5, ("alpha beta gamma delta " * 4) + "omega"),  # long repeated block
+]
+TOP_NS = (2, 3)
+DUP_NS = (4, 5)
+
+
+def _gopher_brute(text):
+    ts = re.findall(r"[a-z0-9]+", text.lower())
+    out = {}
+    for n in sorted(set(TOP_NS) | set(DUP_NS)):
+        occ = {}
+        for i in range(max(len(ts) - n + 1, 0)):
+            occ.setdefault(" ".join(ts[i:i + n]), []).append(i)
+        if n in TOP_NS:
+            if not occ:
+                out[f"top_{n}gram_frac"] = 0.0
+                continue
+            best = max(occ.items(), key=lambda kv: (len(kv[1]), kv[0]))
+            positions = best[1]
+        else:
+            positions = sorted(p for ps in occ.values()
+                               if len(ps) >= 2 for p in ps)
+            if not positions:
+                out[f"dup_{n}gram_frac"] = 0.0
+                continue
+        covered = set()
+        for p in positions:
+            covered.update(range(p, p + n))
+        key = (f"top_{n}gram_frac" if n in TOP_NS else f"dup_{n}gram_frac")
+        out[key] = round(len(covered) / max(len(ts), 1), 6)
+    out["n_tokens"] = len(ts)
+    return out
+
+
+def test_gopher_repetition_matches_brute(spark):
+    from maestro_spark.operators.textstats import gopher_repetition
+
+    df = spark.createDataFrame(GOP_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_repetition(df, top_ns=TOP_NS,
+                                      dup_ns=DUP_NS).collect()}
+    for did, text in GOP_DOCS:
+        want = _gopher_brute(text)
+        g = got[did]
+        for k, v in want.items():
+            assert g[k] == v, (did, k, g[k], v)
+    # sanity: the self-overlapping doc 1 has dup_4gram covering all
+    assert got[1]["dup_4gram_frac"] == 1.0
+    # doc 2: top 2-gram covers exactly one bigram span
+    assert got[2]["top_2gram_frac"] == 0.5
+    # empty / short docs present with zeros
+    assert got[3]["n_tokens"] == 0 and got[3]["dup_5gram_frac"] == 0.0
+    assert got[4]["dup_4gram_frac"] == 0.0
