@@ -536,6 +536,14 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
                       F.when(lead_cols[n - 1].isNotNull(),
                              F.concat_ws(" ", *lead_cols[:n])).alias("gram"))
              for n in all_ns]
+    # n=0 pseudo-row (one per non-empty doc, at p=0): carries ntok
+    # through the SAME pipeline so n_tokens never needs a second branch
+    # off the scan+window subtree (Spark re-executes branches — the
+    # session-10 duplicated-subtree rule; this is what kept the text
+    # column read twice)
+    grams.append(F.struct(
+        F.lit(0).alias("n"),
+        F.when(F.col("p") == 0, F.lit("")).alias("gram")))
     rows = (led
             .select(id_col, "p", "ntok",
                     F.explode(F.array(*grams)).alias("g"))
@@ -551,7 +559,8 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
         "_top", F.struct("cnt", "gram")
         == F.max(F.struct("cnt", "gram")).over(w_n))
     keep = ((F.col("n").isin(list(top_ns)) & F.col("_top"))
-            | (F.col("n").isin(list(dup_ns)) & (F.col("cnt") >= 2)))
+            | (F.col("n").isin(list(dup_ns)) & (F.col("cnt") >= 2))
+            | (F.col("n") == 0))
     kept = rows.where(keep)
     w_cov = Window.partitionBy(id_col, "n").orderBy("p")
     prev = F.lag("p").over(w_cov)
@@ -571,10 +580,14 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
         aggs.append(F.coalesce(
             F.max(F.when(F.col("n") == n, frac)), F.lit(0.0))
             .alias(f"dup_{n}gram_frac"))
+    # n_tokens rides the n=0 pseudo-rows through the same chain — the
+    # text column is scanned ONCE; only 0-token docs (no pos rows at
+    # all) come from the id-only base scan, with zeros.
+    aggs.append(F.max("ntok").cast("long").alias("n_tokens"))
     per_doc = sums.groupBy(id_col).agg(*aggs)
-    base = docs.select(F.col(id_col), F.size(toks).cast("long")
-                       .alias("n_tokens"))
-    out_cols = ([F.col(id_col), "n_tokens"]
+    base = docs.select(F.col(id_col))
+    out_cols = ([F.col(id_col),
+                 F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")]
                 + [F.coalesce(F.col(f"top_{n}gram_frac"), F.lit(0.0))
                    .alias(f"top_{n}gram_frac") for n in top_ns]
                 + [F.coalesce(F.col(f"dup_{n}gram_frac"), F.lit(0.0))
