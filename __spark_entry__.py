@@ -2589,6 +2589,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_repetition"] = _q_gopher_repetition
 
+    def _q_ngram_diversity(s: SparkSession, d: str) -> DataFrame:
+        # distinct-n corpus diversity per source (Li 2016): map-side
+        # gram arrays, one (group, n, gram) shuffle, reduced re-agg
+        return textstats.ngram_diversity(_t(s, d, "documents"),
+                                         ns=(1, 2, 3))
+
+    q["ngram_diversity"] = _q_ngram_diversity
+
     def _q_span_not(s: SparkSession, d: str) -> DataFrame:
         # span_not: 'slow query' phrase occurrences with no 'fast'
         # within 1 slot before / 1 after the span; tf = survivors
@@ -5172,6 +5180,20 @@ s AS (SELECT doc_id, n, sum(c) AS cov FROM cov GROUP BY doc_id, n)
 SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens, {_gop_cols}
 FROM arr a LEFT JOIN s ON s.doc_id = a.doc_id
 GROUP BY a.doc_id, len(a.ts)"""
+    o["ngram_diversity"] = f"""
+WITH {_ARR},
+g AS (SELECT d.source AS "group", n.n,
+             array_to_string(ts[t.i : t.i + n.n - 1], ' ') AS gram
+      FROM arr JOIN documents d ON d.doc_id = arr.doc_id,
+           unnest([1, 2, 3]) AS n(n),
+           unnest(range(1, greatest(len(ts) - n.n + 2, 1))) AS t(i)
+      WHERE len(ts) >= n.n),
+occ AS (SELECT "group", n, gram, count(*) AS c FROM g
+        GROUP BY "group", n, gram)
+SELECT "group", n, sum(c)::BIGINT AS n_occurrences,
+       count(*)::BIGINT AS n_distinct,
+       round(count(*)::DOUBLE / sum(c), 6) AS distinct_ratio
+FROM occ GROUP BY "group", n ORDER BY "group", n"""
     o["temperature_mix"] = f"""
 WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
            GROUP BY source),

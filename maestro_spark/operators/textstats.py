@@ -593,3 +593,53 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
                 + [F.coalesce(F.col(f"dup_{n}gram_frac"), F.lit(0.0))
                    .alias(f"dup_{n}gram_frac") for n in dup_ns])
     return base.join(per_doc, id_col, "left").select(*out_cols)
+
+
+def ngram_diversity(docs: DataFrame, ns: tuple = (1, 2, 3),
+                    text_col: str = "text",
+                    group_col: str = "source") -> DataFrame:
+    """Corpus diversity audit — distinct-n (Li et al. 2016, the standard
+    repetitiveness metric in data-quality reports): per group (source /
+    language / shard),
+
+        distinct_ratio(n) = |distinct n-grams| / |n-gram occurrences|
+
+    A collapsing ratio as n grows flags a templated or boilerplate-heavy
+    source before it poisons a training mix (the corpus-level complement
+    of gopher_repetition's per-doc battery).
+
+    Shape: grams build MAP-SIDE per doc (array slice HOFs, no window),
+    fan out ×|ns|; ONE shuffle on (group, n, gram) reduces occurrences,
+    then the (group, n) re-agg runs over already-reduced gram rows.
+    Returns (group, n, n_occurrences, n_distinct, distinct_ratio)
+    ordered by (group, n)."""
+    toks = simple_token_col(F.col(text_col))
+
+    def _grams(n: int) -> Column:
+        # single-arg lambda on purpose: a two-arg lambda makes
+        # F.transform pass (element, array_index) and the index would
+        # shadow n
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.struct(
+                            F.lit(n).alias("n"),
+                            F.concat_ws(" ", F.slice(toks, i, n))
+                            .alias("gram")))
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    per_n = [_grams(n) for n in ns]
+    rows = docs.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.flatten(F.array(*per_n))).alias("g"))
+    occ = (rows.select("group", F.col("g.n").alias("n"),
+                       F.col("g.gram").alias("gram"))
+           .groupBy("group", "n", "gram")
+           .agg(F.count("*").alias("c")))
+    return (occ.groupBy("group", "n")
+            .agg(F.sum("c").cast("long").alias("n_occurrences"),
+                 F.count("*").cast("long").alias("n_distinct"))
+            .select("group", "n", "n_occurrences", "n_distinct",
+                    F.round(F.col("n_distinct") / F.col("n_occurrences"),
+                            6).alias("distinct_ratio"))
+            .orderBy("group", "n"))

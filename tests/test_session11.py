@@ -500,3 +500,37 @@ def test_gopher_repetition_matches_brute(spark):
     # empty / short docs present with zeros
     assert got[3]["n_tokens"] == 0 and got[3]["dup_5gram_frac"] == 0.0
     assert got[4]["dup_4gram_frac"] == 0.0
+
+
+# ------------------------------------------- distinct-n diversity
+
+
+def test_ngram_diversity_matches_brute(spark):
+    from maestro_spark.operators.textstats import ngram_diversity
+
+    rows = [(0, "g0", "a b a b a b"),          # highly repetitive
+            (1, "g0", "a b c d"),
+            (2, "g1", "p q r s t u"),          # all distinct
+            (3, "g1", "p q"),
+            (4, "g2", "")]                     # empty group
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["group"], r["n"]): (r["n_occurrences"], r["n_distinct"],
+                                  r["distinct_ratio"])
+           for r in ngram_diversity(df, ns=(1, 2)).collect()}
+    want = {}
+    for grp in ("g0", "g1"):
+        for n in (1, 2):
+            occ = []
+            for _i, g, t in rows:
+                if g != grp:
+                    continue
+                ts = re.findall(r"[a-z0-9]+", t)
+                occ += [" ".join(ts[j:j + n])
+                        for j in range(len(ts) - n + 1)]
+            want[(grp, n)] = (len(occ), len(set(occ)),
+                              round(len(set(occ)) / len(occ), 6))
+    assert got == want
+    # empty group emits no rows (no occurrences to take a ratio of)
+    assert not any(g == "g2" for g, _n in got)
+    # repetitive group collapses faster than the distinct one
+    assert got[("g0", 2)][2] < got[("g1", 2)][2]

@@ -165,3 +165,27 @@ def test_pit_refused_on_unversioned(spark, tmp_path):
                 flat, CFG)
     with pytest.raises(ValueError, match="versioned"):
         open_pit(flat)
+
+
+def test_pit_with_search_after_pagination(spark, base):
+    """The ES deep-pagination recipe: PIT + search_after. Pages drawn
+    through the PIT before and after a concurrent update stitch into
+    the SAME total ordering — no skipped or doubled hits."""
+    from maestro_spark.sources.tableio import open_pit
+
+    pit = open_pit(base)
+    r_pit = IndexReader(spark, pit["dir"])
+    full = r_pit.search_local("user merge", k=50)
+    page1 = full.head(5)
+
+    incremental_update_versioned(
+        spark, base, _upsert_batch(spark, base, marker="zzpage"),
+        None, CFG, keep_versions=1)
+
+    # page 2 AFTER the update, resumed from page 1's cursor
+    last = page1.iloc[-1]
+    page2 = r_pit.search_after_local(
+        "user merge", k=5,
+        after=(float(last["score"]), int(last["doc_id"])))
+    got = list(page1["doc_id"]) + list(page2["doc_id"])
+    assert got == list(full["doc_id"][:10])
