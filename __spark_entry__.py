@@ -132,6 +132,38 @@ def _ensure_sorted_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _ensure_stream_index(spark: SparkSession, sf_dir: str) -> str:
+    """Three-backing data stream (operators/datastream.py) over the
+    documents corpus, split doc_id % 3 — the ES 'migrate existing
+    indices into a data stream' layout: backing indexes built directly
+    (verbatim ids, disjoint by construction), stream.json written over
+    them. Queries run the dfs federated path, whose scores are
+    bit-identical to one combined index — which is exactly what the
+    single-corpus SQL oracle computes."""
+    from maestro_spark.operators.datastream import (_backing_name,
+                                                    _stream_path)
+    from maestro_spark.sources.tableio import (read_manifest,
+                                               write_manifest)
+
+    out = os.path.join(
+        tempfile.gettempdir(), "maestro_entry_stream_v1",
+        re.sub(r"\W+", "_", os.path.abspath(sf_dir)),
+    )
+    if read_manifest(_stream_path(out)) is None:
+        docs = _entry_docs(spark, sf_dir).drop("repositories")
+        names = []
+        for i in range(3):
+            name = _backing_name(i + 1)
+            names.append(name)
+            build_index(spark, docs.where(F.col("doc_id") % 3 == i),
+                        os.path.join(out, name), _SCFG,
+                        resume=True, id_col="doc_id")
+        write_manifest(_stream_path(out), {
+            "backing": names, "write": names[-1],
+            "max_docs": 10 ** 9, "sealed": {}})
+    return out
+
+
 _CHILD_CFG = IndexConfig(
     shard_size=8192,
     n_buckets=8,
@@ -2596,6 +2628,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          ns=(1, 2, 3))
 
     q["ngram_diversity"] = _q_ngram_diversity
+
+    def _q_data_stream(s: SparkSession, d: str) -> DataFrame:
+        # ES data stream: dfs (global-stats) search across 3 backing
+        # indexes — bit-identical to one combined index, so the single-
+        # corpus BM25 oracle applies verbatim; rollover is invisible to
+        # relevance
+        from maestro_spark.operators.datastream import search_stream
+        pdf = search_stream(_ensure_stream_index(s, d),
+                            "merge stream", k=40)
+        pdf = pdf[["doc_id", "score"]].copy()
+        pdf["score"] = pdf["score"].round(6)
+        pdf = pdf.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+        return s.createDataFrame(pdf, "doc_id long, score double")
+
+    q["data_stream_search"] = _q_data_stream
 
     def _q_span_not(s: SparkSession, d: str) -> DataFrame:
         # span_not: 'slow query' phrase occurrences with no 'fast'
@@ -5180,6 +5229,7 @@ s AS (SELECT doc_id, n, sum(c) AS cov FROM cov GROUP BY doc_id, n)
 SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens, {_gop_cols}
 FROM arr a LEFT JOIN s ON s.doc_id = a.doc_id
 GROUP BY a.doc_id, len(a.ts)"""
+    o["data_stream_search"] = _bm25_sql(["merge", "stream"])
     o["ngram_diversity"] = f"""
 WITH {_ARR},
 g AS (SELECT d.source AS "group", n.n,
