@@ -2646,6 +2646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["data_stream_search"] = _q_data_stream
 
+    def _q_shuffle_shards(s: SparkSession, d: str) -> DataFrame:
+        # deterministic final-corpus shuffle + sharding (webdataset-
+        # style): md5-derived shard + in-shard position, RNG-free
+        return curation.shuffle_shard_assign(
+            _t(s, d, "documents"), n_shards=8)
+
+    q["shuffle_shard_assign"] = _q_shuffle_shards
+
     def _q_span_not(s: SparkSession, d: str) -> DataFrame:
         # span_not: 'slow query' phrase occurrences with no 'fast'
         # within 1 slot before / 1 after the span; tf = survivors
@@ -5230,6 +5238,16 @@ SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens, {_gop_cols}
 FROM arr a LEFT JOIN s ON s.doc_id = a.doc_id
 GROUP BY a.doc_id, len(a.ts)"""
     o["data_stream_search"] = _bm25_sql(["merge", "stream"])
+    o["shuffle_shard_assign"] = f"""
+WITH a AS (SELECT doc_id,
+                  {_hex16_sql("concat('shufs', CAST(doc_id AS VARCHAR))")}
+                      % 8 AS shard,
+                  md5(concat('shufr', CAST(doc_id AS VARCHAR))) AS rk
+           FROM documents)
+SELECT doc_id, shard::INTEGER AS shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id)
+        - 1)::BIGINT AS pos
+FROM a"""
     o["ngram_diversity"] = f"""
 WITH {_ARR},
 g AS (SELECT d.source AS "group", n.n,

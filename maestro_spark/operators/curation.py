@@ -426,6 +426,42 @@ def temperature_mix(docs: DataFrame, total_docs: int,
             .drop("_n", "_rate"))
 
 
+def shuffle_shard_assign(docs: DataFrame, n_shards: int,
+                         id_col: str = "doc_id",
+                         salt: str = "shuf") -> DataFrame:
+    """The LAST step of every training-data pipeline: a DETERMINISTIC
+    global shuffle + sharding of the final corpus (training frameworks
+    read shards sequentially, so upstream ordering bias — by source, by
+    crawl date, by dedup cluster — must be destroyed here, and the
+    permutation must be reproducible for resume/audit; the
+    webdataset/t5-style pre-shuffled shard layout, public practice).
+
+      shard = first-16-md5-bits(salt‖'s'‖id) mod n_shards
+      pos   = rank of md5(salt‖'r'‖id) within the shard (ties by id)
+
+    Both derive from the id alone — no RNG state, identical under
+    retries and repartitioning, and exactly reproducible in SQL (the
+    oracle recomputes the full assignment).
+
+    Scale shape: assignment is a pure map; the position rank is one
+    window per shard partition — at 10^12 docs that is n_shards
+    balanced sorts of |corpus|/n_shards keys each (the shuffle you are
+    buying — it IS the product). Writing is
+    tableio.write_partitioned(out, ["shard"]) over this frame with
+    sortWithinPartitions("pos"): one exchange, shard files land in
+    shuffled order. Returns (id, shard, pos)."""
+    d = docs.select(F.col(id_col))
+    sid = F.concat(F.lit(salt + "s"), F.col(id_col).cast("string"))
+    rid = F.concat(F.lit(salt + "r"), F.col(id_col).cast("string"))
+    shard = (hex16_col(sid) % F.lit(int(n_shards))).alias("shard")
+    rank_key = F.md5(rid)
+    w = Window.partitionBy("shard").orderBy("_rk", id_col)
+    return (d.select(id_col, shard, rank_key.alias("_rk"))
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .select(id_col, F.col("shard").cast("int").alias("shard"),
+                    "pos"))
+
+
 def ccnet_buckets(docs: DataFrame, text_col: str = "text",
                   lang_col: str = "lang", id_col: str = "doc_id",
                   n_buckets: int = 3) -> DataFrame:

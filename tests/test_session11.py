@@ -534,3 +534,49 @@ def test_ngram_diversity_matches_brute(spark):
     assert not any(g == "g2" for g, _n in got)
     # repetitive group collapses faster than the distinct one
     assert got[("g0", 2)][2] < got[("g1", 2)][2]
+
+
+# ------------------------------------------- shuffle-shard export
+
+
+def test_shuffle_shard_assign_matches_brute(spark):
+    import hashlib
+    from maestro_spark.operators.curation import shuffle_shard_assign
+
+    ids = list(range(97))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in shuffle_shard_assign(df, n_shards=4).collect()}
+
+    def hex16(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    by_shard = {}
+    for i in ids:
+        sh = hex16(f"shufs{i}") % 4
+        rk = hashlib.md5(f"shufr{i}".encode()).hexdigest()
+        by_shard.setdefault(sh, []).append((rk, i))
+    want = {}
+    for sh, rows in by_shard.items():
+        for pos, (_rk, i) in enumerate(sorted(rows)):
+            want[i] = (sh, pos)
+    assert got == want
+    # a permutation: every (shard, pos) slot unique, positions dense
+    assert len(set(got.values())) == len(ids)
+    for sh in {s for s, _p in got.values()}:
+        ps = sorted(p for s, p in got.values() if s == sh)
+        assert ps == list(range(len(ps)))
+
+
+def test_shuffle_shard_assign_repartition_invariant(spark):
+    from maestro_spark.operators.curation import shuffle_shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = sorted(map(tuple, shuffle_shard_assign(df, 4).collect()))
+    b = sorted(map(tuple,
+                   shuffle_shard_assign(df.repartition(7), 4).collect()))
+    assert a == b
+    # and it actually shuffles: in-shard order != id order
+    shard0 = [i for i, s, p in sorted(a, key=lambda t: (t[1], t[2]))
+              if s == a[0][1]]
+    assert shard0 != sorted(shard0)
