@@ -219,3 +219,62 @@ def close_pit(base_dir: str, pit_id: str) -> bool:
         return False
     os.unlink(p)
     return True
+
+
+# ---- snapshot / restore ------------------------------------------------
+# The ES snapshot-repository API (public: _snapshot endpoints) on the
+# versioned layout: a snapshot is a hardlink clone of the CURRENT
+# version into {base}/snapshots/{name} — metadata-only, because every
+# store file is immutable once written (the same property that makes
+# blue/green cloning free). Restore clones the snapshot back in as a
+# NEW version and flips the alias: the restored state becomes current
+# without touching any later version (readers retarget on their next
+# query, exactly like an incremental batch landing).
+
+SNAPSHOTS_DIR = "snapshots"
+
+
+def snapshot_create(base_dir: str, name: str) -> dict:
+    """Snapshot the current version. Returns {"name", "version",
+    "files"} (files = hardlinks made). Refused if the name exists —
+    ES snapshots are immutable."""
+    if not name or any(c in name for c in "/\\"):
+        raise ValueError(f"bad snapshot name {name!r}")
+    cur = resolve_alias(base_dir)
+    if os.path.abspath(cur) == os.path.abspath(base_dir):
+        raise ValueError(
+            f"{base_dir} is not a versioned index — snapshots need the "
+            "alias layout (build with versioned=True)")
+    dst = os.path.join(base_dir, SNAPSHOTS_DIR, name)
+    if os.path.exists(dst):
+        raise ValueError(f"snapshot {name!r} already exists")
+    n = hardlink_clone(cur, dst)
+    return {"name": name, "version": os.path.basename(cur), "files": n}
+
+
+def snapshot_list(base_dir: str) -> list[str]:
+    d = os.path.join(base_dir, SNAPSHOTS_DIR)
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def snapshot_restore(base_dir: str, name: str) -> str:
+    """Restore a snapshot as the CURRENT version (new v{N} + alias
+    flip — later versions are untouched and still prunable). Returns
+    the new version name."""
+    src = os.path.join(base_dir, SNAPSHOTS_DIR, name)
+    if not os.path.isdir(src):
+        raise ValueError(f"no snapshot {name!r} in {base_dir}")
+    version = next_version(base_dir)
+    hardlink_clone(src, os.path.join(base_dir, version))
+    update_alias(base_dir, version)
+    return version
+
+
+def snapshot_delete(base_dir: str, name: str) -> bool:
+    import shutil
+
+    d = os.path.join(base_dir, SNAPSHOTS_DIR, name)
+    if not os.path.isdir(d):
+        return False
+    shutil.rmtree(d)
+    return True

@@ -189,3 +189,52 @@ def test_pit_with_search_after_pagination(spark, base):
         after=(float(last["score"]), int(last["doc_id"])))
     got = list(page1["doc_id"]) + list(page2["doc_id"])
     assert got == list(full["doc_id"][:10])
+
+
+# ------------------------------------------------------ snapshot/restore
+
+
+def test_snapshot_restore_roundtrip(spark, base):
+    """ES _snapshot semantics: snapshot the current state, mutate, then
+    restore — the restored alias serves the snapshotted results
+    bit-identically; the mutation's version is untouched on disk."""
+    from maestro_spark.sources.tableio import (snapshot_create,
+                                               snapshot_delete,
+                                               snapshot_list,
+                                               snapshot_restore)
+
+    before = IndexReader(spark, base).search_local("user merge", k=10)
+    snap = snapshot_create(base, "pre-edit")
+    assert snap["version"] == "v1" and snap["files"] > 0
+    assert snapshot_list(base) == ["pre-edit"]
+    with pytest.raises(ValueError, match="exists"):
+        snapshot_create(base, "pre-edit")
+
+    incremental_update_versioned(
+        spark, base, _upsert_batch(spark, base, marker="zzsnap"),
+        None, CFG)
+    r = IndexReader(spark, base)
+    assert r.count_local("zzsnap") == 5
+
+    v = snapshot_restore(base, "pre-edit")
+    assert v == "v3"  # restored AS a new version, v2 untouched
+    assert resolve_alias(base).endswith("v3")
+    after = IndexReader(spark, base).search_local("user merge", k=10)
+    assert before.equals(after)
+    assert IndexReader(spark, base).count_local("zzsnap") == 0
+    assert "v2" in list_versions(base)
+
+    assert snapshot_delete(base, "pre-edit") is True
+    assert snapshot_delete(base, "pre-edit") is False
+    with pytest.raises(ValueError, match="no snapshot"):
+        snapshot_restore(base, "pre-edit")
+
+
+def test_snapshot_refused_on_unversioned(spark, tmp_path):
+    from maestro_spark.sources.tableio import snapshot_create
+
+    flat = str(tmp_path / "idx_flat_snap")
+    build_index(spark, synth_docs(spark, 60, seed=5, partitions=4),
+                flat, CFG)
+    with pytest.raises(ValueError, match="versioned"):
+        snapshot_create(flat, "s1")
