@@ -2654,6 +2654,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shuffle_shard_assign"] = _q_shuffle_shards
 
+    def _q_pr_curve(s: SparkSession, d: str) -> DataFrame:
+        # classifier-filter calibration: PR/F1/kept-fraction at a fixed
+        # threshold grid (ONE partial agg — no corpus-wide score sort),
+        # scored here by cosine-to-query vs the embeddings labels
+        from maestro_spark.operators.classifier import pr_curve
+        emb = _t(s, d, "embeddings")
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).head()["embedding"]]
+        scored = similarity.cosine_to_query(
+            emb.where(F.col("vec_id") != 0), qv)
+        return pr_curve(scored, score_col="cos", label_col="label",
+                        thresholds=(-0.2, -0.1, 0.0, 0.05, 0.1, 0.2))
+
+    q["classifier_pr_curve"] = _q_pr_curve
+
     def _q_span_not(s: SparkSession, d: str) -> DataFrame:
         # span_not: 'slow query' phrase occurrences with no 'fast'
         # within 1 slot before / 1 after the span; tf = survivors
@@ -5248,6 +5263,31 @@ SELECT doc_id, shard::INTEGER AS shard,
        (row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id)
         - 1)::BIGINT AS pos
 FROM a"""
+    o["classifier_pr_curve"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT e.vec_id, e.label, {cos_expr} AS cos
+       FROM embeddings e, q, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+       WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.label),
+th AS (SELECT u.t FROM unnest([-0.2, -0.1, 0.0, 0.05, 0.1, 0.2]) AS u(t)),
+agg AS (SELECT th.t AS threshold,
+               sum(CASE WHEN sc.cos >= th.t AND sc.label = 1
+                   THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN sc.cos >= th.t THEN 1 ELSE 0 END)::BIGINT AS pp,
+               sum(CASE WHEN sc.label = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS npos,
+               count(*)::BIGINT AS n
+        FROM sc CROSS JOIN th GROUP BY th.t)
+SELECT threshold, tp, (pp - tp)::BIGINT AS fp, (npos - tp)::BIGINT AS fn,
+       round(CASE WHEN pp > 0 THEN tp::DOUBLE / pp ELSE 0.0 END, 6)
+           AS "precision",
+       round(CASE WHEN npos > 0 THEN tp::DOUBLE / npos ELSE 0.0 END, 6)
+           AS recall,
+       round(CASE WHEN pp > 0 AND npos > 0 AND tp > 0
+             THEN 2.0 * (tp::DOUBLE / pp) * (tp::DOUBLE / npos)
+                  / (tp::DOUBLE / pp + tp::DOUBLE / npos)
+             ELSE 0.0 END, 6) AS f1,
+       round(pp::DOUBLE / n, 6) AS kept_frac
+FROM agg ORDER BY threshold"""
     o["ngram_diversity"] = f"""
 WITH {_ARR},
 g AS (SELECT d.source AS "group", n.n,

@@ -143,3 +143,57 @@ def quality_classifier_scores(docs: DataFrame, label_col,
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def pr_curve(scored: DataFrame, score_col: str = "score",
+             label_col: str = "label",
+             thresholds: tuple = (0.1, 0.2, 0.3, 0.4, 0.5,
+                                  0.6, 0.7, 0.8, 0.9)) -> DataFrame:
+    """Precision/recall calibration of a quality classifier (or any
+    scored filter) against labels — the audit every
+    classifier-filtered corpus ships with (GPT-3 WebText filter,
+    FineWeb-Edu: the kept-fraction/precision trade-off IS the
+    filtering decision). For each threshold t: predictions are
+    score >= t;
+
+        precision = tp/(tp+fp), recall = tp/(tp+fn),
+        f1 = 2pr/(p+r), kept_frac = (tp+fp)/n
+
+    Fixed threshold GRID on purpose: the sklearn-style every-distinct-
+    score curve needs one global score sort (a single-partition window
+    at corpus scale); the grid form is ONE partial agg — |thresholds|
+    conditional sums that combine map-side — and is what you act on
+    anyway. Zero-denominator cells return 0.0 (documented, matches the
+    oracle). Returns one row per threshold, ordered by threshold."""
+    from pyspark.sql import functions as F
+
+    s = F.col(score_col)
+    # positive = label == 1 (an indicator, never the raw value — label
+    # columns are routinely multi-class)
+    y = (F.col(label_col) == 1).cast("int")
+    aggs = [F.count("*").alias("n"),
+            F.sum(y).alias("n_pos")]
+    for i, t in enumerate(thresholds):
+        pred = (s >= F.lit(float(t))).cast("int")
+        aggs.append(F.sum(pred * y).alias(f"_tp{i}"))
+        aggs.append(F.sum(pred).alias(f"_pp{i}"))
+    row = scored.agg(*aggs)
+    parts = []
+    for i, t in enumerate(thresholds):
+        tp, pp = F.col(f"_tp{i}"), F.col(f"_pp{i}")
+        fn = F.col("n_pos") - tp
+        prec = F.when(pp > 0, tp / pp).otherwise(F.lit(0.0))
+        rec = F.when((tp + fn) > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+        f1 = F.when((prec + rec) > 0,
+                    2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+        parts.append(F.struct(
+            F.lit(float(t)).alias("threshold"),
+            tp.cast("long").alias("tp"),
+            (pp - tp).cast("long").alias("fp"),
+            fn.cast("long").alias("fn"),
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+            F.round(pp / F.col("n"), 6).alias("kept_frac")))
+    return (row.select(F.explode(F.array(*parts)).alias("r"))
+            .select("r.*").orderBy("threshold"))

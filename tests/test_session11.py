@@ -580,3 +580,31 @@ def test_shuffle_shard_assign_repartition_invariant(spark):
     shard0 = [i for i, s, p in sorted(a, key=lambda t: (t[1], t[2]))
               if s == a[0][1]]
     assert shard0 != sorted(shard0)
+
+
+# ------------------------------------------- classifier PR curve
+
+
+def test_pr_curve_matches_brute(spark):
+    from maestro_spark.operators.classifier import pr_curve
+
+    rows = [(i, 0.05 * i, 1 if i % 3 == 0 else (2 if i % 7 == 0 else 0))
+            for i in range(40)]   # multi-class labels: only 1 is positive
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    ths = (0.25, 0.8, 1.5, 99.0)
+    got = {r["threshold"]: (r["tp"], r["fp"], r["fn"], r["precision"],
+                            r["recall"], r["f1"], r["kept_frac"])
+           for r in pr_curve(df, thresholds=ths).collect()}
+    npos = sum(1 for _i, _s, y in rows if y == 1)
+    for t in ths:
+        tp = sum(1 for _i, s, y in rows if s >= t and y == 1)
+        pp = sum(1 for _i, s, y in rows if s >= t)
+        prec = tp / pp if pp else 0.0
+        rec = tp / npos if npos else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        want = (tp, pp - tp, npos - tp, round(prec, 6), round(rec, 6),
+                round(f1, 6), round(pp / len(rows), 6))
+        assert got[t] == want, (t, got[t], want)
+    # the empty-prediction threshold (99.0) hits every zero guard
+    assert got[99.0][:3] == (0, 0, npos) and got[99.0][3:] == (0.0, 0.0,
+                                                              0.0, 0.0)
