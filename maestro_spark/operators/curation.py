@@ -462,6 +462,27 @@ def shuffle_shard_assign(docs: DataFrame, n_shards: int,
                     "pos"))
 
 
+def write_shuffled_shards(docs: DataFrame, out_dir: str, n_shards: int,
+                          id_col: str = "doc_id",
+                          salt: str = "shuf") -> None:
+    """Materialize the shuffled corpus: shuffle_shard_assign's
+    permutation joined back to the rows, ONE exchange on the shard key,
+    rows sorted by `pos` inside each shard partition, written as
+    shard=N hive dirs (parquet preserves in-file row order, so a
+    sequential reader of shard files streams the corpus in shuffled
+    order — the webdataset contract). The assignment join is on the id
+    (both sides derive from `docs`, so AQE picks the local strategy);
+    at 10^12 docs the repartition IS the one unavoidable full shuffle
+    of this pipeline stage."""
+    from maestro_spark.sources.tableio import write_partitioned
+
+    asg = shuffle_shard_assign(docs, n_shards, id_col, salt)
+    joined = docs.join(asg, id_col)
+    out = (joined.repartition(n_shards, F.col("shard"))
+           .sortWithinPartitions("shard", "pos"))
+    write_partitioned(out, out_dir, ["shard"])
+
+
 def ccnet_buckets(docs: DataFrame, text_col: str = "text",
                   lang_col: str = "lang", id_col: str = "doc_id",
                   n_buckets: int = 3) -> DataFrame:

@@ -608,3 +608,30 @@ def test_pr_curve_matches_brute(spark):
     # the empty-prediction threshold (99.0) hits every zero guard
     assert got[99.0][:3] == (0, 0, npos) and got[99.0][3:] == (0.0, 0.0,
                                                               0.0, 0.0)
+
+
+def test_write_shuffled_shards_layout(spark, tmp_path):
+    """The written layout honors the permutation: each shard dir read
+    back in file order yields rows in `pos` order (the sequential-
+    reader contract), and the union is exactly the corpus."""
+    import os
+    from maestro_spark.operators.curation import (shuffle_shard_assign,
+                                                  write_shuffled_shards)
+
+    rows = [(i, f"t{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(df, out, n_shards=4)
+    asg = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in shuffle_shard_assign(df, 4).collect()}
+    seen = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard="):
+            continue
+        sh = int(d.split("=")[1])
+        back = spark.read.parquet(os.path.join(out, d)).collect()
+        ids = [int(r["doc_id"]) for r in back]
+        assert ids == sorted(ids, key=lambda i: asg[i][1])  # pos order
+        assert all(asg[i][0] == sh for i in ids)
+        seen += ids
+    assert sorted(seen) == [i for i, _t in rows]
