@@ -27,6 +27,11 @@ from maestro_spark.sources.corpus import synth_docs
 from maestro_spark.operators.build import IndexConfig, build_index
 
 n_docs, cores = int(sys.argv[1]), int(sys.argv[2])
+# shuffle_partitions == cores kept deliberately (comparable with every
+# table row in BENCH.md): a 4-tasks-per-core variant was tried in
+# round-3 session 11 and did NOT raise the measured ratio (0.728 vs
+# 0.769 in adjacent windows — per-task overhead ate the skew headroom
+# at this corpus size; see BENCH.md session 12 note)
 spark = get_spark("scale_bench", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 4))
 cfg = IndexConfig(shard_size=8192, n_buckets=16, n_salts=8,
