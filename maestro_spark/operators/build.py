@@ -520,8 +520,10 @@ def build_index_versioned(
                            cfg, resume=False, id_col=id_col)
     update_alias(base_dir, version)
     if keep_versions > 0:
+        from maestro_spark.sources.tableio import pit_versions
+        pinned = pit_versions(base_dir)  # live PITs retain their version
         for old in list_versions(base_dir)[:-keep_versions]:
-            if old != version:
+            if old != version and old not in pinned:
                 shutil.rmtree(os.path.join(base_dir, old), ignore_errors=True)
     manifest["version_dir"] = version
     return manifest
@@ -564,6 +566,14 @@ def reindex(
         kw["index_fields"] = tuple(kw.get("index_fields", ()))
         kw["stored_columns"] = tuple(kw.get("stored_columns", ()))
         cfg = IndexConfig(**kw)
+    if not keep_ids and cfg.index_sort is not None:
+        from dataclasses import replace
+        # ids are reassigned in default DOC_KEY order, so the source's
+        # doc_id ≡ (sort_col, doc_id) invariant does NOT carry over; a
+        # manifest that kept the flag would send search_sorted's 'auto'
+        # path down early-termination with wrong top-k. Rebuild through
+        # build_index_sorted to re-establish the invariant instead.
+        cfg = replace(cfg, index_sort=None)
     docs = spark.read.parquet(os.path.join(src, "docs")) \
         .drop("shard", "content_sha256")
     if not keep_ids:

@@ -194,6 +194,7 @@ def pr_curve(scored: DataFrame, score_col: str = "score",
             F.round(prec, 6).alias("precision"),
             F.round(rec, 6).alias("recall"),
             F.round(f1, 6).alias("f1"),
-            F.round(pp / F.col("n"), 6).alias("kept_frac")))
+            F.round(F.when(F.col("n") > 0, pp / F.col("n"))
+                    .otherwise(F.lit(0.0)), 6).alias("kept_frac")))
     return (row.select(F.explode(F.array(*parts)).alias("r"))
             .select("r.*").orderBy("threshold"))

@@ -91,8 +91,12 @@ def incremental_dedup(batch: DataFrame, store: DataFrame | None,
     b = spread(batch).select(F.col(id_col), F.md5(text).alias("fingerprint"))
     u = b.select(id_col, "fingerprint", F.lit(False).alias("_st"))
     if store is not None:
+        # store rows carry no id; type the null placeholder to the
+        # BATCH frame's id type (not a hardcoded long) so unionByName
+        # works for string/int ids too
+        id_type = batch.schema[id_col].dataType
         u = u.unionByName(
-            store.select(F.lit(None).cast("long").alias(id_col),
+            store.select(F.lit(None).cast(id_type).alias(id_col),
                          "fingerprint", F.lit(True).alias("_st")))
     w = Window.partitionBy("fingerprint")
     in_store = F.max(F.col("_st")).over(w)

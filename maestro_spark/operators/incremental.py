@@ -112,6 +112,18 @@ def incremental_update(
     if cfg.codec != index_codec:
         from dataclasses import replace as _dc_replace
         cfg = _dc_replace(cfg, codec=index_codec)
+    # index_sort does NOT survive an incremental update: appended docs
+    # take fresh high-water ids, breaking doc_id ≡ (sort_col, doc_id).
+    # The rewritten manifest config therefore intentionally drops the
+    # flag (search_sorted's 'auto' falls back to the exact path); a
+    # caller cfg asserting it is a contract error — refuse loudly
+    # rather than stamp a sort invariant the index no longer holds.
+    if cfg.index_sort is not None:
+        raise ValueError(
+            "cfg.index_sort is not valid for incremental_update: appends "
+            "reassign high-water doc ids, so the sorted-id invariant no "
+            "longer holds. Rebuild via build_index_sorted (or "
+            "reindex through it) to re-establish index_sort.")
     from maestro_spark.operators.build import POSTING_FORMAT
     fmt = manifest.get("posting_format",
                        1 if index_codec == "varint" else 2)
