@@ -265,7 +265,12 @@ def main() -> None:
                                      factor=0.001).collect()
         timings["function_score"] = round(time.time() - t0, 3)
         t0 = time.time()
-        reader.significant_terms("error retry", size=10).collect()
+        # on_over_budget="sample": above SIG_FG_BUDGET matched docs the
+        # guard auto-routes to the ES sampler composition (per-shard
+        # top-N foreground) — the k-bounded cost class; under budget
+        # this is the exact path, unchanged
+        reader.significant_terms("error retry", size=10,
+                                 on_over_budget="sample").collect()
         timings["significant_terms"] = round(time.time() - t0, 3)
 
         # round-3 late families: decay scoring, date/geo runtime-field
@@ -372,7 +377,8 @@ def main() -> None:
                            mm_type="most_fields").collect()
         timings["most_fields"] = round(time.time() - t0, 3)
         t0 = time.time()
-        reader.significant_text("error retry", size=10).collect()
+        reader.significant_text("error retry", size=10,
+                                on_over_budget="sample").collect()
         timings["significant_text_dedup"] = round(time.time() - t0, 3)
         t0 = time.time()
         reader.search_percentiles_bucket(

