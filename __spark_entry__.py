@@ -2859,7 +2859,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["children_agg"] = _q_children_agg
 
-    return q
+    return _rotate_never_sampled(q)
+
+
+def _rotate_never_sampled(q: dict) -> dict:
+    """Driver-coverage rotation (VERDICT r3 #4): the driver samples ~50
+    queries per round in registry order, so entries that have never had
+    a driver CORRECTNESS row surface FIRST. Sampled-before names come
+    from the CORRECTNESS_r*.json files shipped next to this module;
+    with none present (clean checkout) the registry order is unchanged.
+    Within each group the original insertion order is kept, so rotation
+    never reorders the already-verified prefix relative to itself."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(f) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            continue
+    if not seen:
+        return q
+    fresh = {k: v for k, v in q.items() if k not in seen}
+    fresh.update((k, v) for k, v in q.items() if k in seen)
+    return fresh
 
 
 def oracle_sql() -> dict[str, str]:
