@@ -103,6 +103,51 @@ POSITIONS_SEMANTICS = 2
 # rebuilds every shard; incremental raises with migration guidance.
 POSTING_FORMAT = {"varint": 1, "for": 3}
 
+# Sentinel for IndexConfig.shard_size: "derive docs-per-shard from the
+# corpus" (see derive_shard_size / build_index).
+AUTO_SHARD = 0
+
+
+def derive_shard_size(n_docs: int, avg_doc_bytes: float | None = None,
+                      target_docs: int = 65_536,
+                      shard_byte_budget: int = 1 << 30) -> int:
+    """Default docs-per-shard from corpus stats — the ES shard-sizing
+    practice (10–50 GB / shard, docs.usage guidance) re-expressed for
+    this engine's doc-range sharding. Two forces, take the tighter:
+
+      * target_docs per shard — shard COUNT then grows linearly with
+        the corpus (the 10×-run config rule: 245 fixed-size shards at
+        2 M docs taxed the serving floor; ~n/65k shards puts 2 M docs
+        at ~31 shards and 10^9 docs at ~15k — each shard a few serving
+        milliseconds, fan-out-parallel via ServingPool);
+      * shard_byte_budget of stored content — production code files are
+        KBs-to-MBs, so a byte cap keeps one shard's docstore + posting
+        working set inside a worker's memory regardless of doc size.
+
+    Tiny corpora need no floor: shard count = ceil(n/size) is already 1
+    once n_docs < the derived size. Returns at least 1."""
+    per = int(target_docs)
+    if avg_doc_bytes and avg_doc_bytes > 0:
+        per = min(per, max(1, int(shard_byte_budget // avg_doc_bytes)))
+    return max(1, per)
+
+
+def _resolve_auto_shard(docs: DataFrame, cfg: IndexConfig) -> IndexConfig:
+    """Replace AUTO_SHARD with a derived concrete value: one metadata
+    count + a ≤50k-row content-length sample (column-pruned; never a
+    full content scan). The concrete value is what lands in the
+    manifest, so readers and incremental updates see a fixed size."""
+    from dataclasses import replace as _dc_replace
+
+    n = docs.count()
+    avg_bytes = None
+    if n > 0:
+        frac = min(1.0, 50_000 / n)
+        row = (docs.sample(fraction=frac, seed=7)
+               .agg(F.avg(F.length("content")).alias("b")).first())
+        avg_bytes = float(row["b"]) if row and row["b"] is not None else None
+    return _dc_replace(cfg, shard_size=derive_shard_size(n, avg_bytes))
+
 
 def positions_compatible(manifest: dict | None, cfg: IndexConfig) -> bool:
     """True when `manifest`'s prox stream (if any) was written under the
@@ -116,7 +161,12 @@ def positions_compatible(manifest: dict | None, cfg: IndexConfig) -> bool:
 
 @dataclass
 class IndexConfig:
-    shard_size: int = 1_000_000        # docs per shard (doc-range sharding)
+    shard_size: int = 1_000_000        # docs per shard (doc-range
+                                       # sharding); AUTO_SHARD (0) lets
+                                       # build_index derive it from
+                                       # corpus stats (derive_shard_size)
+                                       # and stamp the concrete value
+                                       # into the manifest
     n_buckets: int = 16                # term_bucket partitions per shard
     n_salts: int = 8                   # sub-segments for hot terms
     hot_df_fraction: float = 0.05      # term hot if df > fraction * shard N
@@ -390,6 +440,8 @@ def build_index(
     (skips the global id sort — the path for sources that already carry a
     stable dense id, e.g. the driver's `documents` table)."""
     cfg = cfg or IndexConfig()
+    if cfg.shard_size == AUTO_SHARD:
+        cfg = _resolve_auto_shard(docs, cfg)
     t0 = time.time()
 
     if cfg.routing_col is not None:
