@@ -164,6 +164,27 @@ def main() -> None:
         timings["msearch_local_96"] = round(msearch_wall, 3)
         msearch_local_qps = 96.0 / msearch_wall
 
+        # ---- 2b. shard-parallel serving tier (ServingPool, round 4):
+        # W=4 worker processes each owning shards s%4, coordinator
+        # merge — p50/p95 over the same query mix + the same 96-batch
+        from maestro_spark.operators.serving import ServingPool
+        with ServingPool(idx_dir, n_workers=4) as pool:
+            for q in QUERIES:
+                pool.search(q, k=10)          # warm worker caches
+            pl: list[float] = []
+            for rep in range(3):
+                for q in QUERIES:
+                    t0 = time.time()
+                    pool.search(q, k=10)
+                    pl.append(time.time() - t0)
+            pla = np.asarray(pl).reshape(3, len(QUERIES)).min(axis=0)
+            pool_p50 = float(np.percentile(pla, 50))
+            pool_p95 = float(np.percentile(pla, 95))
+            t0 = time.time()
+            pool.msearch(batch, k=10)
+            pool_msearch_qps = 96.0 / (time.time() - t0)
+        timings["pool_msearch_96"] = round(96.0 / pool_msearch_qps, 3)
+
         # bool/pagination/facet/count surface (round-2 additions)
         t0 = time.time()
         reader.search_local("index query merge", k=10, exclude="return",
@@ -548,6 +569,9 @@ def main() -> None:
         "query_local_p50_s": round(query_local_p50, 4),
         "query_local_p95_s": round(query_local_p95, 4),
         "msearch_local_qps": round(msearch_local_qps, 1),
+        "pool4_p50_s": round(pool_p50, 4),
+        "pool4_p95_s": round(pool_p95, 4),
+        "pool4_msearch_qps": round(pool_msearch_qps, 1),
         "build_phase_ms": manifest.get("phase_ms", {}),
         "incremental_rebuilt_shards": inc_rebuilt,
         "snapshot_files_linked": n_linked,
