@@ -5689,18 +5689,17 @@ class IndexReader:
         hits = hits[hits["doc_id"] != src].head(k)
         return hits.reset_index(drop=True)
 
-    def phrase_search_local(self, phrase: str, k: int = 10,
-                            slop: int = 0, prefix_last: bool = False,
-                            max_expansions: int = 50,
-                            first_n: int | None = None,
-                            max_workers: int | None = None) -> pd.DataFrame:
-        """Serving-path exact-phrase top-k — same match + scoring semantics
-        as phrase_search (the phrase-as-pseudo-term BM25, including the
-        slop>0 span_near relaxation and prefix_last=match_phrase_prefix),
-        no Spark job.
-        The global phrase df needs every shard's match count before
-        scoring, so matching runs first and scoring is a vectorized
-        epilogue over the (small) matched set."""
+    def _phrase_match_arrays(self, phrase: str, slop: int = 0,
+                             prefix_last: bool = False,
+                             max_expansions: int = 50,
+                             first_n: int | None = None,
+                             max_workers: int | None = None):
+        """Match phase of phrase_search_local: (docs, tfs, dls) over
+        every shard this reader serves, or None when the phrase falls
+        back to a single-term search (the caller handles that branch).
+        Split out so a ServingPool worker can run matching over its
+        shard SUBSET and score later with the COORDINATOR's global df
+        (the ES dfs_query_then_fetch protocol — see serving.py)."""
         self._refresh_if_stale()
         if not self.cfg.get("store_positions"):
             raise ValueError(
@@ -5708,18 +5707,20 @@ class IndexReader:
                 "IndexConfig(store_positions=True); this index has no prox "
                 f"stream ({self.index_dir})")
         terms = phrase_terms(phrase, tokenizer=self.cfg.get("tokenizer", "code"))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                 np.empty(0, np.float64))
         if not terms:
-            return self._EMPTY_HITS()
+            return empty
         alts: list[str] | None = None
         if prefix_last:
             seq = list(terms[:-1])
             alts = self._prefix_alts(terms[-1], max_expansions)
             if not alts:
-                return self._EMPTY_HITS()
+                return empty
             uniq = sorted(set(seq) | set(alts))
         else:
             if len(terms) == 1 and first_n is None:
-                return self.search_local(terms[0], k=k)
+                return None     # single bare term: plain BM25 path
             seq = list(terms)
             uniq = sorted(set(terms))
         by_shard = self._fetch_posting_rows(uniq)
@@ -5740,16 +5741,47 @@ class IndexReader:
             return docs, tf_phrase, dls[docs - shard * shard_size]
 
         matched = _map_shards(run, sorted(by_shard.items()), max_workers)
-        docs = np.concatenate([m[0] for m in matched]) if matched else np.empty(0, np.int64)
+        if not matched:
+            return empty
+        return (np.concatenate([m[0] for m in matched]),
+                np.concatenate([m[1] for m in matched]).astype(np.float64),
+                np.concatenate([m[2] for m in matched]))
+
+    def _phrase_score_topk(self, docs: np.ndarray, tfs: np.ndarray,
+                           dls: np.ndarray, k: int,
+                           df_override: int | None = None) -> pd.DataFrame:
+        """Score phase: phrase-as-pseudo-term BM25 over matched arrays.
+        df_override supplies the GLOBAL match count when `docs` covers
+        only a shard subset (dfs_query_then_fetch phase 2)."""
         if docs.size == 0:
             return self._EMPTY_HITS()
-        tfs = np.concatenate([m[1] for m in matched]).astype(np.float64)
-        dls = np.concatenate([m[2] for m in matched])
         st = self.stats["fields"]["content"]
-        idf = float(bm25.idf(docs.size, st["n_docs"]))
+        df = int(df_override) if df_override is not None else int(docs.size)
+        idf = float(bm25.idf(df, st["n_docs"]))
         avgdl = float(st["avgdl"])
         scores = idf * (tfs / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl)))
         return self._merge_topk(docs, scores, k)
+
+    def phrase_search_local(self, phrase: str, k: int = 10,
+                            slop: int = 0, prefix_last: bool = False,
+                            max_expansions: int = 50,
+                            first_n: int | None = None,
+                            max_workers: int | None = None) -> pd.DataFrame:
+        """Serving-path exact-phrase top-k — same match + scoring semantics
+        as phrase_search (the phrase-as-pseudo-term BM25, including the
+        slop>0 span_near relaxation and prefix_last=match_phrase_prefix),
+        no Spark job.
+        The global phrase df needs every shard's match count before
+        scoring, so matching runs first (_phrase_match_arrays) and
+        scoring is a vectorized epilogue over the (small) matched set
+        (_phrase_score_topk)."""
+        m = self._phrase_match_arrays(phrase, slop, prefix_last,
+                                      max_expansions, first_n, max_workers)
+        if m is None:
+            terms = phrase_terms(phrase,
+                                 tokenizer=self.cfg.get("tokenizer", "code"))
+            return self.search_local(terms[0], k=k)
+        return self._phrase_score_topk(*m, k=k)
 
     def span_near_local(self, phrase: str, k: int = 10, slop: int = 0,
                         in_order: bool = True,

@@ -35,6 +35,16 @@ and responses cross process boundaries as small picklable payloads
 (query strings / kwargs down, ≤k rows per worker up) — never posting
 bytes.
 
+Fanned-out surface: search / msearch / count — their plans come from
+GLOBAL statistics (manifest field stats + termdict dfs), which every
+worker shares, so subset scoring is bit-identical by construction.
+phrase_search_local is deliberately NOT fanned out: its phrase
+pseudo-term df is counted across ALL shards before scoring, so a
+subset worker would score with a partial df — distributing it needs
+the dfs_query_then_fetch two-phase protocol (phase 1: per-worker
+match counts; phase 2: score with the summed global df), the same
+seam federated_global_plans already implements across indexes.
+
 Start method: ``spawn`` by default — fork would duplicate the parent's
 arbitrary state (a Spark JVM in tests) into scoring processes; a clean
 interpreter per worker matches production (workers on other hosts).
@@ -65,6 +75,7 @@ def _worker_main(index_dir: str, worker_id: int, n_workers: int,
 
     reader = IndexReader(None, index_dir,
                          shard_subset=(worker_id, n_workers))
+    phrase_cache = None   # (docs, tfs, dls) from the last phrase_count
     while True:
         msg = task_q.get()
         if msg is None:
@@ -77,6 +88,25 @@ def _worker_main(index_dir: str, worker_id: int, n_workers: int,
                 out = reader.search_many_local(**kwargs)
             elif method == "count":
                 out = reader.count_local(**kwargs)
+            elif method == "phrase_count":
+                # dfs_query_then_fetch phase 1: match this worker's
+                # shard subset, cache the arrays, return the local df
+                m = reader._phrase_match_arrays(**kwargs)
+                if m is None:           # single bare term: BM25 path
+                    phrase_cache = None
+                    out = {"fallback": True}
+                else:
+                    phrase_cache = m
+                    out = {"df": int(m[0].size)}
+            elif method == "phrase_score":
+                # phase 2: score the cached match with the GLOBAL df
+                if phrase_cache is None:
+                    raise RuntimeError(
+                        "phrase_score without a preceding phrase_count")
+                out = reader._phrase_score_topk(
+                    *phrase_cache, k=kwargs["k"],
+                    df_override=kwargs["df"])
+                phrase_cache = None
             elif method == "stats":
                 out = {
                     "pid": os.getpid(),
@@ -206,6 +236,45 @@ class ServingPool:
                                  "doc_id": pd.array([], dtype="int64"),
                                  "score": pd.array([], dtype="float64")})
         return pd.concat(parts, ignore_index=True)
+
+    def phrase(self, phrase: str, k: int = 10, slop: int = 0,
+               prefix_last: bool = False, max_expansions: int = 50,
+               first_n: int | None = None) -> pd.DataFrame:
+        """Fan-out phrase search via dfs_query_then_fetch (the ES
+        cross-node protocol): phase 1 broadcasts the match — each
+        worker intersects positions over its shard subset, caches the
+        (docs, tfs, dls) arrays worker-side, and returns only its LOCAL
+        match count; the coordinator sums them into the GLOBAL phrase
+        df; phase 2 broadcasts that df and workers score their cached
+        match with the global idf, returning top-k. Bit-identical to
+        IndexReader.phrase_search_local (which computes the same global
+        df by concatenating all shards in one process). Match arrays
+        never cross a process boundary — only counts and ≤k rows."""
+        params = dict(phrase=phrase, slop=slop, prefix_last=prefix_last,
+                      max_expansions=max_expansions, first_n=first_n)
+        counts = self._broadcast("phrase_count", params)
+        if any(c.get("fallback") for c in counts):
+            # single bare term: same fallback as phrase_search_local
+            from maestro_spark.functions.tokenize import phrase_terms
+            terms = phrase_terms(
+                phrase, tokenizer=self._meta_reader().cfg.get(
+                    "tokenizer", "code"))
+            return self.search(terms[0], k=k)
+        df = int(sum(c["df"] for c in counts))
+        if df == 0:
+            # release the workers' cached (empty) matches
+            self._broadcast("phrase_score", {"k": k, "df": 0})
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "score": pd.array([], dtype="float64")})
+        outs = self._broadcast("phrase_score", {"k": k, "df": df})
+        return self._merge_hits(outs, k)
+
+    def _meta_reader(self):
+        """Coordinator-side manifest/cfg handle (no posting reads)."""
+        if getattr(self, "_meta", None) is None:
+            from maestro_spark.operators.search import IndexReader
+            self._meta = IndexReader(None, self.index_dir)
+        return self._meta
 
     def count(self, query: str, **kwargs) -> int:
         """Fan-out count_local; counts over disjoint shard subsets sum."""

@@ -18,6 +18,7 @@ CFG = IndexConfig(
     n_salts=4,
     hot_df_fraction=0.02,
     sample_fraction=1.0,
+    store_positions=True,     # phrase fan-out (dfs_query_then_fetch)
 )
 QUERIES = ["user merge", "getUserName", "error retry", "stream window",
            "lang:java cache", "token"]
@@ -128,3 +129,42 @@ def test_pool_empty_query_and_absent_term(pool, idx):
     seq = IndexReader(None, idx)
     _assert_hits_equal(pool.search("zzzznotaterm", k=5),
                        seq.search_local("zzzznotaterm", k=5))
+
+
+# ------------------------------------- phrase fan-out (dfs_query_then_fetch)
+
+
+def test_pool_phrase_parity_bit_identical(idx, pool):
+    """Two-phase global-df protocol == the single-process path, which
+    computes the same df by concatenating all shards in one process."""
+    seq = IndexReader(None, idx)
+    for ph, kw in [("user merge", {}), ("get user", {}),
+                   ("user merge", {"slop": 2}),
+                   ("big s", {"prefix_last": True})]:
+        _assert_hits_equal(pool.phrase(ph, k=10, **kw),
+                           seq.phrase_search_local(ph, k=10, **kw),
+                           msg=f"{ph} {kw}")
+
+
+def test_pool_phrase_single_term_fallback(idx, pool):
+    seq = IndexReader(None, idx)
+    _assert_hits_equal(pool.phrase("user", k=8),
+                       seq.phrase_search_local("user", k=8))
+
+
+def test_pool_phrase_no_match_empty(idx, pool):
+    out = pool.phrase("zzqfoo zzqbar", k=5)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "score"]
+    # pool still healthy afterwards (phase-2 release ran)
+    assert len(pool.search("user merge", k=3)) > 0
+
+
+def test_pool_phrase_df_is_global(idx, pool):
+    """The scored idf must come from the SUMMED df: check against a
+    manual recomputation from the sequential match."""
+    seq = IndexReader(None, idx)
+    m = seq._phrase_match_arrays("user merge")
+    assert m is not None and m[0].size > 0
+    got = pool.phrase("user merge", k=5)
+    want = seq._phrase_score_topk(*m, k=5)
+    _assert_hits_equal(got, want)
