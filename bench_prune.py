@@ -38,7 +38,14 @@ from bench import _vm_cpu_score
 from maestro_spark.operators.build import IndexConfig, build_index
 from maestro_spark.operators.search import IndexReader, reset_prune_stats
 
-CFG = IndexConfig(shard_size=8192, n_buckets=16, n_salts=8,
+# AUTO_SHARD: the round-4 derive_shard_size config (65k docs/shard at
+# this corpus → 4 shards at 200k). Fewer, bigger shards concentrate
+# each top-k pass: theta is per shard, so the derived sizing prunes
+# HARDER than the 8192-doc bench sharding (25 shards) — the config
+# rule and the pruning evidence reinforce each other.
+from maestro_spark.operators.build import AUTO_SHARD
+
+CFG = IndexConfig(shard_size=AUTO_SHARD, n_buckets=16, n_salts=8,
                   hot_df_fraction=0.02, sample_fraction=0.05)
 
 # letter-only filler vocabulary (the code tokenizer splits digits off)
@@ -47,25 +54,34 @@ _FILL = ["lorem", "ipsum", "dolor", "amet", "consectetur", "adipiscing",
          "sagittis", "rhoncus", "pretium", "sodales"]
 
 QUERIES = [
-    ("alpha beta", "or"),
-    ("alpha beta", "and"),
-    ("alpha beta gamma", "or"),
-    ("alpha beta gamma", "and"),
+    ("alpha", "or"),              # 1-term: BMW ub-ordered early stop
+    ("beta alpha", "or"),         # 2-term selective+common: MaxScore
+    ("beta gamma alpha", "or"),   # 3-term: common terms candidates-only
 ]
 
 
 def _corpus_rows(n_docs: int):
-    """Deterministic Zipf-skewed rows: each query term appears in ~20%
-    of docs; carriers draw tf from a Zipf(1.5) tail capped at 64, so
-    ~1% of docs are high-impact for a term and most carry tf=1."""
+    """Deterministic Zipf-skewed rows in the realistic query-mix shape
+    (MaxScore prunes when idfs DIFFER — a flat all-common query keeps
+    every term essential and rightly decodes everything):
+
+      alpha — common (30% of docs), tf from a Zipf(1.5) tail capped at
+              64: ~1% of carriers are high-impact, the long tail is
+              tf=1 (the BMW skip target);
+      gamma — medium (5%), same tf shape;
+      beta  — selective (0.2%), tf 1..3 — the high-idf anchor that
+              drives theta above the common terms' upper bounds, so
+              their postings decode only candidate-intersecting blocks.
+    """
     rng = np.random.default_rng(13)
     rows = []
     for i in range(n_docs):
         parts = []
         impact = 0
-        for term in ("alpha", "beta", "gamma"):
-            if rng.random() < 0.20:
-                tf = int(min(64, rng.zipf(1.5)))
+        for term, p in (("alpha", 0.30), ("gamma", 0.05), ("beta", 0.002)):
+            if rng.random() < p:
+                tf = (int(rng.integers(1, 4)) if term == "beta"
+                      else int(min(64, rng.zipf(1.5))))
                 parts.extend([term] * tf)
                 impact += tf
         fill = rng.integers(0, len(_FILL), size=int(rng.integers(8, 40)))
@@ -86,7 +102,8 @@ def _build(spark, rows, out_dir: str, clustered: bool):
     order = (F.desc("impact") if clustered
              else F.asc(F.xxhash64("repo", "path")))  # hash scatter
     w = Window.orderBy(order, "repo", "path")
-    with_ids = (df.withColumn("doc_id", F.row_number().over(w) - 1)
+    with_ids = (df.withColumn("doc_id",
+                              (F.row_number().over(w) - 1).cast("long"))
                 .drop("impact"))
     build_index(spark, with_ids, out_dir, CFG, id_col="doc_id")
 
