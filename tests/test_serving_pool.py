@@ -168,3 +168,14 @@ def test_pool_phrase_df_is_global(idx, pool):
     got = pool.phrase("user merge", k=5)
     want = seq._phrase_score_topk(*m, k=5)
     _assert_hits_equal(got, want)
+
+
+def test_pool_expansion_and_boosts_parity(idx, pool):
+    """fuzzy/wildcard expansion + BM25F boosts run in plan() per worker
+    against the GLOBAL termdict/stats, so fan-out stays bit-identical."""
+    seq = IndexReader(None, idx)
+    for q, kw in [("getUserNam~1", {}), ("get*", {}),
+                  ("user merge", {"boosts": {"content": 1.0, "path": 2.0}})]:
+        _assert_hits_equal(pool.search(q, k=10, **kw),
+                           seq.search_local(q, k=10, **kw),
+                           msg=f"{q} {kw}")
