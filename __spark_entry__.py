@@ -3484,13 +3484,13 @@ GROUP BY 1 ORDER BY bucket"""
     o["date_range_agg"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
-SELECT sum(({_MT_SQL} < TIMESTAMP '2025-01-10 00:00:00')::BIGINT)
-           AS early,
-       sum(({_MT_SQL} >= TIMESTAMP '2025-01-10 00:00:00'
+SELECT CAST(sum(({_MT_SQL} < TIMESTAMP '2025-01-10 00:00:00')::BIGINT)
+            AS BIGINT) AS early,
+       CAST(sum(({_MT_SQL} >= TIMESTAMP '2025-01-10 00:00:00'
             AND {_MT_SQL} < TIMESTAMP '2025-01-20 00:00:00')::BIGINT)
-           AS mid,
-       sum(({_MT_SQL} >= TIMESTAMP '2025-01-20 00:00:00')::BIGINT)
-           AS late
+            AS BIGINT) AS mid,
+       CAST(sum(({_MT_SQL} >= TIMESTAMP '2025-01-20 00:00:00')::BIGINT)
+            AS BIGINT) AS late
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
     o["geo_bounds"] = f"""
 WITH {_TOK},
@@ -3523,11 +3523,12 @@ WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream')),
 g AS (SELECT {_HAV_SQL} AS dist FROM documents d
       JOIN m ON m.doc_id = d.doc_id)
-SELECT sum((dist < 3000.0)::BIGINT) AS ring_0_3000,
-       sum((dist >= 3000.0 AND dist < 8000.0)::BIGINT) AS ring_3000_8000,
-       sum((dist >= 8000.0 AND dist < 15000.0)::BIGINT)
+SELECT CAST(sum((dist < 3000.0)::BIGINT) AS BIGINT) AS ring_0_3000,
+       CAST(sum((dist >= 3000.0 AND dist < 8000.0)::BIGINT) AS BIGINT)
+           AS ring_3000_8000,
+       CAST(sum((dist >= 8000.0 AND dist < 15000.0)::BIGINT) AS BIGINT)
            AS ring_8000_15000,
-       sum((dist >= 15000.0)::BIGINT) AS ring_15000_inf
+       CAST(sum((dist >= 15000.0)::BIGINT) AS BIGINT) AS ring_15000_inf
 FROM g"""
     o["bm25_distance_feature"] = _bm25_sql(
         ["merge", "query", "spark"],
@@ -4794,10 +4795,10 @@ FROM sub ORDER BY subnet"""
     o["ip_range_agg"] = f"""
 WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'stream'))
-SELECT sum(({_IP_SQL} < 1073741824)::BIGINT) AS low,
-       sum(({_IP_SQL} >= 1073741824 AND {_IP_SQL} < 3221225472)::BIGINT)
-           AS mid,
-       sum(({_IP_SQL} >= 3221225472)::BIGINT) AS high
+SELECT CAST(sum(({_IP_SQL} < 1073741824)::BIGINT) AS BIGINT) AS low,
+       CAST(sum(({_IP_SQL} >= 1073741824 AND {_IP_SQL} < 3221225472)::BIGINT)
+            AS BIGINT) AS mid,
+       CAST(sum(({_IP_SQL} >= 3221225472)::BIGINT) AS BIGINT) AS high
 FROM documents d JOIN m ON m.doc_id = d.doc_id"""
     o["bucket_script_agg"] = f"""
 WITH {_TOK},

@@ -90,7 +90,8 @@ def incremental_update(
         if deletes is not None:
             docs = docs.join(deletes.select(*DOC_KEY), DOC_KEY, "left_anti")
         return build_index(spark, docs, index_dir, cfg)
-    if cfg.shard_size == 0:  # AUTO_SHARD: adopt the index's fixed size
+    from maestro_spark.operators.build import AUTO_SHARD
+    if cfg.shard_size == AUTO_SHARD:  # adopt the index's fixed size
         from dataclasses import replace as _dc_replace
         cfg = _dc_replace(cfg,
                           shard_size=manifest["config"]["shard_size"])

@@ -1369,7 +1369,18 @@ class IndexReader:
         the full cross-shard LRU is filtered from it (no read at all);
         misses read ONLY the routed shard and land in a small dedicated
         (term, shard)-keyed LRU — they must not enter the main LRU,
-        whose entries are trusted to span every shard."""
+        whose entries are trusted to span every shard.
+
+        Subset (data-node) readers answer a routed query ONLY when they
+        own the routed shard (rshard ≡ w mod W) — otherwise they return
+        no postings at all, exactly like an ES data node that holds none
+        of the routed shard's copies. Without this, every pool worker
+        would fetch and score the SAME routed shard and the coordinator
+        merge would return it duplicated up to W times (ADVICE r4)."""
+        if self._shard_subset is not None:
+            w, nw = self._shard_subset
+            if int(rshard) % nw != w:
+                return {}
         rows: dict[str, dict] = {}
         missing: list[str] = []
         for t in terms:
@@ -4963,17 +4974,19 @@ class IndexReader:
                         exclude: str | None = None, min_match: int = 1,
                         sample_top: int | None = None,
                         fg_budget: int | None = None,
-                        on_over_budget: str = "raise",
+                        on_over_budget: str = "sample",
                         score_round: int | None = None,
                         caller: str = "significant_terms"):
         """Foreground selection for the significant_* aggs with the
         LOCAL_DF_BUDGET-style guard (the doc_value_ids pattern,
         VERDICT r3 weak #1): fg size comes from the serving-path count
         (already computed for the score denominators — no extra job);
-        above the budget the exact path either raises with routing
-        guidance or auto-routes to the sampler (`on_over_budget=
-        'sample'`), ES's own documented remedy for significant_terms
-        over huge match sets. Returns (matches, fg_n, sampled)."""
+        above the budget the exact path auto-routes to the sampler
+        (default `on_over_budget='sample'` — ES's own documented remedy
+        for significant_terms over huge match sets, so previously-working
+        large-foreground calls keep working, ADVICE r4), raises with
+        routing guidance under the opt-in `'raise'`, or runs exact under
+        `'allow'`. Returns (matches, fg_n, sampled)."""
         if sample_top is not None:
             m, n = self._sampled_matches(query, sample_top, mode,
                                          exclude, min_match, score_round)
@@ -5007,7 +5020,7 @@ class IndexReader:
                           sample_top: int | None = None,
                           score_round: int | None = None,
                           fg_budget: int | None = None,
-                          on_over_budget: str = "raise",
+                          on_over_budget: str = "sample",
                           heuristic: str = "jlh") -> DataFrame:
         """significant_terms aggregation over the content field (the ES
         agg, JLH heuristic): terms OVER-represented in the query's match
@@ -5139,7 +5152,7 @@ class IndexReader:
                          heuristic: str = "jlh",
                          sample_top: int | None = None,
                          fg_budget: int | None = None,
-                         on_over_budget: str = "raise",
+                         on_over_budget: str = "sample",
                          exclude_query_terms: bool = True) -> DataFrame:
         """significant_text aggregation (ES): significant_terms over a
         free-text field by RE-ANALYSIS of the matched docs' stored

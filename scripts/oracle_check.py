@@ -88,12 +88,25 @@ def main() -> int:
             want = norm(con.sql(osql[name]).df())
             spark_rows, oracle_rows = len(got), len(want)
             schema_match = list(got.columns) == list(want.columns)
-            hash_match = (schema_match and spark_rows == oracle_rows
+            # Dtype-strict (VERDICT r4 #1/#3): the driver's value hash
+            # distinguishes 191 from 191.0, so an int64-vs-float64 column
+            # pair must FAIL here even when the values compare equal —
+            # e.g. DuckDB sum(BIGINT)->HUGEINT landing as float64.
+            dtype_match = (schema_match and
+                           all(got[c].dtype == want[c].dtype
+                               for c in got.columns))
+            hash_match = (dtype_match and spark_rows == oracle_rows
                           and all((np.array_equal(got[c].to_numpy(),
                                                   want[c].to_numpy())
                                    if got[c].dtype == np.float64
                                    else got[c].tolist() == want[c].tolist())
                                   for c in got.columns))
+            if schema_match and not dtype_match:
+                mism = [(c, str(got[c].dtype), str(want[c].dtype))
+                        for c in got.columns
+                        if got[c].dtype != want[c].dtype]
+                err = f"dtype mismatch (spark,oracle): {mism}"[:300]
+                print(f"{name} DTYPE {err[:200]}", flush=True)
             ok = hash_match
         except Exception as ex:  # noqa: BLE001 — report and continue
             ok = False

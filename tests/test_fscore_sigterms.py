@@ -275,11 +275,26 @@ def test_significant_terms_unknown_heuristic(reader):
 
 
 def test_sig_fg_budget_raises_with_guidance(reader):
+    # 'raise' is opt-in since r5 (ADVICE r4: don't break existing
+    # large-foreground calls by default)
     q = "user merge"
     with pytest.raises(ValueError, match="sample_top"):
-        reader.significant_terms(q, size=5, fg_budget=1)
+        reader.significant_terms(q, size=5, fg_budget=1,
+                                 on_over_budget="raise")
     with pytest.raises(ValueError, match="significant_text"):
-        reader.significant_text(q, size=5, fg_budget=1)
+        reader.significant_text(q, size=5, fg_budget=1,
+                                on_over_budget="raise")
+
+
+def test_sig_fg_budget_default_samples(reader):
+    """Default over-budget behavior is the ES sampler remedy, not a
+    raise — a previously-working large-foreground call keeps working
+    (ADVICE r4). Small corpus => sampler covers every match, so the
+    result equals the exact path."""
+    q = "user merge"
+    exact = reader.significant_terms(q, size=12).toPandas()
+    routed = reader.significant_terms(q, size=12, fg_budget=1).toPandas()
+    assert routed["term"].tolist() == exact["term"].tolist()
 
 
 def test_sig_fg_budget_auto_sample_routes(reader):
