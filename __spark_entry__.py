@@ -1596,6 +1596,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_facets"] = _q_facets
     q["bm25_nested"] = _q_bm25_nested
 
+    def _pool(s: SparkSession, d: str):
+        from maestro_spark.operators.serving import ServingPool
+        return ServingPool(_ensure_index(s, d), n_workers=3)
+
+    def _q_pool_facets(s: SparkSession, d: str) -> DataFrame:
+        # the facets agg through the ServingPool fan-out (ES data-node
+        # model: workers count their own shards, coordinator sums) —
+        # same oracle as bm25_facets because the reduce is exact
+        with _pool(s, d) as p:
+            out = p.facets("spark stream", ("lang",))
+        return s.createDataFrame(out, "lang string, n_docs long")
+
+    q["pool_facets"] = _q_pool_facets
+
+    def _q_pool_sig_terms(s: SparkSession, d: str) -> DataFrame:
+        # significant_terms through the pool: per-worker fg partials sum
+        # exactly; scored against the shared termdict background
+        with _pool(s, d) as p:
+            out = p.significant_terms("customer", size=15)
+        return s.createDataFrame(
+            out, "term string, fg_df long, bg_df long, score double")
+
+    q["pool_significant_terms"] = _q_pool_sig_terms
+
+    def _q_pool_top_hits(s: SparkSession, d: str) -> DataFrame:
+        # top_hits through the pool: bounded per-bucket worker heaps,
+        # exact coordinator re-selection
+        with _pool(s, d) as p:
+            out = p.top_hits("spark query merge", "repo", per_group=2,
+                             k_groups=5, score_round=6)
+        return s.createDataFrame(
+            out, "group_value string, grp_rank int, doc_id long, "
+                 "score double")
+
+    q["pool_top_hits"] = _q_pool_top_hits
+
     def _q_terms_lookup(s: SparkSession, d: str) -> DataFrame:
         # ES terms-lookup: the terms set comes from doc 8's stored
         # repositories[].code values (one key-predicate docstore GET),
@@ -5702,5 +5738,12 @@ SELECT d.lang AS bucket, count(*)::BIGINT AS n_parents,
        round(avg(length(d.text)), 6) AS avg_parent_chars
 FROM pm JOIN documents d ON d.doc_id = pm.parent
 GROUP BY d.lang ORDER BY bucket"""
+
+    # ServingPool agg fan-out: the coordinator reduce is exact (integer
+    # count sums / bounded-heap re-selection), so the pool path answers
+    # the SAME oracle as its Spark-path sibling
+    o["pool_facets"] = o["bm25_facets"]
+    o["pool_significant_terms"] = o["significant_terms"]
+    o["pool_top_hits"] = o["bm25_top_hits"]
 
     return o

@@ -5305,6 +5305,414 @@ class IndexReader:
             out = out.where(~F.col("term").isin(list(plan.terms)))
         return out.orderBy(F.desc("score"), F.asc("term")).limit(size)
 
+    # ------------------------------------------------ serving-path aggs
+    # (the ES data-node agg model: each agg splits into an associative
+    # `_partial` a shard-subset worker computes over ONLY its shards and
+    # a `_reduce` the coordinator applies to the collected partials —
+    # ServingPool.facets/significant_terms/top_hits fan these out, and
+    # the single-process X_local methods are the W=1 composition, so
+    # pool results are bit-identical to single-process by construction.)
+
+    def _match_ids_by_shard(self, query: str, mode: str = "or",
+                            exclude: str | None = None,
+                            min_match: int = 1
+                            ) -> dict[int, np.ndarray]:
+        """Serving-path match set per shard: {shard: sorted global doc
+        ids} under the same posting set algebra as count_local /
+        match_docs. Subset readers see only their own shards (the
+        posting fetch is partition-pruned), so per-shard sets are
+        identical across any worker partitioning."""
+        plan = self.plan(query)
+        if not plan.terms:
+            return {}
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted(set(plan.terms) | set(ex_terms))
+        by_shard = self._fetch_posting_rows(all_terms)
+        out: dict[int, np.ndarray] = {}
+        for shard, rows in sorted(by_shard.items()):
+            present = [t for t in plan.terms if t in rows]
+            if not present:
+                continue
+            if mode == "and":
+                if len(present) < len(plan.terms):
+                    continue
+                ids: np.ndarray | None = None
+                for t in sorted(present, key=lambda t: rows[t]["df"]):
+                    d = _decode_full(rows[t]).doc_ids
+                    ids = d if ids is None else ids[np.isin(
+                        ids, d, assume_unique=True)]
+                    if ids.size == 0:
+                        break
+            else:
+                parts = [_decode_full(rows[t]).doc_ids for t in present]
+                if min_match > 1:
+                    cat = np.concatenate(parts)
+                    uniq, cnt = np.unique(cat, return_counts=True)
+                    ids = uniq[cnt >= min_match]
+                else:
+                    ids = np.unique(np.concatenate(parts))
+            if ids is None or ids.size == 0:
+                continue
+            ex = _excluded_local(rows, ex_terms, 0)
+            if ex is not None and ex.size:
+                ids = ids[np.isin(ids, ex, assume_unique=True,
+                                  invert=True)]
+            if ids.size:
+                out[int(shard)] = ids
+        return out
+
+    def _scored_ids_by_shard(self, query: str, mode: str = "or",
+                             boosts: dict[str, float] | None = None,
+                             exclude: str | None = None,
+                             min_match: int = 1
+                             ) -> dict[int, tuple]:
+        """Serving-path scored FULL match set per shard — scored_matches'
+        local sibling (same scorer, pruning off, k=shard_size so every
+        touched doc survives). {shard: (doc_ids, scores)} each sorted
+        (score desc, doc_id asc)."""
+        plan = self.plan(query, boosts=boosts)
+        if not plan.terms:
+            return {}
+        ex_terms = self._exclusion_terms(exclude)
+        all_terms = sorted(set(plan.terms) | set(ex_terms))
+        by_shard = self._fetch_posting_rows(all_terms)
+        shard_size = self.cfg["shard_size"]
+        out: dict[int, tuple] = {}
+        for shard, rows in sorted(by_shard.items()):
+            excluded = _excluded_local(rows, ex_terms,
+                                       shard * shard_size)
+            ids, scores = score_shard_rows(
+                rows, plan.terms, plan.idfs, plan.fields, plan.avgdl,
+                shard, shard_size, self.index_dir, shard_size, mode,
+                prune=False, excluded=excluded, min_match=min_match)
+            if ids.size:
+                out[int(shard)] = (ids, scores)
+        return out
+
+    def _matched_doc_values(self, ids_by_shard: dict[int, np.ndarray],
+                            cols: list) -> pd.DataFrame:
+        """Column-pruned docstore read of `cols` for a per-shard match
+        set: shard partition pruning keeps the scan to touched shards
+        (a subset worker only ever touches its own), and only the
+        requested columns are decompressed — never untouched ones."""
+        if not ids_by_shard:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 **{c: [] for c in cols}})
+        self._refresh_if_stale()
+        if self._docs_ds is None:
+            self._docs_ds = pads.dataset(
+                os.path.join(self.index_dir, "docs"),
+                format="parquet", partitioning="hive")
+        shards = sorted(ids_by_shard)
+        tbl = self._docs_ds.to_table(
+            columns=["doc_id", *cols],
+            filter=pads.field("shard").isin(shards))
+        pdf = tbl.to_pandas()
+        all_ids = np.concatenate([ids_by_shard[s] for s in shards])
+        return pdf[pdf["doc_id"].isin(all_ids)].reset_index(drop=True)
+
+    @staticmethod
+    def _round_half_up(values: np.ndarray, scale: int) -> np.ndarray:
+        """Replicate Spark's F.round on doubles (BigDecimal.valueOf —
+        shortest decimal repr — then HALF_UP), which numpy's half-even
+        np.round does NOT match on exact-half digits."""
+        from decimal import ROUND_HALF_UP, Decimal
+        q = Decimal(1).scaleb(-scale)
+        return np.array(
+            [float(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP))
+             for v in values], dtype=np.float64)
+
+    # ---- facets (ES terms agg, exact)
+
+    def _facets_partial(self, query: str, facet_cols: tuple = ("lang",),
+                        mode: str = "or", exclude: str | None = None,
+                        min_match: int = 1) -> pd.DataFrame:
+        cols = list(facet_cols)
+        m = self._match_ids_by_shard(query, mode, exclude, min_match)
+        if not m:
+            return pd.DataFrame({**{c: [] for c in cols},
+                                 "n_docs": pd.array([], dtype="int64")})
+        pdf = self._matched_doc_values(m, cols)
+        return (pdf.groupby(cols, dropna=False, sort=False).size()
+                .reset_index(name="n_docs"))
+
+    @staticmethod
+    def _facets_reduce(parts: list, cols: list) -> pd.DataFrame:
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return pd.DataFrame({**{c: [] for c in cols},
+                                 "n_docs": pd.array([], dtype="int64")})
+        cat = pd.concat(parts, ignore_index=True)
+        out = (cat.groupby(cols, dropna=False, sort=False)["n_docs"]
+               .sum().reset_index())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return (out.sort_values(["n_docs", *cols],
+                                ascending=[False] + [True] * len(cols),
+                                kind="mergesort")
+                .reset_index(drop=True))
+
+    def facets_local(self, query: str, facet_cols: tuple = ("lang",),
+                     mode: str = "or", exclude: str | None = None,
+                     min_match: int = 1) -> pd.DataFrame:
+        """Serving-path facet aggregation over the FULL match set —
+        value-identical to the Spark path (search_facets) and the W=1
+        composition of the pool fan-out."""
+        return self._facets_reduce(
+            [self._facets_partial(query, facet_cols, mode, exclude,
+                                  min_match)], list(facet_cols))
+
+    # ---- significant_terms (JLH / chi² / MI)
+
+    def _sig_sampled_ids(self, query: str, sample_top: int,
+                         mode: str, exclude: str | None,
+                         min_match: int,
+                         score_round: int | None
+                         ) -> dict[int, np.ndarray]:
+        """ES `sampler` foreground, serving path: per-shard top-N scored
+        matches under (round(score), doc_id) — per-shard, so any worker
+        partitioning reproduces exactly the same sample."""
+        sc = self._scored_ids_by_shard(query, mode, exclude=exclude,
+                                       min_match=min_match)
+        out: dict[int, np.ndarray] = {}
+        for shard, (ids, scores) in sc.items():
+            if score_round is not None:
+                scores = self._round_half_up(scores, score_round)
+                order = np.lexsort((ids, -scores))[:int(sample_top)]
+                picked = ids[order]
+            else:
+                picked = ids[:int(sample_top)]   # already rank-sorted
+            out[shard] = np.sort(picked)
+        return out
+
+    def _sig_fg_partial(self, query: str, mode: str = "or",
+                        exclude: str | None = None, min_match: int = 1,
+                        sample_top: int | None = None,
+                        score_round: int | None = None) -> dict:
+        """Foreground partial for significant_terms: re-analyze this
+        reader's matched docs' stored content with the SAME Arrow-native
+        tokenizer the build uses (token_record_batches — one row per
+        (doc, term), so fg_df is a row count) and return per-term doc
+        counts + the local match-set size. Integer counts sum exactly
+        across workers."""
+        import pyarrow as pa
+
+        from maestro_spark.functions.tokenize import (bounded_batches,
+                                                      token_record_batches)
+        m = (self._sig_sampled_ids(query, sample_top, mode, exclude,
+                                   min_match, score_round)
+             if sample_top is not None
+             else self._match_ids_by_shard(query, mode, exclude,
+                                           min_match))
+        fg_n = int(sum(ids.size for ids in m.values()))
+        if fg_n == 0:
+            return {"fg": pd.DataFrame(
+                {"term": pd.array([], dtype="string"),
+                 "fg_df": pd.array([], dtype="int64")}), "fg_n": 0}
+        pdf = self._matched_doc_values(m, ["content"])
+        shard_size = self.cfg["shard_size"]
+        batch = pa.RecordBatch.from_pandas(pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+            "shard": (pdf["doc_id"].to_numpy(np.int64)
+                      // shard_size).astype(np.int32),
+            "content": pdf["content"].astype(str),
+        }), preserve_index=False)
+        tok_name = self.cfg.get("tokenizer", "code")
+        counts: dict[str, int] = {}
+        for sub in bounded_batches(batch):
+            for ob in token_record_batches(sub, ("content",), tok_name,
+                                           False):
+                vc = pd.Series(ob.column("term").to_pylist()).value_counts()
+                for t, c in vc.items():
+                    counts[t] = counts.get(t, 0) + int(c)
+        fg = pd.DataFrame({"term": list(counts), "fg_df": list(counts.values())})
+        return {"fg": fg, "fg_n": fg_n}
+
+    def _sig_reduce(self, parts: list, query: str, size: int,
+                    exclude_query_terms: bool,
+                    heuristic: str) -> pd.DataFrame:
+        """Coordinator reduce: sum fg partials, join the termdict
+        background (vocabulary-sized, filtered to the fg term set), and
+        score with the SAME float64 formulas as the Spark _sig_score —
+        bit-identical after the shared 6dp HALF_UP round."""
+        empty = pd.DataFrame({"term": pd.array([], dtype="object"),
+                              "fg_df": pd.array([], dtype="int64"),
+                              "bg_df": pd.array([], dtype="int64"),
+                              "score": pd.array([], dtype="float64")})
+        parts = [p for p in parts if p is not None]
+        fg_n = float(sum(p["fg_n"] for p in parts))
+        if fg_n == 0:
+            return empty
+        fg = (pd.concat([p["fg"] for p in parts], ignore_index=True)
+              .groupby("term")["fg_df"].sum().reset_index())
+        st = self.stats.get("fields", {}).get("content", {})
+        bg_n = float(st.get("n_docs", 1)) or 1.0
+        terms_list = [t for t in fg["term"].tolist() if ":" not in t]
+        td = pads.dataset(os.path.join(self.index_dir, "termdict"),
+                          format="parquet", partitioning="hive")
+        bg = td.to_table(columns=["term", "df"],
+                         filter=pads.field("term").isin(terms_list)
+                         ).to_pandas().rename(columns={"df": "bg_df"})
+        out = fg.merge(bg, on="term", how="inner")
+        fg_df = out["fg_df"].to_numpy(np.float64)
+        bg_df = out["bg_df"].to_numpy(np.float64)
+        fg_pct = fg_df / fg_n
+        bg_pct = bg_df / bg_n
+        if heuristic == "jlh":
+            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        elif heuristic == "chi_square":
+            n, fn = bg_n, fg_n
+            n11, tx = fg_df, bg_df
+            n10, n01 = tx - n11, fn - n11
+            n00 = n - tx - n01
+            d = n11 * n00 - n10 * n01
+            # 0/0 -> NaN when a term appears in every doc (tx == n);
+            # Spark's double division does the same and the
+            # fg_pct > bg_pct filter drops those rows on both paths
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = n * d * d / (tx * fn * (n - tx) * (n - fn))
+        elif heuristic == "mutual_information":
+            n, fn = bg_n, fg_n
+            n11, tx = fg_df, bg_df
+            n10, n01 = tx - n11, fn - n11
+            n00 = n - tx - n01
+            n1_, n0_ = tx, n - tx
+            n_1, n_0 = fn, n - fn
+
+            def mi_term(nxy, nx, ny):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    v = (nxy / n) * np.log2(n * nxy / (nx * ny))
+                return np.where(nxy > 0, v, 0.0)
+
+            score = (mi_term(n11, n1_, n_1) + mi_term(n10, n1_, n_0)
+                     + mi_term(n01, n0_, n_1) + mi_term(n00, n0_, n_0))
+        else:
+            raise ValueError(
+                f"unknown significance heuristic {heuristic!r}")
+        out = out[fg_pct > bg_pct].assign(
+            score=self._round_half_up(score[fg_pct > bg_pct], 6))
+        plan = self.plan(query)
+        if exclude_query_terms and plan.terms:
+            out = out[~out["term"].isin(list(plan.terms))]
+        out = (out.sort_values(["score", "term"],
+                               ascending=[False, True], kind="mergesort")
+               .head(int(size)).reset_index(drop=True))
+        out["fg_df"] = out["fg_df"].astype("int64")
+        out["bg_df"] = out["bg_df"].astype("int64")
+        return out[["term", "fg_df", "bg_df", "score"]]
+
+    def significant_terms_local(self, query: str, size: int = 10,
+                                mode: str = "or",
+                                exclude: str | None = None,
+                                min_match: int = 1,
+                                exclude_query_terms: bool = True,
+                                sample_top: int | None = None,
+                                score_round: int | None = None,
+                                fg_budget: int | None = None,
+                                on_over_budget: str = "sample",
+                                heuristic: str = "jlh") -> pd.DataFrame:
+        """Serving-path significant_terms — same foreground budget
+        discipline as the Spark path (over SIG_FG_BUDGET matched docs
+        the exact foreground auto-routes to the ES sampler composition),
+        value-identical to the Spark significant_terms and the W=1
+        composition of the pool fan-out."""
+        if sample_top is None:
+            fg_n = self.count_local(query, mode=mode, exclude=exclude,
+                                    min_match=min_match)
+            cap = (self.SIG_FG_BUDGET if fg_budget is None
+                   else int(fg_budget))
+            if fg_n > cap:
+                if on_over_budget == "sample":
+                    sample_top = self.SIG_SAMPLE_TOP
+                elif on_over_budget != "allow":
+                    raise ValueError(
+                        f"significant_terms_local({query!r}) foreground "
+                        f"is {fg_n} docs, over the re-analysis budget of "
+                        f"{cap}: pass sample_top=N, "
+                        "on_over_budget='sample', or 'allow'")
+        part = self._sig_fg_partial(query, mode, exclude, min_match,
+                                    sample_top, score_round)
+        return self._sig_reduce([part], query, size,
+                                exclude_query_terms, heuristic)
+
+    # ---- top_hits (ES terms agg + top_hits)
+
+    def _top_hits_partial(self, query: str, group_col: str,
+                          per_group: int = 3, mode: str = "or",
+                          boosts: dict[str, float] | None = None,
+                          exclude: str | None = None,
+                          min_match: int = 1,
+                          score_round: int | None = None
+                          ) -> pd.DataFrame:
+        """Per-reader bounded heap: this reader's top `per_group` hits
+        per bucket — a superset of every bucket's global top within its
+        shards, so the coordinator re-selection is exact (the same
+        two-phase shape as the Spark search_top_hits)."""
+        sc = self._scored_ids_by_shard(query, mode, boosts, exclude,
+                                       min_match)
+        empty = pd.DataFrame({"group_value": [],
+                              "doc_id": pd.array([], dtype="int64"),
+                              "score": pd.array([], dtype="float64")})
+        if not sc:
+            return empty
+        ids = np.concatenate([sc[s][0] for s in sorted(sc)])
+        scores = np.concatenate([sc[s][1] for s in sorted(sc)])
+        if score_round is not None:
+            scores = self._round_half_up(scores, score_round)
+        vals = self._matched_doc_values(
+            {s: sc[s][0] for s in sc}, [group_col])
+        df = pd.DataFrame({"doc_id": ids, "score": scores}).merge(
+            vals.rename(columns={group_col: "group_value"}), on="doc_id")
+        df = df.sort_values(["group_value", "score", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return (df.groupby("group_value", sort=False).head(int(per_group))
+                [["group_value", "doc_id", "score"]])
+
+    @staticmethod
+    def _top_hits_reduce(parts: list, per_group: int,
+                         k_groups: int) -> pd.DataFrame:
+        empty = pd.DataFrame({"group_value": [],
+                              "grp_rank": pd.array([], dtype="int32"),
+                              "doc_id": pd.array([], dtype="int64"),
+                              "score": pd.array([], dtype="float64")})
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return empty
+        cat = pd.concat(parts, ignore_index=True)
+        cat = cat.sort_values(["group_value", "score", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = cat.groupby("group_value", sort=False).head(int(per_group))
+        top = top.assign(grp_rank=(top.groupby("group_value")
+                                   .cumcount() + 1).astype(np.int32))
+        best = (top[top["grp_rank"] == 1]
+                .sort_values(["score", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+                .head(int(k_groups))
+                [["group_value", "score"]]
+                .rename(columns={"score": "_best"}))
+        out = top.merge(best, on="group_value", how="inner")
+        out = out.sort_values(["_best", "group_value", "grp_rank"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+        return (out[["group_value", "grp_rank", "doc_id", "score"]]
+                .reset_index(drop=True))
+
+    def top_hits_local(self, query: str, group_col: str,
+                       per_group: int = 3, k_groups: int = 10,
+                       mode: str = "or",
+                       boosts: dict[str, float] | None = None,
+                       exclude: str | None = None, min_match: int = 1,
+                       score_round: int | None = None) -> pd.DataFrame:
+        """Serving-path top_hits aggregation — value-identical to the
+        Spark path (search_top_hits) and the W=1 composition of the
+        pool fan-out."""
+        return self._top_hits_reduce(
+            [self._top_hits_partial(query, group_col, per_group, mode,
+                                    boosts, exclude, min_match,
+                                    score_round)],
+            per_group, k_groups)
+
     def suggest_terms_local(self, query: str, max_edits: int = 2,
                             per_term: int = 3) -> pd.DataFrame:
         """Term suggester — the ES term-suggest `suggest_mode=missing`

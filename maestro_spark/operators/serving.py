@@ -120,6 +120,12 @@ def _worker_main(index_dir: str, worker_id: int, n_workers: int,
                     *phrase_cache, k=kwargs["k"],
                     df_override=kwargs["df"])
                 phrase_cache = None
+            elif method == "facets_partial":
+                out = reader._facets_partial(**kwargs)
+            elif method == "sig_fg_partial":
+                out = reader._sig_fg_partial(**kwargs)
+            elif method == "top_hits_partial":
+                out = reader._top_hits_partial(**kwargs)
             elif method == "ping":
                 # liveness/ops probe; optional delay models a slow node
                 # (used by the resilience tests to hold a worker busy)
@@ -411,6 +417,77 @@ class ServingPool:
         """Fan-out count_local; counts over disjoint shard subsets sum."""
         return int(sum(self._broadcast("count",
                                        dict(query=query, **kwargs))))
+
+    # -------------------------------------------------- agg fan-out
+    # (the ES model: aggs run on the data nodes, the coordinator
+    # reduces. Each agg's partial is associative over disjoint shard
+    # subsets, so the reduce of W partials is bit-identical to the
+    # single-process X_local path — parity-tested in
+    # tests/test_serving_aggs.py.)
+
+    def facets(self, query: str, facet_cols: tuple = ("lang",),
+               **kwargs) -> pd.DataFrame:
+        """Fan-out facet aggregation: each worker counts its own shards'
+        matched docs per facet value; integer counts sum exactly.
+        Bit-identical to IndexReader.facets_local (and value-identical
+        to the Spark search_facets)."""
+        from maestro_spark.operators.search import IndexReader
+        outs = self._broadcast(
+            "facets_partial",
+            dict(query=query, facet_cols=tuple(facet_cols), **kwargs))
+        return IndexReader._facets_reduce(outs, list(facet_cols))
+
+    def significant_terms(self, query: str, size: int = 10,
+                          mode: str = "or", exclude: str | None = None,
+                          min_match: int = 1,
+                          exclude_query_terms: bool = True,
+                          sample_top: int | None = None,
+                          score_round: int | None = None,
+                          fg_budget: int | None = None,
+                          on_over_budget: str = "sample",
+                          heuristic: str = "jlh") -> pd.DataFrame:
+        """Fan-out significant_terms: workers re-analyze ONLY their own
+        shards' matched docs (the foreground-bounded cost now divides by
+        W); the coordinator sums the per-term doc counts — exact
+        integers — and scores against the GLOBAL termdict background it
+        already holds. Same SIG_FG_BUDGET discipline as the local path,
+        with the foreground counted pool-wide (pool.count) so the
+        budget decision matches the single-process one."""
+        if sample_top is None:
+            fg_n = self.count(query, mode=mode, exclude=exclude,
+                              min_match=min_match)
+            meta = self._meta_reader()
+            cap = (meta.SIG_FG_BUDGET if fg_budget is None
+                   else int(fg_budget))
+            if fg_n > cap:
+                if on_over_budget == "sample":
+                    sample_top = meta.SIG_SAMPLE_TOP
+                elif on_over_budget != "allow":
+                    raise ValueError(
+                        f"pool.significant_terms({query!r}) foreground "
+                        f"is {fg_n} docs, over the re-analysis budget "
+                        f"of {cap}: pass sample_top=N, "
+                        "on_over_budget='sample', or 'allow'")
+        outs = self._broadcast(
+            "sig_fg_partial",
+            dict(query=query, mode=mode, exclude=exclude,
+                 min_match=min_match, sample_top=sample_top,
+                 score_round=score_round))
+        return self._meta_reader()._sig_reduce(
+            outs, query, size, exclude_query_terms, heuristic)
+
+    def top_hits(self, query: str, group_col: str, per_group: int = 3,
+                 k_groups: int = 10, **kwargs) -> pd.DataFrame:
+        """Fan-out top_hits: each worker returns its bounded per-bucket
+        heap (≤ per_group rows per bucket per worker); the coordinator
+        re-selects the exact global per-bucket top and the k_groups
+        best buckets. Bit-identical to IndexReader.top_hits_local."""
+        from maestro_spark.operators.search import IndexReader
+        outs = self._broadcast(
+            "top_hits_partial",
+            dict(query=query, group_col=group_col, per_group=per_group,
+                 **kwargs))
+        return IndexReader._top_hits_reduce(outs, per_group, k_groups)
 
     def stats(self) -> list[dict]:
         """Per-worker shard ownership + cache occupancy (ops surface)."""
