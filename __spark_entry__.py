@@ -2905,10 +2905,18 @@ def _rotate_never_sampled(q: dict) -> dict:
     from the CORRECTNESS_r*.json files shipped next to this module;
     with none present (clean checkout) the registry order is unchanged.
     Within each group the original insertion order is kept, so rotation
-    never reorders the already-verified prefix relative to itself."""
+    never reorders the already-verified prefix relative to itself.
+
+    The registry order therefore depends on which CORRECTNESS files sit
+    next to the module (ADVICE r4) — deliberate, because the external
+    driver samples in registry order and this is the only lever that
+    steers its coverage. Order-sensitive consumers can pin the original
+    insertion order with MAESTRO_NO_ROTATION=1."""
     import glob
     import json
 
+    if os.environ.get("MAESTRO_NO_ROTATION"):
+        return q
     seen: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
