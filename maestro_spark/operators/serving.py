@@ -38,12 +38,22 @@ bytes.
 Fanned-out surface: search / msearch / count — their plans come from
 GLOBAL statistics (manifest field stats + termdict dfs), which every
 worker shares, so subset scoring is bit-identical by construction.
-phrase_search_local is deliberately NOT fanned out: its phrase
-pseudo-term df is counted across ALL shards before scoring, so a
-subset worker would score with a partial df — distributing it needs
-the dfs_query_then_fetch two-phase protocol (phase 1: per-worker
-match counts; phase 2: score with the summed global df), the same
-seam federated_global_plans already implements across indexes.
+phrase runs the dfs_query_then_fetch two-phase protocol (phase 1:
+per-worker position-intersected match counts, cached worker-side;
+phase 2: score with the summed global df). The agg family — facets /
+significant_terms / top_hits — fans out on the ES data-node model:
+each agg is an associative per-worker partial (integer facet counts,
+foreground term/doc counts, bounded per-bucket heaps) plus an exact
+coordinator reduce, so pool results are bit-identical to the
+single-process X_local paths (which are the W=1 composition).
+
+Fault tolerance (the ES replica/reroute analogue): each worker talks
+over a private duplex Pipe — no shared queue locks a dying process can
+poison — so a worker death surfaces as EOF (or a liveness sweep on
+poll timeout); the coordinator respawns the subset reader, re-sends
+the in-flight request, and still returns the complete bit-identical
+answer. An alive-but-silent worker hits a bounded pool-degraded error
+instead of a deadlock.
 
 Start method: ``spawn`` by default — fork would duplicate the parent's
 arbitrary state (a Spark JVM in tests) into scoring processes; a clean
