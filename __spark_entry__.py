@@ -1620,6 +1620,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pool_significant_terms"] = _q_pool_sig_terms
 
+    def _q_pool_histogram(s: SparkSession, d: str) -> DataFrame:
+        # histogram through the pool: integer bucket counts sum exactly
+        with _pool(s, d) as p:
+            out = p.histogram("spark stream", "length:content", 100)
+        return s.createDataFrame(out, "bucket double, n_docs long")
+
+    q["pool_histogram"] = _q_pool_histogram
+
     def _q_pool_top_hits(s: SparkSession, d: str) -> DataFrame:
         # top_hits through the pool: bounded per-bucket worker heaps,
         # exact coordinator re-selection
@@ -5753,5 +5761,6 @@ GROUP BY d.lang ORDER BY bucket"""
     o["pool_facets"] = o["bm25_facets"]
     o["pool_significant_terms"] = o["significant_terms"]
     o["pool_top_hits"] = o["bm25_top_hits"]
+    o["pool_histogram"] = o["bm25_histogram"]
 
     return o

@@ -5461,6 +5461,55 @@ class IndexReader:
             [self._facets_partial(query, facet_cols, mode, exclude,
                                   min_match)], list(facet_cols))
 
+    # ---- histogram (ES histogram agg, exact)
+
+    def _histogram_partial(self, query: str, value_col: str,
+                           interval: float, mode: str = "or",
+                           exclude: str | None = None,
+                           min_match: int = 1) -> pd.DataFrame:
+        """value_col: a docstore column name, or "length:<col>" for the
+        F.length(col) expression the Spark-path callers use."""
+        m = self._match_ids_by_shard(query, mode, exclude, min_match)
+        empty = pd.DataFrame({"bucket": pd.array([], dtype="float64"),
+                              "n_docs": pd.array([], dtype="int64")})
+        if not m:
+            return empty
+        col = (value_col[len("length:"):]
+               if value_col.startswith("length:") else value_col)
+        pdf = self._matched_doc_values(m, [col])
+        v = (pdf[col].str.len().astype("float64")
+             if value_col.startswith("length:")
+             else pdf[col].astype("float64"))
+        bucket = np.floor(v.to_numpy(np.float64) / float(interval)) \
+            * float(interval)
+        out = (pd.DataFrame({"bucket": bucket}).groupby("bucket")
+               .size().reset_index(name="n_docs"))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    @staticmethod
+    def _histogram_reduce(parts: list) -> pd.DataFrame:
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return pd.DataFrame({"bucket": pd.array([], dtype="float64"),
+                                 "n_docs": pd.array([], dtype="int64")})
+        cat = pd.concat(parts, ignore_index=True)
+        out = cat.groupby("bucket")["n_docs"].sum().reset_index()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return (out.sort_values("bucket", kind="mergesort")
+                .reset_index(drop=True))
+
+    def histogram_local(self, query: str, value_col: str,
+                        interval: float, mode: str = "or",
+                        exclude: str | None = None,
+                        min_match: int = 1) -> pd.DataFrame:
+        """Serving-path histogram aggregation — value-identical to the
+        Spark search_histogram (integer counts; identical float64 bucket
+        arithmetic) and the W=1 composition of the pool fan-out."""
+        return self._histogram_reduce(
+            [self._histogram_partial(query, value_col, interval, mode,
+                                     exclude, min_match)])
+
     # ---- significant_terms (JLH / chi² / MI)
 
     def _sig_sampled_ids(self, query: str, sample_top: int,

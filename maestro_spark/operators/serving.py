@@ -132,6 +132,8 @@ def _worker_main(index_dir: str, worker_id: int, n_workers: int,
                 phrase_cache = None
             elif method == "facets_partial":
                 out = reader._facets_partial(**kwargs)
+            elif method == "histogram_partial":
+                out = reader._histogram_partial(**kwargs)
             elif method == "sig_fg_partial":
                 out = reader._sig_fg_partial(**kwargs)
             elif method == "top_hits_partial":
@@ -446,6 +448,18 @@ class ServingPool:
             "facets_partial",
             dict(query=query, facet_cols=tuple(facet_cols), **kwargs))
         return IndexReader._facets_reduce(outs, list(facet_cols))
+
+    def histogram(self, query: str, value_col: str, interval: float,
+                  **kwargs) -> pd.DataFrame:
+        """Fan-out histogram aggregation: per-worker integer bucket
+        counts, exact sum reduce. Bit-identical to
+        IndexReader.histogram_local."""
+        from maestro_spark.operators.search import IndexReader
+        outs = self._broadcast(
+            "histogram_partial",
+            dict(query=query, value_col=value_col,
+                 interval=float(interval), **kwargs))
+        return IndexReader._histogram_reduce(outs)
 
     def significant_terms(self, query: str, size: int = 10,
                           mode: str = "or", exclude: str | None = None,

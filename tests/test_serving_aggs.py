@@ -106,6 +106,31 @@ def test_facets_no_match_empty(lreader, pool):
     assert len(pool.facets("zzqfoo", ("lang",))) == 0
 
 
+# ---------------------------------------------------------- histogram
+
+
+def test_histogram_local_matches_spark(spark, sreader, lreader):
+    from pyspark.sql import functions as F
+    for q in ("user merge", "token"):
+        want = sreader.search_histogram(q, F.length("content"),
+                                        50).toPandas()
+        got = lreader.histogram_local(q, "length:content", 50)
+        _frames_equal(got, want, float_cols=("bucket",),
+                      msg=f"histogram {q}")
+
+
+def test_pool_histogram_parity(lreader, pool, idx):
+    want = lreader.histogram_local("user merge", "length:content", 50)
+    got = pool.histogram("user merge", "length:content", 50)
+    _frames_equal(got, want, float_cols=("bucket",), msg="pool histo")
+    for w in (1, 4):
+        with ServingPool(idx, n_workers=w) as p:
+            _frames_equal(p.histogram("token", "length:content", 50),
+                          lreader.histogram_local("token",
+                                                  "length:content", 50),
+                          float_cols=("bucket",), msg=f"pool histo W={w}")
+
+
 # --------------------------------------------------- significant_terms
 
 
