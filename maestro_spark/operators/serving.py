@@ -111,6 +111,8 @@ def _worker_main(index_dir: str, worker_id: int, n_workers: int,
                 out = reader.search_many_local(**kwargs)
             elif method == "count":
                 out = reader.count_local(**kwargs)
+            elif method == "search_after":
+                out = reader.search_after_local(**kwargs)
             elif method == "phrase_count":
                 # dfs_query_then_fetch phase 1: match this worker's
                 # shard subset, cache the arrays, return the local df
@@ -367,6 +369,18 @@ class ServingPool:
                                  "doc_id": pd.array([], dtype="int64"),
                                  "score": pd.array([], dtype="float64")})
         return pd.concat(parts, ignore_index=True)
+
+    def search_after(self, query: str, k: int = 10,
+                     after: tuple | None = None,
+                     **kwargs) -> pd.DataFrame:
+        """Fan-out cursor pagination: each worker returns its subset's
+        top-k strictly after the (score, doc_id) cursor — the cursor
+        compare happens shard-side, so the merge is exact at any depth
+        (no from+size deep-paging blowup across workers either).
+        Bit-identical to IndexReader.search_after_local."""
+        outs = self._broadcast(
+            "search_after", dict(query=query, k=k, after=after, **kwargs))
+        return self._merge_hits(outs, k)
 
     def phrase(self, phrase: str, k: int = 10, slop: int = 0,
                prefix_last: bool = False, max_expansions: int = 50,

@@ -106,6 +106,36 @@ def test_facets_no_match_empty(lreader, pool):
     assert len(pool.facets("zzqfoo", ("lang",))) == 0
 
 
+# --------------------------------------------------------- search_after
+
+
+def test_pool_search_after_pagination_parity(lreader, pool):
+    """Three pages through the pool == three pages single-process, at
+    any cursor depth (the cursor compare happens shard-side)."""
+    q = "user merge"
+    after = None
+    for page in range(3):
+        want = lreader.search_after_local(q, k=7, after=after)
+        got = pool.search_after(q, k=7, after=after)
+        _frames_equal(got, want, float_cols=("score",),
+                      msg=f"page {page}")
+        if not len(want):
+            break
+        after = (float(want["score"].iloc[-1]),
+                 int(want["doc_id"].iloc[-1]))
+
+
+def test_pool_search_after_worker_invariance(lreader, idx):
+    q = "error retry"
+    p1 = lreader.search_after_local(q, k=5)
+    after = (float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1]))
+    want = lreader.search_after_local(q, k=5, after=after)
+    for w in (1, 4):
+        with ServingPool(idx, n_workers=w) as p:
+            _frames_equal(p.search_after(q, k=5, after=after), want,
+                          float_cols=("score",), msg=f"W={w}")
+
+
 # ---------------------------------------------------------- histogram
 
 
