@@ -183,6 +183,22 @@ def main() -> None:
             t0 = time.time()
             pool.msearch(batch, k=10)
             pool_msearch_qps = 96.0 / (time.time() - t0)
+            # agg fan-out through the same pool (round 5): workers
+            # compute associative partials over their own shards,
+            # coordinator reduces exactly
+            t0 = time.time()
+            pool.facets("index query merge", ("lang",))
+            timings["pool_facets"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            pool.significant_terms("getUserName", size=15)
+            timings["pool_sig_terms"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            pool.top_hits("index query merge", "repo", per_group=2,
+                          k_groups=5)
+            timings["pool_top_hits"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            pool.phrase("get user", k=10)
+            timings["pool_phrase"] = round(time.time() - t0, 4)
         timings["pool_msearch_96"] = round(96.0 / pool_msearch_qps, 3)
 
         # bool/pagination/facet/count surface (round-2 additions)

@@ -5389,12 +5389,24 @@ class IndexReader:
                 out[int(shard)] = (ids, scores)
         return out
 
+    # above this many matched ids the doc_id predicate is dropped from
+    # the parquet filter (a huge isin costs more than it prunes) and the
+    # whole touched shard's columns are read + masked — only ever hit by
+    # cheap narrow columns (facets/histogram); content reads are always
+    # budget- or sampler-bounded well below it
+    _DOC_VALUES_ISIN_CAP = 50_000
+
     def _matched_doc_values(self, ids_by_shard: dict[int, np.ndarray],
                             cols: list) -> pd.DataFrame:
         """Column-pruned docstore read of `cols` for a per-shard match
-        set: shard partition pruning keeps the scan to touched shards
-        (a subset worker only ever touches its own), and only the
-        requested columns are decompressed — never untouched ones."""
+        set: shard partition pruning keeps the scan to touched shards (a
+        subset worker only ever touches its own), and only the requested
+        columns are decompressed — never untouched ones. For bounded
+        match sets the doc_id predicate is pushed into the scan too
+        (docs are written in id order within a shard, so row-group
+        min/max stats skip unmatched groups — the fetch_docs_local
+        discipline); corpus-scale match sets fall back to reading the
+        touched shards' columns and masking vectorized."""
         if not ids_by_shard:
             return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                                  **{c: [] for c in cols}})
@@ -5404,11 +5416,15 @@ class IndexReader:
                 os.path.join(self.index_dir, "docs"),
                 format="parquet", partitioning="hive")
         shards = sorted(ids_by_shard)
-        tbl = self._docs_ds.to_table(
-            columns=["doc_id", *cols],
-            filter=pads.field("shard").isin(shards))
-        pdf = tbl.to_pandas()
         all_ids = np.concatenate([ids_by_shard[s] for s in shards])
+        filt = pads.field("shard").isin(shards)
+        if all_ids.size <= self._DOC_VALUES_ISIN_CAP:
+            filt = filt & pads.field("doc_id").isin(all_ids)
+            return (self._docs_ds.to_table(
+                        columns=["doc_id", *cols], filter=filt)
+                    .to_pandas().reset_index(drop=True))
+        pdf = self._docs_ds.to_table(
+            columns=["doc_id", *cols], filter=filt).to_pandas()
         return pdf[pdf["doc_id"].isin(all_ids)].reset_index(drop=True)
 
     @staticmethod
