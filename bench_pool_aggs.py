@@ -15,8 +15,10 @@ Every pool result is asserted bit-identical to its single-process
 baseline in-bench (the parity IS the contract; only wall-clock may
 change). vm_cpu_score calibration brackets the run.
 
-Usage: python bench_pool_aggs.py [n_docs] [workers_csv] [reps]
-       (defaults 2000000, "1,4,8", 3)
+Usage: python bench_pool_aggs.py [n_docs] [workers_csv] [reps] [idx_dir]
+       (defaults 2000000, "1,4,8", 3, the cached bench_pool index;
+        pass e.g. /tmp/bench_auto_idx_2000000_v1 to measure the
+        AUTO_SHARD layout)
 Prints ONE JSON line.
 """
 
@@ -72,7 +74,7 @@ def main() -> None:
                (sys.argv[2] if len(sys.argv) > 2 else "1,4,8").split(",")]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    idx = _ensure_index(n_docs)
+    idx = sys.argv[4] if len(sys.argv) > 4 else _ensure_index(n_docs)
     vm_pre = _vm_cpu_score()
     seq = IndexReader(None, idx)
     n_shards = len(seq.manifest["shards"])
