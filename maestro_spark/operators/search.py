@@ -5535,18 +5535,41 @@ class IndexReader:
                          ) -> dict[int, np.ndarray]:
         """ES `sampler` foreground, serving path: per-shard top-N scored
         matches under (round(score), doc_id) — per-shard, so any worker
-        partitioning reproduces exactly the same sample."""
+        partitioning reproduces exactly the same sample.
+
+        Unrounded ranking (score_round=None, the budget-routed default)
+        runs the PRUNED top-k scorer with k=sample_top — MaxScore top-k
+        is exact, so the picked set is identical to ranking the full
+        scored match set (parity-tested) at a fraction of the decode
+        cost. A rounded cut must score everything: rounding can reorder
+        docs across the unrounded top-N boundary."""
+        if score_round is None:
+            plan = self.plan(query)
+            if not plan.terms:
+                return {}
+            ex_terms = self._exclusion_terms(exclude)
+            by_shard = self._fetch_posting_rows(
+                sorted(set(plan.terms) | set(ex_terms)))
+            shard_size = self.cfg["shard_size"]
+            out: dict[int, np.ndarray] = {}
+            for shard, rows in sorted(by_shard.items()):
+                excluded = _excluded_local(rows, ex_terms,
+                                           shard * shard_size)
+                ids, _ = score_shard_rows(
+                    rows, plan.terms, plan.idfs, plan.fields,
+                    plan.avgdl, shard, shard_size, self.index_dir,
+                    int(sample_top), mode, prune=True,
+                    excluded=excluded, min_match=min_match)
+                if ids.size:
+                    out[int(shard)] = np.sort(ids)
+            return out
         sc = self._scored_ids_by_shard(query, mode, exclude=exclude,
                                        min_match=min_match)
-        out: dict[int, np.ndarray] = {}
+        out = {}
         for shard, (ids, scores) in sc.items():
-            if score_round is not None:
-                scores = self._round_half_up(scores, score_round)
-                order = np.lexsort((ids, -scores))[:int(sample_top)]
-                picked = ids[order]
-            else:
-                picked = ids[:int(sample_top)]   # already rank-sorted
-            out[shard] = np.sort(picked)
+            scores = self._round_half_up(scores, score_round)
+            order = np.lexsort((ids, -scores))[:int(sample_top)]
+            out[shard] = np.sort(ids[order])
         return out
 
     def _sig_fg_partial(self, query: str, mode: str = "or",
@@ -5582,12 +5605,16 @@ class IndexReader:
             "content": pdf["content"].astype(str),
         }), preserve_index=False)
         tok_name = self.cfg.get("tokenizer", "code")
+        import pyarrow.compute as pc
         counts: dict[str, int] = {}
         for sub in bounded_batches(batch):
             for ob in token_record_batches(sub, ("content",), tok_name,
                                            False):
-                vc = pd.Series(ob.column("term").to_pylist()).value_counts()
-                for t, c in vc.items():
+                # Arrow-native distinct-count — no per-row python objects
+                vc = pc.value_counts(ob.column("term"))
+                terms = vc.field("values").to_pylist()
+                ns = vc.field("counts").to_numpy(zero_copy_only=False)
+                for t, c in zip(terms, ns):
                     counts[t] = counts.get(t, 0) + int(c)
         fg = pd.DataFrame({"term": list(counts), "fg_df": list(counts.values())})
         return {"fg": fg, "fg_n": fg_n}

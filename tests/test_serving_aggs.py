@@ -211,6 +211,20 @@ def test_pool_sig_terms_sampled_parity(lreader, pool):
     _frames_equal(got, want, float_cols=("score",), msg="pool sampled")
 
 
+def test_sig_sampler_pruned_equals_full_scan(lreader):
+    """The unrounded sampler cut uses the PRUNED top-k scorer; MaxScore
+    top-k is exact, so the picked foreground — and therefore the whole
+    agg — must equal ranking the full scored match set."""
+    q = "user merge"
+    got = lreader._sig_sampled_ids(q, 5, "or", None, 1, None)
+    sc = lreader._scored_ids_by_shard(q, "or", None, None, 1)
+    want = {s: np.sort(ids[:5]) for s, (ids, _) in sc.items()}
+    want = {s: v for s, v in want.items() if v.size}
+    assert set(got) == set(want)
+    for s in want:
+        np.testing.assert_array_equal(got[s], want[s], err_msg=str(s))
+
+
 def test_pool_sig_budget_routes_to_sampler(lreader, pool):
     """Over-budget foreground auto-routes to the sampler pool-wide, with
     the budget decided on the POOL-WIDE count (same decision as the
