@@ -113,6 +113,8 @@ def _worker_main(index_dir: str, worker_id: int, n_workers: int,
                 out = reader.count_local(**kwargs)
             elif method == "search_after":
                 out = reader.search_after_local(**kwargs)
+            elif method == "mcount":
+                out = reader.count_many_local(**kwargs)
             elif method == "phrase_count":
                 # dfs_query_then_fetch phase 1: match this worker's
                 # shard subset, cache the arrays, return the local df
@@ -443,6 +445,19 @@ class ServingPool:
         """Fan-out count_local; counts over disjoint shard subsets sum."""
         return int(sum(self._broadcast("count",
                                        dict(query=query, **kwargs))))
+
+    def count_many(self, queries: dict[str, str], **kwargs
+                   ) -> dict[str, int]:
+        """Fan-out count_many_local (the ES `filters` agg / _msearch of
+        _counts): ONE broadcast moves the whole batch; per-query counts
+        over disjoint shard subsets sum. Identical to the
+        single-process count_many_local."""
+        outs = self._broadcast("mcount", dict(queries=queries, **kwargs))
+        total = {qid: 0 for qid in queries}
+        for o in outs:
+            for qid, n in o.items():
+                total[qid] += int(n)
+        return total
 
     # -------------------------------------------------- agg fan-out
     # (the ES model: aggs run on the data nodes, the coordinator

@@ -106,6 +106,23 @@ def test_facets_no_match_empty(lreader, pool):
     assert len(pool.facets("zzqfoo", ("lang",))) == 0
 
 
+# --------------------------------------------------------- count_many
+
+
+def test_pool_count_many_parity(lreader, pool, idx):
+    qs = {"a": "user merge", "b": "error retry", "c": "zzqfoo",
+          "d": "token"}
+    want = lreader.count_many_local(qs)
+    assert pool.count_many(qs) == want
+    assert pool.count_many(qs, mode="and") == \
+        lreader.count_many_local(qs, mode="and")
+    assert pool.count_many(qs, exclude="java") == \
+        lreader.count_many_local(qs, exclude="java")
+    for w in (1, 4):
+        with ServingPool(idx, n_workers=w) as p:
+            assert p.count_many(qs) == want, f"W={w}"
+
+
 # --------------------------------------------------------- search_after
 
 
