@@ -190,6 +190,46 @@ def test_pool_phrase_survives_worker_death_between_phases(idx):
                            seq.search_local(Q, k=10))
 
 
+def test_pool_follows_alias_flip_without_restart(spark, tmp_path):
+    """Blue/green retargeting through a LIVE pool: workers re-resolve
+    the index alias per request, so an incremental build that flips
+    {base}/vN retargets every worker — no restarts, cache-consistent
+    (the ES alias-swap contract the docstring promises)."""
+    import pyspark.sql.functions as F
+
+    from maestro_spark.operators.build import build_index_versioned
+    from maestro_spark.operators.incremental import \
+        incremental_update_versioned
+    from maestro_spark.sources.tableio import resolve_alias
+
+    vcfg = IndexConfig(shard_size=64, n_buckets=8, n_salts=4,
+                       hot_df_fraction=0.02, sample_fraction=1.0)
+    base = str(tmp_path / "idx_pool_alias")
+    build_index_versioned(spark, synth_docs(spark, 200, seed=41,
+                                            partitions=4), base, vcfg)
+    with ServingPool(base, n_workers=3) as pool:
+        assert pool.count("zzqflip") == 0
+        baseline = pool.search("user merge", k=10)
+        docs = spark.read.parquet(os.path.join(resolve_alias(base),
+                                               "docs"))
+        batch = (docs.orderBy("doc_id").limit(5)
+                 .select("repo", "path", "commit", "lang",
+                         F.concat(F.col("content"),
+                                  F.lit(" zzqflip")).alias("content")))
+        incremental_update_versioned(spark, base, batch, None, vcfg)
+        assert resolve_alias(base).endswith("v2")
+        # the SAME pool, no restart: sees v2
+        assert pool.count("zzqflip") == 5
+        seq = IndexReader(None, base)
+        _assert_hits_equal(pool.search("zzqflip", k=5),
+                           seq.search_local("zzqflip", k=5),
+                           msg="post-flip parity")
+        _assert_hits_equal(pool.search("user merge", k=10),
+                           seq.search_local("user merge", k=10),
+                           msg="post-flip main query")
+        assert len(baseline) == 10   # pre-flip result was served
+
+
 def test_pool_degraded_raises_instead_of_deadlock(idx):
     """A worker that is alive-but-silent past the request timeout yields
     a clear pool-degraded error, never an infinite block; its late
