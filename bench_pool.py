@@ -16,8 +16,10 @@ The index is cached under /tmp/bench_pool_idx_{n_docs}_v1 and reused
 across runs (building 2M docs costs ~25 min; the serving measurements
 are the point here). vm_cpu_score calibration brackets the run.
 
-Usage: python bench_pool.py [n_docs] [workers_csv] [reps_per_query]
-       (defaults 2000000, "1,2,4,8", 5)
+Usage: python bench_pool.py [n_docs] [workers_csv] [reps_per_query] [idx_dir]
+       (defaults 2000000, "1,2,4,8", 5, the cached bench_pool index;
+        pass e.g. /tmp/bench_auto_idx_2000000_v1 for the AUTO_SHARD
+        layout)
 Prints ONE JSON line.
 """
 
@@ -89,7 +91,7 @@ def main() -> None:
                (sys.argv[2] if len(sys.argv) > 2 else "1,2,4,8").split(",")]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
-    idx = _ensure_index(n_docs)
+    idx = sys.argv[4] if len(sys.argv) > 4 else _ensure_index(n_docs)
     vm_pre = _vm_cpu_score()
     n_shards = len(IndexReader(None, idx).manifest["shards"])
 
